@@ -1,0 +1,420 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator catalog: scans, filters/projections, joins
+  * (broadcast / shuffle / semi / anti / range), hash & sort aggregations,
+  * rollup/cube, window functions, sort/limit/top-k, set operations,
+  * string/date/json scalar functions, scalar subqueries.
+  *
+  * The reference (`OMTZHModifier.java`) hand-fuses scan→filter→project
+  * (`OMT:134-146`) and executes its one semantic join as point UPDATEs
+  * (`OMT:156-178`); here each capability is a declarative Spark plan so
+  * Catalyst performs pushdown/pruning/join-selection (SURVEY.md §4).
+  *
+  * Scale notes (100 TB): every query below is a single declarative plan —
+  * filters reach the parquet scan, small dimensions are broadcast
+  * (`broadcast()` hints on region/nation/customer-sized tables), large
+  * fact-fact joins shuffle on their equi-keys where AQE can re-plan skew,
+  * and window top-k uses rank-filter (no global sort of the fact table).
+  */
+object Relational {
+
+  /** Exact decimal running/window sum of a double column as double. */
+  private def wsum(c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+    sum(c.cast(DecimalType(18, 4))).over(w).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scan + aggregate (TPC-H Q1 style; hash agg, map-side partials)
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- filter + project, predicates pushed to parquet scan
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 30 && col("l_discount") <= 0.05)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- broadcast join chain (dims broadcast, no shuffle of fact)
+    "q03_join_broadcast" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders"); val n = t(s, d, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("total_revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- large fact-fact shuffle join (sort-merge/shuffled-hash + AQE)
+    "q04_join_shuffle" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- left semi join (EXISTS)
+    "q05_semi_join" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- left anti join (NOT EXISTS)
+    "q06_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- window top-k per group (rank-filter; no global sort)
+    "q07_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    // ---- running window aggregate (exact decimal prefix sums)
+    "q08_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          wsum(col("o_totalprice"), w).as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- global sort + limit (TakeOrderedAndProject, no full sort)
+    "q09_sort_limit" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // ---- distinct (shuffle dedup)
+    "q10_distinct" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_mktsegment")).distinct()
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- set operations: intersect / except / union all
+    "q11_setops" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      val even = c.filter(col("c_custkey") % 2 === 0).select(col("c_custkey"))
+      rich.intersect(even).withColumn("op", lit("both"))
+        .unionAll(rich.except(even).withColumn("op", lit("only_rich")))
+        .orderBy(col("op"), col("c_custkey"))
+    }),
+
+    // ---- rollup (hierarchical subtotals)
+    "q12_rollup" -> ((s, d) => {
+      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_balance"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_customers"), col("total_balance"))
+        .orderBy(col("region"), col("nation"))
+    }),
+
+    // ---- cube (all grouping-set combinations)
+    "q13_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("revenue"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    // ---- string scalar functions (codegen'd built-ins)
+    "q14_string_funcs" -> ((s, d) => {
+      t(s, d, "part")
+        .filter(col("p_name").like("%a%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 8).as("name_pfx"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_replace(col("p_type"), "[aeiou]", "").as("type_novowel"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- date/time functions + grouping
+    "q15_date_funcs" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("yr"), col("mo"))
+    }),
+
+    // ---- conditional aggregation (CASE WHEN inside agg)
+    "q16_case_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          dsum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")).otherwise(0.0)).as("urgent_revenue"),
+          count(when(col("o_orderpriority") === "1-URGENT", lit(1))).as("urgent_orders"),
+          count(lit(1)).as("all_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- JSON extraction (events.props is a JSON string)
+    "q17_json_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"))
+        .filter(col("k_num") > 50)
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- group-by + HAVING
+    "q18_having" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_lines"))
+        .filter(col("total_qty") > 100)
+        .orderBy(col("l_partkey"))
+    }),
+
+    // ---- scalar subquery (orders above the global average price)
+    "q19_above_avg" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val avgP = o.agg(davg(col("o_totalprice")).as("avg_price"))
+      o.join(broadcast(avgP), o("o_totalprice") > avgP("avg_price"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- range (non-equi band) join against a broadcast dimension
+    "q20_range_join" -> ((s, d) => {
+      import s.implicits._
+      val tiers = Seq(
+        ("low", -1.0e9, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1.0e9)
+      ).toDF("tier", "lo", "hi")
+      t(s, d, "events")
+        .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy(col("tier"))
+    }),
+
+    // ---- approximate distinct (HLL sketch; no exact oracle by design)
+    "q21_approx_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- multi-way join: revenue per region (5-table chain)
+    "q22_multi_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"))
+    }),
+
+    // ---- window lag/lead (event deltas per user)
+    "q23_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) AS net_price,
+         CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_join_broadcast" ->
+      """SELECT n_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+         count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q04_join_shuffle" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q07_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 3
+         ORDER BY o_custkey, rk""",
+    "q08_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q09_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q10_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q11_setops" ->
+      """SELECT c_custkey, 'both' AS op FROM (
+           SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+           INTERSECT
+           SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+         UNION ALL
+         SELECT c_custkey, 'only_rich' AS op FROM (
+           SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+           EXCEPT
+           SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+         ORDER BY op, c_custkey""",
+    "q12_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+         count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY region, nation""",
+    "q13_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q14_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+         substring(p_name, 1, 8) AS name_pfx,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel,
+         concat_ws('|', p_brand, p_type) AS brand_type
+         FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""",
+    "q15_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY yr, mo ORDER BY yr, mo""",
+    "q16_case_agg" ->
+      """SELECT o_orderstatus,
+         CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS urgent_revenue,
+         count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_orders,
+         count(*) AS all_orders
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q17_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+         FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+         ORDER BY event_id""",
+    "q18_having" ->
+      """SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+         count(*) AS n_lines
+         FROM lineitem GROUP BY l_partkey
+         HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 100
+         ORDER BY l_partkey""",
+    "q19_above_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (
+           SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+           FROM orders)
+         ORDER BY o_orderkey""",
+    "q20_range_join" ->
+      """SELECT tier, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events JOIN (VALUES
+           ('low', -1000000000.0, 50.0),
+           ('mid', 50.0, 120.0),
+           ('high', 120.0, 1000000000.0)) AS tiers(tier, lo, hi)
+         ON value >= lo AND value < hi
+         GROUP BY tier ORDER BY tier""",
+    "q22_multi_join" ->
+      """SELECT r_name,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q23_window_lag" ->
+      """SELECT user_id, event_id,
+         lag(event_id, 1) OVER w AS prev_event_id,
+         (epoch_ns(ts) // 1000)
+           - (lag(epoch_ns(ts), 1) OVER w // 1000) AS gap_us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_id"""
+  )
+}

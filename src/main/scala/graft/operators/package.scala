@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the operator catalog.
+  *
+  * Cross-engine determinism: the driver hash-compares our results against
+  * DuckDB. Floating-point SUM/AVG are order-dependent, so both engines
+  * first cast to an exact DECIMAL, sum exactly, and only then convert the
+  * final (order-independent) value back to DOUBLE. A single terminal
+  * double conversion/division is bit-exact across IEEE-754 engines.
+  */
+package object operators {
+
+  /** Load `name`.parquet from the scale-factor dir. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables(spark, dir, name)
+
+  /** Order-independent exact sum of a double column, returned as double.
+    * DuckDB equivalent: CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Order-independent mean: exact decimal sum / count, one double div.
+    * DuckDB: CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / count(*). */
+  def davg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double") / count(lit(1))
+}
