@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.ZhQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracleSql
+    operators.Relational.oracleSql ++
+      operators.ZhQueries.oracleSql
 }

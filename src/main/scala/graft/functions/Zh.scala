@@ -1,0 +1,51 @@
+package graft.functions
+
+import com.ibm.icu.text.Transliterator
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Chinese-script scalar functions — the reference's three "UDFs"
+  * (`OMTZHModifier.java:228,233,247-250`) re-expressed for Spark.
+  *
+  * The reference uses OpenCC (`com.github.houbb:opencc4j`, build.gradle:31)
+  * for Simplified↔Traditional conversion; we use ICU4J's `Transliterator`
+  * (ships with Spark's jars). Capability-equivalent, not byte-identical
+  * (dictionaries differ slightly) — so these stay out of the DuckDB oracle
+  * and are pinned by golden-file unit tests instead (SURVEY.md §5).
+  *
+  * Thread safety: ICU `Transliterator` instances are NOT thread-safe; one
+  * instance per executor thread via `ThreadLocal` (SURVEY.md §7.5). The
+  * enclosing object is a Scala module, so UDF closures capture no state —
+  * each executor JVM lazily builds its own transliterators.
+  */
+object Zh {
+
+  private val s2t: ThreadLocal[Transliterator] =
+    ThreadLocal.withInitial(() => Transliterator.getInstance("Simplified-Traditional"))
+  private val t2s: ThreadLocal[Transliterator] =
+    ThreadLocal.withInitial(() => Transliterator.getInstance("Traditional-Simplified"))
+
+  /** Traditional → Simplified (reference `ZhConverterUtil.toSimple`, OMT:228). */
+  def toSimplified(s: String): String =
+    if (s == null) null else t2s.get().transliterate(s)
+
+  /** Simplified → Traditional (reference `ZhConverterUtil.toTraditional`, OMT:233). */
+  def toTraditional(s: String): String =
+    if (s == null) null else s2t.get().transliterate(s)
+
+  /** True iff any codepoint is of Unicode script HAN (reference
+    * `isHanScript`, OMT:247-250 — same `Character.UnicodeScript` check). */
+  def hasHan(s: String): Boolean =
+    s != null && s.codePoints().anyMatch(cp =>
+      Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN)
+
+  // Column-level API (Scala UDFs; codegen'd Catalyst Expression variants
+  // live in graft.functions.expr and are the preferred hot-path form).
+  private val toSimplifiedUdf = udf(toSimplified _)
+  private val toTraditionalUdf = udf(toTraditional _)
+  private val hasHanUdf = udf(hasHan _)
+
+  def zh_to_simplified(c: Column): Column = toSimplifiedUdf(c)
+  def zh_to_traditional(c: Column): Column = toTraditionalUdf(c)
+  def contains_han(c: Column): Column = hasHanUdf(c)
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Zh._
+import graft.sources.OsmFixture
+
+/** Driver-contract entries for the ZH parity core. The ICU conversions
+  * are not DuckDB-expressible (SURVEY.md §5) — those entries carry no
+  * oracle; Han-script *detection* is expressible via RE2 `\p{Han}` and
+  * gets a real oracle over the documents table. */
+object ZhQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full reference pipeline on the fixture table (golden-tested in
+    // ZhSpec; here so the driver exercises it end-to-end). No oracle:
+    // ICU conversion is not SQL-expressible.
+    "z01_zh_enrich" -> ((s, _) => {
+      ZhEnrich.zhEnrich(OsmFixture(s), "id").orderBy(col("id"))
+    }),
+    // Enrich + merge-back: tags map projected to plain columns (maps stay
+    // out of oracle comparisons per SURVEY.md §5). No oracle.
+    "z02_zh_enrich_applied" -> ((s, _) => {
+      ZhEnrich.enrichTable(OsmFixture(s), "id")
+        .select(col("id"), col("name"),
+          element_at(col("tags"), "name:zh-Hans").as("hans"),
+          element_at(col("tags"), "name:zh-Hant").as("hant"),
+          element_at(col("tags"), "amenity").as("amenity"),
+          col("geometry"))
+        .orderBy(col("id"))
+    }),
+    // Han-script detection over real data — DuckDB-oracled (RE2 \p{Han}).
+    "z03_han_script_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(contains_han(col("text")).as("has_han"), col("n_chars"))
+        .groupBy(col("has_han"))
+        .agg(count(lit(1)).as("n_docs"), dsum(col("n_chars").cast("double")).as("total_chars"))
+        .orderBy(col("has_han"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "z03_han_script_stats" ->
+      """SELECT regexp_matches(text, '\p{Han}') AS has_han,
+         count(*) AS n_docs,
+         CAST(sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS total_chars
+         FROM documents GROUP BY has_han ORDER BY has_han"""
+  )
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Zh
+import graft.operators.ZhEnrich
+import graft.model.TableClassifier
+
+/** Golden tests for the ZH parity core — one row per branch of the
+  * reference's `processRecord` (`OMTZHModifier.java:196-245`), per the
+  * inventory in FIXTURES.md §A. */
+class ZhSpec extends SparkSpec {
+
+  private def osmFixture(idName: String = "id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idName, LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("tags", MapType(StringType, StringType, valueContainsNull = true), nullable = true),
+      StructField("geometry", StringType, nullable = true)))
+    val rows = Seq(
+      Row(1L, "北京市", Map.empty[String, String], "g1"),
+      Row(2L, "Springfield", Map.empty[String, String], "g2"),
+      Row(3L, "成田 Airport", Map.empty[String, String], "g3"),
+      Row(4L, null, Map("name:zh" -> "萬國碼"), "g4"),
+      Row(5L, null, Map.empty[String, String], "g5"),
+      Row(6L, "", Map.empty[String, String], "g6"),
+      Row(7L, "头发", Map("name:zh-Hans" -> "头发"), "g7"),
+      Row(8L, "頭髮", Map("name:zh-Hant" -> "頭髮"), "g8"),
+      Row(9L, "東京", Map("name:zh-Hans" -> "东京", "name:zh-Hant" -> "東京"), "g9"),
+      Row(10L, "上海", Map("name:zh-Hans" -> ""), "g10"),
+      Row(11L, "广州", Map("amenity" -> "cafe"), "g11"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("scalar functions: ICU conversion + Han detection") {
+    assert(Zh.toTraditional("头发") == "頭髮")
+    assert(Zh.toSimplified("頭髮") == "头发")
+    assert(Zh.toTraditional("广州") == "廣州")
+    assert(Zh.toSimplified("萬國碼") == "万国码")
+    assert(Zh.toSimplified(null) == null)
+    assert(Zh.hasHan("成田 Airport"))
+    assert(Zh.hasHan("北京市"))
+    assert(!Zh.hasHan("Springfield"))
+    assert(!Zh.hasHan(""))
+    assert(!Zh.hasHan(null))
+    // kana alone is not Han script
+    assert(!Zh.hasHan("ひらがな"))
+  }
+
+  test("zhEnrich derives exactly the expected rows (golden, FIXTURES.md A)") {
+    val got = ZhEnrich.zhEnrich(osmFixture(), "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = Array(
+      (1L, "北京市", "北京市"),
+      (3L, "成田 Airport", "成田 Airport"),
+      (4L, "万国码", "萬國碼"),
+      (7L, "头发", "頭髮"),       // hans kept verbatim, hant derived
+      (8L, "头发", "頭髮"),       // hant kept verbatim, hans derived (typo pinned-fixed)
+      (10L, "上海", "上海"),      // "" coerced to null, re-derived
+      (11L, "广州", "廣州"))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("applyUpdates merges right-wins and preserves bystander columns") {
+    val df = osmFixture()
+    val out = ZhEnrich.enrichTable(df, "id").cache()
+    assert(out.count() == 11) // all rows survive (left join)
+    val r11 = out.filter(col("id") === 11).select("tags").head().getMap[String, String](0)
+    assert(r11("amenity") == "cafe")           // bystander key survives merge
+    assert(r11("name:zh-Hans") == "广州")
+    assert(r11("name:zh-Hant") == "廣州")
+    val r10 = out.filter(col("id") === 10).select("tags").head().getMap[String, String](0)
+    assert(r10("name:zh-Hans") == "上海")       // "" overwritten (right wins)
+    val r2 = out.filter(col("id") === 2).select("tags").head().getMap[String, String](0)
+    assert(!r2.contains("name:zh-Hans"))       // untouched row unchanged
+    val r9 = out.filter(col("id") === 9).select("tags").head().getMap[String, String](0)
+    assert(r9("name:zh-Hant") == "東京")        // both-present row not rewritten
+    // geometry column passes through untouched
+    assert(out.filter(col("id") === 1).select("geometry").head().getString(0) == "g1")
+    out.unpersist()
+  }
+
+  test("idempotence: enriching an enriched table emits zero updates") {
+    val once = ZhEnrich.enrichTable(osmFixture(), "id")
+    assert(ZhEnrich.zhEnrich(once, "id").count() == 0)
+  }
+
+  test("conversion is a projection: toSimplified is idempotent") {
+    for (s <- Seq("头发", "頭髮", "广州生产总值", "萬國碼是通用的", "成田 Airport", "北京市")) {
+      assert(Zh.toSimplified(Zh.toSimplified(s)) == Zh.toSimplified(s))
+      assert(Zh.toTraditional(Zh.toTraditional(s)) == Zh.toTraditional(s))
+    }
+  }
+
+  test("hasHan agrees with Java regex \\p{IsHan}") {
+    val samples = Seq("北京", "abc", "ひらがな", "カタカナ", "한국어", "mixed 漢 text",
+      "", "١٢٣", "émigré", "𠀀 surrogate-pair Han") // U+20000 is Han (ext B)
+    for (s <- samples)
+      assert(Zh.hasHan(s) == s.codePoints().anyMatch(cp =>
+        java.util.regex.Pattern.compile("\\p{IsHan}").matcher(
+          new String(Character.toChars(cp))).find()), s"disagree on: $s")
+  }
+
+  test("classifier: id precedence over osm_id, marker columns required") {
+    import TableClassifier._
+    val both = osmFixture("id").withColumn("osm_id", col("id"))
+    assert(classify(osmFixture("id")) == Enrichable("id"))
+    assert(classify(osmFixture("osm_id")) == Enrichable("osm_id"))
+    assert(classify(both) == Enrichable("id")) // id wins (OMT:69-73)
+    assert(classify(osmFixture("id").drop("tags")) == Skipped)
+    assert(classify(osmFixture("id").drop("name")) == Skipped)
+  }
+}
