@@ -18,11 +18,23 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
-      operators.ZhQueries.queries
+      operators.ZhQueries.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.Events.queries ++
+      operators.Multimodal.queries ++
+      streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++
-      operators.ZhQueries.oracleSql
+      operators.ZhQueries.oracleSql ++
+      operators.TextAnalysis.oracleSql ++
+      operators.Dedup.oracleSql ++
+      operators.Similarity.oracleSql ++
+      operators.Events.oracleSql ++
+      operators.Multimodal.oracleSql ++
+      streaming.StreamingQueries.oracleSql
 }

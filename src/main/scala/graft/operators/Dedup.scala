@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (hash-groupBy), blocked n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup groups by a 128-bit content hash, never shuffling the
+  *    document bodies themselves;
+  *  - pairwise Jaccard is only ever computed inside blocks / LSH buckets
+  *    (candidate generation bounds the quadratic term);
+  *  - MinHash signatures are built in ONE pass over exploded shingles
+  *    (k min-aggregates), then banded so near-dup candidates meet in a
+  *    bucket-join — the standard shuffle-friendly LSH layout;
+  *  - SimHash pairs are blocked on 16-bit signature bands (a Hamming-
+  *    distance-≤-budget pair must agree on at least one of 4 bands).
+  */
+object Dedup {
+
+  /** Content hash used as the dedup key (md5 here so DuckDB can mirror
+    * it; the cheaper xxhash64 is used where no oracle is needed). */
+  private def contentHash(c: org.apache.spark.sql.Column) = md5(c.cast("binary"))
+
+  /** Exact dedup: one canonical (min) doc_id per distinct text. */
+  def exactDedupGroups(docs: DataFrame): DataFrame =
+    docs.select(contentHash(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+
+  /** Exact-duplicate pairs (a < b). */
+  def exactDupPairs(docs: DataFrame): DataFrame = {
+    val h = docs.select(contentHash(col("text")).as("h"), col("doc_id"))
+    val a = h.select(col("h"), col("doc_id").as("a_id"))
+    val b = h.select(col("h"), col("doc_id").as("b_id"))
+    a.join(b, Seq("h")).filter(col("a_id") < col("b_id")).select(col("a_id"), col("b_id"))
+  }
+
+  /** Blocked exact word-set Jaccard: candidate pairs share a 20-char
+    * prefix block (cheap blocking key), verified with exact Jaccard.
+    * |A∪B| computed as |A|+|B|−|A∩B| for cross-engine parity. */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      substring(col("text"), 1, 20).as("blk"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    val a = base.select(col("blk"), col("doc_id").as("a_id"), col("ws").as("a_ws"))
+    val b = base.select(col("blk"), col("doc_id").as("b_id"), col("ws").as("b_ws"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_ws"), col("b_ws"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("a_ws")) + size(col("b_ws")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** MinHash signature: k min-hashes over word-3-shingles, computed in a
+    * single explode + k min-aggregates pass (one shuffle by doc_id). */
+  def minHashSignatures(docs: DataFrame, k: Int = 64): DataFrame = {
+    val shingled = docs
+      .withColumn("_ws", split(col("text"), " "))
+      .withColumn("shingle", explode(expr(
+        """transform(sequence(1, greatest(size(_ws) - 2, 1)),
+           i -> concat_ws(' ', element_at(_ws, i),
+             element_at(_ws, least(i + 1, size(_ws))),
+             element_at(_ws, least(i + 2, size(_ws)))))""")))
+      .select(col("doc_id"), col("shingle"))
+    val minCols = (0 until k).map(j => min(xxhash64(col("shingle"), lit(j))).as(s"m$j"))
+    shingled.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand
+    * = k), bucket-join on (band, band-hash), verify candidates with exact
+    * Jaccard ≥ threshold. */
+  def minHashNearDupPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = minHashSignatures(docs, k)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = buckets.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+    val b = buckets.select(col("band"), col("bh"), col("doc_id").as("b_id"))
+    val cand = a.join(b, Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    // verify candidates with exact word-set Jaccard
+    val ws = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    cand
+      .join(ws.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), Seq("a_id"))
+      .join(ws.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_ws"), col("b_ws"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("a_ws")) + size(col("b_ws")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens (unweighted): bit i of the
+    * signature is the sign of Σ_tokens (±1 by bit i of xxhash64(token)). */
+  def simHash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, expr(s"cast(1 as bigint) << $i")).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
+    * blocked on 4 × 16-bit signature bands. */
+  def simHashNearDupPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sig = simHash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bk"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val a = banded.select(col("band"), col("bk"), col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+    val b = banded.select(col("band"), col("bk"), col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+    a.join(b, Seq("band", "bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> ((s, d) =>
+      exactDedupGroups(t(s, d, "documents")).orderBy(col("canonical_id"))),
+    "d02_exact_dup_pairs" -> ((s, d) =>
+      exactDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
+    "d03_jaccard_pairs" -> ((s, d) =>
+      jaccardPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
+    "d04_minhash_neardups" -> ((s, d) =>
+      minHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
+    "d05_simhash_neardups" -> ((s, d) =>
+      simHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+    "d02_exact_dup_pairs" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM documents a JOIN documents b
+         ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+         ORDER BY a_id, b_id""",
+    "d03_jaccard_pairs" ->
+      """SELECT a_id, b_id,
+         CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE)
+           / (len(a_ws) + len(b_ws) - len(list_intersect(a_ws, b_ws))) AS jaccard
+         FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 list_distinct(string_split(a.text, ' ')) AS a_ws,
+                 list_distinct(string_split(b.text, ' ')) AS b_ws
+               FROM documents a JOIN documents b
+               ON substring(a.text, 1, 20) = substring(b.text, 1, 20)
+                 AND a.doc_id < b.doc_id)
+         WHERE CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE)
+           / (len(a_ws) + len(b_ws) - len(list_intersect(a_ws, b_ws))) >= 0.5
+         ORDER BY a_id, b_id"""
+  )
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * fixed-size chunking, and a batched feature-extraction stage.
+  *
+  * The real decode step (image/audio/video codecs) is STUBBED — the
+  * container has no media libraries — but the Spark-side plumbing is
+  * real and tested: schema (binary + metadata struct), partition-batched
+  * processing via `mapPartitions` over a typed Dataset (the Scala
+  * analogue of `mapInPandas` batch processing), deterministic output
+  * shape. Swapping `fakeDecode` for a JNI/codec call changes nothing
+  * structurally.
+  *
+  * Scale: chunking and feature extraction are narrow (no shuffle);
+  * payloads at 100 TB would live in parquet binary columns exactly like
+  * this, with `spark.sql.files.maxPartitionBytes` sizing the splits.
+  */
+object Multimodal {
+
+  /** Documents as a multimodal table: payload bytes + metadata struct. */
+  def asBinary(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        length(col("text").cast("binary")).cast("long").as("byte_len"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        lit("text/plain").as("mime")).as("meta"))
+
+  /** Fixed-size chunk index (idx, byte length) per payload — the shape a
+    * frame-sampler or tile-splitter produces. */
+  def chunkIndex(docs: DataFrame, chunkBytes: Int = 64): DataFrame =
+    asBinary(docs)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n"))
+      .withColumn("chunk_idx",
+        explode(expr(s"sequence(0, cast(ceil(n / $chunkBytes.0) as bigint) - 1)")))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkBytes.toLong), col("n") - col("chunk_idx") * chunkBytes).as("chunk_bytes"))
+
+  /** Record shape entering/leaving the "decoder". */
+  case class Payload(doc_id: Long, payload: Array[Byte])
+  case class Features(doc_id: Long, n_bytes: Long, features: Array[Float])
+
+  /** STUB decode: a real implementation would decode image/audio bytes
+    * here (no media libs in this container). The stub derives a
+    * deterministic 8-dim feature vector from the bytes so the plumbing —
+    * typed Dataset, per-partition batching, output schema — is fully
+    * exercisable and testable. */
+  private def fakeDecode(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % 8) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Partition-batched feature extraction over binary payloads. */
+  def extractFeatures(docs: DataFrame): Dataset[Features] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asBinary(docs).select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions { it =>
+        // per-partition setup (a real decoder would init its codec here)
+        it.map(p => Features(p.doc_id, p.payload.length.toLong, fakeDecode(p.payload)))
+      }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_binary_meta" -> ((s, d) =>
+      asBinary(t(s, d, "documents"))
+        .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+          col("meta.content_md5").as("content_md5"), col("meta.mime").as("mime"))
+        .orderBy(col("doc_id"))),
+    "m02_chunk_index" -> ((s, d) =>
+      chunkIndex(t(s, d, "documents")).orderBy(col("doc_id"), col("chunk_idx"))),
+    "m03_feature_stub" -> ((s, d) =>
+      extractFeatures(t(s, d, "documents")).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy(col("doc_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "m01_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS content_md5, 'text/plain' AS mime
+         FROM documents ORDER BY doc_id""",
+    "m02_chunk_index" ->
+      """WITH c AS (
+           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS i
+           FROM documents)
+         SELECT doc_id, i AS chunk_idx, least(64, n - i * 64) AS chunk_bytes
+         FROM c ORDER BY doc_id, chunk_idx"""
+  )
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Determinism strategy: embeddings are quantized to integer milli-units
+  * (`round(x·1000)` as bigint — the int8/int16 quantization pattern used
+  * by production ANN systems). Integer dot products are exact and
+  * order-independent, so similarity scores are bit-identical in any
+  * engine; cosine then needs only three correctly-rounded double ops
+  * (sqrt, mul, div). This is what makes the brute-force variant DuckDB-
+  * oracle-able.
+  *
+  * Scale design (100 TB):
+  *  - brute-force top-k broadcasts the (small) query set and computes
+  *    per-partition partial top-k before the final window — the fact
+  *    (corpus) side never shuffles;
+  *  - the LSH variant (random-hyperplane signatures) buckets the corpus
+  *    so candidate generation is a bucket-equi-join, the standard
+  *    sub-linear path when the query set is itself huge;
+  *  - an IVF-style variant would cluster on label (coarse quantizer) —
+  *    `labelCentroids` is that building block.
+  */
+object Similarity {
+
+  /** Quantized embedding: exact bigint milli-units. */
+  private val qCol = expr(
+    "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
+
+  /** Exact integer dot product of two bigint arrays. */
+  private def idot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)")
+
+  /** vec_id, quantized vector, double norm (deterministic). */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"), qCol.as("qv"))
+      .withColumn("nrm", sqrt(idot("qv", "qv").cast("double")))
+
+  /** Brute-force cosine top-k: every query (vec_id ≡ 0 mod queryMod)
+    * against the whole corpus; ties broken by neighbor id. */
+  def knnBruteForce(emb: DataFrame, k: Int = 5, queryMod: Int = 100): DataFrame = {
+    val base = quantized(emb)
+    val queries = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val scored = base
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", idot("qv", "q_qv").cast("double") / (col("nrm") * col("q_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+  }
+
+  /** Random-hyperplane LSH signatures: bit j = sign(v · r_j), planes
+    * derived from a fixed seed (deterministic). Returns (vec_id, bucket).
+    * nBits=12 → 4096 buckets; tune so bucket size ≈ corpus/4096. */
+  def lshBuckets(emb: DataFrame, nBits: Int = 12, dim: Int = 64, seed: Long = 42): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(if (rng.nextBoolean()) 1L else -1L)
+    val bitCols = (0 until nBits).map { j =>
+      val plane = s"array(${planes(j).mkString(",")})"
+      val dot = s"aggregate(zip_with(qv, $plane, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+      s"(case when $dot >= 0 then cast(1 as bigint) << $j else 0 end)"
+    }
+    quantized(emb).withColumn("bucket", expr(bitCols.mkString(" + ")))
+  }
+
+  /** LSH-bucketed approximate top-k: queries only compare against corpus
+    * vectors in the same bucket (sub-linear candidate set). */
+  def knnLsh(emb: DataFrame, k: Int = 5, queryMod: Int = 100, nBits: Int = 8): DataFrame = {
+    val base = lshBuckets(emb, nBits)
+    val queries = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("bucket"), col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    base
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", idot("qv", "q_qv").cast("double") / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+  }
+
+  /** Per-label centroids (IVF coarse-quantizer building block): exact
+    * decimal mean of each dimension. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos").cast("long").as("dim"))
+      .agg(davg(col("v").cast("double")).as("centroid"))
+
+  /** Embedding near-dup pairs: quantized cosine ≥ threshold within
+    * label blocks (cheap exact blocking at test scale; at 100 TB the
+    * block key would be an LSH bucket). */
+  def cosineDupPairs(emb: DataFrame, threshold: Double = 0.99): DataFrame = {
+    val base = quantized(emb)
+    val a = base.select(col("label"), col("vec_id").as("a_id"), col("qv").as("a_qv"), col("nrm").as("a_nrm"))
+    val b = base.select(col("label"), col("vec_id").as("b_id"), col("qv").as("b_qv"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", idot("a_qv", "b_qv").cast("double") / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_knn_brute" -> ((s, d) =>
+      knnBruteForce(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    "s02_knn_lsh" -> ((s, d) =>
+      knnLsh(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    "s03_label_centroids" -> ((s, d) =>
+      labelCentroids(t(s, d, "embeddings")).orderBy(col("label"), col("dim"))),
+    "s04_cosine_dup_pairs" -> ((s, d) =>
+      // 0.30: synthetic embeddings have no true near-dups (max intra-label
+      // cos ≈ 0.47); this returns the top-similar tail instead of ∅.
+      cosineDupPairs(t(s, d, "embeddings"), 0.30).orderBy(col("a_id"), col("b_id")))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val qv = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+    Map(
+      "s01_knn_brute" ->
+        s"""WITH q AS (
+             SELECT vec_id, $qv AS qv FROM embeddings),
+           n AS (
+             SELECT vec_id, qv,
+               sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+             FROM q),
+           scored AS (
+             SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+                 i -> c.qv[i] * qq.qv[i])) AS DOUBLE) / (c.nrm * qq.nrm) AS cos
+             FROM n c JOIN n qq ON qq.vec_id % 100 = 0 AND c.vec_id != qq.vec_id),
+           ranked AS (
+             SELECT q_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+             FROM scored)
+           SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
+           ORDER BY q_id, rk""",
+      "s03_label_centroids" ->
+        """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS centroid
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+           GROUP BY label, dim ORDER BY label, dim""",
+      "s04_cosine_dup_pairs" ->
+        s"""WITH n AS (
+             SELECT vec_id, label, $qv AS qv,
+               sqrt(CAST(list_sum(list_transform($qv, x -> x * x)) AS DOUBLE)) AS nrm
+             FROM embeddings)
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+               i -> a.qv[i] * b.qv[i])) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+           FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+             i -> a.qv[i] * b.qv[i])) AS DOUBLE) / (a.nrm * b.nrm) >= 0.30
+           ORDER BY a_id, b_id"""
+    )
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extension surface, BASELINE.json): token statistics, script-based
+  * language ID, quality scoring, fingerprinting, n-gram mining.
+  *
+  * All computations are single narrow stages over `documents` (scale
+  * linearly; the only shuffles are the final aggregations, which run on
+  * map-side-combined partials). Ratios are exact double divisions of
+  * integer counts — bit-identical in any IEEE-754 engine, so every
+  * operator except the hash fingerprint carries a DuckDB oracle.
+  */
+object TextAnalysis {
+
+  private val ws: Column = split(col("text"), " ")
+
+  /** Whitespace tokenizer + per-document token statistics. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("len_chars"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") / size(ws)).as("mean_token_len"))
+
+  /** Unicode-script language heuristic (extends the reference's
+    * Han-detection `OMTZHModifier.java:247-250` to a multi-script ID). */
+  def scriptLangId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      when(col("text").rlike("\\p{IsHan}"), "zh")
+        .when(col("text").rlike("[\\p{IsHiragana}\\p{IsKatakana}]"), "ja")
+        .when(col("text").rlike("\\p{IsHangul}"), "ko")
+        .when(col("text").rlike("\\p{IsCyrillic}"), "ru")
+        .otherwise("latin").as("script_lang"))
+
+  /** Quality scoring: lexical-diversity × (1 − stopword-ratio); the
+    * standard cheap pre-filter shape for pretraining corpora. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nTok = size(ws).cast("long")
+    val nUniq = size(array_distinct(ws)).cast("long")
+    val nStop = size(filter(ws, w => w.isin("the", "a"))).cast("long")
+    docs.select(
+      col("doc_id"), nTok.as("n_tokens"),
+      (nUniq.cast("double") / nTok).as("uniq_ratio"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"),
+      ((nUniq.cast("double") / nTok) * (lit(1.0) - nStop.cast("double") / nTok)).as("quality"))
+  }
+
+  /** 64-bit document fingerprint (xxhash64 — codegen'd built-in), plus a
+    * word-3-shingle min-hash (cheap near-dup prefilter signal). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_ws", ws)
+      .select(
+        col("doc_id"),
+        xxhash64(col("text")).as("fp64"),
+        expr("""aggregate(
+            transform(sequence(1, greatest(size(_ws) - 2, 1)),
+              i -> xxhash64(concat_ws(' ', element_at(_ws, i),
+                element_at(_ws, least(i + 1, size(_ws))),
+                element_at(_ws, least(i + 2, size(_ws)))))),
+            9223372036854775807L, (acc, h) -> least(acc, h))""").as("min_shingle_hash"))
+
+  /** Global top-k word bigrams (count desc, bigram asc tie-break). */
+  def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .withColumn("_ws", ws)
+      .filter(size(col("_ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_ws) - 1), i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "t02_lang_id" -> ((s, d) =>
+      scriptLangId(t(s, d, "documents"))
+        .groupBy(col("lang"), col("script_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("script_lang"))),
+    "t03_quality_score" -> ((s, d) => qualityScore(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "t04_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "t05_top_bigrams" -> ((s, d) => topBigrams(t(s, d, "documents")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS len_chars,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len
+         FROM documents ORDER BY doc_id""",
+    "t02_lang_id" ->
+      """SELECT lang,
+         CASE WHEN regexp_matches(text, '\p{Han}') THEN 'zh'
+              WHEN regexp_matches(text, '[\p{Hiragana}\p{Katakana}]') THEN 'ja'
+              WHEN regexp_matches(text, '\p{Hangul}') THEN 'ko'
+              WHEN regexp_matches(text, '\p{Cyrillic}') THEN 'ru'
+              ELSE 'latin' END AS script_lang,
+         count(*) AS n_docs
+         FROM documents GROUP BY lang, script_lang ORDER BY lang, script_lang""",
+    "t03_quality_score" ->
+      """SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+         CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws) AS stopword_ratio,
+         (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+           * (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws)) AS quality
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         ORDER BY doc_id""",
+    "t05_top_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+           SELECT unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+           FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+           WHERE len(ws) >= 2)
+         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""
+  )
+}

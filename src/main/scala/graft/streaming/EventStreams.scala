@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.dsum
+
+/** Structured Streaming surface over the events table: watermarked
+  * tumbling/sliding windows, session windows, keyed dedup with state.
+  *
+  * Batch/stream parity: each transform here is the streaming twin of a
+  * batch operator in `graft.operators.Events`, and the test suite runs
+  * the stream over the same parquet (file source, `processAllAvailable`)
+  * and asserts agreement with the batch result — the unified-API
+  * guarantee Spark gives when the transform is expressible in both.
+  *
+  * Scale: watermarks bound state; windowed aggregates shuffle by
+  * (window, key) exactly like their batch forms; `dropDuplicates` state
+  * is bounded by the watermark horizon.
+  */
+object EventStreams {
+
+  /** Parquet schema of events as written (ts = nanos int64). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a scale-factor dir (nanos → micros ts, as
+    * in graft.sources.Tables). The testdata ships `events.parquet` as a
+    * single FILE; Spark's FileStreamSource only monitors directories, so
+    * the file is staged (hard-linked/copied once) into a per-sf temp dir
+    * — in production the source would already be a directory of files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(dir, "events.parquet")
+    val staged = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream", Paths.get(dir).getFileName.toString)
+    Files.createDirectories(staged)
+    val dst = staged.resolve("events.parquet")
+    if (!Files.exists(dst))
+      try Files.createLink(dst, src)
+      catch { case _: Exception =>
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregate (append-mode capable). */
+  def tumbling(events: DataFrame, width: String = "5 minutes",
+               watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Watermarked sliding-window aggregate. */
+  def sliding(events: DataFrame, width: String = "10 minutes",
+              slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"), col("n_events"))
+
+  /** Native session windows (gap-based, stateful). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"), col("n_events"), col("total_value"))
+
+  /** Stateful keyed dedup: first event per (user_id, event_type) within
+    * the watermark horizon. */
+  def dedupKeyed(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
+  /** Run a streaming transform over the (bounded) file source to
+    * completion into a memory sink; returns the materialized result.
+    * outputMode "complete" for aggregates, "append" for row streams. */
+  def runToBatch(spark: SparkSession, dir: String, name: String,
+                 outputMode: String)(transform: DataFrame => DataFrame): DataFrame = {
+    val q = transform(readEventStream(spark, dir))
+      .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract entries that execute REAL Structured Streaming
+  * queries (file source → watermark → stateful op → memory sink, run to
+  * completion) and are then hash-checked against the same DuckDB oracles
+  * as their batch twins — demonstrating batch/stream parity.
+  */
+object StreamingQueries {
+
+  private val tsUs = "(epoch_ns(ts) // 1000)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_stream_tumbling" -> ((s, d) =>
+      EventStreams.runToBatch(s, d, "st01_mem", "complete")(EventStreams.tumbling(_))
+        .orderBy(col("w_start_us"), col("event_type"))),
+    "st02_stream_sessions" -> ((s, d) =>
+      EventStreams.runToBatch(s, d, "st02_mem", "complete")(EventStreams.sessionWindows(_))
+        .orderBy(col("user_id"), col("session_start_us"))),
+    "st03_stream_dedup" -> ((s, d) =>
+      EventStreams.runToBatch(s, d, "st03_mem", "append")(EventStreams.dedupKeyed(_))
+        .select(col("user_id"), col("event_type")) // kept event_id is arrival-order-dependent
+        .orderBy(col("user_id"), col("event_type")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // identical semantics to batch e01 (same oracle)
+    "st01_stream_tumbling" ->
+      s"""SELECT epoch_us(time_bucket(INTERVAL 5 MINUTE, make_timestamp($tsUs))) AS w_start_us,
+         event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events GROUP BY w_start_us, event_type
+         ORDER BY w_start_us, event_type""",
+    // session_window end = last event + gap (Spark semantics)
+    "st02_stream_sessions" ->
+      s"""WITH marked AS (
+           SELECT user_id, event_id, value, $tsUs AS ts_us,
+             CASE WHEN lag($tsUs, 1) OVER w IS NULL
+               OR $tsUs - lag($tsUs, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs, event_id)),
+         sessions AS (
+           SELECT user_id, value, ts_us,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           FROM marked)
+         SELECT user_id,
+           min(ts_us) AS session_start_us,
+           max(ts_us) + 1800000000 AS session_end_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM sessions GROUP BY user_id, session_seq
+         ORDER BY user_id, session_start_us""",
+    "st03_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type"""
+  )
+}
