@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical engine session builder: every entry point (Verify, Bench,
+  * tests) builds its session here so the engine-critical confs are never
+  * forgotten:
+  *
+  *  - `mapKeyDedupPolicy=LAST_WIN` — hstore `||` is right-wins merge
+  *    (SURVEY.md §2.5 X8); the Spark default EXCEPTION would throw on
+  *    re-enriching an already-enriched row;
+  *  - `spark.sql.extensions=GraftExtensions` — native zh functions +
+  *    the merge-then-extract optimizer rule;
+  *  - shuffle partitions sized to the local core count (the 100 TB
+  *    deploy would size these to cluster cores × a small factor).
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+}

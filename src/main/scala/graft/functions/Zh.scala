@@ -2,7 +2,9 @@ package graft.functions
 
 import com.ibm.icu.text.Transliterator
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.{graftshim => shim}
 import org.apache.spark.sql.functions.udf
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Chinese-script scalar functions — the reference's three "UDFs"
   * (`OMTZHModifier.java:228,233,247-250`) re-expressed for Spark.
@@ -39,13 +41,31 @@ object Zh {
     s != null && s.codePoints().anyMatch(cp =>
       Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN)
 
-  // Column-level API (Scala UDFs; codegen'd Catalyst Expression variants
-  // live in graft.functions.expr and are the preferred hot-path form).
-  private val toSimplifiedUdf = udf(toSimplified _)
-  private val toTraditionalUdf = udf(toTraditional _)
-  private val hasHanUdf = udf(hasHan _)
+  // UTF8String bridges called from generated code (ZhExpressions.doGenCode).
+  // A Scala object with no companion class emits static forwarders, so
+  // `graft.functions.Zh.hasHanU(...)` is a plain static call in Java.
+  def hasHanU(s: UTF8String): Boolean = s != null && hasHan(s.toString)
+  def toSimplifiedU(s: UTF8String): UTF8String =
+    if (s == null) null else UTF8String.fromString(t2s.get().transliterate(s.toString))
+  def toTraditionalU(s: UTF8String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s2t.get().transliterate(s.toString))
 
-  def zh_to_simplified(c: Column): Column = toSimplifiedUdf(c)
-  def zh_to_traditional(c: Column): Column = toTraditionalUdf(c)
-  def contains_han(c: Column): Column = hasHanUdf(c)
+  // Column-level API: native codegen'd Catalyst expressions (ZhExpressions).
+  def zh_to_simplified(c: Column): Column =
+    shim.column(ZhToSimplified(shim.expression(c)))
+  def zh_to_traditional(c: Column): Column =
+    shim.column(ZhToTraditional(shim.expression(c)))
+  def contains_han(c: Column): Column =
+    shim.column(ContainsHan(shim.expression(c)))
+
+  // Scala-UDF forms, kept as the cross-check baseline for the expression
+  // variants (ZhSpec asserts agreement) and as the API a non-classic
+  // (e.g. Connect) session would fall back to.
+  private lazy val toSimplifiedUdf = udf(toSimplified _)
+  private lazy val toTraditionalUdf = udf(toTraditional _)
+  private lazy val hasHanUdf = udf(hasHan _)
+
+  def zh_to_simplified_udf(c: Column): Column = toSimplifiedUdf(c)
+  def zh_to_traditional_udf(c: Column): Column = toTraditionalUdf(c)
+  def contains_han_udf(c: Column): Column = hasHanUdf(c)
 }

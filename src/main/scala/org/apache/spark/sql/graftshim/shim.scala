@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Visibility shim: `ExpressionUtils` (Column ⇄ Expression bridge) and
+  * `AbstractDataType` are `private[sql]` in Spark 4; extension libraries
+  * conventionally re-export them from an `org.apache.spark.sql`
+  * subpackage. Nothing here adds behavior.
+  */
+package object graftshim {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

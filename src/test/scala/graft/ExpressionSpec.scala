@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Zh
+
+/** Native Catalyst expression layer: agreement with the UDF baseline,
+  * SQL registration via GraftExtensions, and the merge-then-extract
+  * optimizer rule (graft.plans.SimplifyMergeThenExtract). */
+class ExpressionSpec extends SparkSpec {
+
+  private val samples = Seq(
+    "北京", "臺北市", "头发", "頭髮", "hello", "", "mixed 中文 text",
+    "乾燥 干燥", "こんにちは", "한국")
+
+  test("native zh expressions agree with the UDF baseline on all samples") {
+    import spark.implicits._
+    val out = samples.toDF("s").select(
+      Zh.contains_han(col("s")).as("h_n"), Zh.contains_han_udf(col("s")).as("h_u"),
+      Zh.zh_to_simplified(col("s")).as("s_n"), Zh.zh_to_simplified_udf(col("s")).as("s_u"),
+      Zh.zh_to_traditional(col("s")).as("t_n"), Zh.zh_to_traditional_udf(col("s")).as("t_u"))
+      .collect()
+    out.foreach { r =>
+      assert(r.get(0) == r.get(1), s"contains_han mismatch: $r")
+      assert(r.get(2) == r.get(3), s"zh_to_simplified mismatch: $r")
+      assert(r.get(4) == r.get(5), s"zh_to_traditional mismatch: $r")
+    }
+  }
+
+  test("native zh expressions are null-in null-out (SQL convention)") {
+    import spark.implicits._
+    val r = Seq(null.asInstanceOf[String]).toDF("s").select(
+      Zh.contains_han(col("s")), Zh.zh_to_simplified(col("s")),
+      Zh.zh_to_traditional(col("s"))).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("zh functions are SQL-addressable via GraftExtensions") {
+    import spark.implicits._
+    samples.toDF("s").createOrReplaceTempView("zh_samples")
+    val rows = spark.sql(
+      """SELECT s, contains_han(s) AS h, zh_to_simplified(s) AS hans,
+         zh_to_traditional(s) AS hant FROM zh_samples""").collect()
+    assert(rows.length == samples.length)
+    val byS = rows.map(r => r.getString(0) -> r).toMap
+    assert(byS("頭髮").getBoolean(1) && byS("頭髮").getString(2) == "头发")
+    assert(byS("头发").getString(3) == "頭髮")
+    assert(!byS("hello").getBoolean(1))
+  }
+
+  test("merge-then-extract rule removes the map_concat from the plan") {
+    import spark.implicits._
+    val df = Seq((1L, Map("a" -> "x")), (2L, null.asInstanceOf[Map[String, String]]))
+      .toDF("id", "tags")
+    val q = df.withColumn("m",
+        map_concat(coalesce(col("tags"), map()), map(lit("k1"), lit("v1"), lit("k2"), col("id").cast("string"))))
+      .select(col("id"), element_at(col("m"), "k2").as("got"))
+    val optimized = q.queryExecution.optimizedPlan
+    assert(!optimized.expressions.exists(_.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.MapConcat])),
+      s"map_concat survived optimization:\n$optimized")
+    val got = q.orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("1", "2"))
+  }
+
+  test("merge-then-extract preserves map_concat null semantics") {
+    import spark.implicits._
+    // tags NULL (not coalesced) -> map_concat yields NULL -> extract NULL
+    val df = Seq((1L, Map("a" -> "x")), (2L, null.asInstanceOf[Map[String, String]]))
+      .toDF("id", "tags")
+    val q = df.select(col("id"),
+      element_at(map_concat(col("tags"), map(lit("k"), lit("v"))), "k").as("got"))
+    val got = q.orderBy("id").collect().map(r => Option(r.getString(1))).toSeq
+    assert(got == Seq(Some("v"), None))
+  }
+
+  test("rule does not fire when an opaque map could shadow the key") {
+    import spark.implicits._
+    val df = Seq((1L, Map("k" -> "shadowed"))).toDF("id", "tags")
+    // tags is RIGHT of the literal map: its runtime "k" must win (LAST_WIN)
+    val q = df.select(
+      element_at(map_concat(map(lit("k"), lit("v")), col("tags")), "k").as("got"))
+    assert(q.collect().head.getString(0) == "shadowed")
+  }
+}
