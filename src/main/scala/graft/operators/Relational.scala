@@ -268,8 +268,60 @@ object Relational {
           lag(col("event_id"), 1).over(w).as("prev_event_id"),
           (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- pivot (wide aggregation; explicit value list keeps one pass)
+    "q24_pivot" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("o_orderpriority"), col("F").as("f_total"),
+          col("O").as("o_total"), col("P").as("p_total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- array functions over a grouped collect (sorted => deterministic)
+    "q25_array_funcs" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+        .select(
+          col("l_orderkey"),
+          size(col("qs")).cast("long").as("n_items"),
+          element_at(col("qs"), 1).as("min_q"),
+          element_at(col("qs"), -1).as("max_q"),
+          array_contains(col("qs"), 50.0).as("has_fifty"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // ---- deterministic hash sampling (the 100 TB sampling pattern:
+    //      content-hash mod, not rand() — reproducible on any engine/run)
+    "q26_hash_sample" -> ((s, d) => {
+      val key = concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))
+      t(s, d, "lineitem")
+        .filter(substring(md5(key.cast("binary")), 1, 2) < "1a") // ≈10.2%
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // ---- GROUPING SETS via the SQL entry point (same text runs in DuckDB)
+    "q27_grouping_sets" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql(GroupingSetsSql)
     })
   )
+
+  /** Identical ANSI text executes on Spark and DuckDB — the SQL surface
+    * of the engine (grouping sets + GROUPING() disambiguation). */
+  private val GroupingSetsSql =
+    """SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS seg,
+       CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nat,
+       count(*) AS n,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+       ORDER BY seg, nat"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -415,6 +467,26 @@ object Relational {
            - (lag(epoch_ns(ts), 1) OVER w // 1000) AS gap_us
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         ORDER BY user_id, event_id"""
+         ORDER BY user_id, event_id""",
+    "q24_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS f_total,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS o_total,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS p_total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q25_array_funcs" ->
+      """SELECT l_orderkey,
+         CAST(len(qs) AS BIGINT) AS n_items,
+         qs[1] AS min_q, qs[-1] AS max_q,
+         list_contains(qs, 50.0) AS has_fifty
+         FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+               FROM lineitem GROUP BY l_orderkey)
+         ORDER BY l_orderkey""",
+    "q26_hash_sample" ->
+      """SELECT count(*) AS n_rows,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM lineitem
+         WHERE substring(md5(concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))), 1, 2) < '1a'""",
+    "q27_grouping_sets" -> GroupingSetsSql
   )
 }

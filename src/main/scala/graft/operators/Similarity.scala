@@ -92,6 +92,46 @@ object Similarity {
       .groupBy(col("label"), col("pos").cast("long").as("dim"))
       .agg(davg(col("v").cast("double")).as("centroid"))
 
+  /** Per-label centroid vectors as arrays (the IVF coarse-quantizer
+    * table): sort-by-dim inside a collected struct array keeps the
+    * assembly deterministic. 25 labels ⇒ trivially broadcastable. */
+  def centroidVectors(emb: DataFrame): DataFrame =
+    labelCentroids(emb)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
+      .select(col("label").as("c_label"),
+        expr("transform(dc, x -> x.centroid)").as("cv"))
+
+  /** IVF-style approximate top-k: rank centroids per query (coarse
+    * quantizer), probe the nProbe nearest inverted lists (label blocks),
+    * brute-force only inside probed lists. The corpus never shuffles:
+    * probed lists meet the corpus on a broadcast equi-join on label.
+    * At 100 TB the corpus would be bucketed/partitioned BY label so a
+    * probe touches only matching partitions (partition pruning). */
+  def knnIvf(emb: DataFrame, k: Int = 5, queryMod: Int = 100, nProbe: Int = 2): DataFrame = {
+    val base = quantized(emb)
+    val queries = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val cents = centroidVectors(emb)
+    // centroid score: cosine between double-cast query and centroid mean
+    val cdot = expr(
+      "aggregate(zip_with(q_qv, cv, (x, y) -> cast(x as double) * y), 0d, (acc, v) -> acc + v)")
+    val cnrm = expr("sqrt(aggregate(transform(cv, x -> x * x), 0d, (acc, v) -> acc + v))")
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_label"))
+    val probed = queries.join(broadcast(cents))
+      .withColumn("c_cos", cdot / (col("q_nrm") * cnrm))
+      .withColumn("c_rk", row_number().over(wq))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("q_id"), col("q_qv"), col("q_nrm"), col("c_label"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    base.join(broadcast(probed), col("label") === col("c_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", idot("qv", "q_qv").cast("double") / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+  }
+
   /** Embedding near-dup pairs: quantized cosine ≥ threshold within
     * label blocks (cheap exact blocking at test scale; at 100 TB the
     * block key would be an LSH bucket). */
@@ -111,6 +151,8 @@ object Similarity {
       knnBruteForce(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s02_knn_lsh" -> ((s, d) =>
       knnLsh(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    "s05_knn_ivf" -> ((s, d) =>
+      knnIvf(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s03_label_centroids" -> ((s, d) =>
       labelCentroids(t(s, d, "embeddings")).orderBy(col("label"), col("dim"))),
     "s04_cosine_dup_pairs" -> ((s, d) =>

@@ -76,8 +76,21 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
 
+  /** BPE-ish sub-word tokenization: letter runs, digit runs, and single
+    * punctuation marks as separate tokens (the pre-tokenizer split every
+    * BPE vocabulary starts from). Counts only — the token stream itself
+    * stays inside the plan. */
+  def regexTokenStats(docs: DataFrame): DataFrame = {
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe_tokens"),
+      size(ws).cast("long").as("n_ws_tokens"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "t06_regex_tokens" -> ((s, d) => regexTokenStats(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t02_lang_id" -> ((s, d) =>
       scriptLangId(t(s, d, "documents"))
         .groupBy(col("lang"), col("script_lang"))
@@ -89,6 +102,11 @@ object TextAnalysis {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "t06_regex_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+         FROM documents ORDER BY doc_id""",
     "t01_token_stats" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
