@@ -10,7 +10,10 @@ import org.apache.spark.sql.internal.SQLConf
   *   element_at(map_concat(m1, …, map(k1, v1, k2, v2)), k_lit)  ⇒  v_i
   *
   * when `k_lit` provably matches a literal key of one of the concatenated
-  * `CreateMap`s. Chained enrichments (zhEnrich → applyUpdates → project
+  * `CreateMap`s — including through the conditional-merge shape
+  * `element_at(CASE WHEN matched THEN map_concat(…) ELSE tags END, k)`
+  * that `applyUpdates` produces, where the extraction distributes into
+  * the branches. Chained enrichments (zhEnrich → applyUpdates → project
   * the merged keys back out, e.g. the z02 pipeline) otherwise build the
   * whole merged map per row only to extract two constant keys from it.
   *
@@ -29,11 +32,46 @@ import org.apache.spark.sql.internal.SQLConf
 object SimplifyMergeThenExtract extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (conf.getConf(SQLConf.MAP_KEY_DEDUP_POLICY) !=
+    // getConf returns the enum VALUE here, not its string form — compare
+    // enum to enum (a string comparison silently never matches).
+    if (conf.getConf(SQLConf.MAP_KEY_DEDUP_POLICY).toString !=
         SQLConf.MapKeyDedupPolicy.LAST_WIN.toString) plan
     else plan.transformAllExpressions {
-      case ea @ ElementAt(mc: MapConcat, key: Literal, None, _) if key.value != null =>
-        rewrite(ea, mc, key).getOrElse(ea)
+      case ea: ElementAt => simplify(ea).getOrElse(ea)
+    }
+
+  private def simplify(ea: ElementAt): Option[Expression] = {
+    val key = ea.right match {
+      case l: Literal if l.value != null => l
+      case _ => return None
+    }
+    if (ea.defaultValueOutOfBound.nonEmpty) return None
+    ea.left match {
+      case mc: MapConcat => rewrite(ea, mc, key)
+
+      case cw: CaseWhen
+          if cw.branches.exists(_._2.isInstanceOf[MapConcat]) ||
+            cw.elseValue.exists(_.isInstanceOf[MapConcat]) =>
+        val branches = cw.branches.map { case (c, v) => ext(ea, key, v).map(c -> _) }
+        val orElse = cw.elseValue.map(ext(ea, key, _))
+        if (branches.forall(_.isDefined) && orElse.forall(_.isDefined))
+          Some(CaseWhen(branches.map(_.get), orElse.map(_.get)))
+        else None
+
+      case If(pred, tv, fv)
+          if tv.isInstanceOf[MapConcat] || fv.isInstanceOf[MapConcat] =>
+        for (t <- ext(ea, key, tv); f <- ext(ea, key, fv)) yield If(pred, t, f)
+
+      case _ => None
+    }
+  }
+
+  /** Extraction of `key` from one conditional branch: simplified if the
+    * branch is a rewritable merge, a plain element_at otherwise. */
+  private def ext(ea: ElementAt, key: Literal, v: Expression): Option[Expression] =
+    v match {
+      case mc: MapConcat => rewrite(ea, mc, key)
+      case other => Some(ElementAt(other, key, None, ea.failOnError))
     }
 
   private def rewrite(ea: ElementAt, mc: MapConcat, key: Literal): Option[Expression] = {

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the scale properties that make these
+  * queries survive a 100× scale-up, pinned so a refactor can't silently
+  * regress them (SURVEY.md §4):
+  *  - filters/column pruning reach the parquet scan,
+  *  - dimension joins broadcast (fact side never shuffles pre-agg),
+  *  - the zh derivation pipeline stays narrow and UDF-free.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: predicates and column pruning push to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,30.0)"), p)
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"), p)
+  }
+
+  test("q03/q22: dimension joins broadcast; no sort-merge join") {
+    Seq("q03_join_broadcast", "q22_multi_join").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q missing broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to SMJ:\n$p")
+    }
+  }
+
+  test("zhEnrich: narrow UDF-free pipeline — one exchange (output sort) only") {
+    val p = plan("z01_zh_enrich")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"), p)
+    assert(p.contains("contains_han") && p.contains("zh_to_simplified"), p)
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly the output-sort exchange, got $exchanges:\n$p")
+  }
+
+  test("knn brute force: query side broadcasts, corpus never shuffles") {
+    val p = plan("s01_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("merge-then-extract fires in the applied-enrichment projection") {
+    import graft.operators.ZhEnrich
+    import graft.sources.OsmFixture
+    val enriched = ZhEnrich.enrichTable(OsmFixture(spark), "id")
+      .select(col("id"), element_at(col("tags"), "name:zh-Hans").as("hans"))
+    val opt = enriched.queryExecution.optimizedPlan.toString
+    // the projection of a just-merged constant key must not rebuild the map
+    assert(!opt.contains("map_concat"), opt)
+  }
+}
