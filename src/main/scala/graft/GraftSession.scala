@@ -22,5 +22,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // per-process warehouse: managed (bucketed) tables never collide
+      // with a previous run's leftover directories
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
 }

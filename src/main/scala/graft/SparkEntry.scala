@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Events.queries ++
+      operators.StatefulSessions.queries ++
       operators.Multimodal.queries ++
       streaming.StreamingQueries.queries
 
@@ -35,6 +36,7 @@ object SparkEntry {
       operators.Dedup.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.Events.oracleSql ++
+      operators.StatefulSessions.oracleSql ++
       operators.Multimodal.oracleSql ++
       streaming.StreamingQueries.oracleSql
 }

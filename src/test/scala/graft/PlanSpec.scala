@@ -42,6 +42,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("bucketed co-located join: no exchange on either side") {
+    import graft.sources.Bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (li, o) = Bucketing.bucketedPair(spark, sf)
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderpriority")).count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!"(?<!Broadcast)Exchange hashpartitioning\\(l_orderkey".r.findFirstIn(p).isDefined &&
+        !"(?<!Broadcast)Exchange hashpartitioning\\(o_orderkey".r.findFirstIn(p).isDefined,
+        s"bucketed join still shuffles a side:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("merge-then-extract fires in the applied-enrichment projection") {
     import graft.operators.ZhEnrich
     import graft.sources.OsmFixture
