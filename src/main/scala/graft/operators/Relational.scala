@@ -309,6 +309,22 @@ object Relational {
     "q27_grouping_sets" -> ((s, d) => {
       graft.sources.Tables.registerAll(s, d)
       s.sql(GroupingSetsSql)
+    }),
+
+    // ---- salted two-phase aggregation: the 100 TB skew pattern. 5
+    //      distinct event_types over N executors would hot-spot 5
+    //      reducers; salting fans each key over 16 partials first.
+    //      Decimal sums are associative, so result == plain groupBy.
+    "q28_salted_agg" -> ((s, d) => {
+      val partials = t(s, d, "events")
+        .withColumn("_salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy(col("event_type"), col("_salt"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("pv"),
+          count(lit(1)).as("pc"))
+      partials.groupBy(col("event_type"))
+        .agg(sum(col("pv")).cast("double").as("total_value"),
+          sum(col("pc")).cast("long").as("n_events"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -487,6 +503,11 @@ object Relational {
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM lineitem
          WHERE substring(md5(concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))), 1, 2) < '1a'""",
-    "q27_grouping_sets" -> GroupingSetsSql
+    "q27_grouping_sets" -> GroupingSetsSql,
+    "q28_salted_agg" ->
+      """SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+         count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -22,7 +22,10 @@ object StreamingQueries {
     "st03_stream_dedup" -> ((s, d) =>
       EventStreams.runToBatch(s, d, "st03_mem", "append")(EventStreams.dedupKeyed(_))
         .select(col("user_id"), col("event_type")) // kept event_id is arrival-order-dependent
-        .orderBy(col("user_id"), col("event_type")))
+        .orderBy(col("user_id"), col("event_type"))),
+    "st04_stream_sliding" -> ((s, d) =>
+      EventStreams.runToBatch(s, d, "st04_mem", "complete")(EventStreams.sliding(_))
+        .orderBy(col("w_start_us"), col("event_type")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -55,6 +58,15 @@ object StreamingQueries {
          ORDER BY user_id, session_start_us""",
     "st03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-         ORDER BY user_id, event_type"""
+         ORDER BY user_id, event_type""",
+    // identical semantics to batch e02 minus the value sum (count-only)
+    "st04_stream_sliding" ->
+      s"""WITH assigned AS (
+           SELECT epoch_us(time_bucket(INTERVAL 5 MINUTE, make_timestamp($tsUs)))
+             + offs AS w_start_us, event_type
+           FROM events, (SELECT unnest([CAST(0 AS BIGINT), CAST(-300000000 AS BIGINT)]) AS offs))
+         SELECT w_start_us, event_type, count(*) AS n_events
+         FROM assigned GROUP BY w_start_us, event_type
+         ORDER BY w_start_us, event_type"""
   )
 }

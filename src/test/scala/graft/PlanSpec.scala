@@ -42,6 +42,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q07: partial+final WindowGroupLimit bounds the shuffled rows to k per group") {
+    val p = plan("q07_topk_per_group")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"), p)
+  }
+
   test("bucketed co-located join: no exchange on either side") {
     import graft.sources.Bucketing
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
