@@ -73,15 +73,24 @@ object Dedup {
     shingled.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
+  /** One-pass MinHash signatures via the native `MinHashSig` expression
+    * (graft.functions): no shingle explode, no 64-column aggregate, no
+    * shuffle — the 100 TB path. Bit-compatible with
+    * [[minHashSignatures]] (asserted in DedupSpec). */
+  def minHashSignaturesFast(docs: DataFrame, k: Int = 64): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.MinHashSig.minhash_sig(col("text"), k).as("sig"))
+
   /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand
     * = k), bucket-join on (band, band-hash), verify candidates with exact
     * Jaccard ≥ threshold. */
   def minHashNearDupPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
                           threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = minHashSignatures(docs, k)
+    val sig = minHashSignaturesFast(docs, k)
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      val cols = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))

@@ -61,6 +61,18 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("partitioned write: partition pruning reaches the read back") {
+    import graft.sources.Tables
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables(spark, sf, "events").write.mode("overwrite")
+      .partitionBy("event_type").parquet(out)
+    val anyType = spark.read.parquet(out).select("event_type").first().getString(0)
+    val p = spark.read.parquet(out).filter(col("event_type") === anyType)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type") ||
+      p.contains(s"PartitionFilters: [(event_type"), s"no partition pruning:\n$p")
+  }
+
   test("merge-then-extract fires in the applied-enrichment projection") {
     import graft.operators.ZhEnrich
     import graft.sources.OsmFixture
