@@ -86,6 +86,31 @@ object EventStreams {
       .dropDuplicates(Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** Stream-stream interval join: each view joined to the same user's
+    * clicks within the following 5 minutes. Watermarks on BOTH sides
+    * bound the join state (Spark evicts a buffered row once the other
+    * side's watermark passes its interval) — the required shape for an
+    * unbounded 100 TB event stream. */
+  def viewClickJoin(spark: SparkSession, dir: String,
+                    watermark: String = "10 minutes"): DataFrame = {
+    val views = readEventStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val clicks = readEventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+  }
+
   /** Run a streaming transform over the (bounded) file source to
     * completion into a memory sink; returns the materialized result.
     * outputMode "complete" for aggregates, "append" for row streams. */

@@ -25,7 +25,13 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("event_type"))),
     "st04_stream_sliding" -> ((s, d) =>
       EventStreams.runToBatch(s, d, "st04_mem", "complete")(EventStreams.sliding(_))
-        .orderBy(col("w_start_us"), col("event_type")))
+        .orderBy(col("w_start_us"), col("event_type"))),
+    "st05_stream_interval_join" -> ((s, d) => {
+      val q = EventStreams.viewClickJoin(s, d)
+        .writeStream.format("memory").queryName("st05_mem").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("st05_mem").orderBy(col("user_id"), col("view_id"), col("click_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -59,6 +65,15 @@ object StreamingQueries {
     "st03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "st05_stream_interval_join" ->
+      s"""SELECT v.user_id AS user_id, v.event_id AS view_id, c.event_id AS click_id,
+         (epoch_ns(c.ts) // 1000) - (epoch_ns(v.ts) // 1000) AS lag_us
+         FROM events v JOIN events c
+         ON v.user_id = c.user_id
+           AND v.event_type = 'view' AND c.event_type = 'click'
+           AND (epoch_ns(c.ts) // 1000) >= (epoch_ns(v.ts) // 1000)
+           AND (epoch_ns(c.ts) // 1000) <= (epoch_ns(v.ts) // 1000) + 300000000
+         ORDER BY v.user_id, view_id, click_id""",
     // identical semantics to batch e02 minus the value sum (count-only)
     "st04_stream_sliding" ->
       s"""WITH assigned AS (
