@@ -146,6 +146,21 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
+  /** Centroid table via the typed [[graft.functions.VectorMeanAgg]]
+    * Aggregator — one-pass, no posexplode row blow-up (the 100 TB
+    * variant of [[labelCentroids]]; float-sum order noise is below the
+    * 6-decimal rounding of the query output). */
+  def centroidMeansAgg(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("label").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.VectorMeanAgg(64).toColumn.name("cv"))
+      .toDF("label", "cv")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute" -> ((s, d) =>
       knnBruteForce(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
@@ -153,6 +168,14 @@ object Similarity {
       knnLsh(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s05_knn_ivf" -> ((s, d) =>
       knnIvf(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    // rows-only: float-order sum noise keeps exact doubles off the
+    // oracle; 6-decimal rounding makes the output run-deterministic
+    "s06_centroid_agg" -> ((s, d) =>
+      centroidMeansAgg(t(s, d, "embeddings"))
+        .select(col("label"),
+          round(expr("aggregate(cv, 0d, (a, x) -> a + x * x)"), 6).as("sq_norm"),
+          round(element_at(col("cv"), 1), 6).as("c0"))
+        .orderBy(col("label"))),
     "s03_label_centroids" -> ((s, d) =>
       labelCentroids(t(s, d, "embeddings")).orderBy(col("label"), col("dim"))),
     "s04_cosine_dup_pairs" -> ((s, d) =>
