@@ -325,6 +325,28 @@ object Relational {
         .agg(sum(col("pv")).cast("double").as("total_value"),
           sum(col("pc")).cast("long").as("n_events"))
         .orderBy(col("event_type"))
+    }),
+
+    // ---- binned band join: large×large range join as an equi-join.
+    //      q20 broadcasts the small side; when BOTH sides are big, bin
+    //      the band width and replicate one side to ±1 bin so the range
+    //      predicate becomes a shuffle-partitionable (user, bin) key.
+    //      A pair matches in exactly one bin (the right side is unique
+    //      per bin), so no post-join dedup is needed.
+    "q29_binned_band_join" -> ((s, d) => {
+      val w = 0.5
+      val ev = t(s, d, "events")
+      val a = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("a_id"), col("value").as("a_val"))
+        .withColumn("bin", explode(array(
+          floor(col("a_val") / w) - 1, floor(col("a_val") / w), floor(col("a_val") / w) + 1)))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("b_id"), col("value").as("b_val"))
+        .withColumn("bin", floor(col("b_val") / w))
+      a.join(b, Seq("user_id", "bin"))
+        .filter(abs(col("a_val") - col("b_val")) <= w)
+        .select(col("user_id"), col("a_id"), col("b_id"))
+        .orderBy(col("user_id"), col("a_id"), col("b_id"))
     })
   )
 
@@ -508,6 +530,13 @@ object Relational {
       """SELECT event_type,
          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
          count(*) AS n_events
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q29_binned_band_join" ->
+      """SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id
+         FROM events a JOIN events b
+         ON a.user_id = b.user_id
+           AND a.event_type = 'error' AND b.event_type = 'purchase'
+           AND abs(a.value - b.value) <= 0.5
+         ORDER BY a.user_id, a_id, b_id"""
   )
 }
