@@ -82,7 +82,13 @@ object Multimodal {
       extractFeatures(t(s, d, "documents")).toDF()
         .select(col("doc_id"), col("n_bytes"),
           element_at(col("features"), 1).as("f0"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // frame sampling: keep every 4th chunk — the stride pattern a video
+    // frame-sampler applies before decode (narrow, pushdown-friendly)
+    "m04_frame_sample" -> ((s, d) =>
+      chunkIndex(t(s, d, "documents"))
+        .filter(col("chunk_idx") % 4 === 0)
+        .orderBy(col("doc_id"), col("chunk_idx")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -96,6 +102,13 @@ object Multimodal {
              unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS i
            FROM documents)
          SELECT doc_id, i AS chunk_idx, least(64, n - i * 64) AS chunk_bytes
-         FROM c ORDER BY doc_id, chunk_idx"""
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "m04_frame_sample" ->
+      """WITH c AS (
+           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS i
+           FROM documents)
+         SELECT doc_id, i AS chunk_idx, least(64, n - i * 64) AS chunk_bytes
+         FROM c WHERE i % 4 = 0 ORDER BY doc_id, chunk_idx"""
   )
 }
