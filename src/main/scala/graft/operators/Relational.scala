@@ -347,8 +347,52 @@ object Relational {
         .filter(abs(col("a_val") - col("b_val")) <= w)
         .select(col("user_id"), col("a_id"), col("b_id"))
         .orderBy(col("user_id"), col("a_id"), col("b_id"))
+    }),
+
+    // ---- correlated scalar subquery (Catalyst decorrelates to a join)
+    "q30_correlated_subquery" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql(CorrelatedSql)
+    }),
+
+    // ---- ranking-function family (all order-exact: unique tie-break)
+    "q31_window_ranks" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_orderstatus"), col("rnk"))
+    }),
+
+    // ---- moment statistics via explicit decimal sums (order-exact;
+    //      built-in stddev/var would be float-summation-order dependent)
+    "q32_moment_stats" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("s1"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 8)))
+            .cast("double").as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          (col("s1") / col("n")).as("mean_qty"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / col("n")).as("var_qty"))
+        .orderBy(col("l_returnflag"))
     })
   )
+
+  /** Correlated scalar subquery — Catalyst decorrelates it into an
+    * aggregate + left join (`RewriteCorrelatedScalarSubquery`), so the
+    * per-row subquery never executes row-at-a-time. Shared ANSI text
+    * runs verbatim on DuckDB as the oracle. */
+  private val CorrelatedSql =
+    """SELECT o_orderkey, o_totalprice,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+       FROM orders ORDER BY o_orderkey"""
 
   /** Identical ANSI text executes on Spark and DuckDB — the SQL surface
     * of the engine (grouping sets + GROUPING() disambiguation). */
@@ -537,6 +581,23 @@ object Relational {
          ON a.user_id = b.user_id
            AND a.event_type = 'error' AND b.event_type = 'purchase'
            AND abs(a.value - b.value) <= 0.5
-         ORDER BY a.user_id, a_id, b_id"""
+         ORDER BY a.user_id, a_id, b_id""",
+    "q30_correlated_subquery" -> CorrelatedSql,
+    "q31_window_ranks" ->
+      """SELECT o_orderkey, o_orderstatus,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         percent_rank() OVER w AS prnk,
+         ntile(4) OVER w AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderstatus, rnk""",
+    "q32_moment_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_qty,
+         (CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+           - CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) / count(*) AS var_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
