@@ -29,6 +29,21 @@ object ZhQueries {
           col("geometry"))
         .orderBy(col("id"))
     }),
+    // Conversion throughput over the full documents table: exercises the
+    // codegen'd transliteration expressions at data scale (the fixture
+    // pins correctness; this pins cost). Latin text passes through ICU
+    // unchanged, so the invariant n_diff == 0 also guards against the
+    // transliterator corrupting non-Han input. Rows-only (ICU not
+    // SQL-expressible).
+    "z04_zh_convert_throughput" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(zh_to_traditional(col("text"))).cast("long").as("n_hant"),
+          length(zh_to_simplified(col("text"))).cast("long").as("n_hans"),
+          (length(col("text")) - length(zh_to_traditional(col("text"))))
+            .cast("long").as("n_diff"))
+        .orderBy(col("doc_id"))
+    }),
     // Han-script detection over real data — DuckDB-oracled (RE2 \p{Han}).
     "z03_han_script_stats" -> ((s, d) => {
       t(s, d, "documents")
