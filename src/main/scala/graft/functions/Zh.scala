@@ -27,13 +27,18 @@ object Zh {
   private val t2s: ThreadLocal[Transliterator] =
     ThreadLocal.withInitial(() => Transliterator.getInstance("Traditional-Simplified"))
 
-  /** Traditional → Simplified (reference `ZhConverterUtil.toSimple`, OMT:228). */
+  /** Traditional → Simplified (reference `ZhConverterUtil.toSimple`, OMT:228).
+    *
+    * Short-circuit: the Han transforms only rewrite Han codepoints, so a
+    * cheap codepoint scan skips the (∼10,000× more expensive) ICU rule
+    * engine for non-Han text — on a mixed-language 100 TB corpus the
+    * common case is "nothing to convert". */
   def toSimplified(s: String): String =
-    if (s == null) null else t2s.get().transliterate(s)
+    if (s == null) null else if (!hasHan(s)) s else t2s.get().transliterate(s)
 
   /** Simplified → Traditional (reference `ZhConverterUtil.toTraditional`, OMT:233). */
   def toTraditional(s: String): String =
-    if (s == null) null else s2t.get().transliterate(s)
+    if (s == null) null else if (!hasHan(s)) s else s2t.get().transliterate(s)
 
   /** True iff any codepoint is of Unicode script HAN (reference
     * `isHanScript`, OMT:247-250 — same `Character.UnicodeScript` check). */
@@ -46,9 +51,15 @@ object Zh {
   // `graft.functions.Zh.hasHanU(...)` is a plain static call in Java.
   def hasHanU(s: UTF8String): Boolean = s != null && hasHan(s.toString)
   def toSimplifiedU(s: UTF8String): UTF8String =
-    if (s == null) null else UTF8String.fromString(t2s.get().transliterate(s.toString))
+    if (s == null) null else {
+      val str = s.toString
+      if (!hasHan(str)) s else UTF8String.fromString(t2s.get().transliterate(str))
+    }
   def toTraditionalU(s: UTF8String): UTF8String =
-    if (s == null) null else UTF8String.fromString(s2t.get().transliterate(s.toString))
+    if (s == null) null else {
+      val str = s.toString
+      if (!hasHan(str)) s else UTF8String.fromString(s2t.get().transliterate(str))
+    }
 
   // Column-level API: native codegen'd Catalyst expressions (ZhExpressions).
   def zh_to_simplified(c: Column): Column =
