@@ -368,6 +368,19 @@ object Relational {
         .orderBy(col("o_orderstatus"), col("rnk"))
     }),
 
+    // ---- schema-full JSON parsing (from_json → typed struct; q17 is
+    //      the path-extraction variant). Parsed once, pruned by Catalyst
+    //      (JsonOptimization prunes unaccessed struct fields).
+    "q33_from_json" -> ((s, d) => {
+      val schema = "k BIGINT"
+      t(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(schema)).as("p"))
+        .select(col("event_id"), col("p.k").as("k"))
+        .filter(col("k").isNotNull && col("k") % 7 === 0)
+        .orderBy(col("event_id"))
+    }),
+
     // ---- moment statistics via explicit decimal sums (order-exact;
     //      built-in stddev/var would be float-summation-order dependent)
     "q32_moment_stats" -> ((s, d) => {
@@ -583,6 +596,12 @@ object Relational {
            AND abs(a.value - b.value) <= 0.5
          ORDER BY a.user_id, a_id, b_id""",
     "q30_correlated_subquery" -> CorrelatedSql,
+    "q33_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+           AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+         ORDER BY event_id""",
     "q31_window_ranks" ->
       """SELECT o_orderkey, o_orderstatus,
          rank() OVER w AS rnk,
