@@ -35,6 +35,9 @@ object Multimodal {
   def chunkIndex(docs: DataFrame, chunkBytes: Int = 64): DataFrame =
     asBinary(docs)
       .select(col("doc_id"), length(col("payload")).cast("long").as("n"))
+      // n = 0 must yield zero chunks — unguarded sequence(0, -1) would
+      // DESCEND and emit two bogus chunks for an empty payload
+      .filter(col("n") > 0)
       .withColumn("chunk_idx",
         explode(expr(s"sequence(0, cast(ceil(n / $chunkBytes.0) as bigint) - 1)")))
       .select(col("doc_id"), col("chunk_idx"),
