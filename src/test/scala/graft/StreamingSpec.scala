@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Watermark semantics across micro-batches: data later than the
+  * watermark horizon is DROPPED from append-mode aggregates, and
+  * windows the watermark hasn't passed stay buffered in state — the
+  * behavior that bounds streaming state at 100 TB. (The st* contract
+  * queries run the whole file in one batch, which can't show eviction;
+  * this spec forces ordered micro-batches.)
+  *
+  * Note Spark's two-watermark model (SPARK-40925): batch N filters late
+  * rows with the watermark of batch N-1 but evicts with batch N's — so
+  * the late arrival lands two batches after the data that advanced the
+  * watermark past it.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def us(min: Long): Long = min * 60L * 1000000L // minutes → micros
+
+  test("append tumbling agg: late data dropped, open windows held back") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-late").toString
+
+    def writeBatch(path: String, mtime: Long, rows: Seq[(Long, Long)]): Unit = {
+      rows.map { case (id, tsUs) => (id, tsUs * 1000L, 1L, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(path)
+      new java.io.File(path).listFiles().foreach(_.setLastModified(mtime))
+    }
+
+    // b1: three events in [10:00,10:05) + one at 11:00 — advances the
+    //     watermark (10-min delay) to 10:50 once the batch completes
+    writeBatch(s"$dir/b1", 1000000L, Seq((1L, us(600)), (2L, us(601)), (3L, us(602)), (4L, us(660))))
+    // b2: innocuous 11:01 event; during this batch the [10:00,10:05)
+    //     window is evicted and emitted with its 3 on-time events
+    writeBatch(s"$dir/b2", 2000000L, Seq((5L, us(661))))
+    // b3: a late arrival back at 10:03 — beyond the 10:50 late-filter
+    //     watermark now in effect ⇒ dropped, no duplicate emission
+    writeBatch(s"$dir/b3", 3000000L, Seq((6L, us(603))))
+
+    val src = spark.readStream.schema(EventStreams.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.tumbling(src, width = "5 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_mem").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val emitted = spark.table("late_mem")
+      .select(col("w_start_us"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // exactly ONE emission of the 10:00 window, with only on-time rows:
+    // the late id-6 row neither updated it nor re-emitted it
+    assert(emitted.filter(_._1 == us(600)) == Seq((us(600), 3L)), s"got $emitted")
+    // windows at/after 10:55 are still open state — never emitted
+    assert(emitted.forall(_._1 == us(600)), s"got $emitted")
+  }
+}
