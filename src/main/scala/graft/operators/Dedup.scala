@@ -129,10 +129,17 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** One-pass SimHash via the native `SimHashSig` expression — no token
+    * explode, no 64-column aggregate (bit-compatible with [[simHash]],
+    * asserted in DedupSpec). */
+  def simHashFast(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHashSig.simhash_sig(col("text")).as("simhash"))
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
     * blocked on 4 × 16-bit signature bands. */
   def simHashNearDupPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sig = simHash(docs)
+    val sig = simHashFast(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bk"))): _*)).as("bb"))

@@ -22,6 +22,13 @@ class DedupSpec extends SparkSpec {
       "signature mismatch between native and aggregate formulations")
   }
 
+  test("native simhash_sig == explode+aggregate simhash, every doc") {
+    val agg = Dedup.simHash(docs)
+    val fast = Dedup.simHashFast(docs)
+    assert(agg.exceptAll(fast).isEmpty && fast.exceptAll(agg).isEmpty,
+      "simhash mismatch between native and aggregate formulations")
+  }
+
   test("near-dup pairs survive the signature-path swap (self-consistency)") {
     val pairs = Dedup.minHashNearDupPairs(docs).collect()
     // every reported pair must genuinely clear the Jaccard threshold
