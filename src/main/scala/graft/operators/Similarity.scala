@@ -30,9 +30,11 @@ object Similarity {
   private val qCol = expr(
     "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
 
-  /** Exact integer dot product of two bigint arrays. */
+  /** Exact integer dot product of two bigint arrays — native expression
+    * (one tight loop; the HOF formulation allocates and runs lambdas
+    * per element). Integer math ⇒ identical values either way. */
   private def idot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)")
+    graft.functions.DotLL.dot_ll(col(a), col(b))
 
   /** vec_id, quantized vector, double norm (deterministic). */
   def quantized(emb: DataFrame): DataFrame =
