@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.AbstractDataType
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.{graftshim => shim}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprint over a Rabin–Karp ROLLING hash
+  * (Schleimer, Wilkerson, Aiken — "Winnowing: Local Algorithms for
+  * Document Fingerprinting", SIGMOD 2003): hash every k-gram of the
+  * UTF-8 byte stream in O(1) amortized via the rolling recurrence
+  * `h' = (h − c₀·bᵏ⁻¹)·b + c_new`, then keep the minimum hash of each
+  * window of `w` consecutive k-gram hashes, deduplicating repeats —
+  * the standard near-dup/similarity fingerprint that guarantees any
+  * shared substring of length ≥ w+k−1 yields a shared fingerprint.
+  *
+  * Returns the sorted distinct fingerprint array. Position-independent
+  * by construction, so overlap between documents is a plain
+  * `array_intersect` — no shuffle-heavy shingle explode anywhere.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  private val Base = 1000003L
+  // Base^(k-1) for the rolling subtraction, in wrapping 64-bit arithmetic
+  private val BasePow: Long = {
+    var p = 1L; var i = 1
+    while (i < k) { p *= Base; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return ArrayData.toArrayData(Array.empty[Long])
+    // rolling k-gram hashes
+    val grams = new Array[Long](n - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+    grams(0) = h
+    while (i < n) {
+      h = (h - (bytes(i - k) & 0xff) * BasePow) * Base + (bytes(i) & 0xff)
+      grams(i - k + 1) = h
+      i += 1
+    }
+    // winnow: min per window of w (rightmost min on ties), dedupe runs
+    val out = scala.collection.mutable.TreeSet.empty[Long]
+    var start = 0
+    while (start + w <= grams.length) {
+      var m = grams(start)
+      var j = start + 1
+      while (j < start + w) { if (grams(j) <= m) m = grams(j); j += 1 }
+      out += m
+      start += 1
+    }
+    if (grams.length < w) { // short doc: one window over all grams
+      var m = grams(0)
+      var j = 1
+      while (j < grams.length) { if (grams(j) <= m) m = grams(j); j += 1 }
+      out += m
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+  def winnow_fingerprint(c: Column, k: Int = 8, w: Int = 16): Column =
+    shim.column(WinnowFingerprint(shim.expression(c), k, w))
+}

@@ -88,8 +88,34 @@ object TextAnalysis {
       size(ws).cast("long").as("n_ws_tokens"))
   }
 
+  /** Winnowing fingerprints (rolling Rabin–Karp + min-per-window, the
+    * SIGMOD'03 scheme) via the native `WinnowFingerprint` expression;
+    * overlap pairs = docs sharing ≥ minShared fingerprints, met through
+    * an inverted-index equi-join on fingerprint (no pairwise scan). */
+  def winnowOverlapPairs(docs: DataFrame, minShared: Int = 3): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      explode(graft.functions.WinnowFingerprint.winnow_fingerprint(col("text"))).as("fp"))
+    val a = fps.select(col("fp"), col("doc_id").as("a_id"))
+    val b = fps.select(col("fp"), col("doc_id").as("b_id"))
+    a.join(b, Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // rows-only: a rolling-hash winnow isn't SQL-expressible in DuckDB
+    "t07_winnow_fingerprints" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        graft.functions.WinnowFingerprint.winnow_fingerprint(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          element_at(col("fps"), 1).as("min_fp"))
+        .orderBy(col("doc_id"))),
+    "d06_winnow_overlap" -> ((s, d) =>
+      winnowOverlapPairs(t(s, d, "documents"))
+        .orderBy(col("a_id"), col("b_id"))),
     "t06_regex_tokens" -> ((s, d) => regexTokenStats(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t02_lang_id" -> ((s, d) =>
       scriptLangId(t(s, d, "documents"))
