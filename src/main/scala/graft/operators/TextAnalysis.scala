@@ -91,12 +91,22 @@ object TextAnalysis {
   /** Winnowing fingerprints (rolling Rabin–Karp + min-per-window, the
     * SIGMOD'03 scheme) via the native `WinnowFingerprint` expression;
     * overlap pairs = docs sharing ≥ minShared fingerprints, met through
-    * an inverted-index equi-join on fingerprint (no pairwise scan). */
-  def winnowOverlapPairs(docs: DataFrame, minShared: Int = 3): DataFrame = {
+    * an inverted-index equi-join on fingerprint (no pairwise scan).
+    *
+    * Boilerplate guard: fingerprints appearing in more than maxDf
+    * documents are dropped before pairing — they carry no near-dup
+    * signal and their posting lists are what makes the self-join
+    * quadratic (a fingerprint shared by n docs yields n²/2 pairs). */
+  def winnowOverlapPairs(docs: DataFrame, minShared: Int = 3, maxDf: Int = 20): DataFrame = {
     val fps = docs.select(col("doc_id"),
       explode(graft.functions.WinnowFingerprint.winnow_fingerprint(col("text"))).as("fp"))
-    val a = fps.select(col("fp"), col("doc_id").as("a_id"))
-    val b = fps.select(col("fp"), col("doc_id").as("b_id"))
+    val rare = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"), "left_semi")
+    val a = kept.select(col("fp"), col("doc_id").as("a_id"))
+    val b = kept.select(col("fp"), col("doc_id").as("b_id"))
     a.join(b, Seq("fp"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
