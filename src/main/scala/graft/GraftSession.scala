@@ -21,6 +21,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // engine-wide: nanos timestamps (events.ts) read as longs; set
+      // here rather than only as a loader side effect
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // per-process warehouse: managed (bucketed) tables never collide
       // with a previous run's leftover directories

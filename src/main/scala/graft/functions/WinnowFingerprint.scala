@@ -52,21 +52,22 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
       grams(i - k + 1) = h
       i += 1
     }
-    // winnow: min per window of w (rightmost min on ties), dedupe runs
+    // winnow: min per window of w (rightmost min on ties), dedupe runs.
+    // O(n) monotonic-deque sliding minimum — popping `>=` from the back
+    // makes the RIGHTMOST minimal gram survive, matching the winnowing
+    // tie rule. Short docs degrade to one window over all grams.
+    val win = math.min(w, grams.length)
     val out = scala.collection.mutable.TreeSet.empty[Long]
-    var start = 0
-    while (start + w <= grams.length) {
-      var m = grams(start)
-      var j = start + 1
-      while (j < start + w) { if (grams(j) <= m) m = grams(j); j += 1 }
-      out += m
-      start += 1
-    }
-    if (grams.length < w) { // short doc: one window over all grams
-      var m = grams(0)
-      var j = 1
-      while (j < grams.length) { if (grams(j) <= m) m = grams(j); j += 1 }
-      out += m
+    val deque = new Array[Int](grams.length) // indices, values increasing
+    var head = 0
+    var tail = 0 // exclusive
+    var i2 = 0
+    while (i2 < grams.length) {
+      while (tail > head && grams(deque(tail - 1)) >= grams(i2)) tail -= 1
+      deque(tail) = i2; tail += 1
+      if (deque(head) <= i2 - win) head += 1
+      if (i2 >= win - 1) out += grams(deque(head))
+      i2 += 1
     }
     ArrayData.toArrayData(out.toArray)
   }

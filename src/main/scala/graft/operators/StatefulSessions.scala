@@ -10,12 +10,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * sessionization so the result is pinned by the same DuckDB oracle as
   * the declarative formulation (`Events.sessionize`).
   *
-  * The same function body runs in batch (state invoked once per key)
-  * and in Structured Streaming (incremental state across micro-batches
-  * with timeouts) — the unified-API guarantee.
+  * Scope: demonstrated in BATCH execution (one state invocation per
+  * key). Running this body under a real stream would additionally need
+  * `state.update` buffering plus an EventTimeTimeout flush — the
+  * streaming sessionization contract is `EventStreams.sessionWindows`
+  * (native session_window + watermark), which handles that state
+  * machinery inside Spark.
   *
   * Scale: one shuffle by user_id; per-group memory is bounded by the
-  * group's event count here (streaming would bound it via watermark +
+  * group's event count here (streaming bounds it via watermark +
   * timeout-based eviction instead).
   */
 object StatefulSessions {

@@ -23,9 +23,11 @@ object Bucketing {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
-  /** Bucketize lineitem + orders on the join key; returns the pair. */
+  /** Bucketize lineitem + orders on the join key; returns the pair.
+    * Both tables are checked — a run killed between the two writes must
+    * not leave the guard permanently satisfied by the first table. */
   def bucketedPair(spark: SparkSession, dir: String, buckets: Int = 8): (DataFrame, DataFrame) = {
-    if (!spark.catalog.tableExists("li_bucketed")) {
+    if (!spark.catalog.tableExists("li_bucketed") || !spark.catalog.tableExists("o_bucketed")) {
       writeBucketed(Tables(spark, dir, "lineitem"), "li_bucketed", "l_orderkey", buckets)
       writeBucketed(Tables(spark, dir, "orders"), "o_bucketed", "o_orderkey", buckets)
     }

@@ -41,8 +41,10 @@ object Jdbc {
       .option("url", url)
       .option("dbtable", table)
       .option("partitionColumn", idCol)
-      .option("lowerBound", bounds.getLong(0))
-      .option("upperBound", bounds.getLong(1) + 1) // upper bound is exclusive
+      // MIN/MAX come back as whatever integral/decimal type the dialect
+      // maps — go through Number, not getLong
+      .option("lowerBound", bounds.getAs[Number](0).longValue)
+      .option("upperBound", bounds.getAs[Number](1).longValue + 1) // exclusive
       .option("numPartitions", numPartitions)
       .load()
   }
