@@ -111,14 +111,57 @@ object EventStreams {
         (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
   }
 
+  /** Fastest disk visible to this JVM for checkpoint/state I/O: tmpfs
+    * when present (HDFSBackedStateStore delta+commit files become
+    * memory writes), else java.io.tmpdir. A long-running production
+    * stream would checkpoint to durable storage instead — this path is
+    * for bounded run-to-completion queries whose state dies with them. */
+  private def scratchDir(): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base = if (java.nio.file.Files.isWritable(shm)) shm
+               else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft_ckpt")
+  }
+
+  /** Start `sink`, run the bounded stream to completion, drop the
+    * throwaway checkpoint. `noDataBatch=false` skips the trailing
+    * watermark-only micro-batch — safe exactly when the sink does not
+    * rely on watermark-triggered emission: complete-mode aggregates
+    * (every batch rewrites the full result) and append-mode operators
+    * that emit on arrival (dropDuplicates, inner stream-stream join).
+    * Append-mode *aggregates* would need it; none are registered here. */
+  private[streaming] def runBounded(spark: SparkSession, name: String,
+      df: DataFrame, outputMode: String): DataFrame = {
+    val ckpt = scratchDir()
+    val priorNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    // AQE is disabled for stateful workloads, so streaming gets no
+    // runtime partition coalescing: size state partitions to the batch
+    // volume by hand (what AQE would have picked). The state-partition
+    // count is pinned into the checkpoint, which is throwaway here; a
+    // durable 100 TB stream would pick this once, at provisioning time.
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      priorNoData match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    }
+    spark.table(name)
+  }
+
   /** Run a streaming transform over the (bounded) file source to
     * completion into a memory sink; returns the materialized result.
     * outputMode "complete" for aggregates, "append" for row streams. */
   def runToBatch(spark: SparkSession, dir: String, name: String,
-                 outputMode: String)(transform: DataFrame => DataFrame): DataFrame = {
-    val q = transform(readEventStream(spark, dir))
-      .writeStream.format("memory").queryName(name).outputMode(outputMode).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
-  }
+                 outputMode: String)(transform: DataFrame => DataFrame): DataFrame =
+    runBounded(spark, name, transform(readEventStream(spark, dir)), outputMode)
 }

@@ -26,12 +26,10 @@ object StreamingQueries {
     "st04_stream_sliding" -> ((s, d) =>
       EventStreams.runToBatch(s, d, "st04_mem", "complete")(EventStreams.sliding(_))
         .orderBy(col("w_start_us"), col("event_type"))),
-    "st05_stream_interval_join" -> ((s, d) => {
-      val q = EventStreams.viewClickJoin(s, d)
-        .writeStream.format("memory").queryName("st05_mem").outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("st05_mem").orderBy(col("user_id"), col("view_id"), col("click_id"))
-    })
+    "st05_stream_interval_join" -> ((s, d) =>
+      EventStreams.runBounded(s, "st05_mem",
+        EventStreams.viewClickJoin(s, d), "append")
+        .orderBy(col("user_id"), col("view_id"), col("click_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
