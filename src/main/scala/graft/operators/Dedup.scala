@@ -154,6 +154,42 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Duplicate clusters: connected components over a near-dup pair
+    * graph, as (doc_id, cluster_id = min doc_id in the component) —
+    * the step that turns pairwise near-dup evidence into "keep one
+    * representative per cluster" for corpus dedup.
+    *
+    * Pregel-style iterative min-label propagation: each round is one
+    * join + min-aggregate (both shuffle on doc_id and AQE-re-plannable);
+    * rounds ≈ graph diameter, tiny for near-dup clusters (members of a
+    * cluster mostly pair directly). The only driver-side value per round
+    * is the converged? count — no row data ever collects. At 100 TB with
+    * adversarial long-chain graphs, swap the loop body for the O(log n)
+    * large-star/small-star rounds (Kiveris et al., MapReduce CC) — the
+    * same join+agg primitive, so the skeleton below holds. */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u")).distinct()
+      .withColumn("lbl", col("u")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("u", "v"), Seq("v"))
+        .select(col("u"), col("lbl"))
+      val next = viaNeighbor.union(labels.select(col("u"), col("lbl")))
+        .groupBy(col("u")).agg(min(col("lbl")).as("lbl")).cache()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "prev"), Seq("u"))
+        .filter(col("lbl") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> ((s, d) =>
       exactDedupGroups(t(s, d, "documents")).orderBy(col("canonical_id"))),
@@ -161,6 +197,9 @@ object Dedup {
       exactDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "d03_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
+    "d07_dup_clusters" -> ((s, d) =>
+      duplicateClusters(jaccardPairs(t(s, d, "documents")))
+        .orderBy(col("doc_id"))),
     "d04_minhash_neardups" -> ((s, d) =>
       minHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "d05_simhash_neardups" -> ((s, d) =>
@@ -188,6 +227,28 @@ object Dedup {
                  AND a.doc_id < b.doc_id)
          WHERE CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE)
            / (len(a_ws) + len(b_ws) - len(list_intersect(a_ws, b_ws))) >= 0.5
-         ORDER BY a_id, b_id"""
+         ORDER BY a_id, b_id""",
+    // connected components as a transitive-closure fixpoint (the
+    // recursive CTE mirrors the engine's min-label propagation loop)
+    "d07_dup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a_id, b_id
+           FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   list_distinct(string_split(a.text, ' ')) AS a_ws,
+                   list_distinct(string_split(b.text, ' ')) AS b_ws
+                 FROM documents a JOIN documents b
+                 ON substring(a.text, 1, 20) = substring(b.text, 1, 20)
+                   AND a.doc_id < b.doc_id)
+           WHERE CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE)
+             / (len(a_ws) + len(b_ws) - len(list_intersect(a_ws, b_ws))) >= 0.5),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(u, v) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+         SELECT u AS doc_id, min(v) AS cluster_id
+         FROM reach GROUP BY u ORDER BY doc_id"""
   )
 }

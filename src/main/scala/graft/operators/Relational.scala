@@ -381,6 +381,26 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // ---- exact interpolated percentiles per group. Spark's
+    //      `percentile` and DuckDB's `quantile_cont` share the
+    //      definition; over BIGINT values with binary-exact fractions
+    //      (k/4) the interpolation is ulp-exact cross-engine, so this
+    //      hash-compares (approx_percentile stays rows-only in q21's
+    //      sketch family). At scale the exact form is a sort-based
+    //      agg per group; the approx t-digest/KLL path is the 100 TB
+    //      default and this the auditing path.
+    "q35_percentiles" -> ((s, d) => {
+      val q = col("l_quantity").cast("long")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(CAST(l_quantity AS BIGINT), 0.25D)").as("p25"),
+          expr("percentile(CAST(l_quantity AS BIGINT), 0.5D)").as("p50"),
+          expr("percentile(CAST(l_quantity AS BIGINT), 0.75D)").as("p75"),
+          max(q).as("pmax"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- moment statistics via explicit decimal sums (order-exact;
     //      built-in stddev/var would be float-summation-order dependent)
     "q32_moment_stats" -> ((s, d) => {
@@ -617,6 +637,13 @@ object Relational {
          (CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
            - CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
              * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) / count(*) AS var_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q35_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS p25,
+         quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS p50,
+         quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS p75,
+         max(CAST(l_quantity AS BIGINT)) AS pmax
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

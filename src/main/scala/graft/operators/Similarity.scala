@@ -170,8 +170,9 @@ object Similarity {
       knnLsh(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s05_knn_ivf" -> ((s, d) =>
       knnIvf(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
-    // rows-only: float-order sum noise keeps exact doubles off the
-    // oracle; 6-decimal rounding makes the output run-deterministic
+    // oracle-checked: the UDAF accumulates in DOUBLE, so its means
+    // differ from DuckDB's double sums only by summation order
+    // (~1e-13 relative) — far inside the 6-decimal rounding
     "s06_centroid_agg" -> ((s, d) =>
       centroidMeansAgg(t(s, d, "embeddings"))
         .select(col("label"),
@@ -212,6 +213,19 @@ object Similarity {
            CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS centroid
            FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
            GROUP BY label, dim ORDER BY label, dim""",
+      "s06_centroid_agg" ->
+        """WITH e AS (
+             SELECT CAST(label AS BIGINT) AS label,
+               generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS v
+             FROM embeddings),
+           m AS (
+             SELECT label, dim, sum(CAST(v AS DOUBLE)) / count(*) AS mv
+             FROM e GROUP BY label, dim)
+           SELECT label,
+             round(sum(mv * mv), 6) AS sq_norm,
+             round(max(CASE WHEN dim = 1 THEN mv END), 6) AS c0
+           FROM m GROUP BY label ORDER BY label""",
       "s04_cosine_dup_pairs" ->
         s"""WITH n AS (
              SELECT vec_id, label, $qv AS qv,

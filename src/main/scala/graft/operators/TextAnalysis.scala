@@ -114,8 +114,33 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** TF-IDF top-k terms per document. Classic two-aggregate shape: tf
+    * per (doc, term) and df per term are both map-side-combinable
+    * shuffles; the corpus size joins in as a broadcast scalar. The
+    * score uses the raw rarity ratio tf·N/df rather than tf·ln(N/df):
+    * multiplication/division are exactly-rounded IEEE ops (bit-equal in
+    * any engine, so the DuckDB oracle can hash-compare) while ln is
+    * not; the ranking they induce per document is identical whenever
+    * ties are broken by term, since x ↦ ln is monotone. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("doc_id"), explode(ws).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "t08_tfidf_topterms" -> ((s, d) =>
+      tfIdfTopTerms(t(s, d, "documents")).orderBy(col("doc_id"), col("rk"))),
     // rows-only: a rolling-hash winnow isn't SQL-expressible in DuckDB
     "t07_winnow_fingerprints" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -138,6 +163,24 @@ object TextAnalysis {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "t08_tfidf_topterms" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM terms
+           WHERE term <> '' GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.df AS score
+           FROM tf JOIN dfreq USING (term), n),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+           FROM scored)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score
+         FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""",
     "t06_regex_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,

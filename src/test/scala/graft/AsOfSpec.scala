@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Dedup}
+
+/** As-of join semantics (latest right row at-or-before each left row)
+  * and duplicate-cluster connected components. */
+class AsOfSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("asof join: latest at-or-before, equal-ts inclusive, null when none") {
+    val clicks = Seq( // (user, click_id, ts)
+      (1L, 100L, 50L), // after two views -> latest (ts 40)
+      (1L, 101L, 40L), // exactly at a view's ts -> that view (<=)
+      (1L, 102L, 5L),  // before every view -> null
+      (2L, 103L, 10L)  // user with no views -> null
+    ).toDF("user_id", "click_id", "c_ts")
+    val views = Seq( // (user, view_id, ts)
+      (1L, 900L, 10L), (1L, 901L, 40L)
+    ).toDF("user_id", "view_id", "v_ts")
+
+    val out = AsOf.asofJoin(clicks, views, "user_id", "c_ts", "v_ts",
+        "view_id", Seq("view_id", "v_ts"))
+      .select("click_id", "view_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(out == Map(100L -> 901L, 101L -> 901L, 102L -> -1L, 103L -> -1L))
+  }
+
+  test("asof join: ties on right ts resolved by rightSeq (max wins)") {
+    val clicks = Seq((1L, 100L, 50L)).toDF("user_id", "click_id", "c_ts")
+    val views = Seq((1L, 900L, 40L), (1L, 905L, 40L))
+      .toDF("user_id", "view_id", "v_ts")
+    val out = AsOf.asofJoin(clicks, views, "user_id", "c_ts", "v_ts",
+        "view_id", Seq("view_id")).select("view_id").as[Long].head()
+    assert(out == 905L)
+  }
+
+  test("duplicate clusters: components found across chained pairs") {
+    // a-b, b-c chained; d-e separate; min doc_id labels the cluster
+    val pairs = Seq((2L, 7L), (7L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 2L, 7L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("tf-idf: rarer term outranks commoner term at equal tf") {
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "apple cherry"), (3L, "apple banana")
+    ).toDF("doc_id", "text")
+    val top = graft.operators.TextAnalysis.tfIdfTopTerms(docs, 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // "apple" df=3 is everywhere; the doc-specific term must rank first
+    assert(top == Map(1L -> "banana", 2L -> "cherry", 3L -> "banana"))
+  }
+}
