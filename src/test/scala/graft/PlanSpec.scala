@@ -73,6 +73,23 @@ class PlanSpec extends SparkSpec {
       p.contains(s"PartitionFilters: [(event_type"), s"no partition pruning:\n$p")
   }
 
+  test("q34: as-of join never materializes a join — one key shuffle + window") {
+    val p = plan("q34_asof_join")
+    assert(!p.contains("Join"), s"asof fell back to a physical join:\n$p")
+    assert(p.contains("Window"), p)
+    // exchanges: one for the key window, one for the views pre-dedup
+    // groupBy (same key), one for the final output sort — never a
+    // per-pair candidate blow-up
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"unexpected shuffle count $exchanges:\n$p")
+  }
+
+  test("t08: tf-idf corpus size joins as broadcast, not a shuffle") {
+    val p = plan("t08_tfidf_topterms")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus-size scalar should broadcast:\n$p")
+  }
+
   test("merge-then-extract fires in the applied-enrichment projection") {
     import graft.operators.ZhEnrich
     import graft.sources.OsmFixture
