@@ -39,10 +39,24 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the TAIL of the build output (observed:
+    // last 2000 chars, with sbt's "[success] ..." line inside it), so the
+    // JSON line must stay well under that to be machine-parseable. Keys
+    // are the unique query-id prefixes ("q01", "st05", ... — the
+    // contract's own "q1":sec style); full names + full precision go to
+    // bench_detail.json alongside.
+    def f(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+        s"""{"value":$total,"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    println(line)
     spark.stop()
   }
 }

@@ -27,30 +27,37 @@ object AsOf {
 
   /** @param rightVals right columns to attach (null where no right row
     *                  is at-or-before the left timestamp — left-join
-    *                  semantics). Names must not collide with left. */
+    *                  semantics). Names must not collide with left.
+    *
+    * The right payload travels as ONE struct column so a single
+    * `last(ignoreNulls)` picks one whole right row atomically — filling
+    * each value column independently would mix fields from different
+    * right rows whenever the latest matching row holds a NULL in one of
+    * them, which is not ASOF semantics. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, rightSeq: String,
                rightVals: Seq[String]): DataFrame = {
     val leftPayload = left.columns.filterNot(_ == key).toSeq
+    val payloadT = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
     val lSel: Seq[Column] =
       Seq(col(key), col(leftTs).as("_ts"), lit(1).as("_side"),
         lit(Long.MaxValue).as("_seq")) ++
-        leftPayload.map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c"))
+        leftPayload.map(col) :+
+        lit(null).cast(payloadT).as("_r")
     val rSel: Seq[Column] =
       Seq(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
         col(rightSeq).cast("long").as("_seq")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(c => col(c).as(s"_r_$c"))
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col): _*).as("_r")
     val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_side"), col("_seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // all last() columns share one window spec -> a single Window exec
-    val filled = rightVals.foldLeft(u)((df, c) =>
-      df.withColumn(c, last(col(s"_r_$c"), ignoreNulls = true).over(w)))
+    val filled = u.withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
     filled.filter(col("_side") === 1)
-      .select((Seq(key) ++ leftPayload ++ rightVals).map(col): _*)
+      .select(Seq(col(key)) ++ leftPayload.map(col) ++
+        rightVals.map(c => col(s"_r.$c").as(c)): _*)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

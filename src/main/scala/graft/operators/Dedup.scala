@@ -187,7 +187,15 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
-    labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+    // Materialize off the cached lineage (eager localCheckpoint), then
+    // release the loop's last cache — otherwise every invocation leaks
+    // cached blocks for the session lifetime. The checkpoint blocks
+    // themselves are lineage-free and reclaimed by the ContextCleaner
+    // once the returned DataFrame is garbage-collected.
+    val out = labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

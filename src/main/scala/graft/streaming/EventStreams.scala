@@ -123,39 +123,39 @@ object EventStreams {
     java.nio.file.Files.createTempDirectory(base, "graft_ckpt")
   }
 
-  /** Start `sink`, run the bounded stream to completion, drop the
-    * throwaway checkpoint. `noDataBatch=false` skips the trailing
-    * watermark-only micro-batch — safe exactly when the sink does not
-    * rely on watermark-triggered emission: complete-mode aggregates
-    * (every batch rewrites the full result) and append-mode operators
-    * that emit on arrival (dropDuplicates, inner stream-stream join).
-    * Append-mode *aggregates* would need it; none are registered here. */
+  /** Build the stream with `build`, run it to completion into a memory
+    * sink, drop the throwaway checkpoint. The stream is planned on a
+    * CLONED session (`spark.newSession()` — same SparkContext, isolated
+    * runtime conf) so the streaming-specific conf overrides below never
+    * leak into concurrently-planned batch queries on the caller's
+    * session:
+    * - `noDataMicroBatches=false` skips the trailing watermark-only
+    *   micro-batch — safe exactly when the sink does not rely on
+    *   watermark-triggered emission: complete-mode aggregates (every
+    *   batch rewrites the full result) and append-mode operators that
+    *   emit on arrival (dropDuplicates, inner stream-stream join).
+    *   Append-mode *aggregates* would need it; none are registered here.
+    * - AQE is disabled for stateful workloads, so streaming gets no
+    *   runtime partition coalescing: size state partitions to the batch
+    *   volume by hand (what AQE would have picked). The state-partition
+    *   count is pinned into the checkpoint, which is throwaway here; a
+    *   durable 100 TB stream would pick this once, at provisioning time. */
   private[streaming] def runBounded(spark: SparkSession, name: String,
-      df: DataFrame, outputMode: String): DataFrame = {
+      build: SparkSession => DataFrame, outputMode: String): DataFrame = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
     val ckpt = scratchDir()
-    val priorNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    // AQE is disabled for stateful workloads, so streaming gets no
-    // runtime partition coalescing: size state partitions to the batch
-    // volume by hand (what AQE would have picked). The state-partition
-    // count is pinned into the checkpoint, which is throwaway here; a
-    // durable 100 TB stream would pick this once, at provisioning time.
-    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = df.writeStream.format("memory").queryName(name)
+      val q = build(scoped).writeStream.format("memory").queryName(name)
         .outputMode(outputMode)
         .option("checkpointLocation", ckpt.toString).start()
       try q.processAllAvailable() finally q.stop()
     } finally {
-      priorNoData match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-      }
-      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
       org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
     }
-    spark.table(name)
+    // the memory sink registers its view in the scoped session's catalog
+    scoped.table(name)
   }
 
   /** Run a streaming transform over the (bounded) file source to
@@ -163,5 +163,5 @@ object EventStreams {
     * outputMode "complete" for aggregates, "append" for row streams. */
   def runToBatch(spark: SparkSession, dir: String, name: String,
                  outputMode: String)(transform: DataFrame => DataFrame): DataFrame =
-    runBounded(spark, name, transform(readEventStream(spark, dir)), outputMode)
+    runBounded(spark, name, s => transform(readEventStream(s, dir)), outputMode)
 }

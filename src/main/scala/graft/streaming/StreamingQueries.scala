@@ -28,7 +28,7 @@ object StreamingQueries {
         .orderBy(col("w_start_us"), col("event_type"))),
     "st05_stream_interval_join" -> ((s, d) =>
       EventStreams.runBounded(s, "st05_mem",
-        EventStreams.viewClickJoin(s, d), "append")
+        scoped => EventStreams.viewClickJoin(scoped, d), "append")
         .orderBy(col("user_id"), col("view_id"), col("click_id")))
   )
 

@@ -38,6 +38,20 @@ class AsOfSpec extends SparkSpec {
     assert(out == 905L)
   }
 
+  test("asof join: right payload attaches atomically (no cross-row mix)") {
+    // latest view (ts 40) has a NULL referrer; an older view (ts 10) has
+    // one. ASOF must attach the latest row WHOLE — view_id 901 with a
+    // null referrer — never 901's id with 900's referrer backfilled.
+    val clicks = Seq((1L, 100L, 50L)).toDF("user_id", "click_id", "c_ts")
+    val views = Seq(
+      (1L, 900L, 10L, Option("ads")), (1L, 901L, 40L, Option.empty[String])
+    ).toDF("user_id", "view_id", "v_ts", "referrer")
+    val r = AsOf.asofJoin(clicks, views, "user_id", "c_ts", "v_ts",
+        "view_id", Seq("view_id", "referrer")).select("view_id", "referrer")
+      .collect().head
+    assert(r.getLong(0) == 901L && r.isNullAt(1))
+  }
+
   test("duplicate clusters: components found across chained pairs") {
     // a-b, b-c chained; d-e separate; min doc_id labels the cluster
     val pairs = Seq((2L, 7L), (7L, 3L), (10L, 11L)).toDF("a_id", "b_id")
