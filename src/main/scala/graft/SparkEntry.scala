@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.Analytics.queries ++
       operators.AsOf.queries ++
       operators.ZhQueries.queries ++
       operators.TextAnalysis.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++
+      operators.Analytics.oracleSql ++
       operators.AsOf.oracleSql ++
       operators.ZhQueries.oracleSql ++
       operators.TextAnalysis.oracleSql ++

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second-wave relational catalog: deterministic mode, exact
+  * correlation/covariance from decimal moments, unpivot/melt,
+  * time-range window frames, calendar gap-fill, blocked fuzzy
+  * (edit-distance) joins, and positional explode (UDTF surface).
+  *
+  * The reference (`OMTZHModifier.java`) has no analytics surface at all
+  * (SURVEY.md §2.4-2.6 — three aggregate calls, no windows); these are
+  * the standard analytics operators a user of a general engine expects,
+  * so they complete the catalog alongside `Relational`.
+  *
+  * Scale notes (100 TB): every query is one declarative plan. The mode
+  * and gap-fill queries aggregate BEFORE any window/join, so the heavy
+  * input collapses map-side; the fuzzy join never goes quadratic — it
+  * equi-joins on a (brand, first-token) blocking key, the standard
+  * entity-resolution trick that turns O(n²) edit-distance comparison
+  * into balanced per-block work; the range-frame window shuffles once
+  * on its partition key, identical to any other window.
+  */
+object Analytics {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- deterministic mode per group: most frequent value, ties
+    //      broken lexicographically (built-in `mode` is tie-unstable
+    //      across engines, so the engine exposes this two-level form:
+    //      count-aggregate — map-side combinable — then a 1-row-per-group
+    //      window rank over the tiny count table)
+    "q36_mode_per_group" -> ((s, d) => {
+      val counts = t(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("cnt").as("mode_count"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- correlation / covariance / stddev from exact decimal moments
+    //      (built-in corr() is float-summation-order dependent and can't
+    //      hash-compare across engines; decimal S1/S2/Sxy moments are
+    //      exact and map-side combinable, the closed forms below are
+    //      then bit-identical IEEE arithmetic on both engines)
+    "q37_corr_stats" -> ((s, d) => {
+      val nd = col("n").cast("double")
+      // Quantize each RAW column to decimal first (double spacing at
+      // column magnitude is far finer than 1e-4, so both engines pick
+      // the same nearest decimal), then multiply in exact decimal
+      // arithmetic — casting the double PRODUCT would round a long
+      // binary tail and engines disagree in the last decimal digit.
+      val dx = col("l_quantity").cast(DecimalType(15, 4))
+      val dy = col("l_extendedprice").cast(DecimalType(15, 4))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          sum(dx * dx).cast("double").as("sxx"),
+          sum(dy * dy).cast("double").as("syy"),
+          sum(dx * dy).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          // moments above ~15 significant digits convert decimal→double
+          // with ±1 ulp engine skew (int128/1e8 double-rounding vs exact
+          // rational conversion), so the final statistics are rounded a
+          // few digits below that noise floor to hash-compare exactly
+          round((nd * col("sxy") - col("sx") * col("sy")) / (nd * nd), 4).as("covar_pop"),
+          round((nd * col("sxy") - col("sx") * col("sy")) /
+            sqrt((nd * col("sxx") - col("sx") * col("sx")) *
+                 (nd * col("syy") - col("sy") * col("sy"))), 9).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- unpivot/melt: wide aggregate -> long (metric, value) rows
+    "q38_unpivot_metrics" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).cast("double").as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_rev"),
+          max(col("o_totalprice")).as("max_rev"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("sum_rev"), col("max_rev")),
+          "metric", "value")
+        .orderBy(col("o_orderpriority"), col("metric"))
+    }),
+
+    // ---- event-time RANGE window frame: per user, trailing-5-minute
+    //      event count + exact decimal value sum at every event
+    "q39_trailing_range_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-300000000L, 0L)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_5min"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("sum_5min"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // ---- calendar gap-fill: zero rows for days with no orders
+    //      (aggregate first — the day spine is generated from the tiny
+    //      1-row span aggregate, never from the fact table)
+    "q40_calendar_gapfill" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+      val days = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      days.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          coalesce(col("rev"), lit(0.0)).as("revenue"))
+        .orderBy(col("day"))
+    }),
+
+    // ---- blocked fuzzy join: edit-distance pairs inside a
+    //      (brand, first-name-token) block — equi-join on the blocking
+    //      key, Levenshtein only within blocks
+    "q41_fuzzy_block_join" -> ((s, d) => {
+      val p = t(s, d, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("tok0"))
+      val a = p.toDF("p_brand", "a_key", "a_name", "tok0")
+      val b = p.toDF("p_brand", "b_key", "b_name", "tok0")
+      a.join(b, Seq("p_brand", "tok0"))
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("dist") <= 10)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_close_pairs"), min(col("dist")).as("min_dist"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- positional explode (UDTF surface): one row per token with
+    //      its ordinal
+    "q42_posexplode_tokens" -> ((s, d) => {
+      t(s, d, "part")
+        .filter(col("p_partkey") < 200)
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .select(col("p_partkey"), col("pos").cast("long").as("pos"),
+          col("col").as("word"))
+        .orderBy(col("p_partkey"), col("pos"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q36_mode_per_group" ->
+      """WITH counts AS (
+           SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority) AS rk
+               FROM counts)
+         WHERE rk = 1 ORDER BY o_orderstatus""",
+    "q37_corr_stats" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS covar_pop,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+             sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+                  (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS corr_qty_price
+         FROM m ORDER BY l_returnflag""",
+    "q38_unpivot_metrics" ->
+      """WITH a AS (
+           SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_rev,
+             max(o_totalprice) AS max_rev
+           FROM orders GROUP BY 1)
+         SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM a
+         UNION ALL SELECT o_orderpriority, 'sum_rev', sum_rev FROM a
+         UNION ALL SELECT o_orderpriority, 'max_rev', max_rev FROM a
+         ORDER BY o_orderpriority, metric""",
+    "q39_trailing_range_window" ->
+      """SELECT user_id, event_id, ts_us,
+           count(*) OVER w AS n_5min,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_5min
+         FROM (SELECT user_id, event_id, (epoch_ns(ts) // 1000) AS ts_us, value
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+           RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts_us, event_id""",
+    "q40_calendar_gapfill" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+           FROM orders GROUP BY 1),
+         span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+         days AS (
+           SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+             CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span)
+         SELECT d.day, coalesce(n, 0) AS n_orders, coalesce(rev, 0.0) AS revenue
+         FROM days d LEFT JOIN daily USING (day) ORDER BY day""",
+    "q41_fuzzy_block_join" ->
+      """SELECT a.p_brand AS p_brand, count(*) AS n_close_pairs,
+           min(CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)) AS min_dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand
+           AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+           AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 10
+         GROUP BY 1 ORDER BY 1""",
+    "q42_posexplode_tokens" ->
+      """WITH arr AS (
+           SELECT p_partkey, string_split(p_name, ' ') AS a FROM part
+           WHERE p_partkey < 200)
+         SELECT p_partkey,
+           unnest(generate_series(1, len(a))) - 1 AS pos,
+           unnest(a) AS word
+         FROM arr ORDER BY p_partkey, pos"""
+  )
+}
