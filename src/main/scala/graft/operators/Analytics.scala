@@ -125,12 +125,17 @@ object Analytics {
     }),
 
     // ---- blocked fuzzy join: edit-distance pairs inside a
-    //      (brand, first-name-token) block — equi-join on the blocking
-    //      key, Levenshtein only within blocks
+    //      (brand, first-two-name-tokens) block — equi-join on the
+    //      blocking key, Levenshtein only within blocks (two tokens, not
+    //      one: first tokens alone have ~8 distinct values here, leaving
+    //      ~1M in-block pairs at sf0.1; the second token multiplies the
+    //      block count and divides the quadratic term accordingly)
     "q41_fuzzy_block_join" -> ((s, d) => {
       val p = t(s, d, "part")
         .select(col("p_brand"), col("p_partkey"), col("p_name"),
-          split(col("p_name"), " ").getItem(0).as("tok0"))
+          concat_ws(" ",
+            split(col("p_name"), " ").getItem(0),
+            split(col("p_name"), " ").getItem(1)).as("tok0"))
       val a = p.toDF("p_brand", "a_key", "a_name", "tok0")
       val b = p.toDF("p_brand", "b_key", "b_name", "tok0")
       a.join(b, Seq("p_brand", "tok0"))
@@ -217,6 +222,7 @@ object Analytics {
          FROM part a JOIN part b
            ON a.p_brand = b.p_brand
            AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+           AND split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
            AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 10
          GROUP BY 1 ORDER BY 1""",

@@ -168,21 +168,35 @@ object Dedup {
     * large-star/small-star rounds (Kiveris et al., MapReduce CC) — the
     * same join+agg primitive, so the skeleton below holds. */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    // both edge directions from ONE pass over `pairs` — a self-union
+    // would run the (possibly expensive) upstream pair pipeline twice
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v")),
+        struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().cache()
     var labels = edges.select(col("u")).distinct()
       .withColumn("lbl", col("u")).cache()
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence via the label-sum invariant: min-label propagation only
+    // ever DECREASES each u's label, so the total is strictly monotone and
+    // "sum unchanged" == "fixed point". That makes the convergence probe a
+    // single-stage aggregate over the cached round result instead of a
+    // join back against the previous labels (halves the jobs per round).
+    // Decimal sum: immune to int64 overflow at any vertex-id scale.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
+    while (!converged) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("u", "v"), Seq("v"))
         .select(col("u"), col("lbl"))
       val next = viaNeighbor.union(labels.select(col("u"), col("lbl")))
         .groupBy(col("u")).agg(min(col("lbl")).as("lbl")).cache()
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "prev"), Seq("u"))
-        .filter(col("lbl") < col("prev")).count()
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
     }
