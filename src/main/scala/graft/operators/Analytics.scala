@@ -115,7 +115,13 @@ object Analytics {
       val daily = t(s, d, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
-      val days = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      // span straight off the fact table, NOT off `daily` — deriving it
+      // from `daily` re-runs the whole groupBy exchange a second time
+      // (column pruning makes the two subtrees differ, so ReuseExchange
+      // can't dedup them); this branch prunes to the single date column
+      val days = t(s, d, "orders")
+        .agg(to_date(min(col("o_orderdate"))).as("lo"),
+          to_date(max(col("o_orderdate"))).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
       days.join(daily, Seq("day"), "left")
         .select(col("day"),

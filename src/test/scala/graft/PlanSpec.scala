@@ -90,6 +90,35 @@ class PlanSpec extends SparkSpec {
       s"corpus-size scalar should broadcast:\n$p")
   }
 
+  test("q36: mode is two-level agg + group-limited rank, never a global sort") {
+    val p = plan("q36_mode_per_group")
+    assert(p.contains("WindowGroupLimit"), s"rank filter not group-limited:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"missing partial agg:\n$p")
+  }
+
+  test("q40: day spine derives from a pruned scan, not a second groupBy pass") {
+    val p = plan("q40_calendar_gapfill")
+    // two scans total: the daily aggregate and the 1-column span min/max
+    assert("FileScan parquet".r.findAllIn(p).length == 2, p)
+    // the heavy per-day aggregate exchange must appear exactly once
+    assert("Exchange hashpartitioning\\(day".r.findAllIn(p).length <= 1,
+      s"daily aggregate computed twice:\n$p")
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q41: fuzzy join is an equi-join on the blocking key, never a product") {
+    val p = plan("q41_fuzzy_block_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degenerated to a product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q39: range-frame window costs one key shuffle plus the output sort") {
+    val p = plan("q39_trailing_range_window")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"unexpected shuffle count $exchanges:\n$p")
+  }
+
   test("merge-then-extract fires in the applied-enrichment projection") {
     import graft.operators.ZhEnrich
     import graft.sources.OsmFixture
