@@ -30,7 +30,7 @@ object StatefulSessions {
 
   /** Spark's double→DECIMAL(18,4) cast semantics (HALF_UP), so the
     * hand-rolled sum matches the `dsum` pattern bit-for-bit. */
-  private def dec4(d: Double): BigDecimal =
+  private[graft] def dec4(d: Double): BigDecimal =
     BigDecimal(java.math.BigDecimal.valueOf(d).setScale(4, java.math.RoundingMode.HALF_UP))
 
   private def emitSessions(uid: Long, evs: Seq[Ev], gapUs: Long): Iterator[SessionOut] = {

@@ -141,16 +141,32 @@ object EventStreams {
     *   count is pinned into the checkpoint, which is throwaway here; a
     *   durable 100 TB stream would pick this once, at provisioning time. */
   private[streaming] def runBounded(spark: SparkSession, name: String,
-      build: SparkSession => DataFrame, outputMode: String): DataFrame = {
+      build: SparkSession => DataFrame, outputMode: String,
+      noDataBatches: Boolean = false): DataFrame = {
     val scoped = spark.newSession()
-    scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatches.toString)
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
     val ckpt = scratchDir()
     try {
       val q = build(scoped).writeStream.format("memory").queryName(name)
         .outputMode(outputMode)
         .option("checkpointLocation", ckpt.toString).start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        if (noDataBatches) {
+          // Timeout-driven emission happens in the watermark-only batch
+          // AFTER the last data batch; processAllAvailable only promises
+          // the data batches. Wait until the sink row count is stable
+          // across two consecutive polls (bounded, test-scale only).
+          var prev = -1L; var cur = scoped.table(name).count()
+          val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+          while (cur != prev && System.nanoTime() < deadline) {
+            prev = cur; Thread.sleep(300); q.processAllAvailable()
+            cur = scoped.table(name).count()
+          }
+        }
+      } finally q.stop()
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
     }

@@ -59,4 +59,46 @@ class StreamingSpec extends SparkSpec {
     // windows at/after 10:55 are still open state — never emitted
     assert(emitted.forall(_._1 == us(600)), s"got $emitted")
   }
+
+  test("custom-state sessions: data-closed emit, timeout flush, young holdback") {
+    import spark.implicits._
+    import graft.streaming.StatefulSessionStream
+    val dir = Files.createTempDirectory("graft-sess").toString
+
+    // one user, three gap-separated sessions (gap = 30 min):
+    //   s0 at 10:00-10:01  — closed by s1's first event ⇒ emits on data
+    //   s1 at 11:00        — closed by s2, emits on data
+    //   s2 at 20:00        — trailing open session; watermark reaches
+    //                        19:50, which is < 20:30 ⇒ HELD BACK
+    val rows = Seq((1L, us(600)), (2L, us(601)), (3L, us(660)), (4L, us(1200)))
+      .map { case (id, tsUs) => (id, tsUs * 1000L, 7L, "view", 1.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/b1")
+
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "2")
+    val src = scoped.readStream.schema(EventStreams.rawSchema)
+      .parquet(s"$dir/*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StatefulSessionStream.sessionizeStream(src)
+      .writeStream.format("memory").queryName("sess_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // allow the watermark-only batch that fires the s1 timeout
+      var prev = -1L; var cur = scoped.table("sess_mem").count()
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(300); q.processAllAvailable()
+        cur = scoped.table("sess_mem").count()
+      }
+    } finally q.stop()
+
+    val got = scoped.table("sess_mem")
+      .select("session_seq", "session_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // s0 (2 events) and s1 (1 event, flushed by event-time timeout when
+    // the watermark passed 11:30); s2 held open — exactly two sessions
+    assert(got == Seq((0L, us(600), 2L), (1L, us(660), 1L)), s"got $got")
+  }
 }
