@@ -153,6 +153,31 @@ object Analytics {
         .orderBy(col("p_brand"))
     }),
 
+    // ---- multiple exact DISTINCT aggregates in one pass (Expand-based
+    //      plan: each distinct column gets its own dedup stream, partial
+    //      aggregation still applies)
+    "q44_multi_distinct" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(to_date(col("o_orderdate"))).as("n_days"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- deterministic stratified sample: fixed k per stratum by hash
+    //      order (reproducible across runs/engines, no RNG)
+    "q43_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(md5(col("c_name").cast("binary")), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          row_number().over(w).cast("long").as("rk"))
+        .filter(col("rk") <= 5)
+        .orderBy(col("c_mktsegment"), col("rk"))
+    }),
+
     // ---- positional explode (UDTF surface): one row per token with
     //      its ordinal
     "q42_posexplode_tokens" -> ((s, d) => {
@@ -232,6 +257,19 @@ object Analytics {
            AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 10
          GROUP BY 1 ORDER BY 1""",
+    "q44_multi_distinct" ->
+      """SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+           count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q43_stratified_sample" ->
+      """SELECT c_mktsegment, c_custkey, rk FROM (
+           SELECT c_mktsegment, c_custkey,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY md5(c_name), c_custkey) AS BIGINT) AS rk
+           FROM customer)
+         WHERE rk <= 5 ORDER BY c_mktsegment, rk""",
     "q42_posexplode_tokens" ->
       """WITH arr AS (
            SELECT p_partkey, string_split(p_name, ' ') AS a FROM part

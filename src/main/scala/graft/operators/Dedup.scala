@@ -175,8 +175,10 @@ object Dedup {
         struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().cache()
-    var labels = edges.select(col("u")).distinct()
-      .withColumn("lbl", col("u")).cache()
+    // seed with the 1-hop minimum (what round one would compute from
+    // identity labels) — one aggregate replaces a whole propagation round
+    var labels = edges.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("lbl")).cache()
     // Convergence via the label-sum invariant: min-label propagation only
     // ever DECREASES each u's label, so the total is strictly monotone and
     // "sum unchanged" == "fixed point". That makes the convergence probe a
