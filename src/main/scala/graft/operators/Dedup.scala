@@ -224,6 +224,15 @@ object Dedup {
     "d07_dup_clusters" -> ((s, d) =>
       duplicateClusters(jaccardPairs(t(s, d, "documents")))
         .orderBy(col("doc_id"))),
+    // the dedup END-PRODUCT: the corpus with every non-representative
+    // cluster member dropped (survivors = cluster minima + singletons)
+    "d08_dedup_corpus" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val losers = duplicateClusters(jaccardPairs(docs))
+        .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "d04_minhash_neardups" -> ((s, d) =>
       minHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "d05_simhash_neardups" -> ((s, d) =>
@@ -273,6 +282,29 @@ object Dedup {
            UNION
            SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
          SELECT u AS doc_id, min(v) AS cluster_id
-         FROM reach GROUP BY u ORDER BY doc_id"""
+         FROM reach GROUP BY u ORDER BY doc_id""",
+    "d08_dedup_corpus" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a_id, b_id
+           FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   list_distinct(string_split(a.text, ' ')) AS a_ws,
+                   list_distinct(string_split(b.text, ' ')) AS b_ws
+                 FROM documents a JOIN documents b
+                 ON substring(a.text, 1, 20) = substring(b.text, 1, 20)
+                   AND a.doc_id < b.doc_id)
+           WHERE CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE)
+             / (len(a_ws) + len(b_ws) - len(list_intersect(a_ws, b_ws))) >= 0.5),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(u, v) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         losers AS (
+           SELECT u AS doc_id FROM reach GROUP BY u HAVING min(v) <> u)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         ORDER BY doc_id"""
   )
 }
