@@ -178,6 +178,18 @@ object Analytics {
         .orderBy(col("c_mktsegment"), col("rk"))
     }),
 
+    // ---- fixed-width histogram: bucket index from literal bounds
+    //      (floor of identical IEEE double ops on both engines —
+    //      data-derived bounds would need the two-pass span pattern
+    //      of q40); exact counts, map-side combinable
+    "q45_histogram" -> ((s, d) => {
+      t(s, d, "orders")
+        .select((floor(col("o_totalprice") / 25000.0)).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- positional explode (UDTF surface): one row per token with
     //      its ordinal
     "q42_posexplode_tokens" -> ((s, d) => {
@@ -270,6 +282,10 @@ object Analytics {
                ORDER BY md5(c_name), c_custkey) AS BIGINT) AS rk
            FROM customer)
          WHERE rk <= 5 ORDER BY c_mktsegment, rk""",
+    "q45_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q42_posexplode_tokens" ->
       """WITH arr AS (
            SELECT p_partkey, string_split(p_name, ' ') AS a FROM part

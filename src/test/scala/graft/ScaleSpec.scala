@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Runtime-adaptivity and source-format pins — 100 TB survival
+  * properties that no oracle query exercises directly:
+  *  - AQE splits a skewed join partition at runtime (the mechanism that
+  *    saves an unsalted hot-key join from a straggler executor);
+  *  - CSV and JSON sources roundtrip with explicit schemas (the engine
+  *    is not parquet-only).
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("AQE splits the skewed partition of a hot-key sort-merge join") {
+    import spark.implicits._
+    // one hot key (0) carrying 500k rows, 200 cold keys; thresholds
+    // lowered so local-scale data crosses the skew bar (coalescing off
+    // to keep the adaptive read unambiguous)
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.shuffle.partitions" -> "8")
+    val prior = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(0, 520000)
+        .select((when(col("id") < 500000, 0L).otherwise(col("id") % 200)).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(0, 201).select(col("id").as("k"), lit("dim").as("name"))
+      val joined = left.join(right, "k").groupBy(col("name")).count()
+      assert(joined.collect().map(_.getLong(1)).sum == 520000L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark/split the skewed join:\n$finalPlan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("csv and json sources roundtrip with explicit schemas") {
+    val events = sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val n = events.count()
+    val base = java.nio.file.Files.createTempDirectory("graft-src").toString
+
+    events.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    val csvBack = spark.read.schema(events.schema)
+      .option("header", "true").csv(s"$base/csv")
+    assert(csvBack.count() == n)
+    assert(csvBack.agg(sum(col("event_id"))).head.getLong(0) ==
+      events.agg(sum(col("event_id"))).head.getLong(0))
+
+    events.write.mode("overwrite").json(s"$base/json")
+    val jsonBack = spark.read.schema(events.schema).json(s"$base/json")
+    assert(jsonBack.count() == n)
+    assert(jsonBack.agg(sum(col("user_id"))).head.getLong(0) ==
+      events.agg(sum(col("user_id"))).head.getLong(0))
+  }
+}
