@@ -25,7 +25,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Analytics {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    dfQueries ++ sqlQueries
+
+  private val dfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deterministic mode per group: most frequent value, ties
     //      broken lexicographically (built-in `mode` is tie-unstable
     //      across engines, so the engine exposes this two-level form:
@@ -202,7 +205,47 @@ object Analytics {
     })
   )
 
+  /** Shared ANSI texts — the SAME string runs on Spark (via the SQL
+    * entry point) and on DuckDB as its own oracle. */
+  private val WindowValuesSql =
+    """SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY o_custkey, o_orderkey"""
+
+  private val RatioToReportSql =
+    """WITH nat AS (
+         SELECT r_name, n_name,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name)
+       SELECT r_name, n_name,
+         total_bal / CAST(sum(CAST(total_bal AS DECIMAL(18,4)))
+           OVER (PARTITION BY r_name) AS DOUBLE) AS share
+       FROM nat ORDER BY r_name, n_name"""
+
+  /** Window value functions + ratio-to-report, appended to `queries`. */
+  private val sqlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- first/last/nth value over a full-partition frame
+    "q46_window_values" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d); s.sql(WindowValuesSql)
+    }),
+    // ---- ratio-to-report: each nation's share of its region total
+    //      (window denominator summed in exact decimal so the single
+    //      double division is engine-identical)
+    "q47_ratio_to_report" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d); s.sql(RatioToReportSql)
+    })
+  )
+
   def oracleSql: Map[String, String] = Map(
+    "q46_window_values" -> WindowValuesSql,
+    "q47_ratio_to_report" -> RatioToReportSql,
     "q36_mode_per_group" ->
       """WITH counts AS (
            SELECT o_orderstatus, o_orderpriority, count(*) AS cnt

@@ -73,7 +73,34 @@ object Multimodal {
       }
   }
 
+  case class Embedding(doc_id: Long, e0: Long, e1: Long, e2: Long, e3: Long)
+
+  /** Batched "model inference" over binary payloads: `grouped(batchSize)`
+    * is the batch shape — a real embedding model would run ONCE per batch
+    * here (amortizing per-call overhead), exactly how `mapInPandas`
+    * batches arrow record-batches. The stub embedding is a deterministic
+    * closed form of (byte_len, doc_id) so even the inference path is
+    * oracle-checkable; per-doc output never depends on batch membership
+    * (which partitioning would make nondeterministic). */
+  def batchedEmbed(docs: DataFrame, batchSize: Int = 64): Dataset[Embedding] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asBinary(docs).select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // model.call(batch) would go here, once per group
+          batch.iterator.map { p =>
+            val n = p.payload.length.toLong
+            def e(k: Long) = (n * (k + 1) + p.doc_id * 31) % 9973
+            Embedding(p.doc_id, e(0), e(1), e(2), e(3))
+          }
+        }
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m05_batched_embed" -> ((s, d) =>
+      batchedEmbed(t(s, d, "documents")).toDF().orderBy(col("doc_id"))),
     "m01_binary_meta" -> ((s, d) =>
       asBinary(t(s, d, "documents"))
         .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
@@ -95,6 +122,13 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "m05_batched_embed" ->
+      """SELECT doc_id,
+           (CAST(octet_length(encode(text)) AS BIGINT) * 1 + doc_id * 31) % 9973 AS e0,
+           (CAST(octet_length(encode(text)) AS BIGINT) * 2 + doc_id * 31) % 9973 AS e1,
+           (CAST(octet_length(encode(text)) AS BIGINT) * 3 + doc_id * 31) % 9973 AS e2,
+           (CAST(octet_length(encode(text)) AS BIGINT) * 4 + doc_id * 31) % 9973 AS e3
+         FROM documents ORDER BY doc_id""",
     "m01_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          md5(text) AS content_md5, 'text/plain' AS mime
