@@ -45,7 +45,9 @@ object Bench {
     // are the unique query-id prefixes ("q01", "st05", ... — the
     // contract's own "q1":sec style); full names + full precision go to
     // bench_detail.json alongside.
-    def f(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would break the JSON
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

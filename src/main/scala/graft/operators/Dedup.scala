@@ -185,9 +185,12 @@ object Dedup {
     // single-stage aggregate over the cached round result instead of a
     // join back against the previous labels (halves the jobs per round).
     // Decimal sum: immune to int64 overflow at any vertex-id scale.
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head.getDecimal(0)
+    // Option-wrapped: sum over an EMPTY label table is SQL NULL (no
+    // pairs at all ⇒ no clusters) — a bare getDecimal would NPE on the
+    // first compare and crash the no-duplicates case.
+    def lblSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0))
     var prevSum = lblSum(labels)
     var converged = false
     while (!converged) {
@@ -197,7 +200,7 @@ object Dedup {
       val next = viaNeighbor.union(labels.select(col("u"), col("lbl")))
         .groupBy(col("u")).agg(min(col("lbl")).as("lbl")).cache()
       val s = lblSum(next)
-      converged = s.compareTo(prevSum) == 0
+      converged = s == prevSum
       prevSum = s
       labels.unpersist()
       labels = next
@@ -207,7 +210,11 @@ object Dedup {
     // release the loop's last cache — otherwise every invocation leaks
     // cached blocks for the session lifetime. The checkpoint blocks
     // themselves are lineage-free and reclaimed by the ContextCleaner
-    // once the returned DataFrame is garbage-collected.
+    // once the returned DataFrame is garbage-collected. Caveat for a
+    // long-lived cluster deployment: localCheckpoint blocks are
+    // unreplicated executor state (unsafe under executor loss/dynamic
+    // allocation) — there, checkpoint to reliable storage (scratch
+    // parquet) instead; the shape of the loop is unchanged.
     val out = labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
       .localCheckpoint(true)
     labels.unpersist()

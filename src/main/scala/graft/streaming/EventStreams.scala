@@ -140,7 +140,7 @@ object EventStreams {
     *   volume by hand (what AQE would have picked). The state-partition
     *   count is pinned into the checkpoint, which is throwaway here; a
     *   durable 100 TB stream would pick this once, at provisioning time. */
-  private[streaming] def runBounded(spark: SparkSession, name: String,
+  private[graft] def runBounded(spark: SparkSession, name: String,
       build: SparkSession => DataFrame, outputMode: String,
       noDataBatches: Boolean = false): DataFrame = {
     val scoped = spark.newSession()
@@ -157,11 +157,16 @@ object EventStreams {
         if (noDataBatches) {
           // Timeout-driven emission happens in the watermark-only batch
           // AFTER the last data batch; processAllAvailable only promises
-          // the data batches. Wait until the sink row count is stable
-          // across two consecutive polls (bounded, test-scale only).
+          // the data batches. Wait until (a) at least one zero-input
+          // batch has actually COMMITTED — count stability alone races a
+          // no-data batch delayed past one poll interval — and (b) the
+          // sink row count is stable across consecutive polls. Bounded
+          // by a deadline; test-scale only.
+          def sawNoDataBatch: Boolean =
+            q.recentProgress.exists(_.numInputRows == 0L)
           var prev = -1L; var cur = scoped.table(name).count()
           val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-          while (cur != prev && System.nanoTime() < deadline) {
+          while ((cur != prev || !sawNoDataBatch) && System.nanoTime() < deadline) {
             prev = cur; Thread.sleep(300); q.processAllAvailable()
             cur = scoped.table(name).count()
           }

@@ -60,6 +60,11 @@ class AsOfSpec extends SparkSpec {
     assert(got == Map(2L -> 2L, 7L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicate clusters: empty pair input yields an empty result") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.duplicateClusters(pairs).count() == 0L)
+  }
+
   test("tf-idf: rarer term outranks commoner term at equal tf") {
     val docs = Seq(
       (1L, "apple banana"), (2L, "apple cherry"), (3L, "apple banana")

@@ -75,26 +75,16 @@ class StreamingSpec extends SparkSpec {
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$dir/b1")
 
-    val scoped = spark.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", "2")
-    val src = scoped.readStream.schema(EventStreams.rawSchema)
-      .parquet(s"$dir/*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = StatefulSessionStream.sessionizeStream(src)
-      .writeStream.format("memory").queryName("sess_mem")
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      // allow the watermark-only batch that fires the s1 timeout
-      var prev = -1L; var cur = scoped.table("sess_mem").count()
-      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (cur != prev && System.nanoTime() < deadline) {
-        prev = cur; Thread.sleep(300); q.processAllAvailable()
-        cur = scoped.table("sess_mem").count()
-      }
-    } finally q.stop()
+    // runBounded owns the scoped session, checkpoint, and the
+    // wait-for-the-watermark-only-batch polling (noDataBatches = true)
+    val result = EventStreams.runBounded(spark, "sess_mem", scoped => {
+      val src = scoped.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      StatefulSessionStream.sessionizeStream(src).toDF()
+    }, "append", noDataBatches = true)
 
-    val got = scoped.table("sess_mem")
+    val got = result
       .select("session_seq", "session_start_us", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     // s0 (2 events) and s1 (1 event, flushed by event-time timeout when
