@@ -60,7 +60,52 @@ object AsOf {
         rightVals.map(c => col(s"_r.$c").as(c)): _*)
   }
 
+  /** The same as-of semantics through the NATIVE whole-operator path
+    * (`plans.AsOfJoinNode` → `AsOfJoinExec` sort-merge): one shuffle per
+    * side on the key, single streaming pass, O(1) per-key state. Column
+    * resolution is by name against each side's analyzed plan. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+                     leftTs: String, rightTs: String, rightSeq: String,
+                     rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val lp = left.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    // Fresh-alias barrier on the right: when both sides share lineage
+    // (e.g. two filters of one scan) their attribute ids collide, and
+    // re-analysis deduplicates the right subtree's ids UNDER this node —
+    // attributes stored here would go stale. Aliases mint ids that are
+    // unambiguous against the left and stable through that rewrite.
+    val aliases = rp0.output.map(a => Alias(a, a.name)())
+    val rp = Project(aliases, rp0)
+    val rAttrs = aliases.map(_.toAttribute)
+    def la(n: String) = lp.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no left column $n"))
+    def ra(n: String) = rAttrs.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no right column $n"))
+    org.apache.spark.sql.graftshim.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinNode(lp, rp, la(key), la(leftTs),
+        ra(key), ra(rightTs), ra(rightSeq), rightVals.map(ra)))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q34's exact semantics through the custom physical operator — same
+    // DuckDB ASOF JOIN oracle pins both implementations
+    "q48_asof_native" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("c_ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us").as("v_ts_us"))
+        .agg(max(col("event_id")).as("view_id"))
+      asofJoinNative(clicks, views, "user_id", "c_ts_us", "v_ts_us",
+        "view_id", Seq("view_id", "v_ts_us"))
+        .select(col("user_id"), col("click_id"), col("view_id"),
+          (col("c_ts_us") - col("v_ts_us")).as("lag_us"))
+        .orderBy(col("click_id"))
+    }),
     // each click joined to the same user's latest view at-or-before it;
     // views pre-deduped to one per (user, ts) so the pick is
     // deterministic on both engines
@@ -81,7 +126,24 @@ object AsOf {
     })
   )
 
+  private val AsOfOracle =
+    """WITH ev AS (
+         SELECT user_id, event_id, (epoch_ns(ts) // 1000) AS ts_us, event_type
+         FROM events),
+       clicks AS (
+         SELECT user_id, event_id AS click_id, ts_us AS c_ts_us
+         FROM ev WHERE event_type = 'click'),
+       views AS (
+         SELECT user_id, ts_us AS v_ts_us, max(event_id) AS view_id
+         FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_us)
+       SELECT c.user_id, c.click_id, v.view_id,
+         c.c_ts_us - v.v_ts_us AS lag_us
+       FROM clicks c ASOF LEFT JOIN views v
+         ON c.user_id = v.user_id AND v.v_ts_us <= c.c_ts_us
+       ORDER BY click_id"""
+
   def oracleSql: Map[String, String] = Map(
+    "q48_asof_native" -> AsOfOracle,
     "q34_asof_join" ->
       """WITH ev AS (
            SELECT user_id, event_id, (epoch_ns(ts) // 1000) AS ts_us, event_type

@@ -31,5 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => ZhToTraditional(args.head))
 
     ext.injectOptimizerRule(_ => SimplifyMergeThenExtract)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -12,4 +12,10 @@ package object graftshim {
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `Dataset.ofRows` is private[sql]: the documented way to wrap a
+    * custom LogicalPlan node into a user-facing DataFrame. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -52,6 +52,24 @@ class AsOfSpec extends SparkSpec {
     assert(r.getLong(0) == 901L && r.isNullAt(1))
   }
 
+  test("native as-of exec: same edge semantics as the composed operator") {
+    val clicks = Seq(
+      (1L, 100L, 50L), (1L, 101L, 40L), (1L, 102L, 5L), (2L, 103L, 10L)
+    ).toDF("user_id", "click_id", "c_ts")
+    val views = Seq((1L, 900L, 10L), (1L, 901L, 40L), (1L, 905L, 40L))
+      .toDF("user_id", "view_id", "v_ts")
+    val composed = AsOf.asofJoin(clicks, views, "user_id", "c_ts", "v_ts",
+        "view_id", Seq("view_id", "v_ts"))
+      .orderBy("click_id").collect().map(_.toSeq).toSeq
+    val native = AsOf.asofJoinNative(clicks, views, "user_id", "c_ts", "v_ts",
+        "view_id", Seq("view_id", "v_ts"))
+      .orderBy("click_id").collect().map(_.toSeq).toSeq
+    // equal-ts inclusive (click 101 -> max-seq view at ts 40), null when
+    // none (102), missing key (user 2) — identical on both paths
+    assert(native == composed, s"native=$native composed=$composed")
+    assert(native.head(3) == 905L) // click 100: latest view, max seq among ties
+  }
+
   test("duplicate clusters: components found across chained pairs") {
     // a-b, b-c chained; d-e separate; min doc_id labels the cluster
     val pairs = Seq((2L, 7L), (7L, 3L), (10L, 11L)).toDF("a_id", "b_id")

@@ -84,6 +84,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"unexpected shuffle count $exchanges:\n$p")
   }
 
+  test("q48: native as-of exec plans with one shuffle+sort per side, no window") {
+    val p = plan("q48_asof_native")
+    assert(p.contains("AsOfJoin"), s"custom exec not planned:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+    // two key exchanges (one per side) + the output sort
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges <= 4, s"unexpected shuffle count $exchanges:\n$p")
+  }
+
   test("t08: tf-idf corpus size joins as broadcast, not a shuffle") {
     val p = plan("t08_tfidf_topterms")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
