@@ -30,6 +30,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "zh_to_traditional(str) - ICU Simplified->Traditional conversion",
       args => ZhToTraditional(args.head))
 
+    // the one-pass signature kernels, SQL-addressable (int literals for
+    // the shape parameters — foldable check at bind time)
+    def intArg(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    fn("minhash_sig", classOf[graft.functions.MinHashSig],
+      "minhash_sig(str, k) - k-lane MinHash signature over word shingles",
+      args => graft.functions.MinHashSig(args.head, intArg(args(1), "k")))
+    fn("simhash64", classOf[graft.functions.SimHashSig],
+      "simhash64(str) - 64-bit SimHash of the token stream",
+      args => graft.functions.SimHashSig(args.head))
+    fn("winnow_fingerprint", classOf[graft.functions.WinnowFingerprint],
+      "winnow_fingerprint(str, k, w) - winnowed Rabin-Karp k-gram fingerprints",
+      args => graft.functions.WinnowFingerprint(args.head,
+        intArg(args(1), "k"), intArg(args(2), "w")))
+    fn("dot_ll", classOf[graft.functions.DotLL],
+      "dot_ll(arr1, arr2) - tight-loop integer dot product",
+      args => graft.functions.DotLL(args.head, args(1)))
+
     ext.injectOptimizerRule(_ => SimplifyMergeThenExtract)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

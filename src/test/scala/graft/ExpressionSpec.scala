@@ -47,6 +47,21 @@ class ExpressionSpec extends SparkSpec {
     assert(!byS("hello").getBoolean(1))
   }
 
+  test("signature kernels are SQL-addressable via GraftExtensions") {
+    import spark.implicits._
+    Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("t").createOrReplaceTempView("sig_samples")
+    val r = spark.sql(
+      """SELECT minhash_sig(t, 16) AS mh, simhash64(t) AS sh,
+         winnow_fingerprint(t, 5, 4) AS wf,
+         dot_ll(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d
+         FROM sig_samples""").collect().head
+    assert(r.getSeq[Long](0).length == 16)
+    assert(r.getLong(1) != 0L)
+    assert(r.getSeq[Long](2).nonEmpty)
+    assert(r.getLong(3) == 32L)
+  }
+
   test("merge-then-extract rule removes the map_concat from the plan") {
     import spark.implicits._
     val df = Seq((1L, Map("a" -> "x")), (2L, null.asInstanceOf[Map[String, String]]))
