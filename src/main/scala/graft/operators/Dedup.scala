@@ -176,9 +176,14 @@ object Dedup {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().cache()
     // seed with the 1-hop minimum (what round one would compute from
-    // identity labels) — one aggregate replaces a whole propagation round
+    // identity labels) — one aggregate replaces a whole propagation
+    // round. Per-round LINEAGE CUT (eager localCheckpoint, also below):
+    // each round's plan references the previous round's labels twice,
+    // so an uncut logical tree doubles per round and ANALYSIS goes
+    // exponential on long-diameter graphs — caching reuses the physical
+    // result but does not truncate the logical plan.
     var labels = edges.groupBy(col("u"))
-      .agg(least(min(col("v")), col("u")).as("lbl")).cache()
+      .agg(least(min(col("v")), col("u")).as("lbl")).localCheckpoint(true)
     // Convergence via the label-sum invariant: min-label propagation only
     // ever DECREASES each u's label, so the total is strictly monotone and
     // "sum unchanged" == "fixed point". That makes the convergence probe a
@@ -198,30 +203,93 @@ object Dedup {
         .join(labels.withColumnRenamed("u", "v"), Seq("v"))
         .select(col("u"), col("lbl"))
       val next = viaNeighbor.union(labels.select(col("u"), col("lbl")))
-        .groupBy(col("u")).agg(min(col("lbl")).as("lbl")).cache()
+        .groupBy(col("u")).agg(min(col("lbl")).as("lbl")).localCheckpoint(true)
       val s = lblSum(next)
       converged = s == prevSum
       prevSum = s
-      labels.unpersist()
       labels = next
     }
     edges.unpersist()
-    // Materialize off the cached lineage (eager localCheckpoint), then
-    // release the loop's last cache — otherwise every invocation leaks
-    // cached blocks for the session lifetime. The checkpoint blocks
-    // themselves are lineage-free and reclaimed by the ContextCleaner
-    // once the returned DataFrame is garbage-collected. Caveat for a
-    // long-lived cluster deployment: localCheckpoint blocks are
-    // unreplicated executor state (unsafe under executor loss/dynamic
-    // allocation) — there, checkpoint to reliable storage (scratch
-    // parquet) instead; the shape of the loop is unchanged.
-    val out = labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
-      .localCheckpoint(true)
-    labels.unpersist()
-    out
+    // The checkpoint blocks are lineage-free and reclaimed by the
+    // ContextCleaner once unreferenced — no session-lifetime cache
+    // leak. Caveat for a long-lived cluster deployment: localCheckpoint
+    // blocks are unreplicated executor state (unsafe under executor
+    // loss/dynamic allocation) — there, checkpoint to reliable storage
+    // (scratch parquet) instead; the shape of the loop is unchanged.
+    labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): O(log n) rounds regardless of graph diameter — the
+    * swap-in for adversarial long-chain graphs where plain min-label
+    * propagation needs diameter rounds. Each operator is one
+    * groupBy-min + join over the edge list (the same shuffle primitive
+    * as the simple loop); at the fixpoint the edges form star forests
+    * rooted at each component's minimum.
+    *
+    *  - large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+    *  - small-star(u): over max→min directed edges, m = min(N(u) ∪ {u});
+    *    emit (v, m) for v ∈ N(u) and (u, m)
+    */
+  def duplicateClustersLargeStar(pairs: DataFrame): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      s.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).filter(col("u") =!= col("v"))
+      val m = d.groupBy(col("u")).agg(min(col("v")).as("m"))
+      d.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // fingerprint for the fixpoint probe: order-independent, one stage
+    // (bit_xor, not sum — summing full-range hashes overflows ANSI int64)
+    def fp(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // Per-round LINEAGE CUT (eager localCheckpoint), not cache: each
+    // round's plan references the previous round's twice, so an
+    // uncut logical plan doubles per round and ANALYSIS goes
+    // exponential long before execution does — caching only reuses the
+    // physical result, it does not truncate the logical tree.
+    var edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var prev = fp(edges)
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = fp(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
+      rounds += 1
+      require(rounds < 200, "large-star/small-star failed to converge")
+    }
+    // star edges are (member → root); roots label themselves
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the O(log n)-round components through the same oracle as d07
+    "d09_clusters_largestar" -> ((s, d) =>
+      duplicateClustersLargeStar(jaccardPairs(t(s, d, "documents")))
+        .orderBy(col("doc_id"))),
     "d01_exact_dedup" -> ((s, d) =>
       exactDedupGroups(t(s, d, "documents")).orderBy(col("canonical_id"))),
     "d02_exact_dup_pairs" -> ((s, d) =>
@@ -269,7 +337,28 @@ object Dedup {
            / (len(a_ws) + len(b_ws) - len(list_intersect(a_ws, b_ws))) >= 0.5
          ORDER BY a_id, b_id""",
     // connected components as a transitive-closure fixpoint (the
-    // recursive CTE mirrors the engine's min-label propagation loop)
+    // recursive CTE mirrors the engine's min-label propagation loop);
+    // d09 (large-star/small-star) must produce the identical labeling
+    "d09_clusters_largestar" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a_id, b_id
+           FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   list_distinct(string_split(a.text, ' ')) AS a_ws,
+                   list_distinct(string_split(b.text, ' ')) AS b_ws
+                 FROM documents a JOIN documents b
+                 ON substring(a.text, 1, 20) = substring(b.text, 1, 20)
+                   AND a.doc_id < b.doc_id)
+           WHERE CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE)
+             / (len(a_ws) + len(b_ws) - len(list_intersect(a_ws, b_ws))) >= 0.5),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(u, v) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+         SELECT u AS doc_id, min(v) AS cluster_id
+         FROM reach GROUP BY u ORDER BY doc_id""",
     "d07_dup_clusters" ->
       """WITH RECURSIVE pairs AS (
            SELECT a_id, b_id

@@ -78,6 +78,26 @@ class AsOfSpec extends SparkSpec {
     assert(got == Map(2L -> 2L, 7L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("large-star/small-star components == min-label propagation (random + chain)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      // random edges over n nodes plus one long chain (the adversarial
+      // diameter case large-star/small-star exists for)
+      val n = 40 + trial * 20
+      val random = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val chainBase = 1000L
+      val chain = (0 until 30).map(i => (chainBase + i, chainBase + i + 1))
+        .map { case (a, b) => (a.toLong, b.toLong) }
+      val pairs = (random ++ chain).toDF("a_id", "b_id")
+      val simple = Dedup.duplicateClusters(pairs)
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.duplicateClustersLargeStar(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(star == simple, s"trial $trial: star=$star simple=$simple")
+    }
+  }
+
   test("duplicate clusters: empty pair input yields an empty result") {
     val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     assert(Dedup.duplicateClusters(pairs).count() == 0L)
