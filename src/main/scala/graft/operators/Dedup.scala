@@ -177,13 +177,13 @@ object Dedup {
       .distinct().cache()
     // seed with the 1-hop minimum (what round one would compute from
     // identity labels) — one aggregate replaces a whole propagation
-    // round. Per-round LINEAGE CUT (eager localCheckpoint, also below):
-    // each round's plan references the previous round's labels twice,
-    // so an uncut logical tree doubles per round and ANALYSIS goes
+    // round. Per-round lineage cut (`cutLineage`, also below): each
+    // round's plan references the previous round's labels twice, so an
+    // uncut logical tree doubles per round and ANALYSIS goes
     // exponential on long-diameter graphs — caching reuses the physical
     // result but does not truncate the logical plan.
-    var labels = edges.groupBy(col("u"))
-      .agg(least(min(col("v")), col("u")).as("lbl")).localCheckpoint(true)
+    var (labels, labelsRdd) = cutLineage(edges.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("lbl")))
     // Convergence via the label-sum invariant: min-label propagation only
     // ever DECREASES each u's label, so the total is strictly monotone and
     // "sum unchanged" == "fixed point". That makes the convergence probe a
@@ -202,19 +202,21 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("u", "v"), Seq("v"))
         .select(col("u"), col("lbl"))
-      val next = viaNeighbor.union(labels.select(col("u"), col("lbl")))
-        .groupBy(col("u")).agg(min(col("lbl")).as("lbl")).localCheckpoint(true)
-      val s = lblSum(next)
+      val (next, nextRdd) = cutLineage(
+        viaNeighbor.union(labels.select(col("u"), col("lbl")))
+          .groupBy(col("u")).agg(min(col("lbl")).as("lbl")))
+      val s = lblSum(next) // materializes this round's cached RDD
       converged = s == prevSum
       prevSum = s
+      labelsRdd.unpersist(false)
       labels = next
+      labelsRdd = nextRdd
     }
     edges.unpersist()
-    // The checkpoint blocks are lineage-free and reclaimed by the
-    // ContextCleaner once unreferenced — no session-lifetime cache
-    // leak. Caveat for a long-lived cluster deployment: localCheckpoint
-    // blocks are unreplicated executor state (unsafe under executor
-    // loss/dynamic allocation) — there, checkpoint to reliable storage
+    // The final round's RDD cache is reclaimed by the ContextCleaner
+    // once the returned DataFrame is unreferenced — no session-lifetime
+    // leak. Caveat for a long-lived cluster deployment with executor
+    // loss/dynamic allocation: cut lineage via reliable storage
     // (scratch parquet) instead; the shape of the loop is unchanged.
     labels.select(col("u").as("doc_id"), col("lbl").as("cluster_id"))
   }
@@ -260,22 +262,21 @@ object Dedup {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    // Per-round LINEAGE CUT (eager localCheckpoint), not cache: each
-    // round's plan references the previous round's twice, so an
-    // uncut logical plan doubles per round and ANALYSIS goes
-    // exponential long before execution does — caching only reuses the
-    // physical result, it does not truncate the logical tree.
-    var edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    // per-round lineage cut — see duplicateClusters
+    var (edges, edgesRdd) = cutLineage(
+      pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+        .filter(col("u") =!= col("v")).distinct())
     var prev = fp(edges)
     var converged = edges.isEmpty
     var rounds = 0
     while (!converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val (next, nextRdd) = cutLineage(smallStar(largeStar(edges)))
       val cur = fp(next)
       converged = cur == prev
       prev = cur
+      edgesRdd.unpersist(false)
       edges = next
+      edgesRdd = nextRdd
       rounds += 1
       require(rounds < 200, "large-star/small-star failed to converge")
     }

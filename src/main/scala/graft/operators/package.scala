@@ -14,6 +14,22 @@ import org.apache.spark.sql.types.DecimalType
   */
 package object operators {
 
+  /** Iterative-loop round barrier: truncates the logical plan (an uncut
+    * round plan references the previous round's twice, so analysis goes
+    * exponential with round count) while keeping the round's data hot.
+    * The internal-row RDD is lazily cached — one materialization job per
+    * round, AQE intact, blocks reclaimed by the ContextCleaner once the
+    * wrapping DataFrame is unreferenced. Returns the cut DataFrame plus
+    * the cached RDD handle so the loop can unpersist the PREVIOUS round
+    * promptly instead of waiting for GC. */
+  def cutLineage(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    // .copy() is load-bearing: toRdd streams REUSED UnsafeRow buffers —
+    // persisting them uncopied caches aliased references (row loss)
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (org.apache.spark.sql.graftshim.wrapInternalRdd(df.sparkSession, rdd, df.schema), rdd)
+  }
+
   /** Load `name`.parquet from the scale-factor dir. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables(spark, dir, name)

@@ -18,4 +18,12 @@ package object graftshim {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `internalCreateDataFrame` is private[sql]: wraps an InternalRow RDD
+    * as a LogicalRDD-rooted DataFrame — a logical-plan cut without the
+    * extra eager-materialization job `localCheckpoint` runs. */
+  def wrapInternalRdd(spark: SparkSession,
+                      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }
