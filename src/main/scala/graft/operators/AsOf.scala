@@ -83,6 +83,12 @@ object AsOf {
       .getOrElse(throw new IllegalArgumentException(s"no left column $n"))
     def ra(n: String) = rAttrs.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"no right column $n"))
+    // the exec's orderings are built from the LEFT types — a mismatch
+    // would otherwise surface as a ClassCastException inside a task
+    require(la(key).dataType == ra(key).dataType,
+      s"as-of key type mismatch: ${la(key).dataType} vs ${ra(key).dataType}")
+    require(la(leftTs).dataType == ra(rightTs).dataType,
+      s"as-of ts type mismatch: ${la(leftTs).dataType} vs ${ra(rightTs).dataType}")
     org.apache.spark.sql.graftshim.ofRows(left.sparkSession,
       graft.plans.AsOfJoinNode(lp, rp, la(key), la(leftTs),
         ra(key), ra(rightTs), ra(rightSeq), rightVals.map(ra)))
@@ -144,20 +150,6 @@ object AsOf {
 
   def oracleSql: Map[String, String] = Map(
     "q48_asof_native" -> AsOfOracle,
-    "q34_asof_join" ->
-      """WITH ev AS (
-           SELECT user_id, event_id, (epoch_ns(ts) // 1000) AS ts_us, event_type
-           FROM events),
-         clicks AS (
-           SELECT user_id, event_id AS click_id, ts_us AS c_ts_us
-           FROM ev WHERE event_type = 'click'),
-         views AS (
-           SELECT user_id, ts_us AS v_ts_us, max(event_id) AS view_id
-           FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_us)
-         SELECT c.user_id, c.click_id, v.view_id,
-           c.c_ts_us - v.v_ts_us AS lag_us
-         FROM clicks c ASOF LEFT JOIN views v
-           ON c.user_id = v.user_id AND v.v_ts_us <= c.c_ts_us
-         ORDER BY click_id"""
+    "q34_asof_join" -> AsOfOracle
   )
 }

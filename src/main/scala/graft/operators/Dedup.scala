@@ -267,7 +267,7 @@ object Dedup {
       pairs.select(col("a_id").as("u"), col("b_id").as("v"))
         .filter(col("u") =!= col("v")).distinct())
     var prev = fp(edges)
-    var converged = edges.isEmpty
+    var converged = prev._1 == 0L // fp's count: no edges, no rounds
     var rounds = 0
     while (!converged) {
       val (next, nextRdd) = cutLineage(smallStar(largeStar(edges)))

@@ -65,6 +65,15 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
       SortOrder(rightSeq, Ascending)))
 
+  /** The merge preserves the left child's partitioning (zipPartitions
+    * is partition-wise) and its (key, ts) sort order (left rows stream
+    * through in order) — advertising both lets a downstream groupBy or
+    * window on the key skip its exchange and sort, the same property
+    * forwarding SortMergeJoinExec does. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -91,10 +100,14 @@ case class AsOfJoinExec(leftKey: Attribute, leftTs: Attribute,
         leftOutput ++ rightValsLocal.map(_.withNullability(true)))
       val nullPayload = new GenericInternalRow(rightValsLocal.length)
       val joined = new JoinedRow
-      // off-heap values (UTF8String keys) must be copied before the
-      // backing row buffer is reused by the iterator
+      // buffer-backed values (strings, structs, arrays, maps) must be
+      // copied before the sort iterator reuses the backing UnsafeRow —
+      // an uncopied reference silently goes stale on the next row
       def own(a: Any): Any = a match {
         case u: UTF8String => u.clone()
+        case r: InternalRow => r.copy()
+        case arr: org.apache.spark.sql.catalyst.util.ArrayData => arr.copy()
+        case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
         case x => x
       }
 

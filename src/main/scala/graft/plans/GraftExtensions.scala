@@ -37,19 +37,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $other")
     }
+    def arity(args: Seq[Expression], n: Int, usage: String): Unit =
+      if (args.length != n) throw new IllegalArgumentException(
+        s"wrong argument count ${args.length}; usage: $usage")
     fn("minhash_sig", classOf[graft.functions.MinHashSig],
       "minhash_sig(str, k) - k-lane MinHash signature over word shingles",
-      args => graft.functions.MinHashSig(args.head, intArg(args(1), "k")))
+      args => { arity(args, 2, "minhash_sig(str, k)")
+        graft.functions.MinHashSig(args.head, intArg(args(1), "k")) })
     fn("simhash64", classOf[graft.functions.SimHashSig],
       "simhash64(str) - 64-bit SimHash of the token stream",
-      args => graft.functions.SimHashSig(args.head))
+      args => { arity(args, 1, "simhash64(str)")
+        graft.functions.SimHashSig(args.head) })
     fn("winnow_fingerprint", classOf[graft.functions.WinnowFingerprint],
       "winnow_fingerprint(str, k, w) - winnowed Rabin-Karp k-gram fingerprints",
-      args => graft.functions.WinnowFingerprint(args.head,
-        intArg(args(1), "k"), intArg(args(2), "w")))
+      args => { arity(args, 3, "winnow_fingerprint(str, k, w)")
+        graft.functions.WinnowFingerprint(args.head,
+          intArg(args(1), "k"), intArg(args(2), "w")) })
     fn("dot_ll", classOf[graft.functions.DotLL],
       "dot_ll(arr1, arr2) - tight-loop integer dot product",
-      args => graft.functions.DotLL(args.head, args(1)))
+      args => { arity(args, 2, "dot_ll(arr1, arr2)")
+        graft.functions.DotLL(args.head, args(1)) })
 
     ext.injectOptimizerRule(_ => SimplifyMergeThenExtract)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
