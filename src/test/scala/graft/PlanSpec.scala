@@ -93,6 +93,26 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"unexpected shuffle count $exchanges:\n$p")
   }
 
+  test("native as-of output partitioning feeds a key aggregate with no new shuffle") {
+    import graft.operators.{AsOf, t => tbl}
+    val ev = tbl(spark, sf, "events").select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("c_ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us").as("v_ts_us"))
+      .agg(max(col("event_id")).as("view_id"))
+    val agg = AsOf.asofJoinNative(clicks, views, "user_id", "c_ts_us",
+        "v_ts_us", "view_id", Seq("view_id"))
+      .groupBy(col("user_id")).agg(count(col("view_id")).as("n"))
+    val p = agg.queryExecution.executedPlan.toString
+    // the join's two input exchanges only — the downstream per-key agg
+    // reuses the advertised hash partitioning
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(p.contains("AsOfJoin"), p)
+    assert(exchanges <= 3, s"aggregate re-shuffled the as-of output:\n$p")
+  }
+
   test("t08: tf-idf corpus size joins as broadcast, not a shuffle") {
     val p = plan("t08_tfidf_topterms")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
