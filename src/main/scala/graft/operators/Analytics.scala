@@ -193,6 +193,22 @@ object Analytics {
         .orderBy(col("bucket"))
     }),
 
+    // ---- multiset set operations (EXCEPT ALL / INTERSECT ALL keep
+    //      duplicate multiplicity — Spark plans them as replicated
+    //      counting, not a distinct shuffle); aggregated so the output
+    //      is deterministic
+    "q49_setops_all" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val big = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      big.exceptAll(urgent).withColumn("op", lit("except_all"))
+        .unionAll(big.intersectAll(urgent).withColumn("op", lit("intersect_all")))
+        .groupBy(col("op"), col("o_custkey"))
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("op"), col("o_custkey"))
+    }),
+
     // ---- positional explode (UDTF surface): one row per token with
     //      its ordinal
     "q42_posexplode_tokens" -> ((s, d) => {
@@ -325,6 +341,17 @@ object Analytics {
                ORDER BY md5(c_name), c_custkey) AS BIGINT) AS rk
            FROM customer)
          WHERE rk <= 5 ORDER BY c_mktsegment, rk""",
+    "q49_setops_all" ->
+      """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+         urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         u AS (
+           SELECT 'except_all' AS op, o_custkey
+           FROM (SELECT o_custkey FROM big EXCEPT ALL SELECT o_custkey FROM urgent)
+           UNION ALL
+           SELECT 'intersect_all' AS op, o_custkey
+           FROM (SELECT o_custkey FROM big INTERSECT ALL SELECT o_custkey FROM urgent))
+         SELECT op, o_custkey, count(*) AS multiplicity
+         FROM u GROUP BY op, o_custkey ORDER BY op, o_custkey""",
     "q45_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
            count(*) AS n_orders

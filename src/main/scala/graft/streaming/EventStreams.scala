@@ -185,4 +185,30 @@ object EventStreams {
   def runToBatch(spark: SparkSession, dir: String, name: String,
                  outputMode: String)(transform: DataFrame => DataFrame): DataFrame =
     runBounded(spark, name, s => transform(readEventStream(s, dir)), outputMode)
+
+  /** foreachBatch parquet sink: every micro-batch atomically replaces
+    * the output directory with the aggregate's current snapshot — the
+    * file-based production sink for complete-mode results (micro-batch
+    * id available for idempotence bookkeeping). Returns the final
+    * snapshot read back from disk. */
+  def runToParquet(spark: SparkSession, dir: String, outDir: String)
+                  (transform: DataFrame => DataFrame): DataFrame = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = scratchDir()
+    try {
+      val q = transform(readEventStream(scoped, dir)).writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    }
+    scoped.read.parquet(outDir)
+  }
 }

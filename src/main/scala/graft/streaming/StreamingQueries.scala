@@ -30,6 +30,15 @@ object StreamingQueries {
       EventStreams.runBounded(s, "st05_mem",
         scoped => EventStreams.viewClickJoin(scoped, d), "append")
         .orderBy(col("user_id"), col("view_id"), col("click_id"))),
+    // foreachBatch parquet sink: each micro-batch overwrites the output
+    // dir with the complete-mode snapshot; result read back from disk
+    // (same semantics as st01, pinned by the same oracle)
+    "st07_stream_sink_parquet" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_st07").resolve("agg").toString
+      EventStreams.runToParquet(s, d, out)(EventStreams.tumbling(_))
+        .orderBy(col("w_start_us"), col("event_type"))
+    }),
     // custom keyed state under a real stream: flatMapGroupsWithState +
     // event-time timeout; needs the watermark-only trailing batch so
     // timed-out open sessions flush (noDataBatches = true)
@@ -42,6 +51,13 @@ object StreamingQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical semantics to st01/e01 (same oracle text)
+    "st07_stream_sink_parquet" ->
+      s"""SELECT epoch_us(time_bucket(INTERVAL 5 MINUTE, make_timestamp($tsUs))) AS w_start_us,
+         event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events GROUP BY w_start_us, event_type
+         ORDER BY w_start_us, event_type""",
     // identical semantics to batch e01 (same oracle)
     "st01_stream_tumbling" ->
       s"""SELECT epoch_us(time_bucket(INTERVAL 5 MINUTE, make_timestamp($tsUs))) AS w_start_us,
