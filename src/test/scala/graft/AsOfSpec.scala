@@ -78,6 +78,29 @@ class AsOfSpec extends SparkSpec {
     assert(got == Map(2L -> 2L, 7L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("native as-of == composed as-of on randomized inputs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 4) {
+      // few keys + tiny ts range forces heavy ties, interleaving,
+      // users with no views, and views after every click
+      val nKeys = 1 + trial
+      def k() = rnd.nextInt(nKeys).toLong
+      def ts() = rnd.nextInt(12).toLong
+      val clicks = (0 until 60).map(i => (k(), 100L + i, ts()))
+        .toDF("user_id", "click_id", "c_ts")
+      val views = (0 until 40).map(i => (k(), 900L + i, ts()))
+        .toDF("user_id", "view_id", "v_ts")
+        .groupBy("user_id", "v_ts").agg(max("view_id").as("view_id"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("click_id").collect().map(_.toSeq).toSeq
+      val composed = canon(AsOf.asofJoin(clicks, views, "user_id",
+        "c_ts", "v_ts", "view_id", Seq("view_id", "v_ts")))
+      val native = canon(AsOf.asofJoinNative(clicks, views, "user_id",
+        "c_ts", "v_ts", "view_id", Seq("view_id", "v_ts")))
+      assert(native == composed, s"trial $trial mismatch")
+    }
+  }
+
   test("large-star/small-star components == min-label propagation (random + chain)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 4) {
