@@ -209,6 +209,21 @@ object Analytics {
         .orderBy(col("op"), col("o_custkey"))
     }),
 
+    // ---- TPC-H Q3 shape (shipping priority): selective dimension
+    //      filter broadcast into a fact-fact shuffle join, decimal-exact
+    //      revenue, TakeOrdered top-10 (never a full sort)
+    "q50_shipping_priority" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     // ---- positional explode (UDTF surface): one row per token with
     //      its ordinal
     "q42_posexplode_tokens" -> ((s, d) => {
@@ -341,6 +356,16 @@ object Analytics {
                ORDER BY md5(c_name), c_custkey) AS BIGINT) AS rk
            FROM customer)
          WHERE rk <= 5 ORDER BY c_mktsegment, rk""",
+    "q50_shipping_priority" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY o_orderkey, order_date
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
     "q49_setops_all" ->
       """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
          urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
