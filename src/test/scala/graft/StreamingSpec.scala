@@ -60,6 +60,38 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.forall(_._1 == us(600)), s"got $emitted")
   }
 
+  test("custom-state sessions: one session spanning micro-batches merges in state") {
+    import spark.implicits._
+    import graft.streaming.StatefulSessionStream
+    val dir = Files.createTempDirectory("graft-sess-mb").toString
+
+    def writeBatch(path: String, mtime: Long, rows: Seq[(Long, Long)]): Unit = {
+      rows.map { case (id, tsUs) => (id, tsUs * 1000L, 7L, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(path)
+      new java.io.File(path).listFiles().foreach(_.setLastModified(mtime))
+    }
+    // batch 1: events at 10:00 and 10:10; batch 2 continues the SAME
+    // session at 10:20 (gap 30 min), then a far event at 20:00 both
+    // closes it and advances the watermark so it flushes
+    writeBatch(s"$dir/b1", 1000000L, Seq((1L, us(600)), (2L, us(610))))
+    writeBatch(s"$dir/b2", 2000000L, Seq((3L, us(620)), (4L, us(1200))))
+
+    val result = EventStreams.runBounded(spark, "sess_mb_mem", scoped => {
+      val src = scoped.readStream.schema(EventStreams.rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      StatefulSessionStream.sessionizeStream(src).toDF()
+    }, "append", noDataBatches = true)
+
+    val got = result.select("session_seq", "session_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // ONE merged 3-event session (not two fragments) — the open run
+    // buffered in state across the batch boundary before closing
+    assert(got == Seq((0L, us(600), 3L)), s"got $got")
+  }
+
   test("custom-state sessions: data-closed emit, timeout flush, young holdback") {
     import spark.implicits._
     import graft.streaming.StatefulSessionStream
