@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW instead of re-logging each
+// line with an "[info] " prefix: the bench harness machine-parses the
+// one-line JSON summary from the build output, and a logger prefix
+// makes that line non-JSON. (Observed: BENCH_r{1..4}.json all carry
+// `parsed: null` with the line present but "[info] "-prefixed.)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

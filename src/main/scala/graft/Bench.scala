@@ -4,7 +4,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: stray WARN lines (DAGScheduler cancel races,
+    // streaming AQE notices) land on the output stream between the
+    // timed region and the JSON summary line, and the harness only
+    // keeps the last ~2000 chars of build output — noise there can
+    // push the JSON line out of the captured window.
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/session warmup outside the timed region: file-index + codegen
     // + scheduler paths, so the first measured query isn't charged ~4s
     // of one-time startup cost
@@ -58,7 +63,12 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         s"""{"value":$total,"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => }
-    println(line)
+    // Stop FIRST, print LAST: spark.stop() logs its shutdown lines
+    // before the summary is emitted, so the JSON stays the final line
+    // of program output (only sbt's own "[success]" follows it inside
+    // the harness's captured tail).
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
