@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Analytics.queries ++
+      operators.Warehouse.queries ++
       operators.AsOf.queries ++
       operators.ZhQueries.queries ++
       operators.TextAnalysis.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++
       operators.Analytics.oracleSql ++
+      operators.Warehouse.oracleSql ++
       operators.AsOf.oracleSql ++
       operators.ZhQueries.oracleSql ++
       operators.TextAnalysis.oracleSql ++

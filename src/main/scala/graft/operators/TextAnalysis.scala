@@ -137,6 +137,89 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1
+    * use these as pretraining quality filters): duplicate word-bigram
+    * fraction and the share of bigram slots taken by the single most
+    * frequent bigram (tie-broken lexicographically so the pick is
+    * deterministic cross-engine). One explode + one (doc, gram) count —
+    * both shuffles are map-side combinable and partition by doc_id, so
+    * the per-doc window never re-shuffles. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .withColumn("_ws", ws)
+      .filter(size(col("_ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_ws) - 1), i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1)))"))
+        .as("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("gram"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(when(col("rk") === 1, col("gram"))).as("top_bigram"),
+        max(when(col("rk") === 1, col("c"))).as("top_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams")).as("dup_bigram_frac"),
+        col("top_bigram"), col("top_n"),
+        (col("top_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+  }
+
+  /** Benchmark-contamination scan: which training documents share word
+    * `n`-grams with a held-out eval set (here: doc_id % 20 == 0, a
+    * deterministic 5% split)? The standard n-gram-collision check run
+    * before any pretraining job (GPT-3 appx. C / PaLM §8 style). Grams
+    * are deduped per document BEFORE the join, so a gram repeated inside
+    * one doc can't inflate the collision count; the join is a plain
+    * equi-shuffle on the gram. At 100 TB the eval side is tiny — its
+    * deduped gram set broadcasts, and the train side never shuffles. */
+  def contaminationScan(docs: DataFrame, n: Int = 4): DataFrame = {
+    def gramsOf(df: DataFrame, idAs: String): DataFrame =
+      df.withColumn("_ws", ws)
+        .filter(size(col("_ws")) >= n)
+        .select(col("doc_id").as(idAs), explode(expr(
+          s"transform(sequence(1, size(_ws) - ${n - 1}), i -> concat_ws(' ', slice(_ws, i, $n)))"))
+          .as("gram"))
+        .distinct()
+    val evalGrams = gramsOf(docs.filter(col("doc_id") % 20 === 0), "eval_id")
+    val trainGrams = gramsOf(docs.filter(col("doc_id") % 20 =!= 0), "train_id")
+    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Temperature-flattened per-language sampling quotas + the sampled
+    * docs (the multilingual mixture trick from mT5/XLM-R: upsample the
+    * tail by weighting languages by (share)^alpha, alpha < 1). Each
+    * language's quota is computed from per-group scalars only —
+    * sqrt/mult/round are all exactly-rounded IEEE ops, so no cross-group
+    * float summation exists to disagree across engines (a normalized
+    * mixture would sum the weights driver-side at plan time). The quota
+    * rows are then taken in md5(doc_id) order — the same deterministic
+    * "shuffle" q43 uses. */
+  def temperatureMixture(docs: DataFrame, k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTotal = docs.agg(count(lit(1)).as("n_total"))
+    // alpha fixed at 1/2 via sqrt, not pow(x, 0.5): IEEE-754 requires
+    // sqrt be exactly rounded while pow carries a 1-ulp license (both in
+    // the JDK and in C libm), and a 1-ulp disagreement under round()
+    // flips a quota at the .5 boundary.
+    val quota = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("quota",
+        round(lit(k) * sqrt(col("n_docs").cast("double") / col("n_total"))).cast("long"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quota.select(col("lang"), col("n_docs"), col("quota"))), Seq("lang"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("lang"), col("n_docs"), col("quota"), col("rk"), col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t08_tfidf_topterms" -> ((s, d) =>
@@ -159,7 +242,13 @@ object TextAnalysis {
         .orderBy(col("lang"), col("script_lang"))),
     "t03_quality_score" -> ((s, d) => qualityScore(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t04_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents")).orderBy(col("doc_id"))),
-    "t05_top_bigrams" -> ((s, d) => topBigrams(t(s, d, "documents")))
+    "t05_top_bigrams" -> ((s, d) => topBigrams(t(s, d, "documents"))),
+    "t09_repetition_stats" -> ((s, d) =>
+      repetitionStats(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "t10_contamination" -> ((s, d) =>
+      contaminationScan(t(s, d, "documents")).orderBy(col("train_id"))),
+    "t11_temperature_mixture" -> ((s, d) =>
+      temperatureMixture(t(s, d, "documents")).orderBy(col("lang"), col("rk")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -216,6 +305,53 @@ object TextAnalysis {
              i -> ws[i] || ' ' || ws[i + 1])) AS bigram
            FROM (SELECT string_split(text, ' ') AS ws FROM documents)
            WHERE len(ws) >= 2)
-         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""
+         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "t09_repetition_stats" ->
+      """WITH grams AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1])) AS gram
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+           WHERE len(ws) >= 2),
+         counts AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+         ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY c DESC, gram) AS rk FROM counts)
+         SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_bigram_frac,
+           max(CASE WHEN rk = 1 THEN gram END) AS top_bigram,
+           CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top_n,
+           CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+         FROM ranked GROUP BY doc_id ORDER BY doc_id""",
+    "t10_contamination" ->
+      """WITH grams AS (
+           SELECT doc_id, gram FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS gram
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             WHERE len(w) >= 4)
+           GROUP BY doc_id, gram),
+         eval_g  AS (SELECT doc_id AS eval_id,  gram FROM grams WHERE doc_id % 20 = 0),
+         train_g AS (SELECT doc_id AS train_id, gram FROM grams WHERE doc_id % 20 <> 0)
+         SELECT train_id,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+         FROM train_g JOIN eval_g USING (gram)
+         GROUP BY train_id ORDER BY train_id""",
+    "t11_temperature_mixture" ->
+      """WITH n AS (SELECT count(*) AS n_total FROM documents),
+         quota AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(round(40 * sqrt(CAST(count(*) AS DOUBLE) / n.n_total)) AS BIGINT) AS quota
+           FROM documents, n GROUP BY lang, n.n_total),
+         ranked AS (
+           SELECT lang, doc_id, CAST(row_number() OVER (
+             PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+           FROM documents)
+         SELECT r.lang, q.n_docs, q.quota, r.rk, r.doc_id
+         FROM ranked r JOIN quota q USING (lang)
+         WHERE r.rk <= q.quota
+         ORDER BY r.lang, r.rk"""
   )
 }

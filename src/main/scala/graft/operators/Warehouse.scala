@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-pattern operators: bloom-filter-accelerated semi join,
+  * MERGE-style upsert, and a columnar-format interchange roundtrip.
+  *
+  * These are the three moves a 100 TB lakehouse pipeline leans on that
+  * the rest of the catalog doesn't yet exercise directly:
+  *
+  * - '''Bloom semi join''' — when the probe side is far too large to
+  *   shuffle in full and the build side's key set is selective but too
+  *   big for a broadcast hash join, ship a bloom filter of the build
+  *   keys to every probe task and drop non-members BEFORE the shuffle.
+  *   Spark's own runtime row-level filtering (InjectRuntimeFilter,
+  *   `spark.sql.optimizer.runtime.bloomFilter.enabled`) injects exactly
+  *   this plan automatically when stats justify it; the explicit form
+  *   here keeps the decision deterministic and testable. The trailing
+  *   exact semi join removes the bloom's false positives, so the result
+  *   is exact — the filter only cuts shuffled bytes (by ~the build
+  *   side's selectivity), never changes the answer.
+  * - '''MERGE upsert''' — the Delta/Iceberg `MERGE INTO` shape
+  *   (SCD-style refresh) expressed as one full-outer shuffle join of
+  *   snapshot vs. change-set: matched rows update, source-only rows
+  *   insert, target-only rows carry over. One shuffle on the merge key,
+  *   AQE-coalesced; at 100 TB both sides bucket on the key and the
+  *   join is shuffle-free.
+  * - '''ORC roundtrip''' — write a projected/filtered slice to ORC and
+  *   read it back: the cross-format interchange path (parquet-native
+  *   shops still exchange ORC with Hive-era estates), verifying types
+  *   (incl. ms timestamps) survive the format boundary losslessly.
+  */
+object Warehouse {
+
+  /** Exact semi join of `fact` against `dimKeys`, pre-filtered by a
+    * broadcast bloom filter over the key set (public
+    * `DataFrameStatFunctions.bloomFilter` API). `fpp` trades filter
+    * size for shuffled false positives: 1% FPP ≈ 9.6 bits/key — 3k keys
+    * here, ~120 MB for 100M keys at scale, both fine to broadcast where
+    * a hash set of raw keys would not be. */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+                    dim: DataFrame, dimKey: String,
+                    fpp: Double = 0.01): DataFrame = {
+    val keys = dim.select(col(dimKey))
+    // Sizing needs an item-count estimate; a real deployment reads it
+    // from table stats (zero jobs). Counting here keeps the test
+    // deterministic and self-contained — one cheap count on the small
+    // (build) side only.
+    val n = math.max(keys.count(), 1L)
+    val bf = keys.stat.bloomFilter(dimKey, n, fpp)
+    val spark = fact.sparkSession
+    val bfB = spark.sparkContext.broadcast(bf)
+    // UDF over the broadcast filter: runs map-side, before any shuffle.
+    val might = udf((k: java.lang.Long) => k != null && bfB.value.mightContainLong(k))
+    fact.filter(might(col(factKey)))
+      .join(keys.withColumnRenamed(dimKey, factKey), Seq(factKey), "left_semi")
+  }
+
+  /** MERGE-style upsert: apply a change-set onto a snapshot keyed by
+    * `key`. Matched → update (both payloads present), source-only →
+    * insert, target-only → keep. Returns the merged table plus the
+    * per-row action taken. */
+  def mergeUpsert(target: DataFrame, source: DataFrame, key: String): DataFrame = {
+    val t = target.withColumn("_in_t", lit(1))
+    val s = source.withColumn("_in_s", lit(1))
+    t.join(s, Seq(key), "full_outer")
+      .withColumn("action",
+        when(col("_in_t").isNotNull && col("_in_s").isNotNull, "update")
+          .when(col("_in_s").isNotNull, "insert")
+          .otherwise("keep"))
+      .drop("_in_t", "_in_s")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bloom-prefiltered exact semi join: urgent orders' keys → bloom →
+    // lineitem map-side prefilter → exact semi join → aggregate.
+    "q51_bloom_semi_join" -> ((s, d) => {
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      bloomSemiJoin(t(s, d, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // MERGE of order-derived stats into a stale customer snapshot
+    // (snapshot deliberately missing custkey % 5 == 0 → real inserts).
+    // new_bal = one double add of two exactly-summed operands —
+    // bit-identical cross-engine (see package scaladoc).
+    "q52_merge_upsert" -> ((s, d) => {
+      val snapshot = t(s, d, "customer")
+        .filter(col("c_custkey") % 5 =!= 0)
+        .select(col("c_custkey").as("custkey"), col("c_name"), col("c_acctbal"))
+      val changes = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+      mergeUpsert(snapshot, changes, "custkey")
+        .select(col("custkey"),
+          coalesce(col("c_name"), lit("(new)")).as("name"),
+          coalesce(col("c_acctbal"), lit(0.0)).as("old_bal"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spend"), lit(0.0)).as("total_spend"),
+          (coalesce(col("c_acctbal"), lit(0.0)) +
+            coalesce(col("total_spend"), lit(0.0))).as("new_bal"),
+          col("action"))
+        .orderBy(col("custkey"))
+    }),
+    // ORC interchange: filtered+projected lineitem slice → ORC on disk
+    // → read back → aggregate. Oracle aggregates the same slice straight
+    // from parquet, so any roundtrip lossiness (types, ms timestamps,
+    // nulls) breaks the hash match.
+    "q53_orc_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_orc")
+        .resolve("slice").toString
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          max(col("l_shipdate")).as("last_ship"))
+        .orderBy(col("l_linestatus"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q51_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (
+           SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q52_merge_upsert" ->
+      """WITH snapshot AS (
+           SELECT c_custkey AS custkey, c_name, c_acctbal
+           FROM customer WHERE c_custkey % 5 <> 0),
+         changes AS (
+           SELECT o_custkey AS custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+           FROM orders GROUP BY o_custkey)
+         SELECT COALESCE(t.custkey, s.custkey) AS custkey,
+           COALESCE(t.c_name, '(new)') AS name,
+           COALESCE(t.c_acctbal, 0.0) AS old_bal,
+           COALESCE(s.n_orders, 0) AS n_orders,
+           COALESCE(s.total_spend, 0.0) AS total_spend,
+           COALESCE(t.c_acctbal, 0.0) + COALESCE(s.total_spend, 0.0) AS new_bal,
+           CASE WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL THEN 'update'
+                WHEN s.custkey IS NOT NULL THEN 'insert'
+                ELSE 'keep' END AS action
+         FROM snapshot t FULL OUTER JOIN changes s ON t.custkey = s.custkey
+         ORDER BY custkey""",
+    "q53_orc_roundtrip" ->
+      """SELECT l_linestatus, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         max(l_shipdate) AS last_ship
+         FROM lineitem WHERE l_quantity >= 25
+         GROUP BY l_linestatus ORDER BY l_linestatus"""
+  )
+}
