@@ -111,6 +111,38 @@ object EventStreams {
         (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[viewClickJoin]],
+    * but views with no click in their 5-minute window still emit — with
+    * a null click — once the global watermark proves no matching click
+    * can arrive (v_ts + 5min behind the watermark). The state contract
+    * is the same as the inner join's; the only addition is the
+    * watermark-triggered null-padded emission on eviction, which is why
+    * the bounded run needs the trailing no-data micro-batch (outer
+    * results materialize in the batch AFTER the last data batch
+    * advances the watermark). Views still inside the final watermark
+    * horizon are held back, never emitted — the oracle models exactly
+    * that holdback. */
+  def viewClickLeftJoin(spark: SparkSession, dir: String,
+                        watermark: String = "10 minutes"): DataFrame = {
+    val views = readEventStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val clicks = readEventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"),
+      "leftOuter")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+  }
+
   /** Fastest disk visible to this JVM for checkpoint/state I/O: tmpfs
     * when present (HDFSBackedStateStore delta+commit files become
     * memory writes), else java.io.tmpdir. A long-running production

@@ -39,6 +39,15 @@ object StreamingQueries {
       EventStreams.runToParquet(s, d, out)(EventStreams.tumbling(_))
         .orderBy(col("w_start_us"), col("event_type"))
     }),
+    // stream-stream LEFT OUTER interval join: null-padded rows for
+    // expired unmatched views emit in the trailing watermark-only batch
+    // (noDataBatches = true); views inside the final watermark horizon
+    // are held back (modeled by the oracle's eviction predicate)
+    "st08_stream_left_outer_join" -> ((s, d) =>
+      EventStreams.runBounded(s, "st08_mem",
+        scoped => EventStreams.viewClickLeftJoin(scoped, d), "append",
+        noDataBatches = true)
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))),
     // custom keyed state under a real stream: flatMapGroupsWithState +
     // event-time timeout; needs the watermark-only trailing batch so
     // timed-out open sessions flush (noDataBatches = true)
@@ -126,6 +135,40 @@ object StreamingQueries {
          WHERE a.session_seq < l.last_seq
             OR ((a.session_end_us + 1800000000 + 999) // 1000) < wm.wm_ms
          ORDER BY a.user_id, a.session_seq""",
+    // st05's inner pairs plus watermark-expired unmatched views with
+    // null clicks. The global watermark is the MIN over the two
+    // watermark nodes (views' max ts, clicks' max ts — NOT the overall
+    // events max: each side's watermark tracks only its own filtered
+    // stream), in ms; an unmatched view emits iff its join window is
+    // strictly behind it (v_ts + 5min < wm — the state-eviction
+    // predicate: no click at ts >= wm can still match it)
+    "st08_stream_left_outer_join" ->
+      s"""WITH wm AS (SELECT least(
+           (SELECT max($tsUs) // 1000 FROM events WHERE event_type = 'view'),
+           (SELECT max($tsUs) // 1000 FROM events WHERE event_type = 'click'))
+           - 600000 AS wm_ms),
+         matched AS (
+           SELECT v.user_id AS user_id, v.event_id AS view_id, c.event_id AS click_id,
+             (epoch_ns(c.ts) // 1000) - (epoch_ns(v.ts) // 1000) AS lag_us
+           FROM events v JOIN events c
+           ON v.user_id = c.user_id
+             AND v.event_type = 'view' AND c.event_type = 'click'
+             AND (epoch_ns(c.ts) // 1000) >= (epoch_ns(v.ts) // 1000)
+             AND (epoch_ns(c.ts) // 1000) <= (epoch_ns(v.ts) // 1000) + 300000000),
+         unmatched AS (
+           SELECT v.user_id, v.event_id AS view_id,
+             CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS lag_us
+           FROM events v, wm
+           WHERE v.event_type = 'view'
+             AND NOT EXISTS (SELECT 1 FROM events c
+               WHERE c.event_type = 'click' AND c.user_id = v.user_id
+                 AND (epoch_ns(c.ts) // 1000)
+                   BETWEEN (epoch_ns(v.ts) // 1000)
+                       AND (epoch_ns(v.ts) // 1000) + 300000000)
+             AND (epoch_ns(v.ts) // 1000) + 300000000 < wm.wm_ms * 1000)
+         SELECT * FROM matched
+         UNION ALL SELECT * FROM unmatched
+         ORDER BY user_id, view_id, click_id""",
     // identical semantics to batch e02 minus the value sum (count-only)
     "st04_stream_sliding" ->
       s"""WITH assigned AS (

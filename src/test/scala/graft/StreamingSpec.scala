@@ -60,6 +60,58 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.forall(_._1 == us(600)), s"got $emitted")
   }
 
+  test("left-outer interval join: expired view emits null, young view held back") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-louter").toString
+
+    def writeBatch(path: String, mtime: Long,
+                   rows: Seq[(Long, Long, Long, String)]): Unit = {
+      rows.map { case (id, tsUs, user, typ) => (id, tsUs * 1000L, user, typ, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(path)
+      new java.io.File(path).listFiles().foreach(_.setLastModified(mtime))
+    }
+
+    // b1: u1 view+click (a match), u2 view with no click ever
+    writeBatch(s"$dir/b1", 1000000L, Seq(
+      (1L, us(600), 1L, "view"), (2L, us(602), 1L, "click"),
+      (3L, us(600), 2L, "view")))
+    // b2: both sides jump to 11:00 → watermark (after b2) = 10:50
+    writeBatch(s"$dir/b2", 2000000L, Seq(
+      (4L, us(660), 3L, "view"), (5L, us(660), 9L, "click")))
+    // b3: anything — the batch that RUNS with wm 10:50 evicts u2's view
+    // (window end 10:05 < 10:50) and emits it null-padded
+    writeBatch(s"$dir/b3", 3000000L, Seq((6L, us(661), 8L, "click")))
+
+    val src = spark.readStream.schema(EventStreams.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"),
+      "leftOuter")
+      .select(col("view_id"), col("click_id"))
+    val q = joined.writeStream.format("memory").queryName("louter_mem")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("louter_mem").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // u1's pair, u2's watermark-expired null row — and NOT u3's view
+    // (11:00 + 5min is ahead of the final 10:50 watermark: held back)
+    assert(got == Set((1L, 2L), (3L, -1L)), s"got $got")
+  }
+
   test("custom-state sessions: one session spanning micro-batches merges in state") {
     import spark.implicits._
     import graft.streaming.StatefulSessionStream
