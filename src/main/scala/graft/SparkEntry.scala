@@ -23,6 +23,7 @@ object SparkEntry {
       operators.AsOf.queries ++
       operators.ZhQueries.queries ++
       operators.TextAnalysis.queries ++
+      operators.Curation.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Events.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.AsOf.oracleSql ++
       operators.ZhQueries.oracleSql ++
       operators.TextAnalysis.oracleSql ++
+      operators.Curation.oracleSql ++
       operators.Dedup.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.Events.oracleSql ++

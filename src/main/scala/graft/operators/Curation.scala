@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus curation pipeline — the catalog's
+  * operators composed the way a real pretraining data job chains them
+  * (C4/Gopher/RefinedWeb shape):
+  *
+  *   1. quality floor       — lexical-diversity × stopword score (t03)
+  *   2. near-dup removal    — Jaccard pairs → connected components →
+  *                            drop non-representative members (d07/d08)
+  *   3. contamination drop  — remove the held-out eval split AND any
+  *                            training doc sharing a word 4-gram with
+  *                            it (t10)
+  *   4. mixture sampling    — temperature-flattened per-language
+  *                            quotas over what survives (t11)
+  *
+  * Each stage is individually oracled; this query oracles the whole
+  * COMPOSITION (one recursive-CTE chain in DuckDB), pinning that the
+  * stages connect correctly — set semantics, stage ordering, and which
+  * corpus each stage is computed against (clusters on the
+  * quality-survivors, contamination against the ORIGINAL eval split,
+  * quotas from the cleaned set).
+  *
+  * Scale: stage 1 is a narrow map; stage 2's pair generation is blocked
+  * (never O(n²)) and the component loop is O(diameter) rounds with cut
+  * lineage; stage 3 broadcasts the tiny eval-gram set; stage 4 is one
+  * shuffle on lang. Nothing in the chain materializes to the driver.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, k: Int = 40, qualityMin: Double = 0.4): DataFrame = {
+    // 1. quality floor (strict >; both engines compute bit-identical
+    // doubles — t03's hash-equality is the proof — so the comparison
+    // can't diverge even exactly at the threshold)
+    val q = TextAnalysis.qualityScore(docs)
+      .filter(col("quality") > qualityMin).select(col("doc_id"))
+    val kept1 = docs.join(q, Seq("doc_id"), "left_semi")
+    // 2. near-dup clusters over the quality survivors; drop members
+    // that are not their cluster's representative (minimum doc_id)
+    val losers = Dedup.duplicateClusters(Dedup.jaccardPairs(kept1))
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    val kept2 = kept1.join(losers, Seq("doc_id"), "left_anti")
+    // 3. contamination: the eval split itself leaves the corpus, and so
+    // does every training doc colliding with it (computed against the
+    // FULL original split — the benchmark is fixed, not filtered)
+    val contam = TextAnalysis.contaminationScan(docs)
+      .select(col("train_id").as("doc_id"))
+    val kept3 = kept2.filter(col("doc_id") % 20 =!= 0)
+      .join(contam, Seq("doc_id"), "left_anti")
+    // 4. temperature-flattened mixture over the cleaned corpus
+    TextAnalysis.temperatureMixture(kept3, k)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_curation_pipeline" -> ((s, d) =>
+      curate(t(s, d, "documents")).orderBy(col("lang"), col("rk")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p01_curation_pipeline" ->
+      """WITH RECURSIVE
+         ws0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         q AS (
+           SELECT doc_id FROM ws0
+           WHERE (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+             * (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws))
+             > 0.4),
+         kept1 AS (SELECT d.doc_id, d.text, d.lang FROM documents d JOIN q USING (doc_id)),
+         pairs AS (
+           SELECT a_id, b_id
+           FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   list_distinct(string_split(a.text, ' ')) AS a_ws,
+                   list_distinct(string_split(b.text, ' ')) AS b_ws
+                 FROM kept1 a JOIN kept1 b
+                 ON substring(a.text, 1, 20) = substring(b.text, 1, 20)
+                   AND a.doc_id < b.doc_id)
+           WHERE CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE)
+             / (len(a_ws) + len(b_ws) - len(list_intersect(a_ws, b_ws))) >= 0.5),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(u, v) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         losers AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING min(v) <> u),
+         kept2 AS (
+           SELECT doc_id, lang FROM kept1
+           WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         grams AS (
+           SELECT doc_id, gram FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]))) AS gram
+             FROM ws0 WHERE len(ws) >= 4)
+           GROUP BY doc_id, gram),
+         contam AS (
+           SELECT DISTINCT t.doc_id
+           FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 20 <> 0) t
+           JOIN (SELECT gram FROM grams WHERE doc_id % 20 = 0) e USING (gram)),
+         kept3 AS (
+           SELECT doc_id, lang FROM kept2
+           WHERE doc_id % 20 <> 0
+             AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         n AS (SELECT count(*) AS n_total FROM kept3),
+         quota AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(round(40 * sqrt(CAST(count(*) AS DOUBLE) / n.n_total)) AS BIGINT) AS quota
+           FROM kept3, n GROUP BY lang, n.n_total),
+         ranked AS (
+           SELECT lang, doc_id, CAST(row_number() OVER (
+             PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+           FROM kept3)
+         SELECT r.lang, q.n_docs, q.quota, r.rk, r.doc_id
+         FROM ranked r JOIN quota q USING (lang)
+         WHERE r.rk <= q.quota
+         ORDER BY r.lang, r.rk"""
+  )
+}
