@@ -113,6 +113,32 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"aggregate re-shuffled the as-of output:\n$p")
   }
 
+  test("q51: bloom prefilter sits on the fact scan; semi join needs no SMJ") {
+    val p = plan("q51_bloom_semi_join")
+    // the bloom UDF must evaluate directly above the lineitem scan (map
+    // side, before any exchange), and the exact verify is a hash semi
+    // join — never a sort-merge
+    assert(p.contains("UDF(l_orderkey"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t10: the eval split's gram set broadcasts; train grams never re-shuffle for the join") {
+    val p = plan("t10_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q52: merge upsert is one shuffle join, not a broadcast of a 100TB side") {
+    // full-outer can't broadcast: both sides must survive unmatched.
+    // Pin the join stays a shuffle join (SMJ or shuffled-hash under
+    // AQE) — if Spark ever silently broadcast one side the plan would
+    // be wrong at scale even though it'd pass at sf0.001.
+    val p = plan("q52_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastHashJoin FullOuter"), p)
+  }
+
   test("t08: tf-idf corpus size joins as broadcast, not a shuffle") {
     val p = plan("t08_tfidf_topterms")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
