@@ -86,6 +86,23 @@ object EventStreams {
       .dropDuplicates(Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** Keyed dedup via `dropDuplicatesWithinWatermark` (Spark 3.5+): same
+    * first-event-wins answer on this bounded replay, but the state
+    * eviction contract differs from `dropDuplicates` in a way that
+    * matters for an unbounded 100 TB stream — each key's state expires
+    * `watermark` after the FIRST sighting (duplicates are only promised
+    * to be dropped if they arrive within the delay window), instead of
+    * living for the full watermark-vs-event-time horizon. That makes
+    * state strictly time-bounded per key even for keys that keep
+    * recurring forever — the right eviction for "suppress retries /
+    * at-least-once upstream" dedup, where a re-sighting a day later is
+    * legitimately a NEW event. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
   /** Stream-stream interval join: each view joined to the same user's
     * clicks within the following 5 minutes. Watermarks on BOTH sides
     * bound the join state (Spark evicts a buffered row once the other
@@ -199,7 +216,7 @@ object EventStreams {
           var prev = -1L; var cur = scoped.table(name).count()
           val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
           while ((cur != prev || !sawNoDataBatch) && System.nanoTime() < deadline) {
-            prev = cur; Thread.sleep(300); q.processAllAvailable()
+            prev = cur; Thread.sleep(100); q.processAllAvailable()
             cur = scoped.table(name).count()
           }
         }

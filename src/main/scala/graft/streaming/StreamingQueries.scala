@@ -23,6 +23,15 @@ object StreamingQueries {
       EventStreams.runToBatch(s, d, "st03_mem", "append")(EventStreams.dedupKeyed(_))
         .select(col("user_id"), col("event_type")) // kept event_id is arrival-order-dependent
         .orderBy(col("user_id"), col("event_type"))),
+    // dropDuplicatesWithinWatermark: first-sighting-anchored state
+    // expiry (the retry-suppression dedup); same answer as st03 on a
+    // bounded in-order replay, different (strictly per-key-bounded)
+    // state contract on an unbounded stream
+    "st09_stream_dedup_within_wm" -> ((s, d) =>
+      EventStreams.runToBatch(s, d, "st09_mem", "append")(
+        EventStreams.dedupWithinWatermark(_))
+        .select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_type"))),
     "st04_stream_sliding" -> ((s, d) =>
       EventStreams.runToBatch(s, d, "st04_mem", "complete")(EventStreams.sliding(_))
         .orderBy(col("w_start_us"), col("event_type"))),
@@ -95,6 +104,9 @@ object StreamingQueries {
          FROM sessions GROUP BY user_id, session_seq
          ORDER BY user_id, session_start_us""",
     "st03_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "st09_stream_dedup_within_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
     "st05_stream_interval_join" ->
