@@ -43,12 +43,16 @@ object Curation {
       .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
     val kept2 = kept1.join(losers, Seq("doc_id"), "left_anti")
     // 3. contamination: the eval split itself leaves the corpus, and so
-    // does every training doc colliding with it (computed against the
-    // FULL original split — the benchmark is fixed, not filtered)
-    val contam = TextAnalysis.contaminationScan(docs)
+    // does every training doc colliding with it. The eval side is the
+    // FULL original split (the benchmark is fixed, not filtered); the
+    // train side is reduced to the docs still alive — each doc's verdict
+    // depends only on itself vs the eval set, so the answer is identical
+    // and the gram work shrinks with the corpus.
+    val survivors = kept2.filter(col("doc_id") % 20 =!= 0)
+    val contam = TextAnalysis
+      .contaminationScan(survivors, docs.filter(col("doc_id") % 20 === 0), 4)
       .select(col("train_id").as("doc_id"))
-    val kept3 = kept2.filter(col("doc_id") % 20 =!= 0)
-      .join(contam, Seq("doc_id"), "left_anti")
+    val kept3 = survivors.join(contam, Seq("doc_id"), "left_anti")
     // 4. temperature-flattened mixture over the cleaned corpus
     TextAnalysis.temperatureMixture(kept3, k)
   }

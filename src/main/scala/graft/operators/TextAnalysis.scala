@@ -145,7 +145,6 @@ object TextAnalysis {
     * both shuffles are map-side combinable and partition by doc_id, so
     * the per-doc window never re-shuffles. */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = docs
       .withColumn("_ws", ws)
       .filter(size(col("_ws")) >= 2)
@@ -153,14 +152,17 @@ object TextAnalysis {
         "transform(sequence(1, size(_ws) - 1), i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1)))"))
         .as("gram"))
     val counts = grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("gram"))
+    // top bigram via min(struct(-c, gram)) — struct ordering is
+    // lexicographic by field, so the minimum IS (highest count,
+    // lexicographically-first gram). One map-side-combinable aggregate
+    // instead of a per-doc window sort + rank + second aggregate.
     counts
-      .withColumn("rk", row_number().over(w))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
         count(lit(1)).as("n_distinct"),
-        max(when(col("rk") === 1, col("gram"))).as("top_bigram"),
-        max(when(col("rk") === 1, col("c"))).as("top_n"))
+        min(struct((-col("c")).as("negc"), col("gram"))).as("_top"))
+      .withColumn("top_bigram", col("_top.gram"))
+      .withColumn("top_n", -col("_top.negc"))
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
         (lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams")).as("dup_bigram_frac"),
         col("top_bigram"), col("top_n"),
@@ -175,7 +177,15 @@ object TextAnalysis {
     * one doc can't inflate the collision count; the join is a plain
     * equi-shuffle on the gram. At 100 TB the eval side is tiny — its
     * deduped gram set broadcasts, and the train side never shuffles. */
-  def contaminationScan(docs: DataFrame, n: Int = 4): DataFrame = {
+  def contaminationScan(docs: DataFrame, n: Int = 4): DataFrame =
+    contaminationScan(docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), n)
+
+  /** Core form with explicit train/eval sides: each training doc's
+    * verdict depends only on itself and the eval set, so callers (the
+    * curation pipeline) may pass an already-reduced train side and get
+    * the identical per-doc answer for less gram work. */
+  def contaminationScan(train: DataFrame, evalSet: DataFrame, n: Int): DataFrame = {
     def gramsOf(df: DataFrame, idAs: String): DataFrame =
       df.withColumn("_ws", ws)
         .filter(size(col("_ws")) >= n)
@@ -183,9 +193,7 @@ object TextAnalysis {
           s"transform(sequence(1, size(_ws) - ${n - 1}), i -> concat_ws(' ', slice(_ws, i, $n)))"))
           .as("gram"))
         .distinct()
-    val evalGrams = gramsOf(docs.filter(col("doc_id") % 20 === 0), "eval_id")
-    val trainGrams = gramsOf(docs.filter(col("doc_id") % 20 =!= 0), "train_id")
-    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+    gramsOf(train, "train_id").join(broadcast(gramsOf(evalSet, "eval_id")), Seq("gram"))
       .groupBy(col("train_id"))
       .agg(countDistinct(col("gram")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
