@@ -25,6 +25,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Curation.queries ++
       operators.Dedup.queries ++
+      operators.Graph.queries ++
       operators.Similarity.queries ++
       operators.Events.queries ++
       operators.StatefulSessions.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       operators.TextAnalysis.oracleSql ++
       operators.Curation.oracleSql ++
       operators.Dedup.oracleSql ++
+      operators.Graph.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.Events.oracleSql ++
       operators.StatefulSessions.oracleSql ++

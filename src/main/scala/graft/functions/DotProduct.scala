@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.AbstractDataType
@@ -16,9 +16,14 @@ import org.apache.spark.sql.{graftshim => shim}
   * whole-stage codegen), which dominates the similarity kernels at
   * scale. Same exact integer semantics for equal-length inputs (the
   * quantized-embedding invariant; enforced in `Similarity.quantized`).
+  *
+  * Natively codegen'd: the brute-force ANN path evaluates this once per
+  * (query, candidate) pair, so a CodegenFallback here would box both
+  * arrays and break the surrounding whole-stage span on the hottest
+  * inner loop in the engine.
   */
 case class DotLL(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
@@ -34,6 +39,21 @@ case class DotLL(left: Expression, right: Expression)
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
     acc
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotLL =
     copy(left = newLeft, right = newRight)

@@ -62,7 +62,37 @@ object Events {
         unix_micros(col("ts")).as("ts_us"))
   }
 
+  /** Fixed-point EWMA (α = 0.15) per user over the time-ordered event
+    * series — the sequential-fold operator. A linear recurrence
+    * `s' = (85·s + 15·x) div 100` can't be a window function (it isn't
+    * associative), but BOTH engines express a left fold: Spark's
+    * `aggregate` higher-order function over a sort_array'd struct list,
+    * DuckDB's `list_reduce` over `list(... ORDER BY ...)`. Values are
+    * decimal-quantized to int64 (×1e4) first so the fold is pure integer
+    * arithmetic — bit-identical everywhere (Spark `div` = DuckDB `//`
+    * on the non-negative domain; `value` ≥ 0 by schema contract).
+    *
+    * Scale: one shuffle on user_id; the per-key series materializes in
+    * memory, which is the fold's inherent requirement — bounded here by
+    * events-per-user, not corpus size. For unbounded keys the streaming
+    * twin (mapGroupsWithState carrying `s` as the only state) is the
+    * 100 TB form; this batch shape is its oracle. */
+  def ewmaPerUser(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000)
+        .cast("long").as("vq"))
+    ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("vq")))).as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n_events"),
+        expr("element_at(seq, 1).vq").as("first_q"),
+        expr("""aggregate(slice(seq, 2, size(seq) - 1), element_at(seq, 1).vq,
+                          (s, x) -> (85 * s + 15 * x.vq) div 100)""").as("ewma_q"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e06_ewma" -> ((s, d) => ewmaPerUser(t(s, d, "events")).orderBy(col("user_id"))),
     "e01_tumbling_window" -> ((s, d) =>
       tumbling(t(s, d, "events")).orderBy(col("w_start_us"), col("event_type"))),
     "e02_sliding_window" -> ((s, d) =>
@@ -78,6 +108,18 @@ object Events {
   private val tsUs = "(epoch_ns(ts) // 1000)"
 
   def oracleSql: Map[String, String] = Map(
+    "e06_ewma" ->
+      s"""WITH ev AS (
+           SELECT user_id, $tsUs AS ts_us, event_id,
+                  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vq
+           FROM events),
+         agg AS (
+           SELECT user_id, list(vq ORDER BY ts_us, event_id) AS seq
+           FROM ev GROUP BY user_id)
+         SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+                seq[1] AS first_q,
+                list_reduce(seq, (s, x) -> (85 * s + 15 * x) // 100) AS ewma_q
+         FROM agg""",
     "e01_tumbling_window" ->
       s"""SELECT epoch_us(time_bucket(INTERVAL 5 MINUTE, make_timestamp($tsUs))) AS w_start_us,
          event_type, count(*) AS n_events,

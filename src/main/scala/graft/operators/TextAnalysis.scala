@@ -228,8 +228,35 @@ object TextAnalysis {
       .select(col("lang"), col("n_docs"), col("quota"), col("rk"), col("doc_id"))
   }
 
+  /** CCNet-style statistical-LM quality proxy in EXACT integer
+    * arithmetic: a document full of rare tokens scores high, one full of
+    * corpus-frequent tokens scores low. Per token the rarity is
+    * `T div c(w)` (corpus token total over the token's corpus count —
+    * the integer reciprocal of its unigram probability); the doc score
+    * is the milli-scaled mean `(sum · 10000) div n_tokens`. All int64 —
+    * unlike the usual `-mean log p(w)` there is NO float anywhere, so
+    * the score is bit-identical on any engine and any cluster size
+    * (and monotone-equivalent rankings for filtering thresholds).
+    *
+    * Scale: one explode, one map-side-combinable token count, one
+    * broadcast scalar; the token→freq join shuffles on the token, the
+    * final aggregate on doc_id. Sum headroom: T ≤ 1e13 tokens × 1e3
+    * tokens/doc = 1e16 per doc, well under int64. */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), explode(ws).as("w")).filter(col("w") =!= "")
+    val freq = tk.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = tk.agg(count(lit(1)).as("t_total"))
+    tk.join(freq, Seq("w")).crossJoin(broadcast(total))
+      .select(col("doc_id"), expr("t_total div c").as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("rarity_sum"))
+      .withColumn("rarity_x1e4", expr("(rarity_sum * 10000) div n_tokens"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "t12_token_rarity" -> ((s, d) =>
+      tokenRarity(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t08_tfidf_topterms" -> ((s, d) =>
       tfIdfTopTerms(t(s, d, "documents")).orderBy(col("doc_id"), col("rk"))),
     // rows-only: a rolling-hash winnow isn't SQL-expressible in DuckDB
@@ -260,6 +287,18 @@ object TextAnalysis {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "t12_token_rarity" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         tk2 AS (SELECT doc_id, w FROM tk WHERE w <> ''),
+         freq AS (SELECT w, count(*) AS c FROM tk2 GROUP BY w),
+         tot AS (SELECT count(*) AS t_total FROM tk2)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(tot.t_total // f.c) AS BIGINT) AS rarity_sum,
+           CAST((sum(tot.t_total // f.c) * 10000) // count(*) AS BIGINT) AS rarity_x1e4
+         FROM tk2 JOIN freq f USING (w), tot
+         GROUP BY doc_id""",
     "t08_tfidf_topterms" ->
       """WITH terms AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

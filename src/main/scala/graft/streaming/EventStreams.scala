@@ -191,11 +191,13 @@ object EventStreams {
     *   durable 100 TB stream would pick this once, at provisioning time. */
   private[graft] def runBounded(spark: SparkSession, name: String,
       build: SparkSession => DataFrame, outputMode: String,
-      noDataBatches: Boolean = false): DataFrame = {
+      noDataBatches: Boolean = false,
+      extraConf: Map[String, String] = Map.empty): DataFrame = {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       noDataBatches.toString)
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    extraConf.foreach { case (k, v) => scoped.conf.set(k, v) }
     val ckpt = scratchDir()
     try {
       val q = build(scoped).writeStream.format("memory").queryName(name)

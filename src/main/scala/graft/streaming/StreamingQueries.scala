@@ -57,6 +57,11 @@ object StreamingQueries {
         scoped => EventStreams.viewClickLeftJoin(scoped, d), "append",
         noDataBatches = true)
         .orderBy(col("user_id"), col("view_id"), col("click_id"))),
+    // Spark 4 transformWithState (state v2): ValueState running profile
+    // on the RocksDB store, update mode; final profile per key must
+    // equal the batch aggregate
+    "st10_transform_with_state" -> ((s, d) =>
+      ProfileStream.runFinalProfiles(s, d).orderBy(col("user_id"))),
     // custom keyed state under a real stream: flatMapGroupsWithState +
     // event-time timeout; needs the watermark-only trailing batch so
     // timed-out open sessions flush (noDataBatches = true)
@@ -106,6 +111,11 @@ object StreamingQueries {
     "st03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "st10_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_q
+         FROM events GROUP BY user_id
+         ORDER BY user_id""",
     "st09_stream_dedup_within_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",

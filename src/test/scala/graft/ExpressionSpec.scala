@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.Zh
+import graft.functions.{DotLL, Zh}
 
 /** Native Catalyst expression layer: agreement with the UDF baseline,
   * SQL registration via GraftExtensions, and the merge-then-extract
@@ -60,6 +60,29 @@ class ExpressionSpec extends SparkSpec {
     assert(r.getLong(1) != 0L)
     assert(r.getSeq[Long](2).nonEmpty)
     assert(r.getLong(3) == 32L)
+  }
+
+  test("dot_ll generated code compiles and matches interpreted eval") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val expr = DotLL(
+      BoundReference(0, ArrayType(LongType), nullable = true),
+      BoundReference(1, ArrayType(LongType), nullable = true))
+    // generate() throws if the emitted Java fails to compile — this is the
+    // codegen gate; Spark would otherwise fall back to interpreted silently.
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1L, 2L, 3L)), ArrayData.toArrayData(Array(4L, 5L, 6L)))
+    assert(proj(row).getLong(0) == 32L)
+    assert(expr.eval(row).asInstanceOf[Long] == 32L)
+    val shorter = InternalRow(
+      ArrayData.toArrayData(Array(7L)), ArrayData.toArrayData(Array(4L, 5L, 6L)))
+    assert(proj(shorter).getLong(0) == 28L && expr.eval(shorter) == 28L)
+    val nullRow = InternalRow(null, ArrayData.toArrayData(Array(1L)))
+    assert(proj(nullRow).isNullAt(0) && expr.eval(nullRow) == null)
   }
 
   test("merge-then-extract rule removes the map_concat from the plan") {

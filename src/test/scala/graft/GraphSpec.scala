@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Pins the fixed-point PageRank against an independent driver-side
+  * reference implementation of the same integer recurrence. */
+class GraphSpec extends SparkSpec {
+
+  /** Reference: adjacency as Map[node -> neighbors], same int64 math. */
+  private def refPageRank(adj: Map[Long, Seq[Long]], iters: Int): Map[Long, Long] = {
+    val n = adj.size
+    val teleport = Graph.SCALE * 15 / 100 / n
+    var pr = adj.keys.map(_ -> Graph.SCALE / n).toMap
+    for (_ <- 1 to iters) {
+      val inbox = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, vs) <- adj; contrib = pr(u) / vs.size; v <- vs)
+        inbox(v) += contrib
+      pr = adj.keys.map(u => u -> (teleport + inbox(u) * 85 / 100)).toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the integer reference on a path graph") {
+    import spark.implicits._
+    // path a-b-c-d plus a pendant e off b: mixed degrees 1..3
+    val undirected = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 5L)
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = (undirected ++ undirected.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got == refPageRank(adj, 4))
+  }
+
+  test("two-node graph sits at the analytic fixed point") {
+    import spark.implicits._
+    // deg 1 both sides: r = teleport + 0.85 r  =>  r = SCALE/2 exactly
+    val edges = Seq(1L -> 2L, 2L -> 1L).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(Graph.SCALE / 2))
+  }
+
+  test("rank mass stays bounded by SCALE (no overflow headroom loss)") {
+    val li = operators.t(spark, "/root/testdata/sf0.001", "lineitem")
+    val pr = Graph.pageRank(Graph.partSupplierEdges(li), iters = 5)
+    val total = pr.agg(sum("pr")).collect().head.getLong(0)
+    assert(total > 0L && total <= Graph.SCALE)
+  }
+}
