@@ -58,6 +58,30 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) — the
+    * asymmetric companion to Jaccard that catches SUBSET duplicates (a
+    * doc wholly contained in a longer one scores C≈1 but Jaccard≈|A|/|B|,
+    * far below any Jaccard threshold — the truncation/expansion dup class
+    * in web corpora, Broder 1997's "containment"). Same block join as
+    * [[jaccardPairs]]; the threshold compare and the reported score are
+    * pure integer arithmetic (`inter·100 ≥ pct·min`, milli-scaled `div`),
+    * so no float crosses an engine boundary. */
+  def containmentPairs(docs: DataFrame, thresholdPct: Int = 60): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      substring(col("text"), 1, 20).as("blk"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    val a = base.select(col("blk"), col("doc_id").as("a_id"), col("ws").as("a_ws"))
+    val b = base.select(col("blk"), col("doc_id").as("b_id"), col("ws").as("b_ws"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_ws"), col("b_ws"))).cast("long"))
+      .withColumn("msize", least(size(col("a_ws")), size(col("b_ws"))).cast("long"))
+      .filter(col("inter") * 100 >= lit(thresholdPct) * col("msize"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("msize"),
+        expr("(inter * 10000) div msize").as("cont_x1e4"))
+  }
+
   /** MinHash signature: k min-hashes over word-3-shingles, computed in a
     * single explode + k min-aggregates pass (one shuffle by doc_id). */
   def minHashSignatures(docs: DataFrame, k: Int = 64): DataFrame = {
@@ -295,6 +319,8 @@ object Dedup {
       exactDedupGroups(t(s, d, "documents")).orderBy(col("canonical_id"))),
     "d02_exact_dup_pairs" -> ((s, d) =>
       exactDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
+    "d10_containment_pairs" -> ((s, d) =>
+      containmentPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "d03_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "d07_dup_clusters" -> ((s, d) =>
@@ -323,6 +349,20 @@ object Dedup {
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id
          FROM documents a JOIN documents b
          ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+         ORDER BY a_id, b_id""",
+    "d10_containment_pairs" ->
+      """SELECT a_id, b_id,
+         CAST(len(list_intersect(a_ws, b_ws)) AS BIGINT) AS inter,
+         CAST(least(len(a_ws), len(b_ws)) AS BIGINT) AS msize,
+         (CAST(len(list_intersect(a_ws, b_ws)) AS BIGINT) * 10000)
+           // least(len(a_ws), len(b_ws)) AS cont_x1e4
+         FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 list_distinct(string_split(a.text, ' ')) AS a_ws,
+                 list_distinct(string_split(b.text, ' ')) AS b_ws
+               FROM documents a JOIN documents b
+               ON substring(a.text, 1, 20) = substring(b.text, 1, 20)
+                 AND a.doc_id < b.doc_id)
+         WHERE len(list_intersect(a_ws, b_ws)) * 100 >= 60 * least(len(a_ws), len(b_ws))
          ORDER BY a_id, b_id""",
     "d03_jaccard_pairs" ->
       """SELECT a_id, b_id,

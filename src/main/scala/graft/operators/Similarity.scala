@@ -134,6 +134,80 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
   }
 
+  /** Row type for the pruned-MIPS partition scan. */
+  case class CVec(vec_id: Long, qv: Array[Long], xx: Long)
+
+  /** EXACT maximum-inner-product top-k with Cauchy–Schwarz pruning —
+    * the scale path when ranking is by raw dot product (recommendation
+    * retrieval, un-normalized rerank): candidates are scanned in
+    * descending self-dot order, and once a query's running k-th best
+    * `kth` satisfies `qq·xx < kth²` (with `kth ≥ 0`) every remaining
+    * candidate obeys `ip² ≤ qq·xx < kth²` (Cauchy–Schwarz, all int64
+    * via BigInt) so the scan for that query stops — no dot product is
+    * ever computed for it again. Pruning is *provably lossless*
+    * (strict inequality ⇒ not even a tie is possible), so the result
+    * is bit-identical to the brute force and shares its oracle shape.
+    *
+    * Scale: the corpus never shuffles — `sortWithinPartitions(xx desc)`
+    * is a partition-local sort feeding a partition-local heap scan; the
+    * query set rides a broadcast variable; only the tiny per-partition
+    * top-k survivors (≤ partitions·queries·k rows) reach the final
+    * global window. */
+  def knnMipsPruned(emb: DataFrame, k: Int = 5, queryMod: Int = 100): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = quantized(emb)
+      .select(col("vec_id"), col("qv"), idot("qv", "qv").as("xx")).as[CVec]
+    val qs = base.filter(_.vec_id % queryMod == 0).collect().sortBy(_.vec_id)
+    val bc = spark.sparkContext.broadcast(qs)
+    val partials = base
+      .sortWithinPartitions(col("xx").desc)
+      .mapPartitions { it =>
+        val queries = bc.value
+        val nq = queries.length
+        // min-heap head = current worst kept (lowest ip, then largest id)
+        val heaps = Array.fill(nq)(
+          collection.mutable.PriorityQueue.empty[(Long, Long)](
+            Ordering.by(t => (-t._1, t._2))))
+        val active = Array.fill(nq)(true)
+        var nActive = nq
+        while (it.hasNext && nActive > 0) {
+          val c = it.next()
+          var j = 0
+          while (j < nq) {
+            if (active(j)) {
+              val q = queries(j)
+              if (heaps(j).size == k && heaps(j).head._1 >= 0 &&
+                  BigInt(q.xx) * c.xx < BigInt(heaps(j).head._1) * heaps(j).head._1) {
+                // xx is non-increasing from here on: done with query j
+                active(j) = false; nActive -= 1
+              } else if (c.vec_id != q.vec_id) {
+                var ip = 0L; var i = 0; val n = math.min(c.qv.length, q.qv.length)
+                while (i < n) { ip += c.qv(i) * q.qv(i); i += 1 }
+                if (heaps(j).size < k) heaps(j).enqueue((ip, c.vec_id))
+                else {
+                  val (wip, wid) = heaps(j).head
+                  if (ip > wip || (ip == wip && c.vec_id < wid)) {
+                    heaps(j).dequeue(); heaps(j).enqueue((ip, c.vec_id))
+                  }
+                }
+              }
+            }
+            j += 1
+          }
+        }
+        queries.iterator.zipWithIndex.flatMap { case (q, j) =>
+          heaps(j).iterator.map { case (ip, id) => (q.vec_id, id, ip) }
+        }
+      }
+      .toDF("q_id", "neighbor_id", "ip")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("neighbor_id"))
+    partials
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rk"), col("ip"))
+  }
+
   /** Embedding near-dup pairs: quantized cosine ≥ threshold within
     * label blocks (cheap exact blocking at test scale; at 100 TB the
     * block key would be an LSH bucket). */
@@ -168,6 +242,8 @@ object Similarity {
       knnBruteForce(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s02_knn_lsh" -> ((s, d) =>
       knnLsh(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    "s07_knn_mips_pruned" -> ((s, d) =>
+      knnMipsPruned(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s05_knn_ivf" -> ((s, d) =>
       knnIvf(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     // oracle-checked: the UDAF accumulates in DOUBLE, so its means
@@ -207,6 +283,22 @@ object Similarity {
                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
              FROM scored)
            SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
+           ORDER BY q_id, rk""",
+      // EXACT pruned MIPS ≡ brute-force MIPS, so the oracle is the plain
+      // dot-product ranking — integer ip, no floats at all
+      "s07_knn_mips_pruned" ->
+        s"""WITH q AS (
+             SELECT vec_id, $qv AS qv FROM embeddings),
+           scored AS (
+             SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+                 i -> c.qv[i] * qq.qv[i])) AS BIGINT) AS ip
+             FROM q c JOIN q qq ON qq.vec_id % 100 = 0 AND c.vec_id != qq.vec_id),
+           ranked AS (
+             SELECT q_id, neighbor_id, ip,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, neighbor_id) AS BIGINT) AS rk
+             FROM scored)
+           SELECT q_id, neighbor_id, rk, ip FROM ranked WHERE rk <= 5
            ORDER BY q_id, rk""",
       "s03_label_centroids" ->
         """SELECT label, CAST(i - 1 AS BIGINT) AS dim,

@@ -253,10 +253,59 @@ object TextAnalysis {
       .withColumn("rarity_x1e4", expr("(rarity_sum * 10000) div n_tokens"))
   }
 
+  /** Duplicate-SPAN detection between near-dup candidates — the
+    * alignment view exact-substring dedup needs (Lee et al. 2022 argue
+    * span-level dups, not whole-doc dups, drive memorization): for every
+    * blocked pair, shared word 5-grams become alignment points (i, j);
+    * consecutive points on one diagonal (j−i constant) are ONE copied
+    * span, recovered with the gaps-and-islands trick (i − row_number()
+    * per diagonal). Reports the longest island per pair, tie-broken
+    * (longest, earliest in A, lowest diagonal) — deterministic.
+    *
+    * Scale: gram positions explode the corpus ×(words−4) — same order
+    * as every shingle pipeline here; the pair join is block-bounded. The
+    * gram join leaves data partitioned by (blk, gram), which serves none
+    * of the downstream keys — so the plan repartitions ONCE on
+    * (a_id, b_id), and the islands window (pair, diag), the run
+    * aggregate (pair, diag, grp) and the final per-pair aggregate are
+    * all satisfied by that single exchange (each clusters on a superset
+    * of (a_id, b_id)). */
+  def duplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .withColumn("_ws", ws)
+      .filter(size(col("_ws")) >= n)
+      .select(col("doc_id"), substring(col("text"), 1, 20).as("blk"),
+        posexplode(expr(
+          s"transform(sequence(1, size(_ws) - ${n - 1}), i -> concat_ws(' ', slice(_ws, i, $n)))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("blk"), col("pos").cast("long").as("pos"), col("gram"))
+    val a = grams.select(col("blk"), col("gram"), col("doc_id").as("a_id"), col("pos").as("i"))
+    val b = grams.select(col("blk"), col("gram"), col("doc_id").as("b_id"), col("pos").as("j"))
+    val aligned = a.join(b, Seq("blk", "gram"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("i"), (col("j") - col("i")).as("diag"))
+      .repartition(col("a_id"), col("b_id"))
+    val wDiag = Window.partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("i"))
+    aligned
+      .withColumn("grp", col("i") - row_number().over(wDiag))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_len"), min(col("i")).as("start_i"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("run_len")).as("n_align"),
+        max(struct(col("run_len"), (-col("start_i")).as("nsi"), (-col("diag")).as("nd"))).as("_b"))
+      .select(col("a_id"), col("b_id"), col("n_align"),
+        col("_b.run_len").as("max_run"),
+        (col("_b.run_len") + lit(n - 1).cast("long")).as("max_span_words"),
+        (-col("_b.nsi")).as("span_start_a"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t12_token_rarity" -> ((s, d) =>
       tokenRarity(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "t13_duplicate_spans" -> ((s, d) =>
+      duplicateSpans(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "t08_tfidf_topterms" -> ((s, d) =>
       tfIdfTopTerms(t(s, d, "documents")).orderBy(col("doc_id"), col("rk"))),
     // rows-only: a rolling-hash winnow isn't SQL-expressible in DuckDB
@@ -299,6 +348,39 @@ object TextAnalysis {
            CAST((sum(tot.t_total // f.c) * 10000) // count(*) AS BIGINT) AS rarity_x1e4
          FROM tk2 JOIN freq f USING (w), tot
          GROUP BY doc_id""",
+    "t13_duplicate_spans" ->
+      """WITH ws0 AS (
+           SELECT doc_id, substring(text, 1, 20) AS blk, string_split(text, ' ') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, blk, i0 - 1 AS pos, gram FROM (
+             SELECT doc_id, blk,
+               unnest(generate_series(1, len(ws) - 4)) AS i0,
+               unnest(list_transform(range(1, len(ws) - 3),
+                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))) AS gram
+             FROM ws0 WHERE len(ws) >= 5)),
+         al AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS i, b.pos - a.pos AS diag
+           FROM g a JOIN g b
+           ON a.blk = b.blk AND a.gram = b.gram AND a.doc_id < b.doc_id),
+         runs AS (
+           SELECT a_id, b_id, diag, grp,
+             CAST(count(*) AS BIGINT) AS run_len, CAST(min(i) AS BIGINT) AS start_i
+           FROM (SELECT a_id, b_id, diag, i,
+                   i - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY i) AS grp
+                 FROM al)
+           GROUP BY a_id, b_id, diag, grp),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY a_id, b_id ORDER BY run_len DESC, start_i, diag) AS rk
+           FROM runs),
+         tot AS (
+           SELECT a_id, b_id, CAST(sum(run_len) AS BIGINT) AS n_align
+           FROM runs GROUP BY a_id, b_id)
+         SELECT t.a_id, t.b_id, t.n_align, r.run_len AS max_run,
+           r.run_len + 4 AS max_span_words, r.start_i AS span_start_a
+         FROM tot t JOIN ranked r ON r.a_id = t.a_id AND r.b_id = t.b_id AND r.rk = 1
+         ORDER BY t.a_id, t.b_id""",
     "t08_tfidf_topterms" ->
       """WITH terms AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -22,4 +22,33 @@ class SimilaritySpec extends SparkSpec {
       .agg(max(col("err"))).first().getDouble(0)
     assert(joined < 1e-4, s"max centroid deviation $joined")
   }
+
+  // The pruning claim is exactness: Cauchy–Schwarz stops are strict, so
+  // the pruned scan must equal the un-pruned ranking bit for bit —
+  // including tie-breaks — on data it has never seen.
+  test("knnMipsPruned ≡ un-pruned MIPS ranking on randomized vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(4242)
+    // small dim + coarse values → plenty of exact ip ties
+    val emb = (0L until 400L).map { id =>
+      (id, Array.fill(8)(rng.nextInt(7).toFloat - 3f), id % 5)
+    }.toDF("vec_id", "embedding", "label").repartition(7)
+    val got = Similarity.knnMipsPruned(emb, k = 4, queryMod = 25)
+      .orderBy("q_id", "rk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: plain exhaustive ranking, same quantization
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("qv"))
+    val q = base.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("vec_id"))
+    val want = base.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ip", expr(
+        "aggregate(zip_with(qv, q_qv, (x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 4)
+      .select(col("q_id"), col("vec_id"), col("rk"), col("ip"))
+      .orderBy("q_id", "rk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+  }
 }
