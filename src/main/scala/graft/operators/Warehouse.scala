@@ -72,7 +72,34 @@ object Warehouse {
       .drop("_in_t", "_in_s")
   }
 
+  /** SCD2 validity intervals from an event log — the slowly-changing-
+    * dimension history build: per key, each CHANGE of the tracked
+    * attribute opens a [valid_from, valid_to) interval, closed by the
+    * next change (NULL = current). Change detection is `lag`, interval
+    * close is `lead` over the change rows only — both windows share one
+    * (key, time) shuffle; the post-filter window reuses the partitioning
+    * (no second exchange). The dimension-table twin of `q52`'s MERGE:
+    * MERGE maintains the snapshot, this derives the full history. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val changes = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byUser))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_scd2_intervals" -> ((s, d) =>
+      scd2Intervals(t(s, d, "events"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+        .drop("event_id")),
     // Bloom-prefiltered exact semi join: urgent orders' keys → bloom →
     // lineitem map-side prefilter → exact semi join → aggregate.
     "q51_bloom_semi_join" -> ((s, d) => {
@@ -128,6 +155,23 @@ object Warehouse {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q54_scd2_intervals" ->
+      """WITH ev AS (
+           SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us, event_id, event_type
+           FROM events),
+         marked AS (
+           SELECT *, lag(event_type, 1) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+           FROM ev),
+         changes AS (
+           SELECT user_id, ts_us, event_id, event_type FROM marked
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, ts_us AS valid_from_us,
+           lead(ts_us, 1) OVER w AS valid_to_us,
+           lead(ts_us, 1) OVER w IS NULL AS is_current
+         FROM changes
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         ORDER BY user_id, valid_from_us, event_id""",
     "q51_bloom_semi_join" ->
       """SELECT l_returnflag, count(*) AS n_items,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

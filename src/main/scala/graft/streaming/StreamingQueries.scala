@@ -57,6 +57,14 @@ object StreamingQueries {
         scoped => EventStreams.viewClickLeftJoin(scoped, d), "append",
         noDataBatches = true)
         .orderBy(col("user_id"), col("view_id"), col("click_id"))),
+    // streaming CDC apply: foreachBatch LWW merge into a parquet state
+    // table; final state must equal the batch last-per-key answer under
+    // any micro-batch partitioning of the input
+    "st11_cdc_apply" -> ((s, d) => {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_st11").resolve("state").toString
+      CdcApply.runCdcApply(s, d, state).orderBy(col("user_id"))
+    }),
     // Spark 4 transformWithState (state v2): ValueState running profile
     // on the RocksDB store, update mode; final profile per key must
     // equal the batch aggregate
@@ -111,6 +119,17 @@ object StreamingQueries {
     "st03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "st11_cdc_apply" ->
+      """WITH ev AS (
+           SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us, event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS value_q
+           FROM events),
+         r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rk
+           FROM ev)
+         SELECT user_id, ts_us, event_id, event_type, value_q
+         FROM r WHERE rk = 1 ORDER BY user_id""",
     "st10_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_q

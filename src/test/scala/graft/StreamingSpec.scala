@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
 
@@ -174,5 +175,22 @@ class StreamingSpec extends SparkSpec {
     // s0 (2 events) and s1 (1 event, flushed by event-time timeout when
     // the watermark passed 11:30); s2 held open — exactly two sessions
     assert(got == Seq((0L, us(600), 2L), (1L, us(660), 1L)), s"got $got")
+  }
+
+  test("CDC apply: final state invariant under batch split and order") {
+    import graft.streaming.CdcApply
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    def finalState(parts: Seq[org.apache.spark.sql.DataFrame]): Seq[Row] = {
+      val dir = Files.createTempDirectory("graft_cdc_spec").resolve("st").toString
+      parts.foreach(CdcApply.applyBatch(_, dir))
+      CdcApply.readState(spark, dir).orderBy("user_id").collect().toSeq
+    }
+    val oneShot = finalState(Seq(events))
+    // split by event-id parity, applied in BOTH orders: the LWW register
+    // must land on the same table regardless of batch partitioning
+    val odd = events.filter(col("event_id") % 2 === 1)
+    val even = events.filter(col("event_id") % 2 === 0)
+    assert(finalState(Seq(odd, even)) == oneShot)
+    assert(finalState(Seq(even, odd)) == oneShot)
   }
 }
