@@ -311,6 +311,18 @@ object Relational {
       s.sql(GroupingSetsSql)
     }),
 
+    // ---- WITH RECURSIVE (Spark 4 UnionLoop; same text runs in DuckDB)
+    "q55_recursive_bfs" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql(RecursiveBfsSql)
+    }),
+
+    // ---- correlated LATERAL top-n (same text runs in DuckDB)
+    "q56_lateral_topn" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql(LateralTopNSql)
+    }),
+
     // ---- salted two-phase aggregation: the 100 TB skew pattern. 5
     //      distinct event_types over N executors would hot-spot 5
     //      reducers; salting fans each key over 16 partials first.
@@ -429,6 +441,43 @@ object Relational {
 
   /** Identical ANSI text executes on Spark and DuckDB — the SQL surface
     * of the engine (grouping sets + GROUPING() disambiguation). */
+  /** Spark 4's `WITH RECURSIVE` (SPARK-24497: a physical UnionLoop —
+    * the SQL-level iterative surface, complementing the DataFrame-loop
+    * iteration in Dedup/Graph): bounded-depth BFS over the
+    * part↔supplier bipartite graph from every 100th supplier. The SAME
+    * text runs in DuckDB — recursion, seed dedup, and the min-dist
+    * closure are all ANSI. Depth is capped at 2 and the per-level
+    * frontier is deduped in the outer aggregate, so row growth is
+    * seeds·deg²  — bounded by design, not by engine mercy. */
+  private val RecursiveBfsSql =
+    """WITH RECURSIVE und AS (
+         SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+         UNION
+         SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem),
+       reach(node, dist) AS (
+         SELECT DISTINCT src AS node, 0 AS dist FROM und WHERE src % 200 = 1
+         UNION ALL
+         SELECT u.dst AS node, r.dist + 1 AS dist
+         FROM reach r JOIN und u ON u.src = r.node
+         WHERE r.dist < 2)
+       SELECT CAST(dist AS BIGINT) AS dist, count(DISTINCT node) AS n_nodes
+       FROM (SELECT node, min(dist) AS dist FROM reach GROUP BY node)
+       GROUP BY dist ORDER BY dist"""
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — the per-row
+    * top-n join Catalyst decorrelates into a ranked window under the
+    * hood (DecorrelateInnerQuery); the declarative form a SQL user
+    * writes when "top 2 per outer row" is the ask. Same text in DuckDB
+    * (which executes it as a literal lateral loop) — two engines, two
+    * physical strategies, one answer. */
+  private val LateralTopNSql =
+    """SELECT n.n_name, l.c_name, l.c_acctbal
+       FROM nation n, LATERAL (
+         SELECT c_name, c_acctbal FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+       ORDER BY n.n_name, l.c_acctbal DESC, l.c_name"""
+
   private val GroupingSetsSql =
     """SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS seg,
        CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nat,
@@ -603,6 +652,8 @@ object Relational {
          FROM lineitem
          WHERE substring(md5(concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))), 1, 2) < '1a'""",
     "q27_grouping_sets" -> GroupingSetsSql,
+    "q55_recursive_bfs" -> RecursiveBfsSql,
+    "q56_lateral_topn" -> LateralTopNSql,
     "q28_salted_agg" ->
       """SELECT event_type,
          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
