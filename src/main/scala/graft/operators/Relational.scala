@@ -311,6 +311,20 @@ object Relational {
       s.sql(GroupingSetsSql)
     }),
 
+    // ---- Spark 4 VARIANT: parse once into the binary-encoded Variant
+    //      (shredded typed access; the 4.x replacement for per-path
+    //      get_json_object re-parsing), typed-extract and aggregate.
+    //      Unlike q17/q33 (string re-parse / rigid struct schema) the
+    //      Variant keeps open schema AND typed access — the semi-
+    //      structured path a 100 TB event lake actually takes.
+    "q57_variant_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // ---- WITH RECURSIVE (Spark 4 UnionLoop; same text runs in DuckDB)
     "q55_recursive_bfs" -> ((s, d) => {
       graft.sources.Tables.registerAll(s, d)
@@ -653,6 +667,11 @@ object Relational {
          WHERE substring(md5(concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))), 1, 2) < '1a'""",
     "q27_grouping_sets" -> GroupingSetsSql,
     "q55_recursive_bfs" -> RecursiveBfsSql,
+    "q57_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q56_lateral_topn" -> LateralTopNSql,
     "q28_salted_agg" ->
       """SELECT event_type,

@@ -78,8 +78,46 @@ object StreamingQueries {
         scoped => StatefulSessionStream.sessionizeStream(
           EventStreams.readEventStream(scoped, d)).toDF(),
         "append", noDataBatches = true)
+        .orderBy(col("user_id"), col("session_seq"))),
+    // the SAME sessionizer on the state-v2 API (transformWithState +
+    // event-time timers + RocksDB): one emission contract, two state
+    // machineries — st06's oracle pins both
+    "st12_timer_sessions" -> ((s, d) =>
+      EventStreams.runBounded(s, "st12_mem",
+        scoped => TimerSessionStream.sessionizeStream(
+          EventStreams.readEventStream(scoped, d)).toDF(),
+        "append", noDataBatches = true,
+        extraConf = Map("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
         .orderBy(col("user_id"), col("session_seq")))
   )
+
+  private val CustomSessionsOracle =
+    s"""WITH marked AS (
+           SELECT user_id, event_id, value, $tsUs AS ts_us,
+             CASE WHEN lag($tsUs, 1) OVER w IS NULL
+               OR $tsUs - lag($tsUs, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs, event_id)),
+         sessions AS (
+           SELECT user_id, value, ts_us,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_seq
+           FROM marked),
+         agg AS (
+           SELECT user_id, session_seq,
+             min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           FROM sessions GROUP BY user_id, session_seq),
+         wm AS (SELECT (max($tsUs) // 1000) - 600000 AS wm_ms FROM events),
+         lastseq AS (SELECT user_id, max(session_seq) AS last_seq FROM agg GROUP BY 1)
+         SELECT a.user_id, a.session_seq, a.session_start_us,
+           a.session_end_us, a.n_events, a.total_value
+         FROM agg a JOIN lastseq l USING (user_id), wm
+         WHERE a.session_seq < l.last_seq
+            OR ((a.session_end_us + 1800000000 + 999) // 1000) < wm.wm_ms
+         ORDER BY a.user_id, a.session_seq"""
 
   def oracleSql: Map[String, String] = Map(
     // identical semantics to st01/e01 (same oracle text)
@@ -151,31 +189,8 @@ object StreamingQueries {
     // session emits only if the final watermark (max ts - 10 min, in ms)
     // passed its end + gap — exactly the event-time-timeout contract
     "st06_stream_custom_sessions" ->
-      s"""WITH marked AS (
-           SELECT user_id, event_id, value, $tsUs AS ts_us,
-             CASE WHEN lag($tsUs, 1) OVER w IS NULL
-               OR $tsUs - lag($tsUs, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY $tsUs, event_id)),
-         sessions AS (
-           SELECT user_id, value, ts_us,
-             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_seq
-           FROM marked),
-         agg AS (
-           SELECT user_id, session_seq,
-             min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
-             count(*) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-           FROM sessions GROUP BY user_id, session_seq),
-         wm AS (SELECT (max($tsUs) // 1000) - 600000 AS wm_ms FROM events),
-         lastseq AS (SELECT user_id, max(session_seq) AS last_seq FROM agg GROUP BY 1)
-         SELECT a.user_id, a.session_seq, a.session_start_us,
-           a.session_end_us, a.n_events, a.total_value
-         FROM agg a JOIN lastseq l USING (user_id), wm
-         WHERE a.session_seq < l.last_seq
-            OR ((a.session_end_us + 1800000000 + 999) // 1000) < wm.wm_ms
-         ORDER BY a.user_id, a.session_seq""",
+      CustomSessionsOracle,
+    "st12_timer_sessions" -> CustomSessionsOracle,
     // st05's inner pairs plus watermark-expired unmatched views with
     // null clicks. The global watermark is the MIN over the two
     // watermark nodes (views' max ts, clicks' max ts — NOT the overall
