@@ -60,4 +60,22 @@ class ScaleSpec extends SparkSpec {
     assert(jsonBack.agg(sum(col("user_id"))).head.getLong(0) ==
       events.agg(sum(col("user_id"))).head.getLong(0))
   }
+
+  // df.observe: accumulator-backed metrics collected DURING the normal
+  // action — the way a 100 TB job instruments row counts / null rates /
+  // quality tallies without a second scan of the input.
+  test("observe() collects pipeline metrics without a second scan") {
+    val obs = new org.apache.spark.sql.Observation("curation_metrics")
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs
+      .observe(obs, count(lit(1)).as("n_in"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        max(length(col("text"))).as("max_len"))
+      .filter(col("n_chars") > 100)
+      .count()
+    val m = obs.get
+    assert(m("n_in").asInstanceOf[Long] == 500L)
+    assert(m("n_en").asInstanceOf[Long] > 0L && m("max_len").asInstanceOf[Int] > 100)
+    assert(n <= 500L)
+  }
 }
