@@ -98,7 +98,37 @@ object Multimodal {
       }
   }
 
+  /** TRAINING-SAMPLE ASSEMBLY — the last step of a multimodal pipeline:
+    * one nested record per document joining every modality (binary
+    * payload + typed metadata, the chunk index as an ordered
+    * array-of-structs, the embedding vector, the language tag). All
+    * joins are 1:1 or 1:N on doc_id, so at 100 TB the three inputs
+    * bucket on doc_id and assembly is exchange-free; the nested output
+    * is exactly the row-group layout a training dataloader reads
+    * (sample-contiguous, no reassembly joins at read time). */
+  def trainingSamples(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val chunks = chunkIndex(docs)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("chunk_idx"), col("chunk_bytes")))).as("chunks"))
+    asBinary(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(chunks, Seq("doc_id"), "left")
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("payload"), col("meta"),
+        coalesce(col("chunks"), expr("array()")).as("chunks"), col("embedding"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // nested assembly verified through a flat projection (the nested
+    // schema itself is pinned by MultimodalSpec-style field access here)
+    "m06_training_samples" -> ((s, d) =>
+      trainingSamples(t(s, d, "documents"), t(s, d, "embeddings"))
+        .select(col("doc_id"), col("lang"),
+          col("meta.byte_len").as("byte_len"),
+          col("meta.content_md5").as("content_md5"),
+          size(col("chunks")).cast("long").as("n_chunks"),
+          size(col("embedding")).cast("long").as("emb_dim"))
+        .orderBy(col("doc_id"))),
     "m05_batched_embed" -> ((s, d) =>
       batchedEmbed(t(s, d, "documents")).toDF().orderBy(col("doc_id"))),
     "m01_binary_meta" -> ((s, d) =>
@@ -122,6 +152,14 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "m06_training_samples" ->
+      """SELECT d.doc_id, d.lang,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+           md5(d.text) AS content_md5,
+           CAST(ceil(octet_length(encode(d.text)) / 64.0) AS BIGINT) AS n_chunks,
+           CAST(len(e.embedding) AS BIGINT) AS emb_dim
+         FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+         ORDER BY d.doc_id""",
     "m05_batched_embed" ->
       """SELECT doc_id,
            (CAST(octet_length(encode(text)) AS BIGINT) * 1 + doc_id * 31) % 9973 AS e0,
