@@ -60,10 +60,12 @@ object Graph {
       prRdd.unpersist()
       pr = cut; prRdd = cutRdd
     }
-    val out = pr.select(col("node"), col("pr"))
-    // the caller owns the final round's cache; adj can go once the plan
-    // is materialized — localCheckpoint would force a copy, so leave the
-    // release to the next action's completion via weak unpersist
+    // materialize the (tiny, O(nodes)) result NOW, while adj is still
+    // cached — unpersisting adj before the action would silently
+    // recompute the edge+degree join once per round; localCheckpoint
+    // pins the result so both caches can be released leak-free
+    val out = pr.select(col("node"), col("pr")).localCheckpoint(true)
+    prRdd.unpersist(blocking = false)
     adjRdd.unpersist(blocking = false)
     out
   }
