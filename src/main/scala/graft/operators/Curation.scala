@@ -57,12 +57,58 @@ object Curation {
     TextAnalysis.temperatureMixture(kept3, k)
   }
 
+  /** SemDeDup (Abbas et al. 2023): near-duplicate removal in EMBEDDING
+    * space — pairs above a cosine threshold inside coarse blocks (label
+    * here; k-means cells at scale), connected components over the pair
+    * graph, keep each cluster's minimum-id representative. Catches
+    * semantic duplicates exact/Jaccard text dedup cannot (paraphrases,
+    * translations, re-renders); the quantized-integer cosine makes the
+    * threshold compare engine-exact. Composes `Similarity.cosineDupPairs`
+    * with `Dedup.duplicateClusters` — the same component loop the text
+    * path uses, which is the point: one clustering primitive serves
+    * every pair generator. */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.30): DataFrame = {
+    val pairs = Similarity.cosineDupPairs(emb, threshold)
+      .select(col("a_id"), col("b_id"))
+    val losers = Dedup.duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    emb.select(col("vec_id"), col("label"))
+      .join(losers, col("vec_id") === col("doc_id"), "left_anti")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> ((s, d) =>
-      curate(t(s, d, "documents")).orderBy(col("lang"), col("rk")))
+      curate(t(s, d, "documents")).orderBy(col("lang"), col("rk"))),
+    "p02_semantic_dedup" -> ((s, d) =>
+      semanticDedup(t(s, d, "embeddings")).orderBy(col("vec_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "p02_semantic_dedup" ->
+      """WITH RECURSIVE n AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         nn AS (
+           SELECT vec_id, label, qv,
+             sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+           FROM n),
+         pairs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+             i -> a.qv[i] * b.qv[i])) AS DOUBLE) / (a.nrm * b.nrm) >= 0.30),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(u, v) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         losers AS (SELECT u FROM reach GROUP BY u HAVING min(v) <> u)
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT u FROM losers)
+         ORDER BY vec_id""",
     "p01_curation_pipeline" ->
       """WITH RECURSIVE
          ws0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
