@@ -66,8 +66,10 @@ object Bench {
     // Stop FIRST, print LAST: spark.stop() logs its shutdown lines
     // before the summary is emitted, so the JSON stays the final line
     // of program output (only sbt's own "[success]" follows it inside
-    // the harness's captured tail).
-    spark.stop()
+    // the harness's captured tail). A shutdown-race exception from
+    // stop() must not eat the summary — it is the whole point of the
+    // program.
+    try spark.stop() catch { case _: Throwable => }
     println(line)
     System.out.flush()
   }

@@ -41,7 +41,11 @@ object Dedup {
   /** Blocked exact word-set Jaccard: candidate pairs share a 20-char
     * prefix block (cheap blocking key), verified with exact Jaccard.
     * |A∪B| computed as |A|+|B|−|A∩B| for cross-engine parity. */
-  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** Blocked candidate pairs with word sets and intersection size — the
+    * shared scaffold under every set-similarity scorer (Jaccard d03,
+    * containment d10): one blocking key, one equi-join, one intersect.
+    * Changing the blocking scheme happens HERE, once. */
+  private def blockedWordSetPairs(docs: DataFrame): DataFrame = {
     val base = docs.select(
       col("doc_id"),
       substring(col("text"), 1, 20).as("blk"),
@@ -51,12 +55,15 @@ object Dedup {
     a.join(b, Seq("blk"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("inter", size(array_intersect(col("a_ws"), col("b_ws"))).cast("long"))
+  }
+
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    blockedWordSetPairs(docs)
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("a_ws")) + size(col("b_ws")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-  }
 
   /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) — the
     * asymmetric companion to Jaccard that catches SUBSET duplicates (a
@@ -66,21 +73,12 @@ object Dedup {
     * [[jaccardPairs]]; the threshold compare and the reported score are
     * pure integer arithmetic (`inter·100 ≥ pct·min`, milli-scaled `div`),
     * so no float crosses an engine boundary. */
-  def containmentPairs(docs: DataFrame, thresholdPct: Int = 60): DataFrame = {
-    val base = docs.select(
-      col("doc_id"),
-      substring(col("text"), 1, 20).as("blk"),
-      array_distinct(split(col("text"), " ")).as("ws"))
-    val a = base.select(col("blk"), col("doc_id").as("a_id"), col("ws").as("a_ws"))
-    val b = base.select(col("blk"), col("doc_id").as("b_id"), col("ws").as("b_ws"))
-    a.join(b, Seq("blk"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_ws"), col("b_ws"))).cast("long"))
+  def containmentPairs(docs: DataFrame, thresholdPct: Int = 60): DataFrame =
+    blockedWordSetPairs(docs)
       .withColumn("msize", least(size(col("a_ws")), size(col("b_ws"))).cast("long"))
       .filter(col("inter") * 100 >= lit(thresholdPct) * col("msize"))
       .select(col("a_id"), col("b_id"), col("inter"), col("msize"),
         expr("(inter * 10000) div msize").as("cont_x1e4"))
-  }
 
   /** MinHash signature: k min-hashes over word-3-shingles, computed in a
     * single explode + k min-aggregates pass (one shuffle by doc_id). */

@@ -30,6 +30,30 @@ object StatefulSessions {
 
   /** Spark's double→DECIMAL(18,4) cast semantics (HALF_UP), so the
     * hand-rolled sum matches the `dsum` pattern bit-for-bit. */
+  /** The session-semantics kernel shared by BOTH streaming sessionizers
+    * (flatMapGroupsWithState st06, transformWithState st12): merge the
+    * open run with new events, split into gap-delimited runs — all but
+    * the last are data-closed, the last stays open in state. One copy
+    * so a gap/rounding tweak can't silently diverge the two APIs. */
+  private[graft] def splitRuns(open: List[Ev], incoming: Iterator[Ev],
+      gapUs: Long): (List[List[Ev]], List[Ev]) = {
+    val merged = (open ++ incoming).sortBy(e => (e.ts_us, e.event_id))
+    var runs = List.empty[List[Ev]]
+    merged.foreach { e =>
+      if (runs.isEmpty || e.ts_us - runs.head.head.ts_us > gapUs) runs ::= List(e)
+      else runs = (e :: runs.head) :: runs.tail
+    }
+    val ordered = runs.reverse.map(_.reverse)
+    (ordered.dropRight(1), ordered.last)
+  }
+
+  /** One closed run → its emitted session row (shared kernel, as above). */
+  private[graft] def toSession(uid: Long, seq: Long, run: List[Ev]): SessionOut = {
+    val s = run.sortBy(e => (e.ts_us, e.event_id))
+    SessionOut(uid, seq, s.head.ts_us, s.last.ts_us, s.size.toLong,
+      s.map(e => dec4(e.value)).sum.toDouble)
+  }
+
   private[graft] def dec4(d: Double): BigDecimal =
     BigDecimal(java.math.BigDecimal.valueOf(d).setScale(4, java.math.RoundingMode.HALF_UP))
 

@@ -245,7 +245,8 @@ object TextAnalysis {
   def tokenRarity(docs: DataFrame): DataFrame = {
     val tk = docs.select(col("doc_id"), explode(ws).as("w")).filter(col("w") =!= "")
     val freq = tk.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val total = tk.agg(count(lit(1)).as("t_total"))
+    // T = Σc from the tiny (w, c) table — NOT a second corpus explode
+    val total = freq.agg(sum(col("c")).as("t_total"))
     tk.join(freq, Seq("w")).crossJoin(broadcast(total))
       .select(col("doc_id"), expr("t_total div c").as("r"))
       .groupBy(col("doc_id"))

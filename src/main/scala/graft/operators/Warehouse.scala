@@ -137,8 +137,11 @@ object Warehouse {
     // from parquet, so any roundtrip lossiness (types, ms timestamps,
     // nulls) breaks the hash match.
     "q53_orc_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_orc")
-        .resolve("slice").toString
+      // fixed per-process path + overwrite: repeated bench/verify runs
+      // rewrite ONE multi-MB slice instead of leaking a fresh temp dir
+      // per invocation
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_orc_slice").toString
       t(s, d, "lineitem")
         .filter(col("l_quantity") >= 25)
         .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),

@@ -38,12 +38,7 @@ object StatefulSessionStream {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-
-    def toSession(uid: Long, seq: Long, run: List[Ev]): SessionOut = {
-      val s = run.sortBy(e => (e.ts_us, e.event_id))
-      SessionOut(uid, seq, s.head.ts_us, s.last.ts_us, s.size.toLong,
-        s.map(e => graft.operators.StatefulSessions.dec4(e.value)).sum.toDouble)
-    }
+    import graft.operators.StatefulSessions.{splitRuns, toSession}
 
     events
       .withWatermark("ts", watermark)
@@ -63,18 +58,9 @@ object StatefulSessionStream {
             else Iterator.single(toSession(uid, st.seq, st.open))
           } else {
             val st = state.getOption.getOrElse(SessState(0L, Nil))
-            val sorted = (st.open ++ it.toSeq).sortBy(e => (e.ts_us, e.event_id))
-            // split into gap-delimited runs; all but the last are
-            // data-closed and emit now, the last stays open in state
-            var runs = List.empty[List[Ev]]
-            sorted.foreach { e =>
-              if (runs.isEmpty || e.ts_us - runs.head.head.ts_us > gapUs)
-                runs ::= List(e)
-              else runs = (e :: runs.head) :: runs.tail
-            }
-            val ordered = runs.reverse.map(_.reverse)
-            val closed = ordered.dropRight(1)
-            val open = ordered.last
+            // split into gap-delimited runs (shared kernel); all but the
+            // last are data-closed and emit now, the last stays open
+            val (closed, open) = splitRuns(st.open, it, gapUs)
             val out = closed.zipWithIndex.map { case (run, i) =>
               toSession(uid, st.seq + i, run)
             }

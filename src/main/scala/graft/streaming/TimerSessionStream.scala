@@ -30,31 +30,20 @@ object TimerSessionStream {
     * one live timer (stale fires compare unequal and are ignored). */
   case class TState(seq: Long, open: List[Ev], deadlineMs: Long)
 
+  import graft.operators.StatefulSessions.{splitRuns, toSession}
+
   class SessionProcessor(gapUs: Long) extends StatefulProcessor[Long, EvW2, SessionOut] {
     @transient private var st: ValueState[TState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[TState]("sess", Encoders.product[TState], TTLConfig.NONE)
 
-    private def toSession(uid: Long, seq: Long, run: List[Ev]): SessionOut = {
-      val s = run.sortBy(e => (e.ts_us, e.event_id))
-      SessionOut(uid, seq, s.head.ts_us, s.last.ts_us, s.size.toLong,
-        s.map(e => graft.operators.StatefulSessions.dec4(e.value)).sum.toDouble)
-    }
-
     override def handleInputRows(uid: Long, rows: Iterator[EvW2],
         tv: TimerValues): Iterator[SessionOut] = {
       val prev = if (st.exists()) st.get() else TState(0L, Nil, -1L)
-      val merged = (prev.open ++ rows.map(e => Ev(e.user_id, e.ts_us, e.event_id, e.value)))
-        .sortBy(e => (e.ts_us, e.event_id))
-      var runs = List.empty[List[Ev]]
-      merged.foreach { e =>
-        if (runs.isEmpty || e.ts_us - runs.head.head.ts_us > gapUs) runs ::= List(e)
-        else runs = (e :: runs.head) :: runs.tail
-      }
-      val ordered = runs.reverse.map(_.reverse)
-      val closed = ordered.dropRight(1)
-      val open = ordered.last
+      // shared kernel with st06's processor — one definition of the gap
+      val (closed, open) = splitRuns(prev.open,
+        rows.map(e => Ev(e.user_id, e.ts_us, e.event_id, e.value)), gapUs)
       // re-arm: delete nothing — store the live deadline and let stale
       // timers no-op in handleExpiredTimer
       val deadlineMs = (open.last.ts_us + gapUs + 999) / 1000

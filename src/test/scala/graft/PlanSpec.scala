@@ -136,7 +136,11 @@ class PlanSpec extends SparkSpec {
     // be wrong at scale even though it'd pass at sf0.001.
     val p = plan("q52_merge_upsert")
     assert(p.contains("FullOuter"), p)
-    assert(!p.contains("BroadcastHashJoin FullOuter"), p)
+    // BroadcastHASHJoin can't even express full-outer — a broadcast
+    // regression would surface as BroadcastNestedLoopJoin, so pin the
+    // positive property (a shuffle join runs it) AND the real negative
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("t08: tf-idf corpus size joins as broadcast, not a shuffle") {
