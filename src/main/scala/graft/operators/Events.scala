@@ -75,8 +75,9 @@ object Events {
     * Scale: one shuffle on user_id; the per-key series materializes in
     * memory, which is the fold's inherent requirement — bounded here by
     * events-per-user, not corpus size. For unbounded keys the streaming
-    * twin (mapGroupsWithState carrying `s` as the only state) is the
-    * 100 TB form; this batch shape is its oracle. */
+    * twin is `streaming.OrderedFoldStream` (st13): buffer-until-sealed
+    * state folds the watermark-sealed prefix in true event-time order;
+    * this batch shape is its oracle's core. */
   def ewmaPerUser(events: DataFrame): DataFrame = {
     val ev = events.select(col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_id"),

@@ -79,6 +79,18 @@ object StreamingQueries {
           EventStreams.readEventStream(scoped, d)).toDF(),
         "append", noDataBatches = true)
         .orderBy(col("user_id"), col("session_seq"))),
+    // non-associative fold (EWMA) under a real stream: buffered state,
+    // fold only the watermark-sealed prefix (true event-time order by
+    // construction); update-mode emissions reduced to the final row
+    "st13_ordered_fold_ewma" -> ((s, d) =>
+      EventStreams.runBounded(s, "st13_mem",
+        scoped => OrderedFoldStream.ewmaStream(
+          EventStreams.readEventStream(scoped, d)).toDF(),
+        "update", noDataBatches = true)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_done"), col("ewma_q"))).as("p"))
+        .select(col("user_id"), col("p.n_done").as("n_done"), col("p.ewma_q").as("ewma_q"))
+        .orderBy(col("user_id"))),
     // the SAME sessionizer on the state-v2 API (transformWithState +
     // event-time timers + RocksDB): one emission contract, two state
     // machineries — st06's oracle pins both
@@ -157,6 +169,24 @@ object StreamingQueries {
     "st03_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // e06's fold restricted to the watermark-sealed prefix: events with
+    // ts_ms < (max ts_ms − 10 min) fold in (ts, event_id) order; the
+    // trailing horizon stays unfolded (users with nothing sealed absent)
+    "st13_ordered_fold_ewma" ->
+      """WITH ev AS (
+           SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us, event_id,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vq
+           FROM events),
+         wm AS (SELECT max(ts_us // 1000) - 600000 AS wm_ms FROM ev),
+         sealed AS (
+           SELECT user_id, ts_us, event_id, vq FROM ev, wm
+           WHERE ts_us // 1000 < wm.wm_ms),
+         agg AS (
+           SELECT user_id, list(vq ORDER BY ts_us, event_id) AS seq
+           FROM sealed GROUP BY user_id)
+         SELECT user_id, CAST(len(seq) AS BIGINT) AS n_done,
+           list_reduce(seq, (s, x) -> (85 * s + 15 * x) // 100) AS ewma_q
+         FROM agg ORDER BY user_id""",
     "st11_cdc_apply" ->
       """WITH ev AS (
            SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us, event_id, event_type,
