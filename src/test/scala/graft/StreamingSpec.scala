@@ -177,6 +177,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((0L, us(600), 2L), (1L, us(660), 1L)), s"got $got")
   }
 
+  test("ordered fold: cross-batch sealing folds in event-time order") {
+    import spark.implicits._
+    import graft.streaming.OrderedFoldStream
+    val dir = Files.createTempDirectory("graft-fold-mb").toString
+    def writeBatch(path: String, mtime: Long, rows: Seq[(Long, Long, Double)]): Unit = {
+      rows.map { case (id, tsUs, v) => (id, tsUs * 1000L, 7L, "view", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(path)
+      new java.io.File(path).listFiles().foreach(_.setLastModified(mtime))
+    }
+    // batch 1 buffers 10:00/10:05 (wm still 0); batch 2 adds 11:00 and
+    // 12:00 — the final watermark (12:00 − 10 min) seals the first
+    // THREE across the batch boundary, holds the 12:00 event
+    writeBatch(s"$dir/b1", 1000000L, Seq((1L, us(600), 1.0), (2L, us(605), 2.0)))
+    writeBatch(s"$dir/b2", 2000000L, Seq((3L, us(660), 3.0), (4L, us(720), 4.0)))
+    val result = EventStreams.runBounded(spark, "fold_mb_mem", scoped => {
+      val src = scoped.readStream.schema(EventStreams.rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      OrderedFoldStream.ewmaStream(src).toDF()
+    }, "update", noDataBatches = true)
+    val fin = result.groupBy(col("user_id"))
+      .agg(max(struct(col("n_done"), col("ewma_q"))).as("p"))
+      .select(col("p.n_done"), col("p.ewma_q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // fold over vq = 10000, 20000, 30000:
+    //   s = 10000 → (85·10000+15·20000)/100 = 11500 → (85·11500+15·30000)/100 = 14275
+    assert(fin == Seq((3L, 14275L)), s"got $fin")
+  }
+
   test("CDC apply: final state invariant under batch split and order") {
     import graft.streaming.CdcApply
     val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
