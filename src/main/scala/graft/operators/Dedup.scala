@@ -38,22 +38,70 @@ object Dedup {
     a.join(b, Seq("h")).filter(col("a_id") < col("b_id")).select(col("a_id"), col("b_id"))
   }
 
+  /** SKEW-BOUNDED within-block self-join — the shared candidate
+    * generator under every blocked pair scorer (text Jaccard d03,
+    * containment d10, embedding cosine s04/p02).
+    *
+    * The naive `a.join(b, "blk")` shuffles BOTH sides on the block key,
+    * so one hot block (boilerplate-prefixed web pages, a dense LSH
+    * bucket) lands on ONE task that must produce |block|² pairs — the
+    * classic skewed-key scale-killer AQE cannot split (the blow-up is
+    * inside the join, not in the shuffled input sizes).
+    *
+    * Fix, output-identical: within each block, rows get a group index
+    * `g = (rank-1)/cap` (rank by id — deterministic), and the unordered
+    * pair (x∈g₁ ≤ y∈g₂) meets on join key `(blk, g₁, g₂)`: the a-side
+    * replicates each row to keys (g, g..gmax), the b-side to keys
+    * (0..g, g). Every join key now carries ≤ cap rows PER SIDE, so no
+    * task exceeds cap² pairs regardless of block skew; replication is
+    * O(|block|²/cap) rows — the same order as the pair output itself,
+    * i.e. proportional to work the operator must do anyway. Each pair
+    * meets exactly once (for g₁<g₂ the key fixes which side is which;
+    * for g₁=g₂ the id filter orders it), and since ranks are ordered by
+    * id, cross-group pairs already satisfy a_id < b_id.
+    *
+    * `base` must have columns (blk, id, p) — p is the opaque payload
+    * structs/arrays the scorer needs. Returns (a_id, a_p, b_id, b_p).
+    */
+  private[graft] def boundedPairJoin(base: DataFrame, cap: Int): DataFrame = {
+    val (a, b) = boundedPairSides(base, cap)
+    a.join(b, Seq("blk", "_ga", "_gb"))
+      .filter(col("_ga") < col("_gb") || col("a_id") < col("b_id"))
+      .select(col("a_id"), col("a_p"), col("b_id"), col("b_p"))
+  }
+
+  /** The two replicated sides of [[boundedPairJoin]], exposed so the
+    * cap invariant (≤ cap rows per join key, per side) is directly
+    * testable (DedupSpec/SimilaritySpec). */
+  private[graft] def boundedPairSides(base: DataFrame, cap: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("blk")).orderBy(col("id"))
+    val cw = Window.partitionBy(col("blk"))
+    val g = base
+      .withColumn("_g", ((row_number().over(w) - 1) / cap).cast("long"))
+      .withColumn("_gmax", ((count(lit(1)).over(cw) - 1) / cap).cast("long"))
+    val a = g.select(col("blk"), col("_g").as("_ga"),
+      explode(sequence(col("_g"), col("_gmax"))).as("_gb"),
+      col("id").as("a_id"), col("p").as("a_p"))
+    val b = g.select(col("blk"),
+      explode(sequence(lit(0L), col("_g"))).as("_ga"),
+      col("_g").as("_gb"), col("id").as("b_id"), col("p").as("b_p"))
+    (a, b)
+  }
+
   /** Blocked exact word-set Jaccard: candidate pairs share a 20-char
     * prefix block (cheap blocking key), verified with exact Jaccard.
-    * |A∪B| computed as |A|+|B|−|A∩B| for cross-engine parity. */
-  /** Blocked candidate pairs with word sets and intersection size — the
-    * shared scaffold under every set-similarity scorer (Jaccard d03,
-    * containment d10): one blocking key, one equi-join, one intersect.
-    * Changing the blocking scheme happens HERE, once. */
-  private def blockedWordSetPairs(docs: DataFrame): DataFrame = {
+    * |A∪B| computed as |A|+|B|−|A∩B| for cross-engine parity. Pairs are
+    * generated through [[boundedPairJoin]], so a hot prefix (web
+    * boilerplate) costs bounded tasks, not one quadratic straggler —
+    * the DuckDB oracle is the plain blocked join (identical output). */
+  private def blockedWordSetPairs(docs: DataFrame, cap: Int = 256): DataFrame = {
     val base = docs.select(
-      col("doc_id"),
       substring(col("text"), 1, 20).as("blk"),
-      array_distinct(split(col("text"), " ")).as("ws"))
-    val a = base.select(col("blk"), col("doc_id").as("a_id"), col("ws").as("a_ws"))
-    val b = base.select(col("blk"), col("doc_id").as("b_id"), col("ws").as("b_ws"))
-    a.join(b, Seq("blk"))
-      .filter(col("a_id") < col("b_id"))
+      col("doc_id").as("id"),
+      array_distinct(split(col("text"), " ")).as("p"))
+    boundedPairJoin(base, cap)
+      .select(col("a_id"), col("b_id"), col("a_p").as("a_ws"), col("b_p").as("b_ws"))
       .withColumn("inter", size(array_intersect(col("a_ws"), col("b_ws"))).cast("long"))
   }
 

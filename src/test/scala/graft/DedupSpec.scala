@@ -34,4 +34,53 @@ class DedupSpec extends SparkSpec {
     // every reported pair must genuinely clear the Jaccard threshold
     assert(pairs.forall(_.getDouble(2) >= 0.7))
   }
+
+  test("boundedPairJoin: one 1000-row hot block → every join key ≤ cap per side, output complete") {
+    import spark.implicits._
+    val cap = 64
+    val n = 1000
+    // the adversarial case: EVERY row lands in the SAME block (one hot
+    // boilerplate prefix) — naive blocking would put all n²/2 pairs on
+    // one task
+    val base = (1 to n).map(i => ("hot", i.toLong, s"payload$i"))
+      .toDF("blk", "id", "p")
+    val (a, b) = Dedup.boundedPairSides(base, cap)
+    val amax = a.groupBy("blk", "_ga", "_gb").count().agg(max("count")).head.getLong(0)
+    val bmax = b.groupBy("blk", "_ga", "_gb").count().agg(max("count")).head.getLong(0)
+    assert(amax <= cap, s"a-side key group $amax exceeds cap $cap")
+    assert(bmax <= cap, s"b-side key group $bmax exceeds cap $cap")
+    // output-identical: all n·(n-1)/2 pairs, each exactly once
+    val pairs = Dedup.boundedPairJoin(base, cap)
+      .select(col("a_id"), col("b_id")).collect()
+    assert(pairs.length == n * (n - 1) / 2)
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet.size == pairs.length)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("jaccardPairs through the bounded kernel == naive blocked join (mixed blocks)") {
+    import spark.implicits._
+    // 3 blocks of very different sizes, incl. one above the cap used by
+    // blockedWordSetPairs (256): same-prefix docs with drifting suffixes
+    val docs = ((1 to 300).map { i =>
+      (i.toLong, f"shared twenty char.. tail ${i / 3}%d extra ${i}%d")
+    } ++ (1000L to 1004L).map { i =>
+      (i, s"another prefix here.. body $i")
+    }).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, 0.5)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // naive reference: plain blocked self-join, no skew handling
+    val base = docs.select(
+      substring(col("text"), 1, 20).as("blk"), col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    val naive = base.as("x").join(base.as("y"), Seq("blk"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", $"y.doc_id",
+        size(array_intersect($"x.ws", $"y.ws")).cast("double").as("i"),
+        size($"x.ws").cast("double").as("sa"), size($"y.ws").cast("double").as("sb"))
+      .withColumn("j", col("i") / (col("sa") + col("sb") - col("i")))
+      .filter(col("j") >= 0.5)
+      .select($"x.doc_id", $"y.doc_id", col("j")).as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got == naive, s"bounded kernel diverged: ${got.size} vs ${naive.size} pairs")
+  }
 }
