@@ -58,15 +58,17 @@ object Curation {
   }
 
   /** SemDeDup (Abbas et al. 2023): near-duplicate removal in EMBEDDING
-    * space — pairs above a cosine threshold inside coarse blocks (label
-    * here; k-means cells at scale), connected components over the pair
-    * graph, keep each cluster's minimum-id representative. Catches
-    * semantic duplicates exact/Jaccard text dedup cannot (paraphrases,
-    * translations, re-renders); the quantized-integer cosine makes the
-    * threshold compare engine-exact. Composes `Similarity.cosineDupPairs`
-    * with `Dedup.duplicateClusters` — the same component loop the text
-    * path uses, which is the point: one clustering primitive serves
-    * every pair generator. */
+    * space — pairs above a cosine threshold among banded-LSH candidates
+    * (bounded signature cells, NOT a fixed-cardinality column — see
+    * `Similarity.cosineDupPairs` for the scale rationale), connected
+    * components over the pair graph, keep each cluster's minimum-id
+    * representative. Catches semantic duplicates exact/Jaccard text
+    * dedup cannot (paraphrases, translations, re-renders); the
+    * quantized-integer cosine + deterministic hyperplanes make both the
+    * threshold compare and candidate generation engine-exact. Composes
+    * `Similarity.cosineDupPairs` with `Dedup.duplicateClusters` — the
+    * same component loop the text path uses, which is the point: one
+    * clustering primitive serves every pair generator. */
   def semanticDedup(emb: DataFrame, threshold: Double = 0.30): DataFrame = {
     val pairs = Similarity.cosineDupPairs(emb, threshold)
       .select(col("a_id"), col("b_id"))
@@ -85,20 +87,10 @@ object Curation {
 
   def oracleSql: Map[String, String] = Map(
     "p02_semantic_dedup" ->
-      """WITH RECURSIVE n AS (
-           SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
-           FROM embeddings),
-         nn AS (
-           SELECT vec_id, label, qv,
-             sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
-           FROM n),
+      s"""WITH RECURSIVE ${Similarity.bandedScoredCtes()},
          pairs AS (
-           SELECT a.vec_id AS a_id, b.vec_id AS b_id
-           FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
-           WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
-             i -> a.qv[i] * b.qv[i])) AS DOUBLE) / (a.nrm * b.nrm) >= 0.30),
-         edges AS (
+           SELECT a_id, b_id FROM scored WHERE cos >= 0.30),
+         edges AS MATERIALIZED (
            SELECT a_id AS u, b_id AS v FROM pairs
            UNION SELECT b_id, a_id FROM pairs),
          reach(u, v) AS (

@@ -57,18 +57,45 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
   }
 
+  /** Seed-derived ±1 random hyperplanes — the ONE shared definition:
+    * the Spark signature expression and the DuckDB oracle mirror are
+    * both generated from this array, so the two engines cannot drift. */
+  private[graft] def hyperplanes(nBits: Int, dim: Int = 64,
+                                 seed: Long = 42): Array[Array[Long]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(if (rng.nextBoolean()) 1L else -1L)
+  }
+
+  /** Spark SQL expression text for the nBits-bit hyperplane signature of
+    * the quantized vector column `qv`: bit j = (qv · plane_j ≥ 0). */
+  private def sigExprSql(nBits: Int, dim: Int, seed: Long): String =
+    hyperplanes(nBits, dim, seed).zipWithIndex.map { case (p, j) =>
+      val plane = s"array(${p.mkString(",")})"
+      val dot = s"aggregate(zip_with(qv, $plane, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+      s"(case when $dot >= 0 then cast(1 as bigint) << $j else 0 end)"
+    }.mkString(" + ")
+
   /** Random-hyperplane LSH signatures: bit j = sign(v · r_j), planes
     * derived from a fixed seed (deterministic). Returns (vec_id, bucket).
     * nBits=12 → 4096 buckets; tune so bucket size ≈ corpus/4096. */
-  def lshBuckets(emb: DataFrame, nBits: Int = 12, dim: Int = 64, seed: Long = 42): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nBits, dim)(if (rng.nextBoolean()) 1L else -1L)
-    val bitCols = (0 until nBits).map { j =>
-      val plane = s"array(${planes(j).mkString(",")})"
-      val dot = s"aggregate(zip_with(qv, $plane, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
-      s"(case when $dot >= 0 then cast(1 as bigint) << $j else 0 end)"
-    }
-    quantized(emb).withColumn("bucket", expr(bitCols.mkString(" + ")))
+  def lshBuckets(emb: DataFrame, nBits: Int = 12, dim: Int = 64, seed: Long = 42): DataFrame =
+    quantized(emb).withColumn("bucket", expr(sigExprSql(nBits, dim, seed)))
+
+  /** Banded blocking rows for [[cosineDupPairs]]: each vector explodes
+    * to one (blk, id, p) row per band, blk = band-index ⊕ that band's
+    * bitsPerBand signature slice. Only ids ride the explode (payloads
+    * join back after candidate dedup), so the replicated shuffle ships
+    * nBands×16 bytes per vector, not the vector itself. */
+  private[graft] def bandedBlocks(emb: DataFrame, nBands: Int, bitsPerBand: Int,
+                                  seed: Long): DataFrame = {
+    val mask = (1L << bitsPerBand) - 1
+    quantized(emb)
+      .withColumn("sig", expr(sigExprSql(nBands * bitsPerBand, 64, seed)))
+      .select(
+        explode(expr(s"""transform(sequence(0, ${nBands - 1}),
+          b -> (cast(b as bigint) << $bitsPerBand) | ((sig >> (b * $bitsPerBand)) & $mask))"""))
+          .as("blk"),
+        col("vec_id").as("id"), lit(false).as("p"))
   }
 
   /** LSH-bucketed approximate top-k: queries only compare against corpus
@@ -208,18 +235,81 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("rk"), col("ip"))
   }
 
-  /** Embedding near-dup pairs: quantized cosine ≥ threshold within
-    * label blocks (cheap exact blocking at test scale; at 100 TB the
-    * block key would be an LSH bucket). */
-  def cosineDupPairs(emb: DataFrame, threshold: Double = 0.99): DataFrame = {
+  /** Embedding near-dup pairs: quantized cosine ≥ threshold over
+    * BANDED-LSH candidates — a pair is a candidate iff it agrees on at
+    * least one of nBands bitsPerBand-bit signature slices (the MinHash-
+    * LSH banding layout applied to hyperplane signatures), then every
+    * candidate is verified with the exact integer-quantized cosine.
+    *
+    * Scale design: the block key is a bounded signature cell, not a
+    * fixed-cardinality column (the previous label blocking made each
+    * cell n/25 of the corpus ⇒ O(n²) within-cell). Cell population is
+    * data-dependent, so candidates go through [[Dedup.boundedPairJoin]]:
+    * even a degenerate cell (every vector identical) costs cap-bounded
+    * tasks, and oversized cells of genuinely-similar vectors are
+    * output-bound (any correct algorithm emits |cell|² pairs there).
+    * Recall is the standard banding curve 1-(1-p^r)^b; at 100 TB raise
+    * bitsPerBand with log(n) (e.g. 16-20) to keep cells sparse — the
+    * defaults here are tuned for the test corpus. Deterministic planes
+    * ⇒ DuckDB mirrors candidate generation exactly (s04/p02 oracles). */
+  def cosineDupPairs(emb: DataFrame, threshold: Double = 0.99,
+                     nBands: Int = 5, bitsPerBand: Int = 6,
+                     seed: Long = 42, cap: Int = 128): DataFrame = {
     val base = quantized(emb)
-    val a = base.select(col("label"), col("vec_id").as("a_id"), col("qv").as("a_qv"), col("nrm").as("a_nrm"))
-    val b = base.select(col("label"), col("vec_id").as("b_id"), col("qv").as("b_qv"), col("nrm").as("b_nrm"))
-    a.join(b, Seq("label"))
-      .filter(col("a_id") < col("b_id"))
+    val cand = Dedup.boundedPairJoin(bandedBlocks(emb, nBands, bitsPerBand, seed), cap)
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(base.select(col("vec_id").as("a_id"), col("qv").as("a_qv"), col("nrm").as("a_nrm")), Seq("a_id"))
+      .join(base.select(col("vec_id").as("b_id"), col("qv").as("b_qv"), col("nrm").as("b_nrm")), Seq("b_id"))
       .withColumn("cos", idot("a_qv", "b_qv").cast("double") / (col("a_nrm") * col("b_nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** DuckDB CTE chain mirroring [[cosineDupPairs]]'s banded candidate
+    * generation — generated from the SAME [[hyperplanes]] array as the
+    * Spark expression. Ends with `scored(a_id, b_id, cos)`; callers
+    * append their threshold filter. Shared by s04 and p02 (Curation). */
+  private[operators] def bandedScoredCtes(nBands: Int = 5, bitsPerBand: Int = 6,
+                                          seed: Long = 42): String = {
+    val nBits = nBands * bitsPerBand
+    val planes = hyperplanes(nBits, 64, seed)
+    val qv = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+    val sigTerms = planes.zipWithIndex.map { case (p, j) =>
+      val pl = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> qv[i] * ($pl)[i])) >= 0" +
+        s" THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
+    }.mkString("\n             + ")
+    val mask = (1L << bitsPerBand) - 1
+    // one hash equi-join per band (UNION dedups candidates) — the OR-of-
+    // band-equalities form forces DuckDB into an O(n²) nested loop, and
+    // an unhinted CTE re-evaluates under the recursive consumers (p02),
+    // hence the per-band joins + MATERIALIZED pins
+    val bandJoins = (0 until nBands).map { b =>
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM sig a JOIN sig b
+             ON ((a.sig >> ${b * bitsPerBand}) & $mask) = ((b.sig >> ${b * bitsPerBand}) & $mask)
+               AND a.vec_id < b.vec_id"""
+    }.mkString("\n           UNION\n           ")
+    s"""nq AS (
+           SELECT vec_id, label, $qv AS qv FROM embeddings),
+         nn AS (
+           SELECT vec_id, label, qv,
+             sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+           FROM nq),
+         sig AS MATERIALIZED (
+           SELECT vec_id, label, qv, nrm,
+             $sigTerms AS sig
+           FROM nn),
+         cand AS (
+           $bandJoins),
+         scored AS MATERIALIZED (
+           SELECT c.a_id, c.b_id,
+             CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+               i -> a.qv[i] * b.qv[i])) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+           FROM cand c
+           JOIN sig a ON a.vec_id = c.a_id
+           JOIN sig b ON b.vec_id = c.b_id)"""
   }
 
   /** Centroid table via the typed [[graft.functions.VectorMeanAgg]]
@@ -319,16 +409,8 @@ object Similarity {
              round(max(CASE WHEN dim = 1 THEN mv END), 6) AS c0
            FROM m GROUP BY label ORDER BY label""",
       "s04_cosine_dup_pairs" ->
-        s"""WITH n AS (
-             SELECT vec_id, label, $qv AS qv,
-               sqrt(CAST(list_sum(list_transform($qv, x -> x * x)) AS DOUBLE)) AS nrm
-             FROM embeddings)
-           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
-               i -> a.qv[i] * b.qv[i])) AS DOUBLE) / (a.nrm * b.nrm) AS cos
-           FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-           WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
-             i -> a.qv[i] * b.qv[i])) AS DOUBLE) / (a.nrm * b.nrm) >= 0.30
+        s"""WITH ${bandedScoredCtes()}
+           SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.30
            ORDER BY a_id, b_id"""
     )
   }

@@ -23,6 +23,31 @@ class SimilaritySpec extends SparkSpec {
     assert(joined < 1e-4, s"max centroid deviation $joined")
   }
 
+  // Scale pin for the banded-LSH candidate path: a degenerate corpus
+  // (300 identical vectors → one cell per band, the worst skew possible)
+  // must still satisfy the boundedPairJoin cap per join key AND emit the
+  // complete pair set — bounded tasks, zero recall loss inside the cell.
+  test("cosineDupPairs banded blocking: hot cell stays cap-bounded and complete") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    val hot = (0L until 300L).map(id => (id, Array.fill(64)(0.5f), id % 5))
+    val rest = (300L until 400L).map(id => (id, Array.fill(64)(rng.nextFloat() - 0.5f), id % 5))
+    val emb = (hot ++ rest).toDF("vec_id", "embedding", "label").repartition(7)
+
+    val cap = 32
+    val blocks = Similarity.bandedBlocks(emb, nBands = 5, bitsPerBand = 6, seed = 42)
+    val (aSide, _) = graft.operators.Dedup.boundedPairSides(blocks, cap)
+    val maxKey = aSide.groupBy("blk", "_ga", "_gb").count()
+      .agg(max(col("count"))).first().getLong(0)
+    assert(maxKey <= cap, s"join-key side size $maxKey exceeds cap $cap")
+
+    val got = Similarity.cosineDupPairs(emb, threshold = 0.999, cap = cap)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // identical vectors agree on every band ⇒ all hot pairs are candidates
+    val want = (for { a <- 0L until 300L; b <- a + 1 to 299L } yield (a, b)).toSet
+    assert(want.subsetOf(got), s"missing ${(want -- got).size} hot-cell pairs")
+  }
+
   // The pruning claim is exactness: Cauchy–Schwarz stops are strict, so
   // the pruned scan must equal the un-pruned ranking bit for bit —
   // including tie-breaks — on data it has never seen.
