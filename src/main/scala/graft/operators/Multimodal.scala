@@ -51,15 +51,19 @@ object Multimodal {
     * here (no media libs in this container). The stub derives a
     * deterministic 8-dim feature vector from the bytes so the plumbing —
     * typed Dataset, per-partition batching, output schema — is fully
-    * exercisable and testable. */
+    * exercisable and testable. Lane sums accumulate in exact integer
+    * arithmetic with ONE terminal float division, so the features are
+    * losslessly recoverable as integers (round(f*255) == lane sum while
+    * sums stay < 2^23) — which is what lets m03 carry a DuckDB oracle
+    * instead of a rows-only check. */
   private def fakeDecode(bytes: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
+    val acc = new Array[Long](8)
     var i = 0
     while (i < bytes.length) {
-      out(i % 8) += (bytes(i) & 0xff) / 255.0f
+      acc(i % 8) += (bytes(i) & 0xff)
       i += 1
     }
-    out
+    Array.tabulate(8)(j => acc(j).toFloat / 255.0f)
   }
 
   /** Partition-batched feature extraction over binary payloads. */
@@ -138,10 +142,14 @@ object Multimodal {
         .orderBy(col("doc_id"))),
     "m02_chunk_index" -> ((s, d) =>
       chunkIndex(t(s, d, "documents")).orderBy(col("doc_id"), col("chunk_idx"))),
+    // all 8 float lanes roundtripped to their exact integer lane sums
+    // (see fakeDecode) — hash-comparable against a byte-arithmetic oracle
     "m03_feature_stub" -> ((s, d) =>
       extractFeatures(t(s, d, "documents")).toDF()
-        .select(col("doc_id"), col("n_bytes"),
-          element_at(col("features"), 1).as("f0"))
+        .select(col("doc_id") +: col("n_bytes") +:
+          (0 until 8).map(j => expr(
+            s"cast(round(cast(element_at(features, ${j + 1}) as double) * 255.0) as bigint)")
+            .as(s"l$j")): _*)
         .orderBy(col("doc_id"))),
     // frame sampling: keep every 4th chunk — the stride pattern a video
     // frame-sampler applies before decode (narrow, pushdown-friendly)
@@ -178,6 +186,14 @@ object Multimodal {
            FROM documents)
          SELECT doc_id, i AS chunk_idx, least(64, n - i * 64) AS chunk_bytes
          FROM c ORDER BY doc_id, chunk_idx""",
+    // lane j = bytes at 0-based positions ≡ j (mod 8); docs are ASCII so
+    // ord(char) == byte value (equality with octet_length checked above)
+    "m03_feature_stub" ->
+      ("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         """ + (0 until 8).map { j =>
+        s"COALESCE(CAST(list_sum(list_transform(range(${j + 1}, length(text) + 1, 8), i -> ord(text[i]))) AS BIGINT), 0) AS l$j"
+      }.mkString(",\n         ") +
+        "\n         FROM documents ORDER BY doc_id"),
     "m04_frame_sample" ->
       """WITH c AS (
            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,

@@ -40,7 +40,18 @@ object ZhEnrich {
     *
     * Mirrors `OMT:134-146` (projection+filter) and `OMT:196-245`
     * (per-row derivation) with the corrected `name:zh-Hant` key. */
-  def zhEnrich(df: DataFrame, idCol: String = "id"): DataFrame = {
+  def zhEnrich(df: DataFrame, idCol: String = "id"): DataFrame =
+    zhEnrichWith(df, idCol, zh_to_simplified, zh_to_traditional)
+
+  /** [[zhEnrich]] with the two conversion functions injected. The default
+    * instantiation is the ICU pipeline above; substituting identity for
+    * both isolates everything EXCEPT conversion (the F2–F5 filters, X4
+    * empty→null, X5 coalesce-guard, X6 conditional derive), which is the
+    * DuckDB-expressible fragment — z05 oracle-checks this whole structure
+    * so the unverified surface shrinks to the two ICU calls themselves
+    * (SURVEY.md §5.1). */
+  def zhEnrichWith(df: DataFrame, idCol: String,
+                   toHans: Column => Column, toHant: Column => Column): DataFrame = {
     val eZh = nz(element_at(col("tags"), ZhKey))
     val eHans = nz(element_at(col("tags"), HansKey))
     val eHant = nz(element_at(col("tags"), HantKey))
@@ -54,8 +65,8 @@ object ZhEnrich {
       // X6 (OMT:227-236): derive the missing forms
       .select(
         col(idCol).cast("long").as("id"),
-        coalesce(eHans, zh_to_simplified(col("_zh"))).as("hans"),
-        coalesce(eHant, zh_to_traditional(col("_zh"))).as("hant"),
+        coalesce(eHans, toHans(col("_zh"))).as("hans"),
+        coalesce(eHant, toHant(col("_zh"))).as("hant"),
         // F5 (OMT:207,237-244): emit only when something was derived
         (eHans.isNull || eHant.isNull).as("_changed"))
       .filter(col("_changed"))

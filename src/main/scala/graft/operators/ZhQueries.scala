@@ -44,6 +44,14 @@ object ZhQueries {
             .cast("long").as("n_diff"))
         .orderBy(col("doc_id"))
     }),
+    // z01 with conversion stubbed to IDENTITY: oracle-checks the entire
+    // enrichment structure (F2–F5 filters, X4 empty→null, X5 coalesce-
+    // guard, X6 conditional derive, Han detection) against a DuckDB
+    // mirror of the same fixture — confining the no-oracle surface to
+    // the two ICU calls themselves (SURVEY.md §5.1).
+    "z05_zh_enrich_structure" -> ((s, _) => {
+      ZhEnrich.zhEnrichWith(OsmFixture(s), "id", identity, identity).orderBy(col("id"))
+    }),
     // Han-script detection over real data — DuckDB-oracled (RE2 \p{Han}).
     "z03_han_script_stats" -> ((s, d) => {
       t(s, d, "documents")
@@ -55,6 +63,36 @@ object ZhQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // The OsmFixture rows inlined with tag values pre-extracted (the map
+    // lookup itself is trivial element_at; semantics under test are the
+    // filters/derives). Identity conversion ⇒ hans/hant = coalesce(tag, zh).
+    "z05_zh_enrich_structure" ->
+      """WITH f(id, name, zh, hans_t, hant_t) AS (VALUES
+           (1, '北京市', NULL, NULL, NULL),
+           (2, 'Springfield', NULL, NULL, NULL),
+           (3, '成田 Airport', NULL, NULL, NULL),
+           (4, NULL, '萬國碼', NULL, NULL),
+           (5, NULL, NULL, NULL, NULL),
+           (6, '', NULL, NULL, NULL),
+           (7, '头发', NULL, '头发', NULL),
+           (8, '頭髮', NULL, NULL, '頭髮'),
+           (9, '東京', NULL, '东京', '東京'),
+           (10, '上海', NULL, '', NULL),
+           (11, '广州', NULL, NULL, NULL)),
+         e AS (
+           SELECT CAST(id AS BIGINT) AS id, name,
+             nullif(zh, '') AS ezh, nullif(hans_t, '') AS ehans, nullif(hant_t, '') AS ehant
+           FROM f),
+         d AS (
+           SELECT id, ehans, ehant,
+             COALESCE(ezh, CASE WHEN regexp_matches(name, '\p{Han}') THEN name END) AS _zh
+           FROM e
+           WHERE (name IS NOT NULL OR ezh IS NOT NULL)
+             AND (ehant IS NULL OR ehans IS NULL))
+         SELECT id, COALESCE(ehans, _zh) AS hans, COALESCE(ehant, _zh) AS hant
+         FROM d
+         WHERE _zh IS NOT NULL AND (ehans IS NULL OR ehant IS NULL)
+         ORDER BY id""",
     "z03_han_script_stats" ->
       """SELECT regexp_matches(text, '\p{Han}') AS has_han,
          count(*) AS n_docs,
