@@ -384,10 +384,73 @@ object Dedup {
     "d04_minhash_neardups" -> ((s, d) =>
       minHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "d05_simhash_neardups" -> ((s, d) =>
-      simHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id")))
+      simHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
+    // SUBSET PIN for d04: the banded-candidate + exact-verify output must
+    // be contained in the blocking-free exact-threshold pair set (any row
+    // here = a pair the kernel emitted that a full scan would not).
+    // Oracle = the empty set, so the containment is driver-checked even
+    // though the banding itself is not SQL-expressible.
+    "d11_minhash_subset_pin" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      minHashNearDupPairs(docs).select(col("a_id"), col("b_id"))
+        .except(exactJaccardPairsBrute(docs, 0.7).select(col("a_id"), col("b_id")))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+    // EQUALITY PIN for d05: 4 bands with maxDist 3 < 4 means every pair
+    // within distance has an untouched band (pigeonhole), so the banded
+    // output must EQUAL the brute-force Hamming pair set — the symmetric
+    // difference is pinned empty (soundness AND completeness).
+    "d12_simhash_equality_pin" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val banded = simHashNearDupPairs(docs)
+      val brute = bruteHammingPairs(docs, 3)
+      banded.except(brute).union(brute.except(banded))
+        .orderBy(col("a_id"), col("b_id"))
+    })
   )
 
+  /** Blocking-free exact word-set Jaccard pairs — the comparison side of
+    * [[queries d11]]'s subset pin. Quadratic BY DESIGN (it is the ground
+    * truth the banded kernel is checked against, never a production
+    * path); a distinct-word-count band prunes pairs that cannot reach
+    * the threshold (J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t) before any intersect. */
+  private[graft] def exactJaccardPairsBrute(docs: DataFrame, threshold: Double): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+    val a = ws.select(col("doc_id").as("a_id"), col("ws").as("a_ws"), col("n").as("a_n"))
+    val b = ws.select(col("doc_id").as("b_id"), col("ws").as("b_ws"), col("n").as("b_n"))
+    val t1000 = (threshold * 1000).toLong
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id") &&
+        col("a_n") * 1000 >= col("b_n") * t1000 && col("b_n") * 1000 >= col("a_n") * t1000)
+      .withColumn("inter", size(array_intersect(col("a_ws"), col("b_ws"))).cast("long"))
+      .filter(col("inter") * 1000 >= (col("a_n") + col("b_n") - col("inter")) * t1000)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Blocking-free SimHash Hamming pairs — the comparison side of
+    * [[queries d12]]'s equality pin (signatures only ride the cross
+    * join: 16 bytes a side, xor+popcount per pair). */
+  private[graft] def bruteHammingPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val sig = simHashFast(docs)
+    val a = sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+    val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // the pins assert containment/equality holds EXACTLY: expected = ∅
+    "d11_minhash_subset_pin" ->
+      """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
+         WHERE 1 = 0""",
+    "d12_simhash_equality_pin" ->
+      """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,
+         CAST(NULL AS BIGINT) AS hamming WHERE 1 = 0""",
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",

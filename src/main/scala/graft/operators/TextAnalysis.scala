@@ -319,6 +319,23 @@ object TextAnalysis {
     "d06_winnow_overlap" -> ((s, d) =>
       winnowOverlapPairs(t(s, d, "documents"))
         .orderBy(col("a_id"), col("b_id"))),
+    // SUBSET PIN for d06: winnowing guarantees every shared fingerprint
+    // comes from a shared character 8-gram (modulo 64-bit rolling-hash
+    // collisions), so every emitted pair must share at least one 8-gram.
+    // Checked per OUTPUT pair (gram sets join to the ~|output| rows, no
+    // gram self-join), violations pinned to the empty set driver-side.
+    "d13_winnow_subset_pin" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val grams = docs.select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 7, 0)), i -> substring(text, i, 8))"))
+        .as("gs"))
+      winnowOverlapPairs(docs).select(col("a_id"), col("b_id"))
+        .join(grams.select(col("doc_id").as("a_id"), col("gs").as("a_gs")), Seq("a_id"))
+        .join(grams.select(col("doc_id").as("b_id"), col("gs").as("b_gs")), Seq("b_id"))
+        .filter(size(array_intersect(col("a_gs"), col("b_gs"))) === 0)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
     "t06_regex_tokens" -> ((s, d) => regexTokenStats(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t02_lang_id" -> ((s, d) =>
       scriptLangId(t(s, d, "documents"))
@@ -337,6 +354,9 @@ object TextAnalysis {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "d13_winnow_subset_pin" ->
+      """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
+         WHERE 1 = 0""",
     "t12_token_rarity" ->
       """WITH tk AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
