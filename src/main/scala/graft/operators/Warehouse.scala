@@ -34,26 +34,41 @@ import org.apache.spark.sql.functions._
 object Warehouse {
 
   /** Exact semi join of `fact` against `dimKeys`, pre-filtered by a
-    * broadcast bloom filter over the key set (public
-    * `DataFrameStatFunctions.bloomFilter` API). `fpp` trades filter
-    * size for shuffled false positives: 1% FPP ≈ 9.6 bits/key — 3k keys
-    * here, ~120 MB for 100M keys at scale, both fine to broadcast where
-    * a hash set of raw keys would not be. */
+    * bloom filter over the key set built with Spark's OWN runtime-filter
+    * expressions (`BloomFilterAggregate` → `BloomFilterMightContain`,
+    * the pair `InjectRuntimeFilter` plants): the probe compiles into
+    * whole-stage codegen above the fact scan — no per-row UDF
+    * dispatch/boxing. `fpp` trades filter size for shuffled false
+    * positives: 1% FPP ≈ 9.6 bits/key — 3k keys here, ~120 MB for 100M
+    * keys at scale, both fine to ship as a literal/broadcast where a
+    * hash set of raw keys would not be. */
   def bloomSemiJoin(fact: DataFrame, factKey: String,
                     dim: DataFrame, dimKey: String,
                     fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.{graftshim => shim}
     val keys = dim.select(col(dimKey))
     // Sizing needs an item-count estimate; a real deployment reads it
     // from table stats (zero jobs). Counting here keeps the test
     // deterministic and self-contained — one cheap count on the small
     // (build) side only.
     val n = math.max(keys.count(), 1L)
-    val bf = keys.stat.bloomFilter(dimKey, n, fpp)
-    val spark = fact.sparkSession
-    val bfB = spark.sparkContext.broadcast(bf)
-    // UDF over the broadcast filter: runs map-side, before any shuffle.
-    val might = udf((k: java.lang.Long) => k != null && bfB.value.mightContainLong(k))
-    fact.filter(might(col(factKey)))
+    // optimal bits for target fpp: -n·ln(p)/ln(2)²
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // One small job aggregates the filter (same materialization
+    // stat.bloomFilter performed); the resulting few-KB..MB binary rides
+    // the plan as a literal, which BloomFilterMightContain requires
+    // (constant or scalar subquery) and which codegen inlines.
+    val bfBytes = keys.agg(shim.column(
+        new BloomFilterAggregate(new XxHash64(Seq(shim.expression(col(dimKey)))),
+          Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val probe = shim.column(BloomFilterMightContain(
+      Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(shim.expression(col(factKey))))))
+    fact.filter(col(factKey).isNotNull && probe)
       .join(keys.withColumnRenamed(dimKey, factKey), Seq(factKey), "left_semi")
   }
 

@@ -115,10 +115,13 @@ class PlanSpec extends SparkSpec {
 
   test("q51: bloom prefilter sits on the fact scan; semi join needs no SMJ") {
     val p = plan("q51_bloom_semi_join")
-    // the bloom UDF must evaluate directly above the lineitem scan (map
-    // side, before any exchange), and the exact verify is a hash semi
-    // join — never a sort-merge
-    assert(p.contains("UDF(l_orderkey"), p)
+    // the bloom probe must be the NATIVE might_contain expression
+    // evaluating directly above the lineitem scan (map side, inside
+    // whole-stage codegen — no per-row UDF dispatch), and the exact
+    // verify is a hash semi join — never a sort-merge
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("UDF("), p)
+    assert(!p.contains("BatchEvalPython"), p)
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
