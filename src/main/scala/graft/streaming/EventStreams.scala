@@ -189,10 +189,18 @@ object EventStreams {
     *   volume by hand (what AQE would have picked). The state-partition
     *   count is pinned into the checkpoint, which is throwaway here; a
     *   durable 100 TB stream would pick this once, at provisioning time. */
+  /** The RocksDB state-store provider conf — the 100 TB default for any
+    * stateful query (state spills off-heap/disk instead of growing the
+    * executor heap with active keys). */
+  private[graft] val RocksDbConf = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   private[graft] def runBounded(spark: SparkSession, name: String,
       build: SparkSession => DataFrame, outputMode: String,
       noDataBatches: Boolean = false,
-      extraConf: Map[String, String] = Map.empty): DataFrame = {
+      extraConf: Map[String, String] = Map.empty,
+      onFinish: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       noDataBatches.toString)
@@ -222,6 +230,7 @@ object EventStreams {
             cur = scoped.table(name).count()
           }
         }
+        onFinish(q)
       } finally q.stop()
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)

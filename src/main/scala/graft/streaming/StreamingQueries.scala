@@ -72,12 +72,15 @@ object StreamingQueries {
       ProfileStream.runFinalProfiles(s, d).orderBy(col("user_id"))),
     // custom keyed state under a real stream: flatMapGroupsWithState +
     // event-time timeout; needs the watermark-only trailing batch so
-    // timed-out open sessions flush (noDataBatches = true)
+    // timed-out open sessions flush (noDataBatches = true). RocksDB
+    // provider: the 100 TB default for keyed state (StreamingSpec
+    // asserts the provider's metrics surface on the live query).
     "st06_stream_custom_sessions" -> ((s, d) =>
       EventStreams.runBounded(s, "st06_mem",
         scoped => StatefulSessionStream.sessionizeStream(
           EventStreams.readEventStream(scoped, d)).toDF(),
-        "append", noDataBatches = true)
+        "append", noDataBatches = true,
+        extraConf = EventStreams.RocksDbConf)
         .orderBy(col("user_id"), col("session_seq"))),
     // non-associative fold (EWMA) under a real stream: buffered state,
     // fold only the watermark-sealed prefix (true event-time order by
@@ -99,8 +102,7 @@ object StreamingQueries {
         scoped => TimerSessionStream.sessionizeStream(
           EventStreams.readEventStream(scoped, d)).toDF(),
         "append", noDataBatches = true,
-        extraConf = Map("spark.sql.streaming.stateStore.providerClass" ->
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        extraConf = EventStreams.RocksDbConf)
         .orderBy(col("user_id"), col("session_seq")))
   )
 

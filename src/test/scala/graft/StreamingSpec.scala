@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
@@ -143,6 +144,36 @@ class StreamingSpec extends SparkSpec {
     // ONE merged 3-event session (not two fragments) — the open run
     // buffered in state across the batch boundary before closing
     assert(got == Seq((0L, us(600), 3L)), s"got $got")
+  }
+
+  test("custom-state sessions run on the RocksDB provider (st06/st12 default)") {
+    import spark.implicits._
+    import graft.streaming.{EventStreams, StatefulSessionStream}
+    val dir = Files.createTempDirectory("graft-sess-rocks").toString
+    val rows = Seq((1L, us(600)), (2L, us(601)), (3L, us(660)), (4L, us(1200)))
+      .map { case (id, tsUs) => (id, tsUs * 1000L, 7L, "view", 1.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/b1")
+
+    var sawRocksDb = false
+    val result = EventStreams.runBounded(spark, "sess_rocks_mem", scoped => {
+      val src = scoped.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      StatefulSessionStream.sessionizeStream(src).toDF()
+    }, "append", noDataBatches = true,
+      extraConf = EventStreams.RocksDbConf,
+      onFinish = q => {
+        // the provider advertises itself through rocksdb* custom metrics
+        // on the stateful operator — absent under the default HDFS store
+        sawRocksDb = q.recentProgress.exists(_.stateOperators.exists(
+          _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb"))))
+      })
+    assert(sawRocksDb, "no rocksdb custom metrics on the stateful operator")
+    // and the provider swap must not change the answer
+    val got = result.select("session_seq", "session_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq((0L, us(600), 2L), (1L, us(660), 1L)), s"got $got")
   }
 
   test("custom-state sessions: data-closed emit, timeout flush, young holdback") {
