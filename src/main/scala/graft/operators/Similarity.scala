@@ -177,15 +177,22 @@ object Similarity {
     *
     * Scale: the corpus never shuffles — `sortWithinPartitions(xx desc)`
     * is a partition-local sort feeding a partition-local heap scan; the
-    * query set rides a broadcast variable; only the tiny per-partition
-    * top-k survivors (≤ partitions·queries·k rows) reach the final
-    * global window. */
-  def knnMipsPruned(emb: DataFrame, k: Int = 5, queryMod: Int = 100): DataFrame = {
+    * query set rides a broadcast variable, and like ANY broadcast it
+    * must be driver-sized: the collect below is capped at maxQueries
+    * rows (fail fast, not OOM) — at 100 TB a larger query load splits
+    * into driver-sized chunks of this same operator, or switches to the
+    * shuffled [[knnBrute]]/[[knnIvf]] paths. */
+  def knnMipsPruned(emb: DataFrame, k: Int = 5, queryMod: Int = 100,
+                    maxQueries: Int = 1 << 20): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val base = quantized(emb)
       .select(col("vec_id"), col("qv"), idot("qv", "qv").as("xx")).as[CVec]
-    val qs = base.filter(_.vec_id % queryMod == 0).collect().sortBy(_.vec_id)
+    val qs = base.filter(_.vec_id % queryMod == 0)
+      .limit(maxQueries + 1).collect().sortBy(_.vec_id)
+    require(qs.length <= maxQueries,
+      s"query set exceeds maxQueries=$maxQueries rows — it must fit the driver/broadcast; " +
+        "chunk the query set or use the shuffled knn paths")
     val bc = spark.sparkContext.broadcast(qs)
     val partials = base
       .sortWithinPartitions(col("xx").desc)

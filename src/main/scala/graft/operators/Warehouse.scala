@@ -152,11 +152,13 @@ object Warehouse {
     // from parquet, so any roundtrip lossiness (types, ms timestamps,
     // nulls) breaks the hash match.
     "q53_orc_roundtrip" -> ((s, d) => {
-      // fixed per-process path + overwrite: repeated bench/verify runs
-      // rewrite ONE multi-MB slice instead of leaking a fresh temp dir
-      // per invocation
+      // per-PROCESS path (pid suffix) + overwrite: repeated runs within
+      // one JVM rewrite ONE multi-MB slice instead of leaking a fresh
+      // temp dir per invocation, while two concurrent graft JVMs (bench
+      // overlapping verify) can no longer clobber each other's slice
+      // between the write and the read-back
       val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_orc_slice").toString
+        s"graft_orc_slice_${ProcessHandle.current().pid()}").toString
       t(s, d, "lineitem")
         .filter(col("l_quantity") >= 25)
         .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),

@@ -47,6 +47,11 @@ object OrderedFoldStream {
           val (done, open) = buf.span(_._1 / 1000 < wmMs)
           var n = prev.n; var s = prev.s
           done.foreach { case (_, _, vq) =>
+            // Scala `/`, Spark `div` and DuckDB `//` ALL truncate toward
+            // zero on int64 (checked: -7/2 == -3 in each engine), so this
+            // recurrence is defined identically across the stream, the
+            // batch twin and the oracle on the full domain — negative
+            // values included, not just the vq >= 0 the data exhibits.
             s = if (n == 0) vq else (85 * s + 15 * vq) / 100
             n += 1
           }

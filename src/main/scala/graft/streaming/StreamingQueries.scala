@@ -61,9 +61,16 @@ object StreamingQueries {
     // table; final state must equal the batch last-per-key answer under
     // any micro-batch partitioning of the input
     "st11_cdc_apply" -> ((s, d) => {
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_st11").resolve("state").toString
-      CdcApply.runCdcApply(s, d, state).orderBy(col("user_id"))
+      val root = java.nio.file.Files.createTempDirectory("graft_st11")
+      val state = root.resolve("state").toString
+      // materialize the final state into the block manager, then delete
+      // the scratch parquet — repeated verify/bench runs must not
+      // accumulate state dirs in /tmp (the checkpoint dir is already
+      // cleaned by runCdcApply itself)
+      val out = CdcApply.runCdcApply(s, d, state)
+        .orderBy(col("user_id")).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      out
     }),
     // Spark 4 transformWithState (state v2): ValueState running profile
     // on the RocksDB store, update mode; final profile per key must
