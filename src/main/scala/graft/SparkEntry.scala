@@ -23,6 +23,7 @@ object SparkEntry {
       operators.AsOf.queries ++
       operators.ZhQueries.queries ++
       operators.TextAnalysis.queries ++
+      operators.Corpus.queries ++
       operators.Curation.queries ++
       operators.Dedup.queries ++
       operators.Graph.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       operators.AsOf.oracleSql ++
       operators.ZhQueries.oracleSql ++
       operators.TextAnalysis.oracleSql ++
+      operators.Corpus.oracleSql ++
       operators.Curation.oracleSql ++
       operators.Dedup.oracleSql ++
       operators.Graph.oracleSql ++

@@ -233,6 +233,25 @@ object Analytics {
         .select(col("p_partkey"), col("pos").cast("long").as("pos"),
           col("col").as("word"))
         .orderBy(col("p_partkey"), col("pos"))
+    }),
+
+    // ---- exact per-group median over QUANTIZED values: value → exact
+    //      decimal → int64 (the st10/st13 quantization), so the even-n
+    //      midpoint interpolation is integer arithmetic in a double —
+    //      exactly representable, hence engine-identical. A raw-double
+    //      median would hinge on each engine's interpolation expression
+    //      rounding (lo + 0.5*(hi-lo) vs (lo+hi)/2 differ in the last
+    //      ulp). Sort-based exact percentile: one shuffle on the group
+    //      key; the approx t-digest/KLL sketch is the 100 TB path when
+    //      the group is the whole table.
+    "q59_group_median" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(18, 4)) * 10000).cast("long").as("vq"))
+        .groupBy(col("event_type"))
+        .agg(median(col("vq")).as("median_vq"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -275,6 +294,11 @@ object Analytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q59_group_median" ->
+      """SELECT event_type,
+         median(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS median_vq,
+         count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q46_window_values" -> WindowValuesSql,
     "q47_ratio_to_report" -> RatioToReportSql,
     "q36_mode_per_group" ->

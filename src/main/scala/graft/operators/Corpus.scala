@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-preparation operators: the split/pack/scrub plumbing that sits
+  * between a cleaned web corpus and the training loop — deterministic
+  * hash splits, cross-split leakage scans, sequence packing
+  * (concat-and-chunk), and PII redaction. Every one is a narrow map or a
+  * single bounded shuffle, and every one carries a DuckDB oracle.
+  */
+object Corpus {
+
+  // ---------------------------------------------------------------- c01
+  /** Deterministic train/val/test assignment: bucket = the first 4 hex
+    * digits of md5(doc_id) mod 100 → 80/10/10. Content-independent and
+    * id-stable, so re-crawls and re-processings keep every document in
+    * its split (the property random() splits lack), and any engine can
+    * recompute membership from the id alone — no split table to join.
+    * Scale: a narrow map over the scan, no shuffle, no state.
+    */
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+
+  /** DuckDB mirror of the bucket arithmetic (DuckDB has no base-16
+    * string→int conversion, so the 4 hex digits are positional strpos
+    * lookups — identical values, plain SQL). */
+  private def bucketSql(idExpr: String): String = {
+    def digit(i: Int) =
+      s"(strpos('0123456789abcdef', substring(md5(CAST($idExpr AS VARCHAR)), $i, 1)) - 1)"
+    s"((${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)}) % 100)"
+  }
+
+  // ---------------------------------------------------------------- c02
+  /** Cross-split leakage scan: any TRAIN document sharing a word n-gram
+    * with any TEST document leaks benchmark text into training. Composes
+    * [[hashSplit]] with [[TextAnalysis.contaminationScan]] — the same
+    * inverted-gram-index join t10 uses (never a doc×doc scan), with the
+    * hash split deciding the two sides. Scale: the gram join shuffles on
+    * gram; the test side is ~10% of the corpus and arrives via the same
+    * index, so no side is ever replicated.
+    */
+  def splitLeakage(docs: DataFrame, n: Int = 4): DataFrame = {
+    val s = hashSplit(docs)
+    val withSplit = docs.join(s.select(col("doc_id"), col("split")), Seq("doc_id"))
+    TextAnalysis.contaminationScan(
+      withSplit.filter(col("split") === "train"),
+      withSplit.filter(col("split") === "test"), n)
+  }
+
+  // ---------------------------------------------------------------- c03
+  /** Sequence packing (concat-and-chunk): documents are concatenated in
+    * id order and sliced into fixed `budget`-token training sequences;
+    * each doc's placement is its running-token offset. Packing runs
+    * WITHIN deterministic shards (`doc_id % shards`) so the prefix-sum
+    * window is a single bounded exchange per shard, never a global
+    * single-partition sort — at 100 TB `shards` grows with the corpus
+    * (corpus_tokens / desired_shard_tokens) and shards pack in parallel.
+    * Emitted per doc: the pack its first token lands in, the offset
+    * inside that pack, and how many packs it spans (boundary-straddling
+    * docs are the loss-masking edge case training loaders care about).
+    */
+  def sequencePacking(docs: DataFrame, budget: Int = 2048, shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_tok"),
+        (col("shard") * 1000000L + floor(col("start_tok") / budget)).as("pack_id"),
+        (col("start_tok") % budget).as("off_in_pack"),
+        (floor((col("start_tok") + col("n_tokens") - 1) / budget)
+          - floor(col("start_tok") / budget) + 1).as("n_packs_spanned"))
+  }
+
+  // ---------------------------------------------------------------- c04
+  /** PII redaction: scrub emails and phone numbers with codegen'd
+    * regexp_replace (patterns restricted to the syntax Java regex and
+    * RE2 agree on — char classes and bounded repetition, no lookaround),
+    * reporting per-doc match counts and the md5 of the scrubbed text
+    * (the full text stays out of the result). The synthetic corpus
+    * carries no PII, so a deterministic contact line is appended to
+    * every 7th doc FIRST — the oracle injects the identical line, so the
+    * redaction itself is what's hash-compared. Scale: a narrow map.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val seeded = docs.withColumn("t",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-123-4567")))
+        .otherwise(col("text")))
+    seeded.select(col("doc_id"),
+      regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+      regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+        phone, "<PHONE>")).as("redacted_md5"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_hash_split" -> ((s, d) =>
+      hashSplit(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "c02_split_leakage" -> ((s, d) =>
+      splitLeakage(t(s, d, "documents")).orderBy(col("train_id"))),
+    "c03_sequence_packing" -> ((s, d) =>
+      sequencePacking(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "c04_pii_redact" -> ((s, d) =>
+      piiRedact(t(s, d, "documents")).orderBy(col("doc_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "c01_hash_split" ->
+      s"""SELECT doc_id, CAST(${bucketSql("doc_id")} AS BIGINT) AS bucket,
+         CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+              WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "c02_split_leakage" ->
+      s"""WITH sp AS (
+           SELECT doc_id, ${bucketSql("doc_id")} AS bucket FROM documents),
+         grams AS (
+           SELECT doc_id, gram FROM (
+             SELECT d.doc_id, unnest(list_transform(range(1, len(ws) - 2),
+               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]))) AS gram
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d
+             WHERE len(ws) >= 4)
+           GROUP BY doc_id, gram),
+         train_g AS (
+           SELECT g.doc_id AS train_id, g.gram FROM grams g JOIN sp USING (doc_id)
+           WHERE sp.bucket < 80),
+         test_g AS (
+           SELECT g.doc_id AS test_id, g.gram FROM grams g JOIN sp USING (doc_id)
+           WHERE sp.bucket >= 90)
+         SELECT train_id,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT test_id) AS BIGINT) AS n_eval_docs
+         FROM train_g JOIN test_g USING (gram)
+         GROUP BY train_id ORDER BY train_id""",
+    "c03_sequence_packing" ->
+      """WITH tok AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         run AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS start_tok
+           FROM tok)
+         SELECT doc_id, shard, n_tokens, start_tok,
+           CAST(shard * 1000000 + start_tok // 2048 AS BIGINT) AS pack_id,
+           CAST(start_tok % 2048 AS BIGINT) AS off_in_pack,
+           CAST((start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1
+             AS BIGINT) AS n_packs_spanned
+         FROM run ORDER BY doc_id""",
+    "c04_pii_redact" ->
+      """WITH seeded AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-123-4567'
+               ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+         FROM seeded ORDER BY doc_id"""
+  )
+}

@@ -246,6 +246,23 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- ERROR-BOUND PIN for q21's HLL sketch: per group,
+    //      |approx − exact| must stay within 5× the configured rsd
+    //      (2%) — emitted rows are violations, oracle = the empty set
+    //      (the d11 pin pattern). HLL++ is deterministic for a fixed
+    //      input, so the pin is a hard check, not a flaky one; 5σ makes
+    //      it robust to the estimator's per-dataset bias.
+    "q60_approx_distinct_pin" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_n"),
+          countDistinct(col("l_partkey")).as("exact_n"))
+        .filter(abs(col("approx_n") - col("exact_n")) >
+          lit(5 * 0.02) * col("exact_n"))
+        .select(col("l_returnflag"), col("approx_n"), col("exact_n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- multi-way join: revenue per region (5-table chain)
     "q22_multi_join" -> ((s, d) => {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
@@ -509,6 +526,10 @@ object Relational {
        ORDER BY seg, nat"""
 
   def oracleSql: Map[String, String] = Map(
+    "q60_approx_distinct_pin" ->
+      """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+         CAST(NULL AS BIGINT) AS approx_n, CAST(NULL AS BIGINT) AS exact_n
+         WHERE 1 = 0""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

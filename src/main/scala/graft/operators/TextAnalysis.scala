@@ -199,6 +199,32 @@ object TextAnalysis {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** Misra–Gries heavy-hitter CANDIDATE tokens over the whole corpus —
+    * the bounded-memory sketch surface (see functions/MisraGriesAgg for
+    * the algorithm and the 100 TB rationale: k counters per partition
+    * ride the shuffle instead of one row per distinct vocabulary term).
+    * Output = the candidate token set; t14 pins the one-sided-error
+    * guarantee (true heavy hitters ⊆ candidates) against the exact
+    * answer, the same containment-pin pattern as d11. */
+  def heavyHitterCandidates(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val toks = docs.select(explode(ws).as("value")).as(Encoders.STRING)
+    toks.select(new graft.functions.MisraGriesAgg(k).toColumn.name("mg"))
+      .toDF("mg")
+      .select(explode(map_keys(col("mg"))).as("token"))
+  }
+
+  /** Exact heavy hitters: tokens with frequency strictly above
+    * n_total/(k+1) — the ground-truth side of t14's pin. The total
+    * rides a 1-row broadcast cross join, never a driver collect. */
+  private[graft] def exactHeavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(explode(ws).as("token"))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_total"))))
+      .filter(col("cnt") * (k + 1) > col("n_total"))
+      .select(col("token"))
+  }
+
   /** Temperature-flattened per-language sampling quotas + the sampled
     * docs (the multilingual mixture trick from mT5/XLM-R: upsample the
     * tail by weighting languages by (share)^alpha, alpha < 1). Each
@@ -350,13 +376,25 @@ object TextAnalysis {
     "t10_contamination" -> ((s, d) =>
       contaminationScan(t(s, d, "documents")).orderBy(col("train_id"))),
     "t11_temperature_mixture" -> ((s, d) =>
-      temperatureMixture(t(s, d, "documents")).orderBy(col("lang"), col("rk")))
+      temperatureMixture(t(s, d, "documents")).orderBy(col("lang"), col("rk"))),
+    // SUBSET PIN for the Misra–Gries sketch: every exact heavy hitter
+    // (freq > n/(k+1), k = 19) must appear among the sketch candidates;
+    // a row here = a heavy hitter the sketch MISSED, which the MG
+    // guarantee says cannot happen. Oracle = the empty set (d11 style).
+    "t14_heavy_hitters_pin" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      exactHeavyHitters(docs, 19)
+        .except(heavyHitterCandidates(docs, 19))
+        .orderBy(col("token"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
     "d13_winnow_subset_pin" ->
       """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
          WHERE 1 = 0""",
+    "t14_heavy_hitters_pin" ->
+      """SELECT CAST(NULL AS VARCHAR) AS token WHERE 1 = 0""",
     "t12_token_rarity" ->
       """WITH tk AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -171,10 +171,34 @@ object Warehouse {
           dsum(col("l_extendedprice")).as("sum_price"),
           max(col("l_shipdate")).as("last_ship"))
         .orderBy(col("l_linestatus"))
-    })
+    }),
+    // Z-order layout key: morton-interleave two filter dimensions into
+    // one clustering key (native codegen'd expression — see
+    // functions/InterleaveBits.scala). `tile` = the 10-bit-coarse z
+    // prefix, i.e. the file group a range-partitioned Z-ordered write
+    // would put the row in: a predicate on EITHER dimension selects a
+    // bounded set of tiles, which is the multi-dim pruning story a
+    // single-column partition layout (SinkSpec) cannot give.
+    "q58_zorder_key" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 256).as("x"),
+        (col("o_orderkey") % 256).as("y"))
+        .withColumn("zkey",
+          graft.functions.InterleaveBits.interleave_bits(col("x"), col("y")))
+        .withColumn("tile", shiftright(col("zkey"), 10).cast("long"))
+        .orderBy(col("zkey"), col("o_orderkey")))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q58_zorder_key" -> {
+      val z = graft.functions.InterleaveBits.mortonSql("x", "y", 8)
+      s"""WITH xy AS (
+           SELECT o_orderkey, o_custkey % 256 AS x, o_orderkey % 256 AS y
+           FROM orders)
+         SELECT o_orderkey, x, y, CAST($z AS BIGINT) AS zkey,
+           CAST($z >> 10 AS BIGINT) AS tile
+         FROM xy ORDER BY zkey, o_orderkey"""
+    },
     "q54_scd2_intervals" ->
       """WITH ev AS (
            SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us, event_id, event_type

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{InterleaveBits, MisraGriesAgg}
+import graft.operators.{Corpus, TextAnalysis}
+
+/** Corpus-preparation operators: split determinism, packing invariants,
+  * PII redaction, the Misra–Gries guarantee on an adversarially skewed
+  * stream, and the Morton-key bit layout. */
+class CorpusSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = graft.sources.Tables(spark, sf, "documents")
+
+  test("hash split: deterministic, id-stable, ~80/10/10") {
+    val s1 = Corpus.hashSplit(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s2 = Corpus.hashSplit(docs.orderBy(col("doc_id").desc))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2) // membership is a pure function of the id
+    val n = s1.size.toDouble
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac("val") > 0.03 && frac("test") > 0.03)
+  }
+
+  test("sequence packing: offsets bounded, shard-contiguous, spans ≥ 1") {
+    val budget = 128
+    val rows = Corpus.sequencePacking(docs, budget = budget, shards = 4)
+      .orderBy(col("shard"), col("doc_id")).collect()
+    assert(rows.forall { r =>
+      val off = r.getAs[Long]("off_in_pack")
+      off >= 0 && off < budget && r.getAs[Long]("n_packs_spanned") >= 1
+    })
+    // within a shard, each start_tok is the previous start + its tokens
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { g =>
+      g.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") ==
+            a.getAs[Long]("start_tok") + a.getAs[Long]("n_tokens"))
+        case _ =>
+      }
+    }
+  }
+
+  test("pii redact: seeded rows counted, scrubbed text loses the match") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "write to alice.smith@corp.example.org or 415-555-1234 today"),
+      (1L, "no contact details in this row at all"))
+      .toDF("doc_id", "text")
+    val out = Corpus.piiRedact(d).orderBy(col("doc_id")).collect()
+    // row 0: its own email+phone, plus the doc_id%7==0 seeded suffix
+    assert(out(0).getAs[Long]("n_emails") == 2 && out(0).getAs[Long]("n_phones") == 2)
+    assert(out(1).getAs[Long]("n_emails") == 0 && out(1).getAs[Long]("n_phones") == 0)
+    // redacted md5 differs from the md5 of the seeded-but-unredacted text
+    val seededMd5 = d.filter(col("doc_id") === 0)
+      .select(md5(concat(col("text"), lit(" contact user0@example.com or 555-123-4567"))))
+      .head().getString(0)
+    assert(out(0).getAs[String]("redacted_md5") != seededMd5)
+  }
+
+  test("misra-gries: every true heavy hitter survives a skewed stream") {
+    import spark.implicits._
+    // 900 distinct rare tokens + 2 hot tokens at ~30% and ~15%:
+    // adversarial for counter eviction, trivial for the guarantee
+    val stream = (Seq.fill(600)("hot") ++ Seq.fill(300)("warm") ++
+      (0 until 900).map(i => s"rare$i")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val d = stream.toDF("doc_id", "text").repartition(7) // force merges
+    val k = 19
+    val cand = TextAnalysis.heavyHitterCandidates(d, k)
+      .collect().map(_.getString(0)).toSet
+    assert(cand.size <= k)
+    assert(cand.contains("hot") && cand.contains("warm"))
+    // and the catalog pin itself is empty on the fixture
+    assert(TextAnalysis.exactHeavyHitters(d, k)
+      .except(TextAnalysis.heavyHitterCandidates(d, k)).count() == 0)
+  }
+
+  test("morton key: interleaving matches the per-bit definition") {
+    def slowMorton(x: Long, y: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1)
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L),
+      (0xFFFFFFFFL, 0L), (123456789L, 987654321L))
+    cases.foreach { case (x, y) =>
+      assert(InterleaveBits.morton(x, y) == slowMorton(x, y), s"($x, $y)")
+    }
+    // the expression path (codegen) agrees with the object method
+    import spark.implicits._
+    val got = cases.toDF("x", "y")
+      .select(InterleaveBits.interleave_bits(col("x"), col("y"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == cases.map { case (x, y) => InterleaveBits.morton(x, y) })
+  }
+
+  test("misra-gries merge keeps the summary within k entries") {
+    val agg = new MisraGriesAgg(5)
+    val x = Map("a" -> 10L, "b" -> 8L, "c" -> 6L, "d" -> 4L, "e" -> 2L)
+    val y = Map("f" -> 9L, "g" -> 7L, "h" -> 5L, "i" -> 3L, "j" -> 1L)
+    val m = agg.merge(x, y)
+    assert(m.size <= 5)
+    assert(m.contains("a") && m.contains("f")) // largest from both sides
+  }
+}
