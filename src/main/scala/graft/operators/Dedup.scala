@@ -390,8 +390,14 @@ object Dedup {
     // here = a pair the kernel emitted that a full scan would not).
     // Oracle = the empty set, so the containment is driver-checked even
     // though the banding itself is not SQL-expressible.
+    // The pin runs on a fixed 1/3 id stratum: the ground-truth side is
+    // quadratic BY DESIGN (its value is being obviously correct), so its
+    // cost must not grow n² with the bench scale factor. The kernel is
+    // id-agnostic — signatures and banding see only text — so a
+    // containment violation is equally detectable in-stratum, and
+    // DedupSpec covers the full corpus exhaustively at unit scale.
     "d11_minhash_subset_pin" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = t(s, d, "documents").filter(col("doc_id") % 3 === 0)
       minHashNearDupPairs(docs).select(col("a_id"), col("b_id"))
         .except(exactJaccardPairsBrute(docs, 0.7).select(col("a_id"), col("b_id")))
         .orderBy(col("a_id"), col("b_id"))
