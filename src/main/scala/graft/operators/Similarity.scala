@@ -41,20 +41,28 @@ object Similarity {
     emb.select(col("vec_id"), col("label"), qCol.as("qv"))
       .withColumn("nrm", sqrt(idot("qv", "qv").cast("double")))
 
-  /** Brute-force cosine top-k: every query (vec_id ≡ 0 mod queryMod)
-    * against the whole corpus; ties broken by neighbor id. */
-  def knnBruteForce(emb: DataFrame, k: Int = 5, queryMod: Int = 100): DataFrame = {
+  /** Exhaustively scored (query, candidate) pairs: every query
+    * (vec_id ≡ 0 mod queryMod) against the whole corpus, exact
+    * integer-quantized cosine. The ranking-free core both the brute
+    * force and the s08 score-integrity pin consume. */
+  private[graft] def scoredAllPairs(emb: DataFrame, queryMod: Int): DataFrame = {
     val base = quantized(emb)
     val queries = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
-    val scored = base
+    base
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .withColumn("cos", idot("qv", "q_qv").cast("double") / (col("nrm") * col("q_nrm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Brute-force cosine top-k: every query (vec_id ≡ 0 mod queryMod)
+    * against the whole corpus; ties broken by neighbor id. */
+  def knnBruteForce(emb: DataFrame, k: Int = 5, queryMod: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scoredAllPairs(emb, queryMod)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+      .select(col("q_id"), col("neighbor_id"), col("rk"), col("cos"))
   }
 
   /** Seed-derived ±1 random hyperplanes — the ONE shared definition:
@@ -334,7 +342,55 @@ object Similarity {
       .toDF("label", "cv")
   }
 
+  /** Overall recall of an approximate top-k result against the exact
+    * one, as parts-per-10000 integer (no float division): hits = the
+    * approximate pairs present in the exact set. One semi join + two
+    * scalar counts — the counts ride 1-row broadcasts. */
+  private[graft] def recallVsExact(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = approx.select(col("q_id"), col("neighbor_id"))
+      .join(exact.select(col("q_id"), col("neighbor_id")),
+        Seq("q_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val truth = exact.agg(count(lit(1)).as("n_true"))
+    hits.crossJoin(broadcast(truth))
+      .withColumn("recall_x1e4", expr("n_hits * 10000 div n_true"))
+      .select(col("n_hits"), col("n_true"), col("recall_x1e4"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCORE-INTEGRITY PIN for s02: every pair the LSH path returns must
+    // exist in the exhaustively scored pair set with the IDENTICAL
+    // cosine (both sides are the same integer dot / norm arithmetic, so
+    // equality is exact). Catches bucketing corrupting candidates,
+    // duplicate rows, or a drifted scoring path. Recall itself is the
+    // documented trade of the method and is data-dependent (on this
+    // near-uniform synthetic corpus random-hyperplane recall@5 is ~0 —
+    // the bucket prunes ~255/256 of candidates), so the pin checks what
+    // the operator PROMISES: what it returns is correctly scored.
+    // Oracle = the empty set (d11 pattern).
+    "s08_lsh_score_pin" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val truth = scoredAllPairs(emb, 100)
+        .select(col("q_id"), col("neighbor_id"), col("cos").as("true_cos"))
+      knnLsh(emb)
+        .join(truth, Seq("q_id", "neighbor_id"), "left_outer")
+        .filter(col("true_cos").isNull || col("true_cos") =!= col("cos"))
+        .select(col("q_id"), col("neighbor_id"), col("cos"), col("true_cos"))
+        .orderBy(col("q_id"), col("neighbor_id"))
+    }),
+    // RECALL-FLOOR PIN for s05: IVF with nProbe=2 of 25 lists must keep
+    // at least 10% of the exact top-5 set. The corpus, planes and
+    // centroids are deterministic, so measured recall is a fixed number
+    // per dataset (1600/10000 at sf0.001, 4000 at sf0.01) — the floor
+    // pins the coarse quantizer actually routing queries to the lists
+    // that hold their neighbors (a broken quantizer gives ~nProbe/25 ≈
+    // 8% by chance). Violations emit; oracle = the empty set.
+    "s09_ivf_recall_pin" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      recallVsExact(knnIvf(emb), knnBruteForce(emb))
+        .filter(col("recall_x1e4") < 1000)
+        .orderBy(col("recall_x1e4"))
+    }),
     "s01_knn_brute" -> ((s, d) =>
       knnBruteForce(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s02_knn_lsh" -> ((s, d) =>
@@ -363,6 +419,13 @@ object Similarity {
   def oracleSql: Map[String, String] = {
     val qv = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
     Map(
+      "s08_lsh_score_pin" ->
+        """SELECT CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS DOUBLE) AS cos, CAST(NULL AS DOUBLE) AS true_cos
+           WHERE 1 = 0""",
+      "s09_ivf_recall_pin" ->
+        """SELECT CAST(NULL AS BIGINT) AS n_hits, CAST(NULL AS BIGINT) AS n_true,
+           CAST(NULL AS BIGINT) AS recall_x1e4 WHERE 1 = 0""",
       "s01_knn_brute" ->
         s"""WITH q AS (
              SELECT vec_id, $qv AS qv FROM embeddings),

@@ -377,6 +377,24 @@ object TextAnalysis {
       contaminationScan(t(s, d, "documents")).orderBy(col("train_id"))),
     "t11_temperature_mixture" -> ((s, d) =>
       temperatureMixture(t(s, d, "documents")).orderBy(col("lang"), col("rk"))),
+    // INTEGRITY PIN for t04's xxhash64 fingerprint: a fingerprint is
+    // only usable as a dedup key if it is injective ON THIS CORPUS
+    // (same fp ⇒ same text) — determinism (same text ⇒ same fp) is
+    // given by the function, so collision-freedom is the entire
+    // remaining claim, and it is checkable: join on fp64, keep pairs
+    // whose texts differ. The join shuffles 8-byte keys + text hashes,
+    // never pairs of texts. Oracle = the empty set.
+    "t15_fingerprint_collision_pin" -> ((s, d) => {
+      val fp = fingerprint(t(s, d, "documents"))
+        .join(t(s, d, "documents"), Seq("doc_id"))
+        .select(col("doc_id"), col("fp64"), md5(col("text")).as("th"))
+      val a = fp.select(col("doc_id").as("a_id"), col("fp64"), col("th").as("a_th"))
+      val b = fp.select(col("doc_id").as("b_id"), col("fp64"), col("th").as("b_th"))
+      a.join(b, Seq("fp64"))
+        .filter(col("a_id") < col("b_id") && col("a_th") =!= col("b_th"))
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
     // SUBSET PIN for the Misra–Gries sketch: every exact heavy hitter
     // (freq > n/(k+1), k = 19) must appear among the sketch candidates;
     // a row here = a heavy hitter the sketch MISSED, which the MG
@@ -395,6 +413,9 @@ object TextAnalysis {
          WHERE 1 = 0""",
     "t14_heavy_hitters_pin" ->
       """SELECT CAST(NULL AS VARCHAR) AS token WHERE 1 = 0""",
+    "t15_fingerprint_collision_pin" ->
+      """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
+         WHERE 1 = 0""",
     "t12_token_rarity" ->
       """WITH tk AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
