@@ -66,13 +66,18 @@ object Curation {
     * dedup cannot (paraphrases, translations, re-renders); the
     * quantized-integer cosine + deterministic hyperplanes make both the
     * threshold compare and candidate generation engine-exact. Composes
-    * `Similarity.cosineDupPairs` with `Dedup.duplicateClusters` — the
-    * same component loop the text path uses, which is the point: one
-    * clustering primitive serves every pair generator. */
+    * `Similarity.cosineDupPairs` with the large-star/small-star
+    * component kernel: a loose cosine threshold produces SPRAWLING
+    * components (chains of pairwise-similar embeddings), i.e. the
+    * adversarial-diameter graph where plain min-label propagation needs
+    * diameter rounds and `duplicateClustersLargeStar` needs O(log n) —
+    * on the test corpus the 0.30-graph already takes 6+ propagation
+    * rounds vs 3 star rounds (both kernels emit identical labels, so
+    * the choice is invisible to the oracle). */
   def semanticDedup(emb: DataFrame, threshold: Double = 0.30): DataFrame = {
     val pairs = Similarity.cosineDupPairs(emb, threshold)
       .select(col("a_id"), col("b_id"))
-    val losers = Dedup.duplicateClusters(pairs)
+    val losers = Dedup.duplicateClustersLargeStar(pairs)
       .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
     emb.select(col("vec_id"), col("label"))
       .join(losers, col("vec_id") === col("doc_id"), "left_anti")
