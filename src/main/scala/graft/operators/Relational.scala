@@ -135,12 +135,25 @@ object Relational {
     }),
 
     // ---- rollup (hierarchical subtotals)
+    //      Rollup over map-side-combined partials, not the fact table:
+    //      Expand replicates every input row per grouping set, so a
+    //      direct rollup ships 3× the facts into the shuffle. Aggregating
+    //      on the FULL key first (count + exact decimal sum — both
+    //      reaggregable) bounds the Expand input by the key cardinality,
+    //      turning the grouping-set cost O(sets × facts) into
+    //      O(facts + sets × |keys|) — the difference between a 3× and a
+    //      1× fact shuffle at 100 TB. Decimal partials re-sum exactly,
+    //      so the result is bit-identical to the direct rollup.
     "q12_rollup" -> ((s, d) => {
       val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
-      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      val partial = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_balance"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).as("pbal"))
+      partial.rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("pn")).as("n_customers"),
+          sum(col("pbal")).cast("double").as("total_balance"))
         .select(
           coalesce(col("r_name"), lit("ALL")).as("region"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
@@ -149,10 +162,17 @@ object Relational {
     }),
 
     // ---- cube (all grouping-set combinations)
+    //      Same partial-aggregate shape as q12: the direct cube Expands
+    //      every order 4× before the shuffle; cubing the ≤|status×prio|
+    //      partial table instead costs one plain fact aggregation plus
+    //      an Expand over a handful of rows.
     "q13_cube" -> ((s, d) => {
       t(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("prev"))
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .agg(sum(col("pn")).as("n"), sum(col("prev")).cast("double").as("revenue"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -516,12 +536,22 @@ object Relational {
          ORDER BY c_acctbal DESC, c_name LIMIT 2) l
        ORDER BY n.n_name, l.c_acctbal DESC, l.c_name"""
 
+  /** Shared Spark/DuckDB text. Grouping sets over a full-key partial
+    * aggregate (CTE `p`): Expand replicates input rows per set, so
+    * pre-aggregating bounds its input by |seg × nation| instead of the
+    * customer row count — same rationale as q12/q13, expressed portably
+    * (exact decimal partials re-sum to bit-identical totals). */
   private val GroupingSetsSql =
-    """SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS seg,
+    """WITH p AS (
+         SELECT c_mktsegment, n_name, count(*) AS pn,
+           sum(CAST(c_acctbal AS DECIMAL(18,4))) AS pbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY c_mktsegment, n_name)
+       SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS seg,
        CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nat,
-       count(*) AS n,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
-       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       CAST(sum(pn) AS BIGINT) AS n,
+       CAST(sum(pbal) AS DOUBLE) AS total_bal
+       FROM p
        GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
        ORDER BY seg, nat"""
 

@@ -42,6 +42,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q12/q13: grouping-set Expand runs over the partial aggregate, not the fact scan") {
+    Seq("q12_rollup", "q13_cube").foreach { q =>
+      val p = plan(q)
+      // the tree prints top-down: Expand's child is the next line — it
+      // must be an aggregate, not the scan/join. A cube/rollup applied
+      // straight to the facts replicates each row per grouping set
+      // before the first shuffle.
+      val m = "Expand [^\n]*\n[^\n]*?\\+- (\\w+)".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"$q lost its Expand:\n$p")
+      assert(m.get.group(1) == "HashAggregate",
+        s"$q Expand feeds off ${m.get.group(1)}, not the partial aggregate:\n$p")
+    }
+  }
+
   test("q07: partial+final WindowGroupLimit bounds the shuffled rows to k per group") {
     val p = plan("q07_topk_per_group")
     assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"), p)
