@@ -89,6 +89,43 @@ object Dedup {
     (a, b)
   }
 
+  /** SKEW-BOUNDED two-table block join — the asymmetric companion of
+    * [[boundedPairJoin]] for DELTA-vs-CORPUS candidate generation: every
+    * (a ∈ left, b ∈ right) pair sharing a block meets exactly once, and
+    * no task sees more than cap left × cap right rows. Each side is
+    * group-indexed within its block (deterministic id rank) and
+    * replicated across the OTHER side's group range (a block-level
+    * count-join supplies that range — broadcast-sized: one row per
+    * distinct block), so a hot block costs `⌈n_a/cap⌉·⌈n_b/cap⌉`
+    * bounded tasks instead of one quadratic straggler. Unlike the
+    * self-join kernel the right side never pairs with itself — the
+    * point of incremental dedup is that the 100 TB corpus side is
+    * already deduped and must not be re-crossed.
+    *
+    * Inputs need (blk, id, p); returns (a_id, a_p, b_id, b_p). */
+  private[graft] def boundedCrossPairJoin(left: DataFrame, right: DataFrame,
+                                          cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("blk")).orderBy(col("id"))
+    val cw = Window.partitionBy(col("blk"))
+    def grouped(df: DataFrame) = df
+      .withColumn("_g", ((row_number().over(w) - 1) / cap).cast("long"))
+      .withColumn("_gmax", ((count(lit(1)).over(cw) - 1) / cap).cast("long"))
+    val gl = grouped(left)
+    val gr = grouped(right)
+    val rRange = gr.groupBy(col("blk")).agg(max(col("_gmax")).as("_rmax"))
+    val lRange = gl.groupBy(col("blk")).agg(max(col("_gmax")).as("_lmax"))
+    val a = gl.join(rRange, Seq("blk"))
+      .select(col("blk"), col("_g").as("_ga"),
+        explode(sequence(lit(0L), col("_rmax"))).as("_gb"),
+        col("id").as("a_id"), col("p").as("a_p"))
+    val b = gr.join(lRange, Seq("blk"))
+      .select(col("blk"), explode(sequence(lit(0L), col("_lmax"))).as("_ga"),
+        col("_g").as("_gb"), col("id").as("b_id"), col("p").as("b_p"))
+    a.join(b, Seq("blk", "_ga", "_gb"))
+      .select(col("a_id"), col("a_p"), col("b_id"), col("b_p"))
+  }
+
   /** Blocked exact word-set Jaccard: candidate pairs share a 20-char
     * prefix block (cheap blocking key), verified with exact Jaccard.
     * |A∪B| computed as |A|+|B|−|A∩B| for cross-engine parity. Pairs are
@@ -127,6 +164,47 @@ object Dedup {
       .filter(col("inter") * 100 >= lit(thresholdPct) * col("msize"))
       .select(col("a_id"), col("b_id"), col("inter"), col("msize"),
         expr("(inter * 10000) div msize").as("cont_x1e4"))
+
+  /** INCREMENTAL dedup: the survivors of a NEW shard (`delta`) arriving
+    * against an already-deduped `corpus` — the shape 100 TB ingestion
+    * actually runs (a daily crawl lands against the accumulated lake;
+    * re-deduping the lake per shard would be quadratic in shards).
+    * A delta doc is dropped iff it word-set-Jaccard-matches (≥
+    * thresholdMilli/1000, integer compare — no float crosses an engine
+    * boundary) a corpus doc, or an EARLIER delta doc (smaller doc_id =
+    * earlier arrival; the greedy first-wins rule, deterministic without
+    * a component pass). Candidates share the 20-char prefix block and
+    * ride [[boundedCrossPairJoin]]:
+    *  - the corpus NEVER self-pairs (its dedup already happened) and its
+    *    text never reshuffles beyond block routing;
+    *  - an exact-hash anti-join tier drops verbatim copies first — it is
+    *    semantically subsumed by Jaccard = 1 ≥ t, so the output is
+    *    unchanged, but at scale it prunes the word-set machinery with an
+    *    8-byte-key join.
+    * Returns the surviving delta doc_ids. */
+  def incrementalDedup(corpus: DataFrame, delta: DataFrame,
+                       thresholdMilli: Long = 500, cap: Int = 256): DataFrame = {
+    val ch = corpus.select(md5(col("text")).as("h")).distinct()
+    val s1 = delta.withColumn("h", md5(col("text")))
+      .join(ch, Seq("h"), "left_anti").drop("h")
+    def sided(df: DataFrame, flag: Int) = df.select(
+      substring(col("text"), 1, 20).as("blk"),
+      col("doc_id").as("id"),
+      struct(array_distinct(split(col("text"), " ")).as("ws"),
+        lit(flag).as("is_delta")).as("p"))
+    val rightSide = sided(corpus, 0).union(sided(delta, 1))
+    val hits = boundedCrossPairJoin(sided(s1, 1), rightSide, cap)
+      .filter(col("b_p.is_delta") === 0 || col("b_id") < col("a_id"))
+      .withColumn("inter",
+        size(array_intersect(col("a_p.ws"), col("b_p.ws"))).cast("long"))
+      .withColumn("asz", size(col("a_p.ws")).cast("long"))
+      .withColumn("bsz", size(col("b_p.ws")).cast("long"))
+      .filter(col("inter") * 1000 >=
+        lit(thresholdMilli) * (col("asz") + col("bsz") - col("inter")))
+      .select(col("a_id").as("doc_id")).distinct()
+    s1.join(hits, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
 
   /** MinHash signature: k min-hashes over word-3-shingles, computed in a
     * single explode + k min-aggregates pass (one shuffle by doc_id). */
@@ -381,6 +459,14 @@ object Dedup {
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // incremental ingestion: docs with id % 10 == 0 play the arriving
+    // shard, the rest the already-deduped lake
+    "d14_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      incrementalDedup(docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0))
+        .orderBy(col("doc_id"))
+    }),
     "d04_minhash_neardups" -> ((s, d) =>
       minHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "d05_simhash_neardups" -> ((s, d) =>
@@ -457,6 +543,27 @@ object Dedup {
     "d12_simhash_equality_pin" ->
       """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,
          CAST(NULL AS BIGINT) AS hamming WHERE 1 = 0""",
+    // the delta-vs-(corpus ∪ earlier-delta) near-dup predicate, written
+    // directly: a delta doc survives iff no blocked Jaccard hit
+    "d14_incremental_dedup" ->
+      """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         rhs AS (
+           SELECT doc_id, text, 0 AS is_delta FROM corpus
+           UNION ALL SELECT doc_id, text, 1 FROM delta),
+         hits AS (
+           SELECT DISTINCT a.doc_id
+           FROM delta a JOIN rhs b
+           ON substring(a.text, 1, 20) = substring(b.text, 1, 20)
+             AND (b.is_delta = 0 OR b.doc_id < a.doc_id)
+           WHERE len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                    list_distinct(string_split(b.text, ' ')))) * 1000
+             >= 500 * (len(list_distinct(string_split(a.text, ' ')))
+               + len(list_distinct(string_split(b.text, ' ')))
+               - len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                    list_distinct(string_split(b.text, ' '))))))
+         SELECT doc_id FROM delta WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+         ORDER BY doc_id""",
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",

@@ -57,6 +57,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("boundedCrossPairJoin: hot shared block → complete asymmetric pair set, no right self-pairs") {
+    import spark.implicits._
+    val cap = 16
+    // one hot block on both sides (100 left × 250 right) plus a
+    // left-only and a right-only block (must emit nothing)
+    val left = ((1 to 100).map(i => ("hot", i.toLong, s"L$i")) :+
+      (("lonlyblk", 900L, "L900"))).toDF("blk", "id", "p")
+    val right = ((101 to 350).map(i => ("hot", i.toLong, s"R$i")) :+
+      (("ronlyblk", 901L, "R901"))).toDF("blk", "id", "p")
+    val out = Dedup.boundedCrossPairJoin(left, right, cap)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 100 * 250, s"expected the full cross set, got ${out.length}")
+    assert(out.toSet.size == out.length, "a pair met more than once")
+    assert(out.forall { case (a, b) => a <= 100 && b >= 101 },
+      "left/right sides leaked across")
+  }
+
+  test("incrementalDedup: exact copies, near-dups of corpus, and later near-dups of delta all drop") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally unrelated corpus text about other things")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),   // exact copy of 1 → drop
+      (20L, "alpha beta gamma delta epsilon zeta eta iota"),    // near-dup of 1 → drop
+      (30L, "fresh new document with wholly original words"),   // survives
+      (40L, "fresh new document with wholly original terms")    // near-dup of EARLIER delta 30 → drop
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, delta)
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(30L), s"expected only 30 to survive, got ${out.toSeq}")
+  }
+
   test("jaccardPairs through the bounded kernel == naive blocked join (mixed blocks)") {
     import spark.implicits._
     // 3 blocks of very different sizes, incl. one above the cap used by
