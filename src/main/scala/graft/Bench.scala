@@ -67,12 +67,20 @@ object Bench {
     // per-query COLD times in the tail line (the round-over-round
     // comparable figure); {cold, warm} pairs for every query would not
     // fit the harness's ~2000-char captured tail, so the warm side
-    // rides as its total here with full detail in bench_detail.json
-    val qs = results.map { case (k, c, _) => "\"" + k.takeWhile(_ != '_') + "\":" + f(c) }
+    // rides as its total here with full detail in bench_detail.json.
+    // 2-decimal values + basename sf: at 136 catalog queries the
+    // 3-decimal line crosses ~2000 chars and the tail capture would
+    // truncate the JSON — the exact unparseable-bench failure of
+    // rounds 1-4. ~1700 chars leaves headroom for the trailing sbt
+    // lines inside the captured window.
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, c, _) => "\"" + k.takeWhile(_ != '_') + "\":" + f2(c) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","warm_total":${f(warmTotal)},"queries":$qs,"sf":"$sfDir"}"""
+    val sfName = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","warm_total":${f(warmTotal)},"queries":$qs,"sf":"$sfName"}"""
     try {
       val full = results.map { case (k, c, w) =>
         "\"" + k + "\":{\"cold\":" + c + ",\"warm\":" + w + "}"

@@ -35,9 +35,13 @@ object StreamingQueries {
     "st04_stream_sliding" -> ((s, d) =>
       EventStreams.runToBatch(s, d, "st04_mem", "complete")(EventStreams.sliding(_))
         .orderBy(col("w_start_us"), col("event_type"))),
+    // stream-stream joins hold BOTH sides' un-expired rows in the state
+    // store (four stores per partition), so they run on RocksDB like the
+    // sessionizers — the 100 TB default for every stateful query
     "st05_stream_interval_join" -> ((s, d) =>
       EventStreams.runBounded(s, "st05_mem",
-        scoped => EventStreams.viewClickJoin(scoped, d), "append")
+        scoped => EventStreams.viewClickJoin(scoped, d), "append",
+        extraConf = EventStreams.RocksDbConf)
         .orderBy(col("user_id"), col("view_id"), col("click_id"))),
     // foreachBatch parquet sink: each micro-batch overwrites the output
     // dir with the complete-mode snapshot; result read back from disk
@@ -55,7 +59,7 @@ object StreamingQueries {
     "st08_stream_left_outer_join" -> ((s, d) =>
       EventStreams.runBounded(s, "st08_mem",
         scoped => EventStreams.viewClickLeftJoin(scoped, d), "append",
-        noDataBatches = true)
+        noDataBatches = true, extraConf = EventStreams.RocksDbConf)
         .orderBy(col("user_id"), col("view_id"), col("click_id"))),
     // streaming CDC apply: foreachBatch LWW merge into a parquet state
     // table; final state must equal the batch last-per-key answer under
