@@ -471,21 +471,40 @@ object Dedup {
       minHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "d05_simhash_neardups" -> ((s, d) =>
       simHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
-    // SUBSET PIN for d04: the banded-candidate + exact-verify output must
-    // be contained in the blocking-free exact-threshold pair set (any row
-    // here = a pair the kernel emitted that a full scan would not).
-    // Oracle = the empty set, so the containment is driver-checked even
-    // though the banding itself is not SQL-expressible.
-    // The pin runs on a fixed 1/3 id stratum: the ground-truth side is
-    // quadratic BY DESIGN (its value is being obviously correct), so its
-    // cost must not grow n² with the bench scale factor. The kernel is
-    // id-agnostic — signatures and banding see only text — so a
-    // containment violation is equally detectable in-stratum, and
-    // DedupSpec covers the full corpus exhaustively at unit scale.
+    // SOUNDNESS PIN for d04: every emitted pair must genuinely clear the
+    // 0.7 word-set Jaccard threshold, re-derived through an INDEPENDENT
+    // arithmetic path — token explode + distinct + equi-join for the
+    // intersection, countDistinct for the set sizes, integer milli-
+    // threshold compare — none of the kernel's array_intersect/size/
+    // double-division machinery. A violation row = a pair the kernel
+    // emitted whose independently-recomputed overlap is sub-threshold
+    // or whose reported score disagrees with inter/union. Cost is
+    // O(emitted pairs × doc tokens) — the pin runs on the FULL corpus at
+    // any scale (the earlier form diffed against a quadratic brute-force
+    // ground truth and was the slowest query in the bench; a subset pin
+    // checks soundness only, which per-pair recompute gives linearly —
+    // completeness is d12's pigeonhole territory and DedupSpec's
+    // exhaustive unit-scale case).
     "d11_minhash_subset_pin" -> ((s, d) => {
-      val docs = t(s, d, "documents").filter(col("doc_id") % 3 === 0)
-      minHashNearDupPairs(docs).select(col("a_id"), col("b_id"))
-        .except(exactJaccardPairsBrute(docs, 0.7).select(col("a_id"), col("b_id")))
+      val docs = t(s, d, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w")).distinct()
+      val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val emitted = minHashNearDupPairs(docs)
+      val inter = emitted
+        .join(tok.select(col("doc_id").as("a_id"), col("w")), Seq("a_id"))
+        .join(tok.select(col("doc_id").as("b_id"), col("w")), Seq("b_id", "w"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      emitted
+        .join(inter, Seq("a_id", "b_id"), "left_outer")
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+        .withColumn("i", coalesce(col("inter"), lit(0L)))
+        .filter(col("a_id") >= col("b_id") ||
+          col("i") * 1000 < lit(700) * (col("na") + col("nb") - col("i")) ||
+          col("jaccard") =!= col("i").cast("double") /
+            (col("na") + col("nb") - col("i")).cast("double"))
+        .select(col("a_id"), col("b_id"))
         .orderBy(col("a_id"), col("b_id"))
     }),
     // EQUALITY PIN for d05: 4 bands with maxDist 3 < 4 means every pair
@@ -501,11 +520,12 @@ object Dedup {
     })
   )
 
-  /** Blocking-free exact word-set Jaccard pairs — the comparison side of
-    * [[queries d11]]'s subset pin. Quadratic BY DESIGN (it is the ground
-    * truth the banded kernel is checked against, never a production
-    * path); a distinct-word-count band prunes pairs that cannot reach
-    * the threshold (J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t) before any intersect. */
+  /** Blocking-free exact word-set Jaccard pairs — the ground-truth side
+    * of DedupSpec's exhaustive unit-scale containment case (the catalog
+    * d11 pin recomputes per emitted pair instead, staying linear at any
+    * bench scale). Quadratic BY DESIGN, never a production path; a
+    * distinct-word-count band prunes pairs that cannot reach the
+    * threshold (J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t) before any intersect. */
   private[graft] def exactJaccardPairsBrute(docs: DataFrame, threshold: Double): DataFrame = {
     val ws = docs.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ws"))

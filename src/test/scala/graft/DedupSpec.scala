@@ -35,6 +35,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.7))
   }
 
+  test("banded near-dups ⊆ blocking-free exact pair set (exhaustive, unit scale)") {
+    // the full-containment form of the d11 pin: affordable here on the
+    // 500-doc corpus, quadratic-by-design so it stays OUT of the
+    // per-round catalog (d11 itself recomputes per emitted pair)
+    val extra = Dedup.minHashNearDupPairs(docs).select(col("a_id"), col("b_id"))
+      .except(Dedup.exactJaccardPairsBrute(docs, 0.7).select(col("a_id"), col("b_id")))
+    assert(extra.isEmpty, s"banded kernel emitted pairs brute force rejects")
+  }
+
   test("boundedPairJoin: one 1000-row hot block → every join key ≤ cap per side, output complete") {
     import spark.implicits._
     val cap = 64
