@@ -140,7 +140,26 @@ object EventStreams {
     * horizon are held back, never emitted — the oracle models exactly
     * that holdback. */
   def viewClickLeftJoin(spark: SparkSession, dir: String,
-                        watermark: String = "10 minutes"): DataFrame = {
+                        watermark: String = "10 minutes"): DataFrame =
+    viewClickOuterJoin(spark, dir, "leftOuter", watermark)
+
+  /** Stream-stream FULL OUTER interval join: [[viewClickLeftJoin]]'s
+    * null-padded views PLUS clicks that matched no view in their
+    * 5-minute look-back, null-padded on the view side. The clicks-side
+    * eviction predicate differs from the views side because the
+    * interval is one-sided: a click at c_ts can match views with
+    * v_ts ∈ [c_ts − 5min, c_ts], and the view watermark only promises
+    * future views arrive with v_ts ≥ wm — so the click is provably
+    * unmatched once c_ts < wm (its whole look-back is behind the
+    * watermark), while a view must wait for v_ts + 5min < wm. Both
+    * predicates are modeled by the st14 oracle; rows inside the final
+    * horizon are held back on their own side exactly as in st08. */
+  def viewClickFullJoin(spark: SparkSession, dir: String,
+                        watermark: String = "10 minutes"): DataFrame =
+    viewClickOuterJoin(spark, dir, "fullOuter", watermark)
+
+  private def viewClickOuterJoin(spark: SparkSession, dir: String,
+                                 joinType: String, watermark: String): DataFrame = {
     val views = readEventStream(spark, dir)
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -155,8 +174,9 @@ object EventStreams {
       col("v_user") === col("c_user") &&
         col("c_ts") >= col("v_ts") &&
         col("c_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"),
-      "leftOuter")
-      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+      joinType)
+      .select(coalesce(col("v_user"), col("c_user")).as("user_id"),
+        col("view_id"), col("click_id"),
         (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
   }
 

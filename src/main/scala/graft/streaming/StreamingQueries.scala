@@ -61,6 +61,15 @@ object StreamingQueries {
         scoped => EventStreams.viewClickLeftJoin(scoped, d), "append",
         noDataBatches = true, extraConf = EventStreams.RocksDbConf)
         .orderBy(col("user_id"), col("view_id"), col("click_id"))),
+    // stream-stream FULL OUTER interval join: st08 plus null-view rows
+    // for clicks whose whole 5-minute look-back fell behind the final
+    // watermark (one-sided interval ⇒ asymmetric eviction predicates —
+    // see EventStreams.viewClickFullJoin)
+    "st14_stream_full_outer_join" -> ((s, d) =>
+      EventStreams.runBounded(s, "st14_mem",
+        scoped => EventStreams.viewClickFullJoin(scoped, d), "append",
+        noDataBatches = true, extraConf = EventStreams.RocksDbConf)
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))),
     // streaming CDC apply: foreachBatch LWW merge into a parquet state
     // table; final state must equal the batch last-per-key answer under
     // any micro-batch partitioning of the input
@@ -267,6 +276,51 @@ object StreamingQueries {
              AND (epoch_ns(v.ts) // 1000) + 300000000 < wm.wm_ms * 1000)
          SELECT * FROM matched
          UNION ALL SELECT * FROM unmatched
+         ORDER BY user_id, view_id, click_id""",
+    // st08's rows plus null-view rows for unmatched clicks. The click
+    // eviction predicate is c_ts < wm (NOT c_ts + 5min < wm): the
+    // interval is one-sided — a click looks BACK at views in
+    // [c_ts − 5min, c_ts], and future views are promised to arrive at
+    // v_ts ≥ wm, so the click is provably unmatched as soon as its own
+    // timestamp is behind the watermark.
+    "st14_stream_full_outer_join" ->
+      s"""WITH wm AS (SELECT least(
+           (SELECT max($tsUs) // 1000 FROM events WHERE event_type = 'view'),
+           (SELECT max($tsUs) // 1000 FROM events WHERE event_type = 'click'))
+           - 600000 AS wm_ms),
+         matched AS (
+           SELECT v.user_id AS user_id, v.event_id AS view_id, c.event_id AS click_id,
+             (epoch_ns(c.ts) // 1000) - (epoch_ns(v.ts) // 1000) AS lag_us
+           FROM events v JOIN events c
+           ON v.user_id = c.user_id
+             AND v.event_type = 'view' AND c.event_type = 'click'
+             AND (epoch_ns(c.ts) // 1000) >= (epoch_ns(v.ts) // 1000)
+             AND (epoch_ns(c.ts) // 1000) <= (epoch_ns(v.ts) // 1000) + 300000000),
+         unmatched_v AS (
+           SELECT v.user_id, v.event_id AS view_id,
+             CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS lag_us
+           FROM events v, wm
+           WHERE v.event_type = 'view'
+             AND NOT EXISTS (SELECT 1 FROM events c
+               WHERE c.event_type = 'click' AND c.user_id = v.user_id
+                 AND (epoch_ns(c.ts) // 1000)
+                   BETWEEN (epoch_ns(v.ts) // 1000)
+                       AND (epoch_ns(v.ts) // 1000) + 300000000)
+             AND (epoch_ns(v.ts) // 1000) + 300000000 < wm.wm_ms * 1000),
+         unmatched_c AS (
+           SELECT c.user_id, CAST(NULL AS BIGINT) AS view_id,
+             c.event_id AS click_id, CAST(NULL AS BIGINT) AS lag_us
+           FROM events c, wm
+           WHERE c.event_type = 'click'
+             AND NOT EXISTS (SELECT 1 FROM events v
+               WHERE v.event_type = 'view' AND v.user_id = c.user_id
+                 AND (epoch_ns(c.ts) // 1000)
+                   BETWEEN (epoch_ns(v.ts) // 1000)
+                       AND (epoch_ns(v.ts) // 1000) + 300000000)
+             AND (epoch_ns(c.ts) // 1000) < wm.wm_ms * 1000)
+         SELECT * FROM matched
+         UNION ALL SELECT * FROM unmatched_v
+         UNION ALL SELECT * FROM unmatched_c
          ORDER BY user_id, view_id, click_id""",
     // identical semantics to batch e02 minus the value sum (count-only)
     "st04_stream_sliding" ->
