@@ -114,6 +114,63 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (3L, -1L)), s"got $got")
   }
 
+  test("full-outer interval join: expired unmatched click emits null-view before an equally-old view would") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fouter").toString
+
+    def writeBatch(path: String, mtime: Long,
+                   rows: Seq[(Long, Long, Long, String)]): Unit = {
+      rows.map { case (id, tsUs, user, typ) => (id, tsUs * 1000L, user, typ, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(path)
+      new java.io.File(path).listFiles().foreach(_.setLastModified(mtime))
+    }
+
+    // b1: u1 matched pair; u2 lone view at 10:00; u4 lone click at 10:04
+    writeBatch(s"$dir/b1", 1000000L, Seq(
+      (1L, us(600), 1L, "view"), (2L, us(602), 1L, "click"),
+      (3L, us(600), 2L, "view"), (4L, us(604), 4L, "click")))
+    // b2: both sides jump to 10:12 → watermark 10:02. The asymmetric
+    // eviction: u2's VIEW (window end 10:05 ≥ 10:02) is held back, but
+    // an unmatched CLICK evicts at c_ts < wm — u4's click at 10:04 is
+    // NOT yet evictable either. Advance to 10:16 → wm 10:06: now BOTH
+    // u2's view (10:05 < 10:06) and u4's click (10:04 < 10:06) emit.
+    writeBatch(s"$dir/b2", 2000000L, Seq(
+      (5L, us(612), 3L, "view"), (6L, us(612), 9L, "click")))
+    writeBatch(s"$dir/b3", 3000000L, Seq(
+      (7L, us(616), 8L, "view"), (8L, us(616), 7L, "click")))
+    writeBatch(s"$dir/b4", 4000000L, Seq((9L, us(617), 6L, "click")))
+
+    val src = spark.readStream.schema(EventStreams.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"),
+      "fullOuter")
+      .select(col("view_id"), col("click_id"))
+    val q = joined.writeStream.format("memory").queryName("fouter_mem")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("fouter_mem").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                 if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // u1's pair; u2's null-click view; u4's null-view click. Views and
+    // clicks from 10:12+ are inside the final horizon: held back.
+    assert(got == Set((1L, 2L), (3L, -1L), (-1L, 4L)), s"got $got")
+  }
+
   test("custom-state sessions: one session spanning micro-batches merges in state") {
     import spark.implicits._
     import graft.streaming.StatefulSessionStream
