@@ -92,8 +92,58 @@ object Events {
                           (s, x) -> (85 * s + 15 * x.vq) div 100)""").as("ewma_q"))
   }
 
+  /** Funnel analysis (view → click → purchase): per user with at least
+    * one view, the first view, the first click STRICTLY AFTER that view,
+    * and the first purchase strictly after that click — the ordered-
+    * sequence-match every product-analytics engine ships. One shuffle on
+    * user_id, then three window passes over the SAME partitioning (the
+    * later stages reference the earlier stages' per-user minima as
+    * columns, so no re-shuffle and no self-join); users who never
+    * reached a stage carry nulls from there on. */
+  def funnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    ev
+      .withColumn("v_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("c_us",
+        min(when(col("event_type") === "click" && col("ts_us") > col("v_us"),
+          col("ts_us"))).over(w))
+      .withColumn("p_us",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("c_us"),
+          col("ts_us"))).over(w))
+      .filter(col("v_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("v_us")).as("v_us"), min(col("c_us")).as("c_us"),
+        min(col("p_us")).as("p_us"))
+  }
+
+  /** Retention cohorts: users grouped by the epoch-aligned 7-day bucket
+    * of their FIRST event; for each cohort × week-offset, how many of
+    * its users were active that week. Integer microsecond bucketing —
+    * no calendar arithmetic crosses an engine boundary. Two user-keyed
+    * aggregations plus one (user, offset) distinct; every stage is
+    * map-side combinable and nothing exceeds one shuffle width. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val wkUs = 7L * 86400L * 1000000L
+    val ev = events.select(col("user_id"),
+      (unix_micros(col("ts")) - (unix_micros(col("ts")) % wkUs)).as("wk_us"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk_us")).as("cohort_us"))
+    ev.join(cohort, Seq("user_id"))
+      .select(col("user_id"), col("cohort_us"),
+        ((col("wk_us") - col("cohort_us")) / wkUs).cast("long").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_us"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e06_ewma" -> ((s, d) => ewmaPerUser(t(s, d, "events")).orderBy(col("user_id"))),
+    "e07_funnel" -> ((s, d) => funnel(t(s, d, "events")).orderBy(col("user_id"))),
+    "e08_retention_cohorts" -> ((s, d) =>
+      retentionCohorts(t(s, d, "events"))
+        .orderBy(col("cohort_us"), col("week_offset"))),
     "e01_tumbling_window" -> ((s, d) =>
       tumbling(t(s, d, "events")).orderBy(col("w_start_us"), col("event_type"))),
     "e02_sliding_window" -> ((s, d) =>
@@ -109,6 +159,37 @@ object Events {
   private val tsUs = "(epoch_ns(ts) // 1000)"
 
   def oracleSql: Map[String, String] = Map(
+    "e07_funnel" ->
+      s"""WITH v AS (
+           SELECT user_id, min($tsUs) AS v_us FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min($tsUs) AS c_us
+           FROM events e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND $tsUs > v.v_us
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min($tsUs) AS p_us
+           FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND $tsUs > c.c_us
+           GROUP BY e.user_id)
+         SELECT v.user_id, v.v_us, c.c_us, p.p_us
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         ORDER BY v.user_id""",
+    "e08_retention_cohorts" ->
+      s"""WITH ev AS (
+           SELECT user_id,
+             $tsUs - ($tsUs % 604800000000) AS wk_us
+           FROM events),
+         cohort AS (
+           SELECT user_id, min(wk_us) AS cohort_us FROM ev GROUP BY user_id),
+         act AS (
+           SELECT DISTINCT ev.user_id, cohort.cohort_us,
+             (ev.wk_us - cohort.cohort_us) // 604800000000 AS week_offset
+           FROM ev JOIN cohort USING (user_id))
+         SELECT cohort_us, week_offset, count(*) AS n_users
+         FROM act GROUP BY cohort_us, week_offset
+         ORDER BY cohort_us, week_offset""",
     "e06_ewma" ->
       s"""WITH ev AS (
            SELECT user_id, $tsUs AS ts_us, event_id,
