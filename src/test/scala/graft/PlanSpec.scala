@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("e07: funnel = one data shuffle, three window passes, no self-joins") {
+    val p = plan("e07_funnel")
+    assert(!p.contains("Join"), s"funnel grew a self-join:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected user shuffle + output sort, got $exchanges:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows == 3, s"expected 3 window passes, got $windows:\n$p")
+  }
+
   test("q07: partial+final WindowGroupLimit bounds the shuffled rows to k per group") {
     val p = plan("q07_topk_per_group")
     assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"), p)
