@@ -132,7 +132,11 @@ object Events {
     val cohort = ev.groupBy(col("user_id")).agg(min(col("wk_us")).as("cohort_us"))
     ev.join(cohort, Seq("user_id"))
       .select(col("user_id"), col("cohort_us"),
-        ((col("wk_us") - col("cohort_us")) / wkUs).cast("long").as("week_offset"))
+        // integer `div`, not `/`: the quotient is always an exact
+        // multiple so double division happens to be exact today, but
+        // the integer form keeps the arithmetic engine-identical by
+        // construction (same operator DuckDB's // uses)
+        expr(s"(wk_us - cohort_us) div ${wkUs}L").as("week_offset"))
       .distinct()
       .groupBy(col("cohort_us"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
