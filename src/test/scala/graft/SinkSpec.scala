@@ -45,4 +45,53 @@ class SinkSpec extends SparkSpec {
     val plan = back.filter(col("lang") === "en").queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
   }
+
+  test("z-ordered write: a box predicate on EITHER dimension prunes files; single-dim sort cannot") {
+    import graft.functions.InterleaveBits
+    // 15k orders hashed onto a 256×256 grid — dense enough that each
+    // file's min/max tracks its z-interval's bounding box
+    val base = graft.sources.Tables(spark, "/root/testdata/sf0.01", "orders")
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 256).as("x"), (col("o_orderkey") % 256).as("y"))
+      .withColumn("zkey", InterleaveBits.interleave_bits(col("x"), col("y")))
+    val root = Files.createTempDirectory("graft_zorder")
+    val zdir = root.resolve("z").toString
+    val xdir = root.resolve("x").toString
+    val nFiles = 16
+    base.repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .write.mode("overwrite").parquet(zdir)
+    base.repartitionByRange(nFiles, col("x"))
+      .sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(xdir)
+
+    // per-file min/max — exactly the parquet footer stats a scan's
+    // predicate pushdown consults for row-group/file skipping
+    def boxes(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+        min(col("y")).as("y0"), max(col("y")).as("y1"))
+      .collect()
+    def overlapping(dir: String, d: String, lo: Long, hi: Long) =
+      boxes(dir).count { r =>
+        val (a, b) = if (d == "x") (r.getLong(1), r.getLong(2))
+                     else (r.getLong(3), r.getLong(4))
+        a <= hi && b >= lo
+      }
+
+    // a 1/8-wide slice of either dimension: the 16 z-range files tile
+    // the grid in ~64×64 quadrants, so ≤ half the files can intersect
+    // the slice on EITHER axis — that's the multi-dimensional pruning
+    // z-ordering buys
+    assert(overlapping(zdir, "x", 0, 31) <= nFiles / 2,
+      s"z layout: x-slice hit ${overlapping(zdir, "x", 0, 31)} of $nFiles files")
+    assert(overlapping(zdir, "y", 0, 31) <= nFiles / 2,
+      s"z layout: y-slice hit ${overlapping(zdir, "y", 0, 31)} of $nFiles files")
+    // the x-sorted control layout: great for x, but a y-slice overlaps
+    // essentially every file — single-dim sort cannot skip on y
+    assert(overlapping(xdir, "x", 0, 31) <= nFiles / 4,
+      "x layout should prune x slices tightly")
+    assert(overlapping(xdir, "y", 0, 31) >= nFiles - 2,
+      "x layout unexpectedly pruned the y slice — control is broken")
+  }
 }
