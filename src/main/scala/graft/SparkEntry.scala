@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Events.queries ++
       operators.StatefulSessions.queries ++
       operators.Multimodal.queries ++
+      operators.Quality.queries ++
       streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +51,6 @@ object SparkEntry {
       operators.Events.oracleSql ++
       operators.StatefulSessions.oracleSql ++
       operators.Multimodal.oracleSql ++
+      operators.Quality.oracleSql ++
       streaming.StreamingQueries.oracleSql
 }

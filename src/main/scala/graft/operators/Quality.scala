@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit operators — the nightly constraint suite a 100 TB
+  * lake runs before publishing a snapshot (Deequ/dbt-test shape, as
+  * first-class engine queries rather than a bolted-on framework):
+  *
+  *   v01  key uniqueness        — duplicate primary keys, per table
+  *   v02  referential integrity — fact keys with no dimension row
+  *   v03  null/blank profile    — per-column null and blank rates
+  *   v04  freshness / gap scan  — max event-time staleness and the
+  *                                largest silent interval per type
+  *
+  * All four are plain aggregations/anti-joins a scheduler can run
+  * incrementally per partition; nothing materializes to the driver.
+  * Violation-shaped outputs (v01/v02) follow the catalog's pin
+  * convention: healthy data emits zero rows, so the oracle doubles as
+  * the expected-violations ledger. v03/v04 are profiles — the oracle
+  * checks the measured values exactly.
+  */
+object Quality {
+
+  /** Duplicate-key audit: keys appearing more than once, with counts —
+    * one map-side-combinable aggregation per audited table. */
+  def duplicateKeys(df: DataFrame, key: String, table: String): DataFrame =
+    df.groupBy(col(key).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+      .select(lit(table).as("tbl"), col("key"), col("n_rows"))
+
+  /** Orphaned foreign keys: distinct fact-side keys with no dimension
+    * row. Distinct BEFORE the join: the shuffle carries unique keys,
+    * not the fact table; the anti join then prunes with the dimension's
+    * (usually broadcastable) key set. */
+  def orphanedKeys(fact: DataFrame, factKey: String,
+                   dim: DataFrame, dimKey: String, rel: String): DataFrame =
+    fact.select(col(factKey).as("key")).distinct()
+      .join(dim.select(col(dimKey).as("key")), Seq("key"), "left_anti")
+      .select(lit(rel).as("rel"), col("key"))
+
+  /** Null/blank profile for a set of columns: nulls and (for strings)
+    * blank-after-trim counts per column — one pass, one row per column
+    * via an unpivoted conditional aggregate. */
+  def nullProfile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
+    val aggs = cols.zipWithIndex.map { case ((c, isString), i) =>
+      struct(lit(c).as("col_name"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        (if (isString) sum(when(trim(col(c)) === "", 1L).otherwise(0L))
+         else sum(lit(0L))).as("n_blank"),
+        count(lit(1)).as("n_rows")).as(s"s$i")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.indices.map(i => col(s"s$i")): _*)).as("r"))
+      .select(col("r.col_name"), col("r.n_null"), col("r.n_blank"), col("r.n_rows"))
+  }
+
+  /** Freshness and gap scan per event type: staleness = corpus max ts −
+    * per-type max ts (how far behind the freshest feed each type is),
+    * plus the largest silent interval between consecutive events — the
+    * lag/window pass shuffles once on event_type. */
+  def freshness(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+    val ev = events.select(col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val gaps = ev
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("ts_us")).as("max_ts_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        count(lit(1)).as("n_events"))
+    val global = ev.agg(max(col("ts_us")).as("global_max_us"))
+    gaps.crossJoin(broadcast(global))
+      .select(col("event_type"),
+        (col("global_max_us") - col("max_ts_us")).as("staleness_us"),
+        col("max_gap_us"), col("n_events"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // key uniqueness across the three id-bearing tables the pipeline
+    // trusts as primary keys (healthy data ⇒ zero rows)
+    "v01_unique_keys" -> ((s, d) =>
+      duplicateKeys(t(s, d, "orders"), "o_orderkey", "orders")
+        .unionAll(duplicateKeys(t(s, d, "customer"), "c_custkey", "customer"))
+        .unionAll(duplicateKeys(t(s, d, "documents"), "doc_id", "documents"))
+        .orderBy(col("tbl"), col("key"))),
+    "v02_ref_integrity" -> ((s, d) =>
+      orphanedKeys(t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer"), "c_custkey", "orders.custkey")
+        .unionAll(orphanedKeys(t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders"), "o_orderkey", "lineitem.orderkey"))
+        .unionAll(orphanedKeys(t(s, d, "lineitem"), "l_partkey",
+          t(s, d, "part"), "p_partkey", "lineitem.partkey"))
+        .orderBy(col("rel"), col("key"))),
+    "v03_null_profile" -> ((s, d) =>
+      nullProfile(t(s, d, "customer"), Seq(
+        ("c_custkey", false), ("c_name", true), ("c_acctbal", false),
+        ("c_mktsegment", true)))
+        .orderBy(col("col_name"))),
+    "v04_freshness" -> ((s, d) =>
+      freshness(t(s, d, "events")).orderBy(col("event_type")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "v01_unique_keys" ->
+      """SELECT * FROM (
+           SELECT 'orders' AS tbl, o_orderkey AS key, count(*) AS n_rows
+           FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+           UNION ALL
+           SELECT 'customer', c_custkey, count(*) FROM customer
+           GROUP BY c_custkey HAVING count(*) > 1
+           UNION ALL
+           SELECT 'documents', doc_id, count(*) FROM documents
+           GROUP BY doc_id HAVING count(*) > 1)
+         ORDER BY tbl, key""",
+    "v02_ref_integrity" ->
+      """SELECT * FROM (
+           SELECT 'orders.custkey' AS rel, o_custkey AS key
+           FROM (SELECT DISTINCT o_custkey FROM orders)
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+           UNION ALL
+           SELECT 'lineitem.orderkey', l_orderkey
+           FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           UNION ALL
+           SELECT 'lineitem.partkey', l_partkey
+           FROM (SELECT DISTINCT l_partkey FROM lineitem)
+           WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+         ORDER BY rel, key""",
+    "v03_null_profile" ->
+      """SELECT col_name, CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_blank AS BIGINT) AS n_blank, n_rows FROM (
+           SELECT 'c_custkey' AS col_name,
+             sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+             0 AS n_blank, count(*) AS n_rows FROM customer
+           UNION ALL
+           SELECT 'c_name', sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+             sum(CASE WHEN trim(c_name) = '' THEN 1 ELSE 0 END), count(*)
+           FROM customer
+           UNION ALL
+           SELECT 'c_acctbal', sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+             0, count(*) FROM customer
+           UNION ALL
+           SELECT 'c_mktsegment', sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+             sum(CASE WHEN trim(c_mktsegment) = '' THEN 1 ELSE 0 END), count(*)
+           FROM customer)
+         ORDER BY col_name""",
+    "v04_freshness" ->
+      """WITH ev AS (
+           SELECT event_type, event_id, (epoch_ns(ts) // 1000) AS ts_us FROM events),
+         lagged AS (
+           SELECT event_type, ts_us,
+             ts_us - lag(ts_us, 1) OVER
+               (PARTITION BY event_type ORDER BY ts_us, event_id) AS gap_us
+           FROM ev),
+         gaps AS (
+           SELECT event_type, max(ts_us) AS max_ts_us,
+             max(gap_us) AS max_gap_us, count(*) AS n_events
+           FROM lagged GROUP BY event_type),
+         g AS (SELECT max(ts_us) AS global_max_us FROM ev)
+         SELECT event_type, g.global_max_us - max_ts_us AS staleness_us,
+           max_gap_us, n_events
+         FROM gaps, g ORDER BY event_type"""
+  )
+}
