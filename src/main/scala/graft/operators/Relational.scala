@@ -464,6 +464,32 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- RANK-ERROR PIN for the approx percentile sketch (the 100 TB
+    //      path q35's comment points at): percentile_approx(accuracy=K)
+    //      promises a value whose RANK is within n/K of the target.
+    //      Re-derive the returned value's true rank interval with a
+    //      plain conditional count and emit any group where the target
+    //      rank falls outside [rank_lo − n/K − 1, rank_hi + n/K + 1] —
+    //      all integer arithmetic (milli-scaled), deterministic for a
+    //      fixed dataset. Oracle = the empty set (q60 pattern).
+    "q61_approx_percentile_pin" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"))
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile_approx(q, 0.5D, 1000)").as("ap"),
+          count(lit(1)).as("n"))
+      li.join(ap, Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("ap"), col("n"))
+        .agg(sum(when(col("q") < col("ap"), 1L).otherwise(0L)).as("rank_lo"),
+          sum(when(col("q") <= col("ap"), 1L).otherwise(0L)).as("rank_hi"))
+        .withColumn("slack", expr("n div 1000") + 1)
+        .filter(col("rank_lo") * 1000 > col("n") * 500 + col("slack") * 1000 ||
+          col("rank_hi") * 1000 < col("n") * 500 - col("slack") * 1000)
+        .select(col("l_returnflag"), col("ap"), col("n"),
+          col("rank_lo"), col("rank_hi"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- moment statistics via explicit decimal sums (order-exact;
     //      built-in stddev/var would be float-summation-order dependent)
     "q32_moment_stats" -> ((s, d) => {
@@ -766,6 +792,10 @@ object Relational {
            - CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
              * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) / count(*) AS var_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q61_approx_percentile_pin" ->
+      """SELECT CAST(NULL AS VARCHAR) AS l_returnflag, CAST(NULL AS BIGINT) AS ap,
+         CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS rank_lo,
+         CAST(NULL AS BIGINT) AS rank_hi WHERE 1 = 0""",
     "q35_percentiles" ->
       """SELECT l_returnflag,
          quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS p25,
