@@ -244,7 +244,10 @@ object EventStreams {
           def sawNoDataBatch: Boolean =
             q.recentProgress.exists(_.numInputRows == 0L)
           var prev = -1L; var cur = scoped.table(name).count()
-          val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+          // 30 s: the RocksDB-backed outer joins (st08/st14) commit a
+          // snapshot per store per batch — on a loaded machine the
+          // trailing watermark-only batch can take >15 s to surface
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
           while ((cur != prev || !sawNoDataBatch) && System.nanoTime() < deadline) {
             prev = cur; Thread.sleep(100); q.processAllAvailable()
             cur = scoped.table(name).count()
