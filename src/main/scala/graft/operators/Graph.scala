@@ -70,8 +70,57 @@ object Graph {
     out
   }
 
+  /** Deterministic synthetic interaction graph over the customer-id
+    * space: an order links its customer to the pseudo-customer
+    * `o_orderkey % 1500` — dense enough for triangles (the bipartite
+    * part↔supplier graph g01 walks has none by construction), fully
+    * reproducible, and trivially mirrored in SQL. */
+  def customerGraphEdges(orders: DataFrame): DataFrame =
+    orders.select(least(col("o_custkey"), col("o_orderkey") % 1500).as("u"),
+        greatest(col("o_custkey"), col("o_orderkey") % 1500).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+  /** Triangle count + graph profile via DEGREE-ORDERED wedge join
+    * (Cohen / Suri-Vassilvitskii "node-iterator++"): orient each
+    * undirected edge from its lower-(degree, id) endpoint to the
+    * higher one, generate wedges only at each edge's SOURCE, and close
+    * them against the oriented edge list. Orientation bounds every
+    * node's out-degree by O(√m) on any graph (a node of degree d only
+    * keeps out-edges to HIGHER-degree nodes, and there are ≤ 2m/d of
+    * those), so the wedge fan-out is O(m^{3/2}) worst case instead of
+    * Σd² — the difference between "survives a power-law hub" and one
+    * straggler task enumerating a celebrity node's d² wedges. Output
+    * (order-invariant, so the id-ordered SQL oracle agrees): nodes,
+    * edges, wedges (Σ d(d−1)/2), triangles, each triangle counted
+    * exactly once at its lowest-ordered apex. */
+  def triangleStats(edgesUV: DataFrame): DataFrame = {
+    val sym = edgesUV.select(col("u").as("a"), col("v").as("b"))
+      .union(edgesUV.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    // total order (d, id): orient a→b iff (d_a, a) < (d_b, b)
+    val withDeg = sym
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), Seq("b"))
+    val oriented = withDeg
+      .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a"), col("b"), col("db"))
+    // wedges at the apex a: pair its out-neighbors, lower-ordered first
+    val x = oriented.select(col("a"), col("b").as("w1"), col("db").as("d1"))
+    val y = oriented.select(col("a"), col("b").as("w2"), col("db").as("d2"))
+    val wedges = x.join(y, Seq("a"))
+      .filter(col("d1") < col("d2") || (col("d1") === col("d2") && col("w1") < col("w2")))
+    val tri = wedges.join(oriented.select(col("a").as("w1"), col("b").as("w2")),
+        Seq("w1", "w2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val profile = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    profile.crossJoin(broadcast(tri))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g01_pagerank" -> ((s, d) => pageRank(partSupplierEdges(t(s, d, "lineitem")), iters = 5))
+    "g01_pagerank" -> ((s, d) => pageRank(partSupplierEdges(t(s, d, "lineitem")), iters = 5)),
+    "g02_triangles" -> ((s, d) => triangleStats(customerGraphEdges(t(s, d, "orders"))))
   )
 
   private def oracleRounds(iters: Int): String =
@@ -87,6 +136,25 @@ object Graph {
     }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    // id-ordered enumeration (each triangle x<y<z once) — a different
+    // algorithm from the degree-ordered Spark kernel, same invariants
+    "g02_triangles" ->
+      """WITH e AS (
+           SELECT DISTINCT least(o_custkey, o_orderkey % 1500) AS u,
+             greatest(o_custkey, o_orderkey % 1500) AS v
+           FROM orders
+           WHERE least(o_custkey, o_orderkey % 1500)
+             <> greatest(o_custkey, o_orderkey % 1500)),
+         sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY a),
+         tri AS (
+           SELECT count(*) AS n_triangles
+           FROM e ab JOIN e ac ON ac.u = ab.u AND ac.v > ab.v
+           JOIN e bc ON bc.u = ab.v AND bc.v = ac.v)
+         SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           CAST((SELECT sum(d) FROM deg) / 2 AS BIGINT) AS n_edges,
+           CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles""",
     "g01_pagerank" ->
       s"""WITH e0 AS (
          |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
