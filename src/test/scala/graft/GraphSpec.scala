@@ -48,4 +48,18 @@ class GraphSpec extends SparkSpec {
     val total = pr.agg(sum("pr")).collect().head.getLong(0)
     assert(total > 0L && total <= Graph.SCALE)
   }
+
+  test("triangleStats: known graphs — K4, star, path") {
+    import spark.implicits._
+    def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = Graph.triangleStats(edges.toDF("u", "v")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // K4: 4 nodes, 6 edges, every vertex degree 3 → 12 wedges, 4 triangles
+    assert(stats(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))) == (4L, 6L, 12L, 4L))
+    // star S4 (hub 0): degree-skew case — wedges only at the hub, 0 triangles
+    assert(stats(Seq((0L,1L),(0L,2L),(0L,3L),(0L,4L))) == (5L, 4L, 6L, 0L))
+    // path: 0 triangles, wedge at each interior node
+    assert(stats(Seq((1L,2L),(2L,3L),(3L,4L))) == (4L, 3L, 2L, 0L))
+  }
 }
