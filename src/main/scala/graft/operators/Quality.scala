@@ -36,7 +36,11 @@ object Quality {
     * (usually broadcastable) key set. */
   def orphanedKeys(fact: DataFrame, factKey: String,
                    dim: DataFrame, dimKey: String, rel: String): DataFrame =
-    fact.select(col(factKey).as("key")).distinct()
+    // null fact keys are a v03 (null-profile) finding, not an orphan:
+    // an anti join would report them (null matches nothing) while SQL
+    // NOT IN silently drops them — filter explicitly so the audit's
+    // meaning doesn't depend on which engine runs it
+    fact.select(col(factKey).as("key")).filter(col("key").isNotNull).distinct()
       .join(dim.select(col(dimKey).as("key")), Seq("key"), "left_anti")
       .select(lit(rel).as("rel"), col("key"))
 
