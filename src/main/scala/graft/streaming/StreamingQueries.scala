@@ -61,6 +61,12 @@ object StreamingQueries {
         scoped => EventStreams.viewClickLeftJoin(scoped, d), "append",
         noDataBatches = true, extraConf = EventStreams.RocksDbConf)
         .orderBy(col("user_id"), col("view_id"), col("click_id"))),
+    // state-v2 MapState: per-user per-type running counts — one RocksDB
+    // entry per (user, type) slot, O(1) write amplification per event
+    // (see TypeCountStream); final counts must equal the batch groupBy
+    "st15_mapstate_type_counts" -> ((s, d) =>
+      TypeCountStream.runFinalCounts(s, d)
+        .orderBy(col("user_id"), col("event_type"))),
     // stream-stream FULL OUTER interval join: st08 plus null-view rows
     // for clicks whose whole 5-minute look-back fell behind the final
     // watermark (one-sided interval ⇒ asymmetric eviction predicates —
@@ -277,6 +283,10 @@ object StreamingQueries {
          SELECT * FROM matched
          UNION ALL SELECT * FROM unmatched
          ORDER BY user_id, view_id, click_id""",
+    "st15_mapstate_type_counts" ->
+      """SELECT user_id, event_type, count(*) AS n_events
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
     // st08's rows plus null-view rows for unmatched clicks. The click
     // eviction predicate is c_ts < wm (NOT c_ts + 5min < wm): the
     // interval is one-sided — a click looks BACK at views in
