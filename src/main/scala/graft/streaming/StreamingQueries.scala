@@ -67,6 +67,10 @@ object StreamingQueries {
     "st15_mapstate_type_counts" -> ((s, d) =>
       TypeCountStream.runFinalCounts(s, d)
         .orderBy(col("user_id"), col("event_type"))),
+    // state-v2 ListState: last-3 events per user BY EVENT TIME (order
+    // deterministic ⇒ batch-oracle-able; see RecentEventsStream)
+    "st16_liststate_recent" -> ((s, d) =>
+      RecentEventsStream.runFinalRecent(s, d).orderBy(col("user_id"))),
     // stream-stream FULL OUTER interval join: st08 plus null-view rows
     // for clicks whose whole 5-minute look-back fell behind the final
     // watermark (one-sided interval ⇒ asymmetric eviction predicates —
@@ -287,6 +291,20 @@ object StreamingQueries {
       """SELECT user_id, event_type, count(*) AS n_events
          FROM events GROUP BY user_id, event_type
          ORDER BY user_id, event_type""",
+    "st16_liststate_recent" ->
+      s"""WITH r AS (
+           SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY $tsUs DESC, event_id DESC) AS rk
+           FROM events),
+         n AS (SELECT user_id, count(*) AS n_seen FROM events GROUP BY user_id)
+         SELECT n.user_id, n.n_seen,
+           max(CASE WHEN rk = 1 THEN event_id END) AS e1,
+           max(CASE WHEN rk = 2 THEN event_id END) AS e2,
+           max(CASE WHEN rk = 3 THEN event_id END) AS e3
+         FROM n JOIN r USING (user_id) WHERE rk <= 3
+         GROUP BY n.user_id, n.n_seen
+         ORDER BY n.user_id""",
     // st08's rows plus null-view rows for unmatched clicks. The click
     // eviction predicate is c_ts < wm (NOT c_ts + 5min < wm): the
     // interval is one-sided — a click looks BACK at views in
