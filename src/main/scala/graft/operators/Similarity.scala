@@ -74,20 +74,16 @@ object Similarity {
     Array.fill(nBits, dim)(if (rng.nextBoolean()) 1L else -1L)
   }
 
-  /** Spark SQL expression text for the nBits-bit hyperplane signature of
-    * the quantized vector column `qv`: bit j = (qv · plane_j ≥ 0). */
-  private def sigExprSql(nBits: Int, dim: Int, seed: Long): String =
-    hyperplanes(nBits, dim, seed).zipWithIndex.map { case (p, j) =>
-      val plane = s"array(${p.mkString(",")})"
-      val dot = s"aggregate(zip_with(qv, $plane, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
-      s"(case when $dot >= 0 then cast(1 as bigint) << $j else 0 end)"
-    }.mkString(" + ")
-
   /** Random-hyperplane LSH signatures: bit j = sign(v · r_j), planes
     * derived from a fixed seed (deterministic). Returns (vec_id, bucket).
-    * nBits=12 → 4096 buckets; tune so bucket size ≈ corpus/4096. */
+    * nBits=12 → 4096 buckets; tune so bucket size ≈ corpus/4096.
+    * Native [[graft.functions.HyperplaneSig]] — the composable
+    * aggregate(zip_with(...)) form pays nBits×dim lambda dispatches per
+    * row outside whole-stage codegen (bit-identical output; pinned in
+    * SimilaritySpec). */
   def lshBuckets(emb: DataFrame, nBits: Int = 12, dim: Int = 64, seed: Long = 42): DataFrame =
-    quantized(emb).withColumn("bucket", expr(sigExprSql(nBits, dim, seed)))
+    quantized(emb).withColumn("bucket",
+      graft.functions.HyperplaneSig.hyperplane_sig(col("qv"), hyperplanes(nBits, dim, seed)))
 
   /** Banded blocking rows for [[cosineDupPairs]]: each vector explodes
     * to one (blk, id, p) row per band, blk = band-index ⊕ that band's
@@ -98,7 +94,8 @@ object Similarity {
                                   seed: Long): DataFrame = {
     val mask = (1L << bitsPerBand) - 1
     quantized(emb)
-      .withColumn("sig", expr(sigExprSql(nBands * bitsPerBand, 64, seed)))
+      .withColumn("sig", graft.functions.HyperplaneSig.hyperplane_sig(
+        col("qv"), hyperplanes(nBands * bitsPerBand, 64, seed)))
       .select(
         explode(expr(s"""transform(sequence(0, ${nBands - 1}),
           b -> (cast(b as bigint) << $bitsPerBand) | ((sig >> (b * $bitsPerBand)) & $mask))"""))

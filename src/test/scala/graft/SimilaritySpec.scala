@@ -23,6 +23,24 @@ class SimilaritySpec extends SparkSpec {
     assert(joined < 1e-4, s"max centroid deviation $joined")
   }
 
+  test("native hyperplane_sig == composable aggregate(zip_with) signature, every vector") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val nBits = 30; val seed = 42L
+    val planes = Similarity.hyperplanes(nBits, 64, seed)
+    // the pre-native formulation, kept here as the independent reference
+    val hofSig = planes.zipWithIndex.map { case (p, j) =>
+      val plane = s"array(${p.mkString(",")})"
+      s"(case when aggregate(zip_with(qv, $plane, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v) >= 0 then cast(1 as bigint) << $j else 0 end)"
+    }.mkString(" + ")
+    val base = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))").as("qv"))
+    val diff = base.select(col("vec_id"),
+        graft.functions.HyperplaneSig.hyperplane_sig(col("qv"), planes).as("a"),
+        expr(hofSig).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L, s"$diff vectors disagree between native and HOF signatures")
+  }
+
   // Scale pin for the banded-LSH candidate path: a degenerate corpus
   // (300 identical vectors → one cell per band, the worst skew possible)
   // must still satisfy the boundedPairJoin cap per join key AND emit the
