@@ -114,6 +114,39 @@ object Analytics {
     // ---- calendar gap-fill: zero rows for days with no orders
     //      (aggregate first — the day spine is generated from the tiny
     //      1-row span aggregate, never from the fact table)
+    // ---- linear interpolation over a gap-filled per-user day series:
+    //      q40 zero-fills; this reconstructs missing days from the
+    //      surrounding observations — the time-series imputation step a
+    //      feature pipeline runs before a model ever sees the gaps.
+    //      ALL integer arithmetic: values decimal-quantized to int64
+    //      (vq = value·1e4), interpolation by truncating `div` (both
+    //      engines truncate toward zero), days as epoch-day longs — no
+    //      float crosses an engine boundary. One user-keyed shuffle;
+    //      the spine explodes from a 2-column span aggregate and the
+    //      carry windows ride the same partitioning.
+    "q62_linear_interpolate" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+      val ev = t(s, d, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("vq"))
+      val obs = ev.groupBy(col("user_id"), col("day")).agg(sum(col("vq")).as("vq"))
+      val spine = obs.groupBy(col("user_id"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(obs, Seq("user_id", "day"), "left")
+        .withColumn("pd", last(when(col("vq").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+        .withColumn("pv", last(col("vq"), ignoreNulls = true).over(wPrev))
+        .withColumn("nd", first(when(col("vq").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+        .withColumn("nv", first(col("vq"), ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("day"),
+          when(col("vq").isNotNull, col("vq")).otherwise(
+            col("pv") + expr("((nv - pv) * (day - pd)) div (nd - pd)")).as("vq_interp"),
+          col("vq").isNotNull.as("observed"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     "q40_calendar_gapfill" -> ((s, d) => {
       val daily = t(s, d, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
@@ -294,6 +327,39 @@ object Analytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q62_linear_interpolate" ->
+      """WITH ev AS (
+           SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vq
+           FROM events),
+         obs AS (
+           SELECT user_id, day, CAST(sum(vq) AS BIGINT) AS vq
+           FROM ev GROUP BY user_id, day),
+         span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM obs GROUP BY user_id),
+         days AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM span),
+         j AS (
+           SELECT d.user_id, d.day, o.vq
+           FROM days d LEFT JOIN obs o ON o.user_id = d.user_id AND o.day = d.day),
+         f AS (
+           SELECT user_id, day, vq,
+             last_value(CASE WHEN vq IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             last_value(vq IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(CASE WHEN vq IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+             first_value(vq IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+           FROM j)
+         SELECT user_id, day,
+           CASE WHEN vq IS NOT NULL THEN vq
+                ELSE pv + ((nv - pv) * (day - pd)) // (nd - pd) END AS vq_interp,
+           (vq IS NOT NULL) AS observed
+         FROM f ORDER BY user_id, day""",
     "q59_group_median" ->
       """SELECT event_type,
          median(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS median_vq,
