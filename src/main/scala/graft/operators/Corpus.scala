@@ -33,7 +33,7 @@ object Corpus {
   /** DuckDB mirror of the bucket arithmetic (DuckDB has no base-16
     * string→int conversion, so the 4 hex digits are positional strpos
     * lookups — identical values, plain SQL). */
-  private def bucketSql(idExpr: String): String = {
+  private[operators] def bucketSql(idExpr: String): String = {
     def digit(i: Int) =
       s"(strpos('0123456789abcdef', substring(md5(CAST($idExpr AS VARCHAR)), $i, 1)) - 1)"
     s"((${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)}) % 100)"

@@ -82,7 +82,40 @@ object Quality {
         col("max_gap_us"), col("n_events"))
   }
 
+  /** Distribution drift between two corpus splits over a categorical
+    * column, in EXACT integer form: the total-variation distance
+    * TVD = ½·Σ|pᵢ − qᵢ| needs only |nᵢ·M − mᵢ·N| per category once
+    * scaled by the split sizes N, M — no logs, no floats, no KL
+    * numerical hazards, and both engines compute identical integers.
+    * The drift gate a training pipeline runs when a new shard's
+    * language/domain mix must match the held-out split's. One count
+    * aggregation per split + a full-outer merge on the category. */
+  def splitDrift(a: DataFrame, b: DataFrame, cat: String): DataFrame = {
+    def counts(df: DataFrame, n: String) =
+      df.groupBy(col(cat).as("category")).agg(count(lit(1)).as(n))
+    val ca = counts(a, "n_a")
+    val cb = counts(b, "n_b")
+    val merged = ca.join(cb, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = merged.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    merged.crossJoin(broadcast(totals))
+      .select(col("category"), col("n_a"), col("n_b"),
+        abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a")).as("drift_num"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // language-mix drift between the c01 hash splits: drift_num scaled
+    // by 1/(2·N·M) is the exact TVD contribution per language
+    "v05_split_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val split = Corpus.hashSplit(docs).select(col("doc_id"), col("split"))
+      val withSplit = docs.join(split, Seq("doc_id"))
+      splitDrift(withSplit.filter(col("split") === "train"),
+          withSplit.filter(col("split") === "test"), "lang")
+        .orderBy(col("category"))
+    }),
     // key uniqueness across the three id-bearing tables the pipeline
     // trusts as primary keys (healthy data ⇒ zero rows)
     "v01_unique_keys" -> ((s, d) =>
@@ -108,6 +141,26 @@ object Quality {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v05_split_drift" ->
+      s"""WITH s AS (
+           SELECT doc_id, lang,
+             CASE WHEN ${Corpus.bucketSql("doc_id")} < 80 THEN 'train'
+                  WHEN ${Corpus.bucketSql("doc_id")} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents),
+         ca AS (SELECT lang AS category, count(*) AS n_a FROM s
+                WHERE split = 'train' GROUP BY lang),
+         cb AS (SELECT lang AS category, count(*) AS n_b FROM s
+                WHERE split = 'test' GROUP BY lang),
+         m AS (
+           SELECT coalesce(ca.category, cb.category) AS category,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+           FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
+         t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+                      CAST(sum(n_b) AS BIGINT) AS tot_b FROM m)
+         SELECT category, n_a, n_b,
+           abs(n_a * tot_b - n_b * tot_a) AS drift_num
+         FROM m, t ORDER BY category""",
     "v01_unique_keys" ->
       """SELECT * FROM (
            SELECT 'orders' AS tbl, o_orderkey AS key, count(*) AS n_rows
