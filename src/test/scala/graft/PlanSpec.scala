@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d14: incremental dedup plans with no cartesian product and both anti-join tiers") {
+    val p = plan("d14_incremental_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation degenerated to a cross product:\n$p")
+    // exact-hash tier + final survivor anti join
+    val antis = "LeftAnti".r.findAllIn(p).length
+    assert(antis >= 2, s"expected the md5 tier and the survivor anti join, got $antis:\n$p")
+  }
+
   test("e07: funnel = one data shuffle, three window passes, no self-joins") {
     val p = plan("e07_funnel")
     assert(!p.contains("Join"), s"funnel grew a self-join:\n$p")
