@@ -59,6 +59,34 @@ object EventStreams {
       .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming data-quality drift monitor: per tumbling window, the
+    * event-type mix as ONE conditional-count aggregation (five typed
+    * counters in a single groupBy — a per-type row shape would need a
+    * second windowed aggregation for the window total, which streaming
+    * disallows chained), plus the exact-integer total-variation
+    * numerator against the uniform expectation: drift_num =
+    * Σ_type |5·n_type − N_window| (the v05 arithmetic, windowed — no
+    * floats, so the oracle hash-matches). The online twin of the batch
+    * publish gates: alert when a window's mix skews. */
+  def typeMixDrift(events: DataFrame, width: String = "1 hour",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cnts = types.map(tp =>
+      sum(when(col("event_type") === tp, 1L).otherwise(0L)).as(s"n_$tp"))
+    val total = types.map(tp => col(s"n_$tp")).reduce(_ + _)
+    val drift = types.map(tp => abs(col(s"n_$tp") * types.length - col("n_total")))
+      .reduce(_ + _)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(cnts.head, cnts.tail: _*)
+      .withColumn("n_total", total)
+      .withColumn("drift_num", drift)
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        col("n_click"), col("n_error"), col("n_purchase"),
+        col("n_signup"), col("n_view"), col("n_total"), col("drift_num"))
+  }
+
   /** Watermarked sliding-window aggregate. */
   def sliding(events: DataFrame, width: String = "10 minutes",
               slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =

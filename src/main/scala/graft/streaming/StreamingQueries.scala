@@ -19,6 +19,11 @@ object StreamingQueries {
     "st02_stream_sessions" -> ((s, d) =>
       EventStreams.runToBatch(s, d, "st02_mem", "complete")(EventStreams.sessionWindows(_))
         .orderBy(col("user_id"), col("session_start_us"))),
+    // streaming quality monitor: windowed event-type mix + exact-integer
+    // TVD numerator vs uniform (the v05 gate, online)
+    "st17_stream_mix_drift" -> ((s, d) =>
+      EventStreams.runToBatch(s, d, "st17_mem", "complete")(EventStreams.typeMixDrift(_))
+        .orderBy(col("w_start_us"))),
     "st03_stream_dedup" -> ((s, d) =>
       EventStreams.runToBatch(s, d, "st03_mem", "append")(EventStreams.dedupKeyed(_))
         .select(col("user_id"), col("event_type")) // kept event_id is arrival-order-dependent
@@ -291,6 +296,25 @@ object StreamingQueries {
       """SELECT user_id, event_type, count(*) AS n_events
          FROM events GROUP BY user_id, event_type
          ORDER BY user_id, event_type""",
+    // n_total = the five counters' sum (not count(*)) so the oracle and
+    // the stream agree even if a sixth type ever appeared
+    "st17_stream_mix_drift" ->
+      s"""WITH w AS (
+           SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, make_timestamp($tsUs))) AS w_start_us,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+           FROM events GROUP BY w_start_us)
+         SELECT w_start_us, n_click, n_error, n_purchase, n_signup, n_view,
+           n_click + n_error + n_purchase + n_signup + n_view AS n_total,
+           abs(5 * n_click - (n_click + n_error + n_purchase + n_signup + n_view))
+           + abs(5 * n_error - (n_click + n_error + n_purchase + n_signup + n_view))
+           + abs(5 * n_purchase - (n_click + n_error + n_purchase + n_signup + n_view))
+           + abs(5 * n_signup - (n_click + n_error + n_purchase + n_signup + n_view))
+           + abs(5 * n_view - (n_click + n_error + n_purchase + n_signup + n_view)) AS drift_num
+         FROM w ORDER BY w_start_us""",
     "st16_liststate_recent" ->
       s"""WITH r AS (
            SELECT user_id, event_id,
