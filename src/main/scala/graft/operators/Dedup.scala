@@ -206,6 +206,50 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's SNM, the
+    * classic alternative to hash blocking): sort the corpus by a key,
+    * pair every record with its `w` successors, verify with exact
+    * Jaccard. Where a hash block needs candidates to agree EXACTLY on
+    * the key, sort order tolerates drifted keys (typo'd prefixes,
+    * truncations) that land records near — not at — each other.
+    *
+    * Scale shape: the cost IS one global range sort; after it each
+    * record pairs with a CONSTANT w successors, so candidates are w·n
+    * regardless of key skew — no hot block exists by construction, the
+    * property the bounded-join kernels must engineer. The global
+    * position comes from `zipWithIndex` over the range-sorted
+    * partitions (the distributed global-index primitive — a lead()
+    * window over a global ORDER BY would collapse to one partition,
+    * the named scale-killer), and neighbors meet through w skew-free
+    * equi-joins on the 8-byte index. */
+  def sortedNeighborhoodPairs(docs: DataFrame, w: Int = 2,
+                              threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs.select(col("doc_id"),
+        substring(col("text"), 1, 24).as("sort_key"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+      .repartitionByRange(col("sort_key"), col("doc_id"))
+      .sortWithinPartitions(col("sort_key"), col("doc_id"))
+      .as[(Long, String, Seq[String])]
+    val indexed = sorted.rdd.zipWithIndex
+      .map { case ((id, _, ws), g) => (g, id, ws) }
+      .toDF("g", "id", "ws")
+    val a = indexed.select(col("g"), col("id").as("a_id"), col("ws").as("a_ws"))
+    val paired = (1 to w).map { off =>
+      a.join(indexed.select((col("g") - off).as("g"),
+        col("id").as("b_id"), col("ws").as("b_ws")), Seq("g"))
+    }.reduce(_ unionAll _)
+    paired
+      .withColumn("inter", size(array_intersect(col("a_ws"), col("b_ws"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_ws")) + size(col("b_ws")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** MinHash signature: k min-hashes over word-3-shingles, computed in a
     * single explode + k min-aggregates pass (one shuffle by doc_id). */
   def minHashSignatures(docs: DataFrame, k: Int = 64): DataFrame = {
@@ -471,6 +515,8 @@ object Dedup {
       minHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "d05_simhash_neardups" -> ((s, d) =>
       simHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
+    "d15_sorted_neighborhood" -> ((s, d) =>
+      sortedNeighborhoodPairs(t(s, d, "documents"))),
     // SOUNDNESS PIN for d04: every emitted pair must genuinely clear the
     // 0.7 word-set Jaccard threshold, re-derived through an INDEPENDENT
     // arithmetic path — token explode + distinct + equi-join for the
@@ -584,6 +630,28 @@ object Dedup {
                                     list_distinct(string_split(b.text, ' '))))))
          SELECT doc_id FROM delta WHERE doc_id NOT IN (SELECT doc_id FROM hits)
          ORDER BY doc_id""",
+    // both engines compare strings bytewise (UTF8String / memcmp), so
+    // the global (sort_key, doc_id) order — and therefore the candidate
+    // neighborhoods — are identical
+    "d15_sorted_neighborhood" ->
+      """WITH k AS (
+           SELECT doc_id, substring(text, 1, 24) AS sort_key,
+             list_distinct(string_split(text, ' ')) AS ws
+           FROM documents),
+         r AS (
+           SELECT doc_id, ws,
+             row_number() OVER (ORDER BY sort_key, doc_id) AS g
+           FROM k),
+         p AS (
+           SELECT a.doc_id AS a_id0, b.doc_id AS b_id0, a.ws AS a_ws, b.ws AS b_ws
+           FROM r a JOIN r b ON b.g - a.g BETWEEN 1 AND 2),
+         v AS (
+           SELECT least(a_id0, b_id0) AS a_id, greatest(a_id0, b_id0) AS b_id,
+             CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE)
+               / (len(a_ws) + len(b_ws) - len(list_intersect(a_ws, b_ws))) AS jaccard
+           FROM p)
+         SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.5
+         ORDER BY a_id, b_id""",
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
