@@ -46,6 +46,31 @@ class SinkSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
   }
 
+  test("schema evolution on read: mergeSchema unifies widening batches, null-fills the old ones") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val root = Files.createTempDirectory("graft_evolve").resolve("t").toString
+    // epoch-1 writer knew two columns; epoch-2 added lang + n_chars —
+    // the additive evolution a long-lived lake accumulates
+    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+      .write.mode("append").parquet(root)
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .write.mode("append").parquet(root)
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "n_chars", "text"),
+      merged.columns.mkString(","))
+    // old-epoch rows surface with nulls in the new columns, new-epoch
+    // rows keep their values — no row lost either way
+    val counts = merged.agg(
+      count(lit(1)), sum(when(col("lang").isNull, 1L).otherwise(0L))).head
+    assert(counts.getLong(0) == docs.count())
+    assert(counts.getLong(1) == docs.filter(col("doc_id") % 2 === 0).count())
+    // and filters on the evolved column still push to the scan
+    val p = merged.filter(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("lang"), p)
+  }
+
   test("z-ordered write: a box predicate on EITHER dimension prunes files; single-dim sort cannot") {
     import graft.functions.InterleaveBits
     // 15k orders hashed onto a 256×256 grid — dense enough that each
