@@ -87,6 +87,29 @@ object EventStreams {
         col("n_signup"), col("n_view"), col("n_total"), col("drift_num"))
   }
 
+  /** Stream-static enrichment join — the most common streaming job
+    * shape of all (events enriched with dimension attributes before a
+    * windowed rollup), absent from the stream-stream matrix because its
+    * state story is DIFFERENT: the static side is a plain batch
+    * relation, the join is STATELESS (re-planned per micro-batch,
+    * broadcast at this dimension size), and only the downstream window
+    * aggregate holds state. At 100 TB the dimension either broadcasts
+    * or the join becomes a per-batch shuffle join — either way no join
+    * state accumulates across batches. */
+  def staticEnrichRollup(scoped: SparkSession, dir: String,
+                         width: String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame = {
+    val dim = graft.sources.Tables(scoped, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    readEventStream(scoped, dir)
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), width).as("w"), col("segment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("segment"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Watermarked sliding-window aggregate. */
   def sliding(events: DataFrame, width: String = "10 minutes",
               slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =

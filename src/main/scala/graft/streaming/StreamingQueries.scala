@@ -19,6 +19,13 @@ object StreamingQueries {
     "st02_stream_sessions" -> ((s, d) =>
       EventStreams.runToBatch(s, d, "st02_mem", "complete")(EventStreams.sessionWindows(_))
         .orderBy(col("user_id"), col("session_start_us"))),
+    // stream-static enrichment: events join a static dimension
+    // (stateless, re-planned per batch) before the windowed rollup —
+    // only the aggregate holds state (see EventStreams.staticEnrichRollup)
+    "st18_stream_static_enrich" -> ((s, d) =>
+      EventStreams.runBounded(s, "st18_mem",
+        scoped => EventStreams.staticEnrichRollup(scoped, d), "complete")
+        .orderBy(col("w_start_us"), col("segment"))),
     // streaming quality monitor: windowed event-type mix + exact-integer
     // TVD numerator vs uniform (the v05 gate, online)
     "st17_stream_mix_drift" -> ((s, d) =>
@@ -296,6 +303,12 @@ object StreamingQueries {
       """SELECT user_id, event_type, count(*) AS n_events
          FROM events GROUP BY user_id, event_type
          ORDER BY user_id, event_type""",
+    "st18_stream_static_enrich" ->
+      s"""SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, make_timestamp($tsUs))) AS w_start_us,
+           c_mktsegment AS segment, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY w_start_us, segment ORDER BY w_start_us, segment""",
     // n_total = the five counters' sum (not count(*)) so the oracle and
     // the stream agree even if a sixth type ever appeared
     "st17_stream_mix_drift" ->
