@@ -18,6 +18,16 @@ object Bench {
       try sources.Tables(spark, sfDir, tbl).write
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
+    // Warm the ORC writer/reader classload too (a 1-row roundtrip):
+    // q53's r6 cold time was ~8× its warm time and the delta was pure
+    // first-touch ORC classloading, not plan cost.
+    try {
+      val orcWarm = java.nio.file.Files.createTempDirectory("graft_orc_warm")
+      val p = orcWarm.resolve("t").toString
+      spark.range(1).write.mode("overwrite").orc(p)
+      spark.read.orc(p).write.format("noop").mode("overwrite").save()
+      org.apache.commons.io.FileUtils.deleteQuietly(orcWarm.toFile)
+    } catch { case _: Throwable => }
     // Warm the Structured Streaming machinery too (micro-batch planner,
     // state store provider, streaming-agg codegen) with a one-batch
     // rate-source aggregate, so the first measured st* query isn't

@@ -23,9 +23,21 @@ import org.apache.spark.sql.{graftshim => shim}
   * the map-side cost of every banded candidate generator (s02 buckets,
   * s04/p02 banded blocks), so this is the hot path of embedding dedup
   * at corpus scale.
+  *
+  * `planes` is a Seq-of-Seq so the case class gets CONTENT equality —
+  * with raw nested arrays, two semantically identical signatures never
+  * compare equal and Catalyst canonicalization / common-subexpression
+  * elimination silently stop applying. Vector ELEMENTS are assumed
+  * non-null (the quantized embedding columns are built with
+  * containsNull = false); a null element would read as 0 here, where
+  * the composable HOF form null-propagated the whole bit.
   */
-case class HyperplaneSig(child: Expression, planes: Array[Array[Long]])
+case class HyperplaneSig(child: Expression, planes: Seq[Seq[Long]])
     extends UnaryExpression with ExpectsInputTypes {
+
+  /** Primitive matrix for the hot loops (derived once per instance). */
+  @transient private lazy val planeArr: Array[Array[Long]] =
+    planes.map(_.toArray).toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
@@ -33,10 +45,11 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Long]])
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    val pls = planeArr
     var bits = 0L
     var j = 0
-    while (j < planes.length) {
-      val p = planes(j)
+    while (j < pls.length) {
+      val p = pls(j)
       val n = math.min(v.numElements(), p.length)
       var dot = 0L
       var i = 0
@@ -53,7 +66,7 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Long]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val pl = ctx.addReferenceObj("planes", planes, "long[][]")
+      val pl = ctx.addReferenceObj("planes", planeArr, "long[][]")
       val bits = ctx.freshName("bits")
       val j = ctx.freshName("j")
       val i = ctx.freshName("i")
@@ -83,5 +96,6 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Long]])
 
 object HyperplaneSig {
   def hyperplane_sig(v: Column, planes: Array[Array[Long]]): Column =
-    shim.column(HyperplaneSig(shim.expression(v), planes))
+    shim.column(HyperplaneSig(shim.expression(v),
+      planes.map(_.toSeq).toSeq))
 }

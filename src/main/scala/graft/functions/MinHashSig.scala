@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.AbstractDataType
@@ -24,12 +24,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`xxhash64(shingle, j)` — XxHash64 seeded at 42 over the UTF8 bytes,
   * then the band index j hashed on top), asserted by DedupSpec.
   *
-  * CodegenFallback: the per-row work is an internal loop over shingles ×
-  * k lanes; there is no profitable whole-stage-codegen fusion to
-  * preserve, and fallback keeps the implementation one readable method.
+  * Natively codegen'd (the DotLL treatment): the signature pass is the
+  * map-side cost of MinHash dedup — the hottest kernel of the 100 TB
+  * dedup path — and a CodegenFallback here would force the surrounding
+  * projection to materialize an InternalRow and box the result per
+  * document. The generated loop calls the same
+  * `catalyst.expressions.XXH64` statics Spark's own xxhash64 codegen
+  * emits (`hashUnsafeBytes`/`hashInt`), so
+  * interpreted and generated paths are bit-identical (gated by
+  * ExpressionSpec's GenerateMutableProjection compile test).
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -62,6 +68,40 @@ case class MinHashSig(child: Expression, k: Int)
     }
     ArrayData.toArrayData(mins)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val sp = ctx.addReferenceObj("space", space, utf8)
+      val words = ctx.freshName("words")
+      val mins = ctx.freshName("mins")
+      val nsh = ctx.freshName("nsh")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val sh = ctx.freshName("sh")
+      val h0 = ctx.freshName("h0")
+      val h = ctx.freshName("h")
+      s"""
+         |final $utf8[] $words = $in.split($sp, -1);
+         |final long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |final int $nsh = java.lang.Math.max($words.length - 2, 1);
+         |for (int $i = 0; $i < $nsh; $i++) {
+         |  final $utf8 $sh = $utf8.concatWs($sp, $words[$i],
+         |    $words[java.lang.Math.min($i + 1, $words.length - 1)],
+         |    $words[java.lang.Math.min($i + 2, $words.length - 1)]);
+         |  final long $h0 = $xxh.hashUnsafeBytes(
+         |    $sh.getBaseObject(), $sh.getBaseOffset(), $sh.numBytes(), 42L);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    final long $h = $xxh.hashInt($j, $h0);
+         |    if ($h < $mins[$j]) $mins[$j] = $h;
+         |  }
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)

@@ -73,11 +73,15 @@ object Corpus {
     docs.select(col("doc_id"), (col("doc_id") % shards).as("shard"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // pack_id = shard ⋅ 2⁴⁰ + pack index: the 40-bit stride keeps ids
+      // collision-free to ~2⁴⁰ packs (≈ 2.2e15 tokens PER SHARD at
+      // budget 2048), and `div` is exact integer arithmetic — floor(/)
+      // rides a double and loses exactness past 2⁵³ tokens
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_tok"),
-        (col("shard") * 1000000L + floor(col("start_tok") / budget)).as("pack_id"),
+        (shiftleft(col("shard"), 40) + expr(s"start_tok div $budget")).as("pack_id"),
         (col("start_tok") % budget).as("off_in_pack"),
-        (floor((col("start_tok") + col("n_tokens") - 1) / budget)
-          - floor(col("start_tok") / budget) + 1).as("n_packs_spanned"))
+        (expr(s"(start_tok + n_tokens - 1) div $budget")
+          - expr(s"start_tok div $budget") + 1).as("n_packs_spanned"))
   }
 
   // ---------------------------------------------------------------- c04
@@ -156,7 +160,7 @@ object Corpus {
                AS BIGINT) AS start_tok
            FROM tok)
          SELECT doc_id, shard, n_tokens, start_tok,
-           CAST(shard * 1000000 + start_tok // 2048 AS BIGINT) AS pack_id,
+           CAST(shard * 1099511627776 + start_tok // 2048 AS BIGINT) AS pack_id,
            CAST(start_tok % 2048 AS BIGINT) AS off_in_pack,
            CAST((start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1
              AS BIGINT) AS n_packs_spanned

@@ -553,17 +553,22 @@ object Dedup {
         .select(col("a_id"), col("b_id"))
         .orderBy(col("a_id"), col("b_id"))
     }),
-    // EQUALITY PIN for d05: 4 bands with maxDist 3 < 4 means every pair
-    // within distance has an untouched band (pigeonhole), so the banded
-    // output must EQUAL the brute-force Hamming pair set — the symmetric
-    // difference is pinned empty (soundness AND completeness).
-    "d12_simhash_equality_pin" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val banded = simHashNearDupPairs(docs)
-      val brute = bruteHammingPairs(docs, 3)
-      banded.except(brute).union(brute.except(banded))
-        .orderBy(col("a_id"), col("b_id"))
-    })
+    // PIN for d05, both directions linear-BOUNDED (the r6 form diffed
+    // the banded output against a full crossJoin brute side — the one
+    // cartesian product left in the catalog; gone now):
+    //  - SOUNDNESS, O(emitted): every banded pair re-joins the
+    //    signature table and has its Hamming distance recomputed from
+    //    the two sigs — a violation is over-threshold or disagrees
+    //    with the reported distance.
+    //  - COMPLETENESS on a deterministic hash-sampled doc subset:
+    //    all-pairs within the sample (window-free tiled equi-join, no
+    //    cartesian node) must be ⊆ the banded output. Pigeonhole
+    //    (4 bands, maxDist 3 < 4) says every within-distance pair
+    //    shares an untouched band, so a sampled pair missing from the
+    //    banded output is a real defect; the sample modulus is the
+    //    knob that bounds the brute side at any corpus size.
+    "d12_simhash_equality_pin" -> ((s, d) =>
+      simHashPinViolations(t(s, d, "documents"), maxDist = 3, sampleMod = 4))
   )
 
   /** Blocking-free exact word-set Jaccard pairs — the ground-truth side
@@ -587,18 +592,58 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
-  /** Blocking-free SimHash Hamming pairs — the comparison side of
-    * [[queries d12]]'s equality pin (signatures only ride the cross
-    * join: 16 bytes a side, xor+popcount per pair). */
-  private[graft] def bruteHammingPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+  /** The two verification sides of the d12 pin (see [[queries]]).
+    *
+    * Soundness recomputes Hamming per EMITTED pair — two equi-joins
+    * back to the signature table, O(output) at any scale. The
+    * completeness direction brutes all pairs of a hash-sampled doc
+    * subset: each sampled sig gets a deterministic tile `g ∈ [0,
+    * tiles)` and the unordered pair (x∈g₁ ≤ y∈g₂) meets exactly once
+    * on equi-key (g₁, g₂) — the a-side replicates to (g, g..T-1), the
+    * b-side to (0..g, g) — so the plan carries no cartesian/BNLJ node
+    * and no single-key window, and `sampleMod` (scaled ∝ corpus size /
+    * target sample) bounds the quadratic term. Only 16-byte sigs ride
+    * the tile join. */
+  private[graft] def simHashPinViolations(docs: DataFrame, maxDist: Int,
+                                          sampleMod: Int, tiles: Int = 8): DataFrame = {
     val sig = simHashFast(docs)
-    val a = sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"))
-    val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"))
-    a.crossJoin(b)
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long").as("hamming"))
+    val emitted = simHashNearDupPairs(docs, maxDist)
+    val unsound = emitted
+      .join(sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sig")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sig")), Seq("b_id"))
+      .withColumn("recomputed",
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long"))
+      .filter(col("recomputed") > maxDist || col("recomputed") =!= col("hamming"))
+      .select(col("a_id"), col("b_id"), col("hamming"))
+    val missed = tiledSampledSigPairs(sig, sampleMod, tiles)
       .filter(col("hamming") <= maxDist)
+      .join(emitted.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"), "left_anti")
+    unsound.union(missed).orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** All-pairs Hamming over a deterministic hash sample of a
+    * (doc_id, simhash) table, with NO cartesian node: each sampled sig
+    * gets a hash tile `g ∈ [0, tiles)` and the unordered pair
+    * (x∈g₁ ≤ y∈g₂) meets exactly once on equi-key (g₁, g₂) — the
+    * a-side replicates to (g, g..T-1), the b-side to (0..g, g). Every
+    * key carries ~n_sampled/tiles rows per side, so the grid is
+    * shuffle-parallel with no single-key window and no straggler.
+    * Returns every sampled (a_id < b_id) pair with its distance. */
+  private[graft] def tiledSampledSigPairs(sig: DataFrame, sampleMod: Int,
+                                          tiles: Int): DataFrame = {
+    val sampled = sig
+      .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
+      .withColumn("g", pmod(xxhash64(col("doc_id"), lit(1)), lit(tiles)).cast("int"))
+    val aSide = sampled.select(col("g").as("ga"),
+      explode(sequence(col("g"), lit(tiles - 1))).as("gb"),
+      col("doc_id").as("x_id"), col("simhash").as("x_sig"))
+    val bSide = sampled.select(explode(sequence(lit(0), col("g"))).as("ga"),
+      col("g").as("gb"), col("doc_id").as("y_id"), col("simhash").as("y_sig"))
+    aSide.join(bSide, Seq("ga", "gb"))
+      .filter(col("ga") < col("gb") || col("x_id") < col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"),
+        bit_count(col("x_sig").bitwiseXOR(col("y_sig"))).cast("long").as("hamming"))
   }
 
   def oracleSql: Map[String, String] = Map(

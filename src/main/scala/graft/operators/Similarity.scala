@@ -375,17 +375,22 @@ object Similarity {
         .select(col("q_id"), col("neighbor_id"), col("cos"), col("true_cos"))
         .orderBy(col("q_id"), col("neighbor_id"))
     }),
-    // RECALL-FLOOR PIN for s05: IVF with nProbe=2 of 25 lists must keep
-    // at least 10% of the exact top-5 set. The corpus, planes and
-    // centroids are deterministic, so measured recall is a fixed number
-    // per dataset (1600/10000 at sf0.001, 4000 at sf0.01) — the floor
-    // pins the coarse quantizer actually routing queries to the lists
-    // that hold their neighbors (a broken quantizer gives ~nProbe/25 ≈
-    // 8% by chance). Violations emit; oracle = the empty set.
+    // RECALL-FLOOR PIN for s05: the floor is DERIVED from the chance
+    // baseline, not dataset-tuned — a broken coarse quantizer routes
+    // queries to nProbe of the n_lists lists at random, scoring
+    // ~nProbe/n_lists recall, so the pin demands 1.25× that chance
+    // level (all-integer compare: recall·n_lists < 12500·nProbe).
+    // n_lists is read from the data (countDistinct label), so the pin
+    // stays meaningful at any sf or label cardinality; measured recall
+    // on the shipped corpora sits far above it (1600–4000 x1e4 vs the
+    // 1000 floor at nProbe=2, 25 lists). Violations emit; oracle = ∅.
     "s09_ivf_recall_pin" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      recallVsExact(knnIvf(emb), knnBruteForce(emb))
-        .filter(col("recall_x1e4") < 1000)
+      val nLists = emb.agg(countDistinct(col("label")).as("n_lists"))
+      recallVsExact(knnIvf(emb, nProbe = 2), knnBruteForce(emb))
+        .crossJoin(broadcast(nLists))
+        .filter(col("recall_x1e4") * col("n_lists") < lit(12500L * 2))
+        .select(col("n_hits"), col("n_true"), col("recall_x1e4"))
         .orderBy(col("recall_x1e4"))
     }),
     "s01_knn_brute" -> ((s, d) =>

@@ -265,7 +265,15 @@ object EventStreams {
     * executor heap with active keys). */
   private[graft] val RocksDbConf = Map(
     "spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    // Changelog checkpointing: each commit uploads the batch's change
+    // set instead of a full snapshot zip PER STORE PER BATCH (snapshots
+    // move to background maintenance). With 8 shuffle partitions × up
+    // to 4 join state stores, per-batch snapshot commits dominated the
+    // r6 wall times of st06/st08/st14 — and on a real cluster this is
+    // the recommended RocksDB production setting for exactly the same
+    // reason (commit latency decoupled from state size).
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
 
   private[graft] def runBounded(spark: SparkSession, name: String,
       build: SparkSession => DataFrame, outputMode: String,
@@ -285,24 +293,28 @@ object EventStreams {
       try {
         q.processAllAvailable()
         if (noDataBatches) {
-          // Timeout-driven emission happens in the watermark-only batch
-          // AFTER the last data batch; processAllAvailable only promises
-          // the data batches. Wait until (a) at least one zero-input
-          // batch has actually COMMITTED — count stability alone races a
-          // no-data batch delayed past one poll interval — and (b) the
-          // sink row count is stable across consecutive polls. Bounded
-          // by a deadline; test-scale only.
-          def sawNoDataBatch: Boolean =
-            q.recentProgress.exists(_.numInputRows == 0L)
-          var prev = -1L; var cur = scoped.table(name).count()
-          // 30 s: the RocksDB-backed outer joins (st08/st14) commit a
-          // snapshot per store per batch — on a loaded machine the
-          // trailing watermark-only batch can take >15 s to surface
-          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-          while ((cur != prev || !sawNoDataBatch) && System.nanoTime() < deadline) {
-            prev = cur; Thread.sleep(100); q.processAllAvailable()
-            cur = scoped.table(name).count()
+          // Timeout-driven/outer-join emission happens in the watermark-
+          // only batch AFTER the last data batch (the watermark computed
+          // at the END of batch N only takes effect in batch N+1);
+          // processAllAvailable only promises the data batches. Wait for
+          // one COMMITTED zero-input batch strictly after the last
+          // batch that carried rows, read straight off the progress log
+          // — a driver-side array, no per-poll count jobs (the r6 form
+          // re-counted the memory sink every 100 ms and additionally
+          // required count stability, costing seconds per query).
+          // Progress is reported post-commit, so once the entry exists
+          // the sink already holds the flushed rows. Deadline-bounded;
+          // one no-data batch suffices — with no further data the
+          // watermark is final, so that batch fires every due timer and
+          // eviction.
+          def flushed: Boolean = {
+            val ps = q.recentProgress
+            val lastData = ps.filter(_.numInputRows > 0L).map(_.batchId)
+              .maxOption.getOrElse(-1L)
+            ps.exists(p => p.numInputRows == 0L && p.batchId > lastData)
           }
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (!flushed && System.nanoTime() < deadline) Thread.sleep(25)
         }
         onFinish(q)
       } finally q.stop()

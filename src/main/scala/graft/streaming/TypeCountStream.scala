@@ -32,14 +32,18 @@ object TypeCountStream {
 
     override def handleInputRows(key: Long, rows: Iterator[EvT],
         timerValues: TimerValues): Iterator[TypeCountOut] = {
-      // fold the batch locally, then write each touched slot once
+      // fold the batch locally, then write each touched slot once —
+      // EAGERLY (a lazy .map over the output iterator would only apply
+      // state updates as the engine drains it; any partially-consumed
+      // iterator downstream would silently lose counter writes)
       val touched = collection.mutable.Map.empty[String, Long]
       rows.foreach { e => touched(e.event_type) = touched.getOrElse(e.event_type, 0L) + 1L }
-      touched.toSeq.sortBy(_._1).iterator.map { case (tpe, add) =>
+      val out = touched.toSeq.sortBy(_._1).map { case (tpe, add) =>
         val total = (if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L) + add
         counts.updateValue(tpe, total)
         TypeCountOut(key, tpe, total)
       }
+      out.iterator
     }
   }
 

@@ -44,6 +44,34 @@ class DedupSpec extends SparkSpec {
     assert(extra.isEmpty, s"banded kernel emitted pairs brute force rejects")
   }
 
+  test("simHashPinViolations: sampleMod=1 makes it the FULL equality pin — empty (exhaustive, unit scale)") {
+    // with every doc sampled, the completeness side checks every pair,
+    // i.e. the r6 crossJoin pin's exact semantics without the cartesian:
+    // banded output == brute Hamming set, both directions
+    assert(Dedup.simHashPinViolations(docs, 3, 1).isEmpty,
+      "simhash banded kernel disagrees with the exhaustive Hamming pair set")
+  }
+
+  test("tiledSampledSigPairs: every pair exactly once, distances right, sampling deterministic") {
+    import spark.implicits._
+    val n = 120
+    val sig = (1 to n).map(i => (i.toLong, i.toLong * 2654435761L))
+      .toDF("doc_id", "simhash")
+    // sampleMod=1 → full grid: n(n-1)/2 unordered pairs, each ONCE, with
+    // the true xor-popcount distance (checked against a driver-side ref)
+    val got = Dedup.tiledSampledSigPairs(sig, 1, 4)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == n * (n - 1) / 2, s"grid missed/duplicated pairs: ${got.length}")
+    assert(got.map(p => (p._1, p._2)).toSet.size == got.length)
+    val sigs = (1 to n).map(i => i.toLong -> i.toLong * 2654435761L).toMap
+    assert(got.forall { case (a, b, h) =>
+      a < b && h == java.lang.Long.bitCount(sigs(a) ^ sigs(b)) })
+    // sampleMod>1 yields a strict, pair-consistent subset of the full grid
+    val sub = Dedup.tiledSampledSigPairs(sig, 3, 4).as[(Long, Long, Long)].collect()
+    assert(sub.toSet.subsetOf(got.toSet), "sampled grid invented a pair")
+    assert(sub.nonEmpty && sub.length < got.length, "sampling had no effect")
+  }
+
   test("boundedPairJoin: one 1000-row hot block → every join key ≤ cap per side, output complete") {
     import spark.implicits._
     val cap = 64

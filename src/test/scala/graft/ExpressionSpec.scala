@@ -62,6 +62,32 @@ class ExpressionSpec extends SparkSpec {
     assert(r.getLong(3) == 32L)
   }
 
+  test("minhash_sig generated code compiles and matches interpreted eval") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 16
+    val expr = graft.functions.MinHashSig(
+      BoundReference(0, StringType, nullable = true), k)
+    // generate() throws if the emitted Java fails to compile — the
+    // codegen gate; Spark would otherwise fall back silently and the
+    // hottest dedup kernel would quietly leave whole-stage codegen
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    for (s <- Seq("the quick brown fox jumps over the lazy dog",
+                  "one", "two words", "", "a b c d e f g h")) {
+      val row = InternalRow(UTF8String.fromString(s))
+      val gen = proj(row).getArray(0).toLongArray()
+      val interp = expr.eval(row)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      assert(gen.toSeq == interp.toSeq, s"codegen/interpreted drift on '$s'")
+      assert(gen.length == k && gen.forall(_ != Long.MaxValue))
+    }
+    val nullRow = InternalRow(null)
+    assert(proj(nullRow).isNullAt(0) && expr.eval(nullRow) == null)
+  }
+
   test("dot_ll generated code compiles and matches interpreted eval") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference

@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
     assert(antis >= 2, s"expected the md5 tier and the survivor anti join, got $antis:\n$p")
   }
 
+  test("d12: simhash pin plans cartesian-free — tiled equi-joins only") {
+    val p = plan("d12_simhash_equality_pin")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pin's brute side regrew a product:\n$p")
+  }
+
   test("e07: funnel = one data shuffle, three window passes, no self-joins") {
     val p = plan("e07_funnel")
     assert(!p.contains("Join"), s"funnel grew a self-join:\n$p")
