@@ -6,15 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * fixed-size chunking, and a batched feature-extraction stage.
   *
-  * The real decode step (image/audio/video codecs) is STUBBED — the
-  * container has no media libraries — but the Spark-side plumbing is
-  * real and tested: schema (binary + metadata struct), partition-batched
-  * processing via `mapPartitions` over a typed Dataset (the Scala
-  * analogue of `mapInPandas` batch processing), deterministic output
-  * shape. Swapping `fakeDecode` for a JNI/codec call changes nothing
-  * structurally.
+  * The image path is a REAL codec roundtrip: each document's bytes are
+  * laid out as a grayscale raster, encoded to an actual PNG with the
+  * JDK's `javax.imageio` (no external codec needed), and the feature
+  * stage DECODES that PNG and computes its statistics from the decoded
+  * pixels. Because 8-bit grayscale PNG is lossless at the raster level,
+  * the pixel stats have a closed form over the source bytes — which is
+  * what lets the decode path keep a DuckDB oracle (m03/m07) instead of
+  * a rows-only check. Audio/video stay out of scope (no codecs in the
+  * container), but they would slot into the same shape: binary column
+  * in, `mapPartitions` codec call, typed stats out.
   *
-  * Scale: chunking and feature extraction are narrow (no shuffle);
+  * Scale: chunking, encode and decode are narrow (no shuffle);
   * payloads at 100 TB would live in parquet binary columns exactly like
   * this, with `spark.sql.files.maxPartitionBytes` sizing the splits.
   */
@@ -43,38 +46,102 @@ object Multimodal {
       .select(col("doc_id"), col("chunk_idx"),
         least(lit(chunkBytes.toLong), col("n") - col("chunk_idx") * chunkBytes).as("chunk_bytes"))
 
-  /** Record shape entering/leaving the "decoder". */
+  /** Record shape entering/leaving the decoder. */
   case class Payload(doc_id: Long, payload: Array[Byte])
   case class Features(doc_id: Long, n_bytes: Long, features: Array[Float])
+  /** An encoded image: real PNG bytes + the source-byte count (the
+    * raster tail-pads the last row with zeros, so byte_len ≤ w·h). */
+  case class PngRow(doc_id: Long, n_bytes: Long, png: Array[Byte],
+                    width: Int, height: Int)
 
-  /** STUB decode: a real implementation would decode image/audio bytes
-    * here (no media libs in this container). The stub derives a
-    * deterministic 8-dim feature vector from the bytes so the plumbing —
-    * typed Dataset, per-partition batching, output schema — is fully
-    * exercisable and testable. Lane sums accumulate in exact integer
-    * arithmetic with ONE terminal float division, so the features are
-    * losslessly recoverable as integers (round(f*255) == lane sum while
-    * sums stay < 2^23) — which is what lets m03 carry a DuckDB oracle
-    * instead of a rows-only check. */
-  private def fakeDecode(bytes: Array[Byte]): Array[Float] = {
-    val acc = new Array[Long](8)
-    var i = 0
-    while (i < bytes.length) {
-      acc(i % 8) += (bytes(i) & 0xff)
-      i += 1
-    }
-    Array.tabulate(8)(j => acc(j).toFloat / 255.0f)
-  }
+  /** Raster width for the byte→image layout (row-major fill). */
+  private val ImgWidth = 32
 
-  /** Partition-batched feature extraction over binary payloads. */
-  def extractFeatures(docs: DataFrame): Dataset[Features] = {
+  /** ENCODE: each payload's bytes become the samples of a `ImgWidth`-
+    * wide 8-bit grayscale raster (row-major, zero-padded tail row),
+    * written to genuine PNG bytes via the JDK's ImageIO — a real,
+    * deterministic codec with no external deps. A narrow mapPartitions;
+    * the ImageIO writer is re-entrant so partitions encode in parallel. */
+  def encodePng(docs: DataFrame): Dataset[PngRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     asBinary(docs).select(col("doc_id"), col("payload")).as[Payload]
       .mapPartitions { it =>
-        // per-partition setup (a real decoder would init its codec here)
-        it.map(p => Features(p.doc_id, p.payload.length.toLong, fakeDecode(p.payload)))
+        it.map { p =>
+          val n = p.payload.length
+          val h = math.max(1, (n + ImgWidth - 1) / ImgWidth)
+          val img = new java.awt.image.BufferedImage(
+            ImgWidth, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < n) {
+            raster.setSample(i % ImgWidth, i / ImgWidth, 0, p.payload(i) & 0xff)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          PngRow(p.doc_id, n.toLong, bos.toByteArray, ImgWidth, h)
+        }
       }
+  }
+
+  /** DECODE + feature extraction — a REAL image decode (ImageIO PNG
+    * reader), not a stub: lane j accumulates the decoded pixels at
+    * row-major positions ≡ j (mod 8). Grayscale PNG is lossless, so
+    * decoded samples equal the source bytes and the zero padding adds
+    * nothing — the features keep their closed byte-arithmetic form
+    * (exact integer lane sums, ONE terminal float division; at <2^23
+    * per lane `round(f*255)` recovers the sum exactly), which is what
+    * keeps m03 on a value-level DuckDB oracle THROUGH the codec. */
+  def extractFeatures(docs: DataFrame): Dataset[Features] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    encodePng(docs).mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        val raster = img.getRaster
+        val acc = new Array[Long](8)
+        var idx = 0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            acc(idx % 8) += raster.getSample(x, y, 0)
+            idx += 1
+            x += 1
+          }
+          y += 1
+        }
+        Features(r.doc_id, r.n_bytes, Array.tabulate(8)(j => acc(j).toFloat / 255.0f))
+      }
+    }
+  }
+
+  case class FrameRow(doc_id: Long, frame_idx: Long, px_sum: Long)
+
+  /** Decoded frame sampling: every `stride`-th RASTER ROW of the
+    * decoded image, with its pixel sum — the decode-side twin of the
+    * m04 chunk-stride sampler (chunkBytes = ImgWidth makes chunk k and
+    * raster row k the same byte span, so both are oracle-checkable
+    * from the text). The decode runs once per image, emitting
+    * height/stride rows — narrow, no shuffle. */
+  def frameRowStats(docs: DataFrame, stride: Int = 4): Dataset[FrameRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    encodePng(docs).mapPartitions { it =>
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.png))
+        val raster = img.getRaster
+        (0 until img.getHeight by stride).iterator.map { y =>
+          var s = 0L
+          var x = 0
+          while (x < img.getWidth) { s += raster.getSample(x, y, 0); x += 1 }
+          FrameRow(r.doc_id, y.toLong, s)
+        }
+      }
+    }
   }
 
   case class Embedding(doc_id: Long, e0: Long, e1: Long, e2: Long, e3: Long)
@@ -142,8 +209,10 @@ object Multimodal {
         .orderBy(col("doc_id"))),
     "m02_chunk_index" -> ((s, d) =>
       chunkIndex(t(s, d, "documents")).orderBy(col("doc_id"), col("chunk_idx"))),
-    // all 8 float lanes roundtripped to their exact integer lane sums
-    // (see fakeDecode) — hash-comparable against a byte-arithmetic oracle
+    // all 8 float lanes roundtripped to their exact integer lane sums —
+    // the values travel bytes → PNG encode → ImageIO decode → lane
+    // accumulate, and still hash-compare against a pure byte-arithmetic
+    // oracle (lossless grayscale raster; see extractFeatures)
     "m03_feature_stub" -> ((s, d) =>
       extractFeatures(t(s, d, "documents")).toDF()
         .select(col("doc_id") +: col("n_bytes") +:
@@ -151,6 +220,12 @@ object Multimodal {
             s"cast(round(cast(element_at(features, ${j + 1}) as double) * 255.0) as bigint)")
             .as(s"l$j")): _*)
         .orderBy(col("doc_id"))),
+    // decoded-frame sampling: every 4th raster row of the real decoded
+    // PNG with its pixel sum; row k spans source bytes [32k, 32k+32), so
+    // the oracle is plain text arithmetic
+    "m07_frame_pixel_stats" -> ((s, d) =>
+      frameRowStats(t(s, d, "documents")).toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))),
     // frame sampling: keep every 4th chunk — the stride pattern a video
     // frame-sampler applies before decode (narrow, pushdown-friendly)
     "m04_frame_sample" -> ((s, d) =>
@@ -200,6 +275,19 @@ object Multimodal {
              unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS i
            FROM documents)
          SELECT doc_id, i AS chunk_idx, least(64, n - i * 64) AS chunk_bytes
-         FROM c WHERE i % 4 = 0 ORDER BY doc_id, chunk_idx"""
+         FROM c WHERE i % 4 = 0 ORDER BY doc_id, chunk_idx""",
+    // raster row r of the encoded image holds bytes [32r, 32r+32) (1-based
+    // text positions 32r+1 .. min(n, 32r+32)); empty docs still encode a
+    // single all-zero row
+    "m07_frame_pixel_stats" ->
+      """WITH c AS (
+           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n, text,
+             unnest(range(0, greatest(1, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)))) AS r
+           FROM documents)
+         SELECT doc_id, r AS frame_idx,
+           COALESCE(CAST(list_sum(list_transform(
+             range(r * 32 + 1, least(n, r * 32 + 32) + 1), i -> ord(text[i])))
+             AS BIGINT), 0) AS px_sum
+         FROM c WHERE r % 4 = 0 ORDER BY doc_id, frame_idx"""
   )
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** The REAL image codec path (r7): bytes → grayscale PNG via the JDK's
+  * ImageIO → decode → pixel stats. The spec pins the property the m03/
+  * m07 oracles rest on — the raster roundtrip is LOSSLESS, so decoded
+  * pixel arithmetic equals source-byte arithmetic.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // exercises: empty payload, single byte, exact row, row+1, a 4-row
+  // payload, and a multi-row ASCII doc. Values stay ≤ 0x7f because the
+  // table path is text → UTF-8 bytes (the fixture's documents are
+  // ASCII, where char == byte — the same identity the m03 oracle uses);
+  // the full signed-byte range is covered by the direct codec test.
+  private val samples = Seq(
+    0L -> Array.emptyByteArray,
+    1L -> Array[Byte](7),
+    2L -> Array.tabulate[Byte](32)(i => i.toByte),
+    3L -> Array.tabulate[Byte](33)(i => ((i * 3) % 128).toByte),
+    4L -> Array.tabulate[Byte](128)(i => i.toByte),
+    5L -> "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
+
+  private def docsDF = samples
+    .map { case (id, b) => (id, new String(b.map(x => (x & 0xff).toChar))) }
+    .toDF("doc_id", "text")
+
+  test("grayscale PNG raster roundtrips ALL 256 sample values (pure codec, no Spark)") {
+    val img = new java.awt.image.BufferedImage(
+      32, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    (0 until 256).foreach(i => r.setSample(i % 32, i / 32, 0, i))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    (0 until 256).foreach { i =>
+      assert(back.getRaster.getSample(i % 32, i / 32, 0) == i,
+        s"sample value $i did not survive the PNG roundtrip")
+    }
+  }
+
+  test("PNG encode→decode roundtrip is lossless (every byte, every sample)") {
+    // direct codec check, no Spark: the property every oracle rests on
+    for ((id, bytes) <- samples) {
+      val df = Seq((id, new String(bytes.map(x => (x & 0xff).toChar)))).toDF("doc_id", "text")
+      val row = Multimodal.encodePng(df).collect().head
+      assert(row.n_bytes == bytes.length)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.png))
+      assert(img.getWidth == 32 && img.getHeight == math.max(1, (bytes.length + 31) / 32))
+      val raster = img.getRaster
+      var i = 0
+      while (i < bytes.length) {
+        assert(raster.getSample(i % 32, i / 32, 0) == (bytes(i) & 0xff),
+          s"doc $id: pixel $i diverged from source byte")
+        i += 1
+      }
+      // zero padding beyond the payload
+      (bytes.length until img.getWidth * img.getHeight).foreach { j =>
+        assert(raster.getSample(j % 32, j / 32, 0) == 0, s"doc $id: pad pixel $j non-zero")
+      }
+    }
+  }
+
+  test("decoded lane sums == direct byte arithmetic (the m03 contract)") {
+    val got = Multimodal.extractFeatures(docsDF).collect()
+      .map(f => f.doc_id -> f).toMap
+    for ((id, bytes) <- samples) {
+      val expect = new Array[Long](8)
+      bytes.zipWithIndex.foreach { case (b, i) => expect(i % 8) += (b & 0xff) }
+      val f = got(id)
+      assert(f.n_bytes == bytes.length.toLong)
+      (0 until 8).foreach { j =>
+        assert(math.round(f.features(j) * 255.0f).toLong == expect(j),
+          s"doc $id lane $j: decoded sum diverged")
+      }
+    }
+  }
+
+  test("decoded frame-row sums == per-32-byte-span sums, stride honored (m07)") {
+    val got = Multimodal.frameRowStats(docsDF).collect()
+      .groupBy(_.doc_id).view.mapValues(_.map(r => r.frame_idx -> r.px_sum).toMap).toMap
+    for ((id, bytes) <- samples) {
+      val h = math.max(1, (bytes.length + 31) / 32)
+      val expectRows = (0 until h by 4).map { r =>
+        r.toLong -> bytes.slice(r * 32, math.min(bytes.length, r * 32 + 32))
+          .map(b => (b & 0xff).toLong).sum
+      }.toMap
+      assert(got(id) == expectRows, s"doc $id frame rows diverged")
+    }
+  }
+}
