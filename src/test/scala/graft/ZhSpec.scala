@@ -48,6 +48,63 @@ class ZhSpec extends SparkSpec {
     assert(!Zh.hasHan("ひらがな"))
   }
 
+  test("golden ICU conversion table: context-sensitive, punctuation, mixed-script (r7)") {
+    // The one surface the DuckDB oracle cannot see is the two ICU
+    // transliterator calls; this table pins their behavior row by row —
+    // context-sensitive one-to-many mappings (干/发/面/后/里/只/钟/复/
+    // 历/松/斗/征/余/云/谷), CJK punctuation, and mixed Han/Latin/kana —
+    // so an ICU upgrade or a transliterator-ID change fails loudly.
+    // Rows marked [≠OpenCC] document known divergence from the
+    // reference's opencc4j (SURVEY §5 contract): ICU keeps 台/鐘 where
+    // OpenCC-TW picks 臺/鍾, and does no Taiwan-vocabulary mapping.
+    val s2tGolden = Seq(
+      "干燥" -> "乾燥", "干部" -> "幹部",                 // 干 → 乾/幹 by context
+      "头发" -> "頭髮", "发展" -> "發展",                 // 发 → 髮/發
+      "面条" -> "麵條", "表面" -> "表面",                 // 面 → 麵 only for noodles
+      "皇后" -> "皇后", "后面" -> "後面",                 // 后 stays in empress
+      "公里" -> "公里", "里面" -> "裡面",                 // 里 unit vs inside
+      "台湾" -> "台灣",                                   // [≠OpenCC] tw: 臺灣
+      "一只鸟" -> "一隻鳥", "只有" -> "只有",             // 只 classifier vs only
+      "时钟" -> "時鐘", "钟情" -> "鐘情",                 // [≠OpenCC] 鍾情
+      "复杂" -> "複雜", "恢复" -> "恢復",                 // 复 → 複/復
+      "历史" -> "歷史", "日历" -> "日曆",                 // 历 → 歷/曆
+      "放松" -> "放鬆", "松树" -> "松樹",                 // 松 relax vs pine
+      "战斗" -> "戰鬥", "北斗" -> "北斗",                 // 斗 fight vs dipper
+      "特征" -> "特徵", "征服" -> "征服",                 // 征 → 徵 feature only
+      "多余" -> "多餘", "白云" -> "白雲",
+      "山谷" -> "山谷", "稻谷" -> "稻穀",                 // 谷 valley vs grain
+      "“引号”与『书名』" -> "“引號”與『書名』",           // CJK punctuation inert
+      "GDP增长7%！" -> "GDP增長7%！",                     // Latin+digits inert
+      "东京タワー" -> "東京タワー",                       // kana inert
+      "汉字simplified混排 OK?" -> "漢字simplified混排 OK?",
+      "软件工程师" -> "軟件工程師",                       // [≠OpenCC-tw: 軟體]
+      "网络安全" -> "網絡安全", "计算机内存" -> "計算機內存",
+      "飞机场" -> "飛機場", "医生护士" -> "醫生護士",
+      "图书馆藏书" -> "圖書館藏書", "经济发展规划" -> "經濟發展規劃")
+    val t2sGolden = Seq(
+      "乾燥" -> "干燥", "幹部" -> "干部", "頭髮" -> "头发",
+      "麵條" -> "面条", "皇后" -> "皇后", "後面" -> "后面",
+      "裡面" -> "里面", "裏面" -> "里面",                 // both trad forms of 里
+      "臺灣" -> "台湾", "一隻鳥" -> "一只鸟",
+      "時鐘" -> "时钟", "鍾情" -> "钟情",
+      "複雜" -> "复杂", "恢復" -> "恢复", "歷史" -> "历史",
+      "日曆" -> "日历", "放鬆" -> "放松", "戰鬥" -> "战斗",
+      "特徵" -> "特征", "多餘" -> "多余", "稻穀" -> "稻谷",
+      "“引號”與『書名』" -> "“引号”与『书名』",
+      "軟體工程師" -> "软体工程师",                       // [≠OpenCC: 软件——
+      "網路安全" -> "网路安全")                           //  no vocab mapping]
+    for ((in, want) <- s2tGolden)
+      assert(Zh.toTraditional(in) == want, s"S2T($in)")
+    for ((in, want) <- t2sGolden)
+      assert(Zh.toSimplified(in) == want, s"T2S($in)")
+    // each golden row must also hold through the native codegen'd
+    // expression path (not just the driver-side helper)
+    import spark.implicits._
+    val viaExpr = s2tGolden.map(_._1).toDF("s")
+      .select(Zh.zh_to_traditional(col("s"))).as[String].collect()
+    assert(viaExpr.toSeq == s2tGolden.map(_._2))
+  }
+
   test("zhEnrich derives exactly the expected rows (golden, FIXTURES.md A)") {
     val got = ZhEnrich.zhEnrich(osmFixture(), "id")
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
