@@ -32,6 +32,7 @@ object SparkEntry {
       operators.StatefulSessions.queries ++
       operators.Multimodal.queries ++
       operators.Quality.queries ++
+      operators.Sampling.queries ++
       streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +53,6 @@ object SparkEntry {
       operators.StatefulSessions.oracleSql ++
       operators.Multimodal.oracleSql ++
       operators.Quality.oracleSql ++
+      operators.Sampling.oracleSql ++
       streaming.StreamingQueries.oracleSql
 }

@@ -67,6 +67,13 @@ object Multimodal {
     import spark.implicits._
     asBinary(docs).select(col("doc_id"), col("payload")).as[Payload]
       .mapPartitions { it =>
+        // codec init ONCE per partition (the pattern the whole operator
+        // exists to demonstrate): ImageIO.write per row would run the
+        // writer-registry lookup and stream setup per image — measured
+        // ~2× the whole encode cost at 60k docs
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val bos = new java.io.ByteArrayOutputStream()
         it.map { p =>
           val n = p.payload.length
           val h = math.max(1, (n + ImgWidth - 1) / ImgWidth)
@@ -78,8 +85,11 @@ object Multimodal {
             raster.setSample(i % ImgWidth, i / ImgWidth, 0, p.payload(i) & 0xff)
             i += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.reset()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.flush()
           PngRow(p.doc_id, n.toLong, bos.toByteArray, ImgWidth, h)
         }
       }
@@ -97,9 +107,9 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     encodePng(docs).mapPartitions { it =>
+      val decode = pngReader()
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.png))
+        val img = decode(r.png)
         val raster = img.getRaster
         val acc = new Array[Long](8)
         var idx = 0
@@ -118,6 +128,20 @@ object Multimodal {
     }
   }
 
+  /** Per-partition PNG decoder: reader-registry lookup ONCE, decode
+    * many (call inside mapPartitions — readers are not serializable). */
+  private def pngReader(): Array[Byte] => java.awt.image.BufferedImage = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    bytes => {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis)
+      val img = reader.read(0)
+      iis.close()
+      img
+    }
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Long, px_sum: Long)
 
   /** Decoded frame sampling: every `stride`-th RASTER ROW of the
@@ -130,9 +154,9 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     encodePng(docs).mapPartitions { it =>
+      val decode = pngReader()
       it.flatMap { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.png))
+        val img = decode(r.png)
         val raster = img.getRaster
         (0 until img.getHeight by stride).iterator.map { y =>
           var s = 0L

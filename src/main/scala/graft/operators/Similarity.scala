@@ -65,6 +65,27 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("rk"), col("cos"))
   }
 
+  /** Affine uint8 quantization of the milli-lane vectors — the storage
+    * compression step serving-side ANN runs before indexing (4 bytes →
+    * 1 byte per dim): per vector, q_i = ((lane − min) · 255) div
+    * (max − min) ∈ [0, 255], with the (min, max) pair kept for
+    * dequantization. All-integer arithmetic on a non-negative numerator,
+    * so truncating `div` and DuckDB `//` agree exactly; a constant
+    * vector (max == min) quantizes to zeros. Emits a compact
+    * characterization (sum + first/last code), not 64 columns. Narrow
+    * map, no shuffle. */
+  def quantizeUint8(emb: DataFrame): DataFrame =
+    quantized(emb)
+      .withColumn("mn", array_min(col("qv")))
+      .withColumn("mx", array_max(col("qv")))
+      .withColumn("q", when(col("mx") > col("mn"),
+          expr("transform(qv, x -> ((x - mn) * 255) div (mx - mn))"))
+        .otherwise(expr("transform(qv, x -> CAST(0 AS BIGINT))")))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+        element_at(col("q"), 1).as("q_first"),
+        element_at(col("q"), -1).as("q_last"))
+
   /** Seed-derived ±1 random hyperplanes — the ONE shared definition:
     * the Spark signature expression and the DuckDB oracle mirror are
     * both generated from this array, so the two engines cannot drift. */
@@ -395,6 +416,8 @@ object Similarity {
     }),
     "s01_knn_brute" -> ((s, d) =>
       knnBruteForce(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    "s10_quantize_uint8" -> ((s, d) =>
+      quantizeUint8(t(s, d, "embeddings")).orderBy(col("vec_id"))),
     "s02_knn_lsh" -> ((s, d) =>
       knnLsh(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s07_knn_mips_pruned" -> ((s, d) =>
@@ -428,6 +451,19 @@ object Similarity {
       "s09_ivf_recall_pin" ->
         """SELECT CAST(NULL AS BIGINT) AS n_hits, CAST(NULL AS BIGINT) AS n_true,
            CAST(NULL AS BIGINT) AS recall_x1e4 WHERE 1 = 0""",
+      "s10_quantize_uint8" ->
+        s"""WITH q AS (
+             SELECT vec_id, $qv AS qv FROM embeddings),
+           b AS (
+             SELECT vec_id, qv, list_min(qv) AS mn, list_max(qv) AS mx FROM q)
+           SELECT vec_id, mn, mx,
+             CAST(CASE WHEN mx > mn THEN list_sum(list_transform(qv,
+               x -> ((x - mn) * 255) // (mx - mn))) ELSE 0 END AS BIGINT) AS q_sum,
+             CAST(CASE WHEN mx > mn THEN ((qv[1] - mn) * 255) // (mx - mn)
+               ELSE 0 END AS BIGINT) AS q_first,
+             CAST(CASE WHEN mx > mn THEN ((qv[-1] - mn) * 255) // (mx - mn)
+               ELSE 0 END AS BIGINT) AS q_last
+           FROM b ORDER BY vec_id""",
       "s01_knn_brute" ->
         s"""WITH q AS (
              SELECT vec_id, $qv AS qv FROM embeddings),

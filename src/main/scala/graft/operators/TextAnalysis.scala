@@ -327,7 +327,36 @@ object TextAnalysis {
         (-col("_b.nsi")).as("span_start_a"))
   }
 
+  /** Corpus-level duplicate-text measure per document: the share of a
+    * doc's distinct word n-grams that also occur in at least one OTHER
+    * document — the per-doc signal substring-level dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better") keys
+    * on, as an inverted-index aggregate instead of a suffix array.
+    * Integer milli-rate; docs shorter than n words emit nothing.
+    *
+    * Scale: grams ride an inverted index (shuffle on gram, never doc
+    * bodies); the document-frequency side is one row per distinct gram,
+    * so a boilerplate gram replicates ONE small row across its join
+    * matches, not a row set — no skew blowup. */
+  def dupNgramRate(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = docs.withColumn("_ws", ws)
+      .filter(size(col("_ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(_ws) - ${n - 1}), i -> concat_ws(' ', slice(_ws, i, $n)))"))
+        .as("gram"))
+      .distinct()
+    // grams are distinct per doc, so count(*) per gram == document freq
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    grams.join(df, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_rate_x1e4", expr("(n_dup_grams * 10000) div n_grams"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_dup_ngram_rate" -> ((s, d) =>
+      dupNgramRate(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t01_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t12_token_rarity" -> ((s, d) =>
       tokenRarity(t(s, d, "documents")).orderBy(col("doc_id"))),
@@ -428,6 +457,21 @@ object TextAnalysis {
            CAST((sum(tot.t_total // f.c) * 10000) // count(*) AS BIGINT) AS rarity_x1e4
          FROM tk2 JOIN freq f USING (w), tot
          GROUP BY doc_id""",
+    "t16_dup_ngram_rate" ->
+      """WITH g AS (
+           SELECT DISTINCT doc_id, gram FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+                              ws[i+4], ws[i+5], ws[i+6], ws[i+7]))) AS gram
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+             WHERE len(ws) >= 8)),
+         f AS (SELECT gram, count(*) AS gdf FROM g GROUP BY gram)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           CAST((sum(CASE WHEN f.gdf >= 2 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT)
+             AS dup_rate_x1e4
+         FROM g JOIN f USING (gram)
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
     "t13_duplicate_spans" ->
       """WITH ws0 AS (
            SELECT doc_id, substring(text, 1, 20) AS blk, string_split(text, ' ') AS ws
