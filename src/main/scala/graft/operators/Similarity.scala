@@ -86,6 +86,61 @@ object Similarity {
         element_at(col("q"), 1).as("q_first"),
         element_at(col("q"), -1).as("q_last"))
 
+  /** Fixed-iteration Lloyd k-means over the quantized embedding space —
+    * the learned-clustering step curation pipelines run between
+    * embedding and dedup (cluster-then-dedup-within, SemDeDup; IVF list
+    * learning). Every step is engine-replayable, so the whole unrolled
+    * recurrence carries a DuckDB oracle (the g01 fixed-point pattern
+    * applied to clustering):
+    *  - seeds = the k smallest vec_ids' vectors (deterministic);
+    *  - assignment = exact integer squared-L2 argmin, ties to the
+    *    smallest centroid id;
+    *  - update = floor(mean) per dimension — exact in double for any
+    *    realistic magnitude (|sum| « 2⁵³), floor ≡ DuckDB.
+    *
+    * Scale: the corpus NEVER shuffles for assignment — the k centroids
+    * collapse to ONE broadcast row carrying an array of (cid, cv)
+    * structs, and the argmin is a per-row fold over that array (a
+    * narrow map). The only exchange per iteration is the centroid
+    * update: map-side-combined partial sums keyed by (cid, dim) —
+    * k·dim rows of traffic regardless of corpus size. Seeds always
+    * keep themselves (dist 0 at iter 1), so no empty-cluster rule is
+    * needed. More iterations = the same loop body (with g01-style
+    * lineage cuts); the per-element HOF distance would get the DotLL
+    * native treatment if iteration count grew hot. */
+  def kmeansAssign(emb: DataFrame, k: Int = 4): DataFrame = {
+    val base = quantized(emb).select(col("vec_id"), col("qv"))
+    val seeds = base.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    // d2(c) inline over the struct array; MaxLong/4 sentinel start
+    val d = "aggregate(zip_with(qv, c.cv, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    def assign(cents: DataFrame): DataFrame = {
+      val one = cents.agg(
+        expr("array_sort(collect_list(struct(cid, cv)), (l, r) -> CASE " +
+          "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END)")
+          .as("cs"))
+      base.crossJoin(broadcast(one))
+        .withColumn("best", expr(
+          s"""aggregate(cs,
+                named_struct('d2', CAST(4611686018427387903 AS BIGINT),
+                             'cid', CAST(-1 AS BIGINT)),
+                (acc, c) -> IF($d < acc.d2, named_struct('d2', $d, 'cid', c.cid), acc))"""))
+        .select(col("vec_id"), col("qv"),
+          col("best.cid").as("cid"), col("best.d2").as("d2"))
+    }
+    val a1 = assign(seeds)
+    val cents1 = a1
+      .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cid"), expr("transform(dm, x -> x.m)").as("cv"))
+    assign(cents1)
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("d2").as("dist2"))
+  }
+
   /** Seed-derived ±1 random hyperplanes — the ONE shared definition:
     * the Spark signature expression and the DuckDB oracle mirror are
     * both generated from this array, so the two engines cannot drift. */
@@ -418,6 +473,8 @@ object Similarity {
       knnBruteForce(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s10_quantize_uint8" -> ((s, d) =>
       quantizeUint8(t(s, d, "embeddings")).orderBy(col("vec_id"))),
+    "s11_kmeans_2iter" -> ((s, d) =>
+      kmeansAssign(t(s, d, "embeddings")).orderBy(col("vec_id"))),
     "s02_knn_lsh" -> ((s, d) =>
       knnLsh(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s07_knn_mips_pruned" -> ((s, d) =>
@@ -464,6 +521,39 @@ object Similarity {
              CAST(CASE WHEN mx > mn THEN ((qv[-1] - mn) * 255) // (mx - mn)
                ELSE 0 END AS BIGINT) AS q_last
            FROM b ORDER BY vec_id""",
+      // the unrolled 2-iteration Lloyd recurrence, replayed step by step:
+      // same seeds, same integer argmin + (d2, cid) tie order, same
+      // floor(mean) update — floor of an exact double in both engines
+      "s11_kmeans_2iter" ->
+        s"""WITH q AS (
+             SELECT vec_id, $qv AS qv FROM embeddings),
+           c0 AS (
+             SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 4),
+           d1 AS (
+             SELECT q.vec_id, q.qv, c0.cid,
+               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c0.cv[i]) * (q.qv[i] - c0.cv[i]))) AS BIGINT) AS d2
+             FROM q CROSS JOIN c0),
+           a1 AS (
+             SELECT vec_id, qv, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+               FROM d1) WHERE rk = 1),
+           m AS (
+             SELECT cid, i AS dim,
+               CAST(floor(sum(qv[i]) / count(*)) AS BIGINT) AS mv
+             FROM a1, (SELECT unnest(range(1, 65)) AS i)
+             GROUP BY cid, i),
+           c1 AS (
+             SELECT cid, list(mv ORDER BY dim) AS cv FROM m GROUP BY cid),
+           dd AS (
+             SELECT q.vec_id, c1.cid,
+               CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> (q.qv[i] - c1.cv[i]) * (q.qv[i] - c1.cv[i]))) AS BIGINT) AS d2
+             FROM q CROSS JOIN c1)
+           SELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+             FROM dd) WHERE rk = 1
+           ORDER BY vec_id""",
       "s01_knn_brute" ->
         s"""WITH q AS (
              SELECT vec_id, $qv AS qv FROM embeddings),

@@ -65,6 +65,16 @@ class PlanSpec extends SparkSpec {
     assert(antis >= 2, s"expected the md5 tier and the survivor anti join, got $antis:\n$p")
   }
 
+  test("s11: kmeans assignment is a broadcast map — corpus never sort-merge-joins") {
+    val p = plan("s11_kmeans_2iter")
+    // both assignment rounds ride a 1-row broadcast of the centroid
+    // array; the only exchanges are the (cid, dim) update aggregate,
+    // the centroid re-assembly, and the output sort
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a join:\n$p")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges <= 4, s"kmeans grew $exchanges exchanges:\n$p")
+  }
+
   test("d12: simhash pin plans cartesian-free — tiled equi-joins only") {
     val p = plan("d12_simhash_equality_pin")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

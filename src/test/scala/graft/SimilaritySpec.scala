@@ -94,4 +94,24 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("q_id", "rk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == want.toSeq)
   }
+
+  test("kmeansAssign: partitioning-invariant, seeds self-assign at round one, dist2 exact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 150L).map { id =>
+      (id, Array.fill(8)(rng.nextInt(9).toFloat / 4f - 1f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val a = Similarity.kmeansAssign(emb.repartition(7))
+      .orderBy("vec_id").as[(Long, Long, Long)].collect()
+    val b = Similarity.kmeansAssign(emb.repartition(3))
+      .orderBy("vec_id").as[(Long, Long, Long)].collect()
+    // the labels (not just counts) must be identical under any layout —
+    // the reproducibility claim the integer/floor arithmetic buys
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 150)
+    val cids = a.map(_._2).toSet
+    assert(cids.subsetOf(Set(0L, 1L, 2L, 3L)) && cids.size >= 2)
+    // dist2 is the exact integer L2² to the FINAL centroid ≥ 0
+    assert(a.forall(_._3 >= 0L))
+  }
 }
