@@ -96,6 +96,40 @@ object Analytics {
         .orderBy(col("o_orderpriority"), col("metric"))
     }),
 
+    // ---- PIVOT: long -> wide, one column per pivoted status value.
+    //      The explicit value list matters at scale: without it Spark
+    //      runs a driver-side distinct over the pivot column first —
+    //      an extra job over the fact table (and nondeterministic
+    //      column order); with it the pivot is ONE pass
+    "q65_pivot_status" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("O").as("n_open"),
+          col("F").as("n_filled"), col("P").as("n_pending"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- NTILE within groups: per-priority price quartiles, then one
+    //      row per (priority, quartile). partitionBy keeps the window a
+    //      keyed shuffle (a GLOBAL ntile would collapse to a single
+    //      partition — the named scale-killer); the (price, key) order
+    //      is total, so tile edges are engine-identical
+    "q66_ntile_quartiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("q", ntile(4).over(w).cast("long"))
+        .groupBy(col("o_orderpriority"), col("q"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("o_orderpriority"), col("q"))
+    }),
+
     // ---- event-time RANGE window frame: per user, trailing-5-minute
     //      event count + exact decimal value sum at every event
     "q39_trailing_range_window" -> ((s, d) => {
@@ -403,6 +437,25 @@ object Analytics {
          UNION ALL SELECT o_orderpriority, 'sum_rev', sum_rev FROM a
          UNION ALL SELECT o_orderpriority, 'max_rev', max_rev FROM a
          ORDER BY o_orderpriority, metric""",
+    // pivot ≡ conditional aggregation in portable SQL
+    "q65_pivot_status" ->
+      """SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // ntile is SQL-standard (larger tiles first) over the same total
+    // order, so tile boundaries agree bytewise
+    "q66_ntile_quartiles" ->
+      """WITH r AS (
+           SELECT o_orderpriority, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS q
+           FROM orders)
+         SELECT o_orderpriority, CAST(q AS BIGINT) AS q,
+           count(*) AS n_orders, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         FROM r GROUP BY o_orderpriority, q
+         ORDER BY o_orderpriority, q""",
     "q39_trailing_range_window" ->
       """SELECT user_id, event_id, ts_us,
            count(*) OVER w AS n_5min,

@@ -43,18 +43,35 @@ object Sampling {
       .drop("keep_pct")
   }
 
-  /** Quota mixing: EXACTLY min(quota, |domain|) rows per domain, chosen
-    * by deterministic hash order (md5 of the id, id tiebreak) — the
-    * "equal parts of every language/domain" mix step, with the
-    * uniform-but-reproducible selection rand() cannot give. The rank
-    * filter is WindowGroupLimit-eligible, so shuffled data per domain
-    * is capped near the quota rather than the domain's full size. */
-  def quotaMix(docs: DataFrame, domainCol: String, idCol: String,
-               quota: Int): DataFrame = {
+  /** Epoch quota mixing with deterministic OVERSAMPLING: every domain
+    * contributes EXACTLY `quota` slots per epoch — a long domain
+    * contributes its hash-order prefix, a short domain WRAPS (slot s
+    * takes the doc ranked (s mod n)+1, with copy_idx = s div n) — the
+    * semantics a training mixer actually needs to hit a target mixture
+    * when domains are shorter than their share (top-k-per-group alone
+    * under-fills; that selection shape is q43/t11). Fully id-hash-
+    * deterministic, so retries and re-runs emit the identical epoch.
+    *
+    * Scale: one domain-keyed shuffle ranks each domain (linear per
+    * domain); the slot spine is quota rows per DISTINCT domain (tiny)
+    * and meets the ranked docs on an equi-join on (domain, rank) —
+    * output is exactly quota·|domains| rows, never an intermediate
+    * blow-up. */
+  def epochQuotaMix(docs: DataFrame, domainCol: String, idCol: String,
+                    quota: Int): DataFrame = {
     val w = Window.partitionBy(col(domainCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    docs.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= quota)
+    val ranked = docs.select(col(domainCol), col(idCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val sizes = ranked.groupBy(col(domainCol)).agg(max(col("rk")).as("n"))
+    val slots = sizes
+      .select(col(domainCol), col("n"),
+        explode(sequence(lit(0L), lit(quota - 1L))).as("slot"))
+      .select(col(domainCol), col("slot"),
+        (col("slot") % col("n") + 1).as("rk"),
+        expr("slot div n").as("copy_idx"))
+    slots.join(ranked, Seq(domainCol, "rk"))
+      .select(col(domainCol), col("slot"), col(idCol), col("copy_idx"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -64,11 +81,12 @@ object Sampling {
           Map("O" -> 10, "F" -> 20, "P" -> 50))
         .select(col("o_orderkey"), col("o_orderstatus"))
         .orderBy(col("o_orderkey"))),
-    // fixed per-language quota over the documents corpus
+    // every language fills exactly 120 slots; short languages wrap
+    // (the sf0.01 corpus has ~100-doc languages, so real copy_idx > 0
+    // rows exercise the oversampling path)
     "q64_quota_mix" -> ((s, d) =>
-      quotaMix(t(s, d, "documents"), "lang", "doc_id", 30)
-        .select(col("doc_id"), col("lang"), col("rk"))
-        .orderBy(col("doc_id")))
+      epochQuotaMix(t(s, d, "documents"), "lang", "doc_id", 120)
+        .orderBy(col("lang"), col("slot")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -80,14 +98,19 @@ object Sampling {
          WHERE ${Corpus.bucketSql("o_orderkey")} < pct
          ORDER BY o_orderkey""",
     // both engines order the hex md5 string bytewise, so the per-domain
-    // rank — and therefore the selected quota — is identical
+    // rank — and therefore every slot's doc — is identical
     "q64_quota_mix" ->
       """WITH r AS (
            SELECT doc_id, lang,
-             row_number() OVER (PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-           FROM documents)
-         SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
-         FROM r WHERE rk <= 30 ORDER BY doc_id"""
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+           FROM documents),
+         sz AS (SELECT lang, max(rk) AS n FROM r GROUP BY lang),
+         sl AS (
+           SELECT lang, n, unnest(range(0, 120)) AS slot FROM sz)
+         SELECT sl.lang, CAST(sl.slot AS BIGINT) AS slot, r.doc_id,
+           CAST(sl.slot // sl.n AS BIGINT) AS copy_idx
+         FROM sl JOIN r ON r.lang = sl.lang AND r.rk = sl.slot % sl.n + 1
+         ORDER BY sl.lang, sl.slot"""
   )
 }

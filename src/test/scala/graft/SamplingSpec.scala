@@ -31,20 +31,29 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(aKept / aTotal - 0.20) < 0.06, s"A rate ${aKept / aTotal}")
   }
 
-  test("quotaMix: exact per-domain quota, deterministic, WindowGroupLimit in plan") {
+  test("epochQuotaMix: exact quota per domain; short domains wrap with copy_idx") {
     val docs = ((1L to 500L).map(i => (i, "big")) ++ (1000L to 1009L).map(i => (i, "small")))
       .toDF("doc_id", "lang")
-    val out = Sampling.quotaMix(docs, "lang", "doc_id", 30)
-    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
-    assert(counts == Map("big" -> 30L, "small" -> 10L),
-      "quota must cap at min(quota, domain size)")
-    val again = Sampling.quotaMix(docs, "lang", "doc_id", 30)
-      .select("doc_id").as[Long].collect().toSet
-    assert(again == out.select("doc_id").as[Long].collect().toSet)
-    // the rank filter must ride WindowGroupLimit so per-domain shuffled
-    // rows are capped near the quota, not the domain size
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), s"rank filter lost group-limit:\n$plan")
+    val out = Sampling.epochQuotaMix(docs, "lang", "doc_id", 30)
+      .as[(String, Long, Long, Long)].collect()
+    val byLang = out.groupBy(_._1)
+    // EVERY domain fills exactly quota slots (the point of epoch fill)
+    assert(byLang.view.mapValues(_.length).toMap == Map("big" -> 30, "small" -> 30))
+    // long domain: 30 distinct docs, no wrap
+    val big = byLang("big")
+    assert(big.map(_._3).distinct.length == 30 && big.forall(_._4 == 0L))
+    // short domain (10 docs): each doc appears exactly 3 times, with
+    // copy_idx 0/1/2 in slot order, and slot s wraps to the same doc
+    // as slot s - 10
+    val small = byLang("small").sortBy(_._2)
+    assert(small.map(_._3).distinct.length == 10)
+    assert(small.groupBy(_._3).forall(_._2.map(_._4).sorted.sameElements(Seq(0L, 1L, 2L))))
+    assert(small.map(_._3).toSeq == (small.map(_._3).toSeq.take(10) ++
+      small.map(_._3).toSeq.take(10) ++ small.map(_._3).toSeq.take(10)))
+    // deterministic under re-run
+    val again = Sampling.epochQuotaMix(docs, "lang", "doc_id", 30)
+      .as[(String, Long, Long, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq == out.sortBy(r => (r._1, r._2)).toSeq)
   }
 
   test("dupNgramRate: hand corpus — shared 8-gram counted, unique text not") {
