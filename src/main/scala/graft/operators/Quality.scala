@@ -105,7 +105,42 @@ object Quality {
         abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a")).as("drift_num"))
   }
 
+  /** Snapshot diff — the version-to-version comparison a lake runs
+    * before publishing a refreshed table (what changed, and how much):
+    * full outer join on the key comparing an md5 over the value
+    * columns, emitting one row per ADDED / REMOVED / CHANGED key
+    * (unchanged rows — the overwhelming bulk — are filtered out, so
+    * the result is the small changeset). The value hash rides the
+    * shuffle instead of the row bodies. */
+  def snapshotDiff(old: DataFrame, nu: DataFrame, key: String,
+                   valueCols: Seq[String]): DataFrame = {
+    def h(df: DataFrame, side: String) = df.select(col(key).as("key"),
+      md5(concat_ws("", valueCols.map(c => col(c).cast("string")): _*))
+        .as(s"${side}_h"))
+    h(old, "old").join(h(nu, "new"), Seq("key"), "full_outer")
+      .withColumn("change",
+        when(col("old_h").isNull, "added")
+          .when(col("new_h").isNull, "removed")
+          .when(col("old_h") =!= col("new_h"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col("key"), col("change"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the "new" snapshot is a deterministic mutation of customer:
+    // custkey % 11 == 0 gets a balance bump (changed), % 13 == 0 is
+    // dropped (removed), and a shifted-id copy of % 17 == 0 is added
+    "v06_snapshot_diff" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val nu = cust.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 11 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey") % 17 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      snapshotDiff(cust, nu, "c_custkey", Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy(col("key"))
+    }),
     // language-mix drift between the c01 hash splits: drift_num scaled
     // by 1/(2·N·M) is the exact TVD contribution per language
     "v05_split_drift" -> ((s, d) => {
@@ -141,6 +176,26 @@ object Quality {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the oracle needs no hashing: only c_acctbal can differ, so a
+    // direct value compare reaches the same ADDED/REMOVED/CHANGED
+    // verdicts the md5 comparison does
+    "v06_snapshot_diff" ->
+      """WITH nu AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 1.0
+                  ELSE c_acctbal END AS c_acctbal
+           FROM customer WHERE c_custkey % 13 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, c_acctbal
+           FROM customer WHERE c_custkey % 17 = 0)
+         SELECT COALESCE(o.c_custkey, n.c_custkey) AS key,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+         FROM customer o FULL OUTER JOIN nu n ON o.c_custkey = n.c_custkey
+         WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+            OR o.c_acctbal <> n.c_acctbal
+         ORDER BY key""",
     "v05_split_drift" ->
       s"""WITH s AS (
            SELECT doc_id, lang,
