@@ -112,6 +112,12 @@ object StreamingQueries {
     // equal the batch aggregate
     "st10_transform_with_state" -> ((s, d) =>
       ProfileStream.runFinalProfiles(s, d).orderBy(col("user_id"))),
+    // state-v2 INITIAL STATE: the st10 profile bootstrapped from a
+    // batch snapshot (even event_ids), only the odd tail streamed;
+    // final profiles must equal the batch aggregate over ALL events —
+    // bootstrap + stream ≡ batch (see BootstrapProfileStream)
+    "st19_initial_state_bootstrap" -> ((s, d) =>
+      BootstrapProfileStream.runFinalProfiles(s, d).orderBy(col("user_id"))),
     // custom keyed state under a real stream: flatMapGroupsWithState +
     // event-time timeout; needs the watermark-only trailing batch so
     // timed-out open sessions flush (noDataBatches = true). RocksDB
@@ -243,6 +249,14 @@ object StreamingQueries {
          SELECT user_id, ts_us, event_id, event_type, value_q
          FROM r WHERE rk = 1 ORDER BY user_id""",
     "st10_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_q
+         FROM events GROUP BY user_id
+         ORDER BY user_id""",
+    // the SAME aggregate as st10 — over all events, both halves: the
+    // snapshot half must arrive via handleInitialState, the tail via
+    // the stream, and the composition must be invisible in the result
+    "st19_initial_state_bootstrap" ->
       """SELECT user_id, count(*) AS n_events,
            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_q
          FROM events GROUP BY user_id

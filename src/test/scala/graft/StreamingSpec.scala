@@ -296,6 +296,32 @@ class StreamingSpec extends SparkSpec {
     assert(fin == Seq((3L, 14275L)), s"got $fin")
   }
 
+  test("initial-state bootstrap: snapshot-only, tail-only and mixed users all reconcile") {
+    import spark.implicits._
+    import graft.streaming.BootstrapProfileStream
+    // a fixture where all three handoff paths occur: user 1 has ONLY
+    // history (even ids — must surface via the snapshot union, never
+    // emitting from the stream), user 2 both halves (handleInitialState
+    // + handleInputRows), user 3 only tail (default zero state)
+    val dir = Files.createTempDirectory("graft-boot").toString
+    val tmp = s"$dir/w"
+    Seq(
+      (2L, us(600), 1L, 2.0), (4L, us(601), 1L, 3.0),          // user 1: history only
+      (6L, us(602), 2L, 5.0), (7L, us(603), 2L, 7.0),          // user 2: both
+      (9L, us(604), 3L, 11.0))                                 // user 3: tail only
+      .map { case (id, ts, u, v) => (id, ts * 1000L, u, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val fin = BootstrapProfileStream.runFinalProfiles(spark, dir)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fin == Seq((1L, 2L, 50000L), (2L, 2L, 120000L), (3L, 1L, 110000L)),
+      s"got $fin")
+  }
+
   test("CDC apply: final state invariant under batch split and order") {
     import graft.streaming.CdcApply
     val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
