@@ -130,6 +130,20 @@ object Analytics {
         .orderBy(col("o_orderpriority"), col("q"))
     }),
 
+    // ---- percent_rank / cume_dist: relative standing of each supplier
+    //      balance inside its nation — both are exact rational functions
+    //      of (rank, n) over a total order, so cross-engine-identical;
+    //      rounded 9 dp only to absorb double formatting, not value skew
+    "q67_relative_standing" -> ((s, d) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      t(s, d, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+        .withColumn("pr", round(percent_rank().over(w), 9))
+        .withColumn("cd", round(cume_dist().over(w), 9))
+        .orderBy(col("s_nationkey"), col("s_suppkey"))
+    }),
+
     // ---- event-time RANGE window frame: per user, trailing-5-minute
     //      event count + exact decimal value sum at every event
     "q39_trailing_range_window" -> ((s, d) => {
@@ -437,6 +451,13 @@ object Analytics {
          UNION ALL SELECT o_orderpriority, 'sum_rev', sum_rev FROM a
          UNION ALL SELECT o_orderpriority, 'max_rev', max_rev FROM a
          ORDER BY o_orderpriority, metric""",
+    "q67_relative_standing" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+           round(percent_rank() OVER w, 9) AS pr,
+           round(cume_dist() OVER w, 9) AS cd
+         FROM supplier
+         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+         ORDER BY s_nationkey, s_suppkey""",
     // pivot ≡ conditional aggregation in portable SQL
     "q65_pivot_status" ->
       """SELECT o_orderpriority,
