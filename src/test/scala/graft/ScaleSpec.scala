@@ -61,6 +61,61 @@ class ScaleSpec extends SparkSpec {
       events.agg(sum(col("user_id"))).head.getLong(0))
   }
 
+  // A 100 TB crawl ALWAYS contains malformed records; what matters is
+  // that the engine's three contracts are explicit and chosen, not
+  // incidental: quarantine (PERMISSIVE + corrupt-record column), drop
+  // (DROPMALFORMED), or fail the job (FAILFAST).
+  test("malformed json records: quarantine, drop, and fail-fast contracts") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-badrec").toString
+    val lines = Seq(
+      """{"event_id": 1, "value": 1.5}""",
+      """{"event_id": "not-a-number", "value": 2.5}""",   // type mismatch
+      """{"event_id": 3 BROKEN""",                        // syntax error
+      """{"event_id": 4, "value": 4.5}""")
+    lines.toDF("v").coalesce(1).write.mode("overwrite").text(base)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    // PERMISSIVE: all rows survive; bad ones carry the raw line in the
+    // quarantine column (and null data columns) — the audit-friendly
+    // default for an unattended ingest
+    val perm = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(base).cache()
+    assert(perm.count() == 4)
+    assert(perm.filter(col("_corrupt_record").isNotNull).count() == 2)
+    assert(perm.filter(col("_corrupt_record").isNull)
+      .agg(sum(col("event_id"))).head.getLong(0) == 5L)
+    perm.unpersist()
+    // DROPMALFORMED's row count is PROJECTION-DEPENDENT — the gotcha
+    // this pin exists for: count() prunes every column, so the parser
+    // only detects syntax errors (3 rows survive), while materializing
+    // the fields forces full parsing and the type-mismatch row drops
+    // too (2 rows). An unattended ingest must therefore never infer
+    // "rows kept" from a pruned count — quarantine via PERMISSIVE is
+    // the auditable contract.
+    val dropped = spark.read
+      .schema(org.apache.spark.sql.types.StructType(schema.take(2)))
+      .option("mode", "DROPMALFORMED").json(base)
+    assert(dropped.count() == 3)
+    val materialized = dropped.select(col("event_id"), col("value")).collect()
+    assert(materialized.length == 2)
+    assert(materialized.map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+    // FAILFAST: the first bad record aborts the job
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(org.apache.spark.sql.types.StructType(schema.take(2)))
+        .option("mode", "FAILFAST").json(base).collect()
+    }
+    assert(ex.getMessage.contains("FAILFAST") ||
+      ex.getCause != null, s"unexpected failure shape: ${ex.getMessage.take(200)}")
+  }
+
   // df.observe: accumulator-backed metrics collected DURING the normal
   // action — the way a 100 TB job instruments row counts / null rates /
   // quality tallies without a second scan of the input.
