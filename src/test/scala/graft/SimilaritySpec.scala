@@ -95,6 +95,15 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("recallVsExact: structural sanity on the fixture (measurement utility)") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val r = Similarity.recallVsExact(
+      Similarity.knnIvf(emb), Similarity.knnBruteForce(emb)).collect().head
+    val (hits, nTrue, recall) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue > 0 && hits >= 0 && hits <= nTrue)
+    assert(recall == hits * 10000 / nTrue && recall <= 10000)
+  }
+
   test("kmeansAssign: partitioning-invariant, seeds self-assign at round one, dist2 exact") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
