@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.AbstractDataType
@@ -21,9 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns the sorted distinct fingerprint array. Position-independent
   * by construction, so overlap between documents is a plain
   * `array_intersect` — no shuffle-heavy shingle explode anywhere.
+  *
+  * Natively codegen'd (r7): the generated loop is the same rolling
+  * recurrence + monotonic-deque sliding minimum over primitive arrays
+  * (sort+dedupe replaces the interpreted TreeSet — same sorted
+  * distinct output), gated by ExpressionSpec compile + parity.
   */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -71,6 +76,60 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     }
     ArrayData.toArrayData(out.toArray)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val uad = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
+      val bytes = ctx.freshName("bytes")
+      val n = ctx.freshName("n")
+      val grams = ctx.freshName("grams")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val win = ctx.freshName("win")
+      val mins = ctx.freshName("mins")
+      val nm = ctx.freshName("nm")
+      val deque = ctx.freshName("deque")
+      val head = ctx.freshName("head")
+      val tail = ctx.freshName("tail")
+      val u = ctx.freshName("u")
+      val t = ctx.freshName("t")
+      s"""
+         |final byte[] $bytes = $in.getBytes();
+         |final int $n = $bytes.length;
+         |if ($n < $k) {
+         |  ${ev.value} = $uad.fromPrimitiveArray(new long[0]);
+         |} else {
+         |  final long[] $grams = new long[$n - $k + 1];
+         |  long $h = 0L;
+         |  int $i = 0;
+         |  for (; $i < $k; $i++) { $h = $h * ${Base}L + ($bytes[$i] & 0xff); }
+         |  $grams[0] = $h;
+         |  for (; $i < $n; $i++) {
+         |    $h = ($h - ($bytes[$i - $k] & 0xff) * ${BasePow}L) * ${Base}L
+         |      + ($bytes[$i] & 0xff);
+         |    $grams[$i - $k + 1] = $h;
+         |  }
+         |  final int $win = java.lang.Math.min($w, $grams.length);
+         |  final long[] $mins = new long[$grams.length];
+         |  int $nm = 0;
+         |  final int[] $deque = new int[$grams.length];
+         |  int $head = 0;
+         |  int $tail = 0;
+         |  for (int $t = 0; $t < $grams.length; $t++) {
+         |    while ($tail > $head && $grams[$deque[$tail - 1]] >= $grams[$t]) $tail--;
+         |    $deque[$tail] = $t; $tail++;
+         |    if ($deque[$head] <= $t - $win) $head++;
+         |    if ($t >= $win - 1) $mins[$nm++] = $grams[$deque[$head]];
+         |  }
+         |  java.util.Arrays.sort($mins, 0, $nm);
+         |  int $u = 0;
+         |  for (int $t = 0; $t < $nm; $t++) {
+         |    if ($t == 0 || $mins[$t] != $mins[$t - 1]) { $mins[$u] = $mins[$t]; $u++; }
+         |  }
+         |  ${ev.value} = $uad.fromPrimitiveArray(java.util.Arrays.copyOfRange($mins, 0, $u));
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
     copy(child = newChild)

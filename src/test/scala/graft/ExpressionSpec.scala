@@ -88,6 +88,35 @@ class ExpressionSpec extends SparkSpec {
     assert(proj(nullRow).isNullAt(0) && expr.eval(nullRow) == null)
   }
 
+  test("simhash_sig and winnow_fingerprint codegen compile and match interpreted eval") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val sh = graft.functions.SimHashSig(BoundReference(0, StringType, nullable = true))
+    val wf = graft.functions.WinnowFingerprint(
+      BoundReference(0, StringType, nullable = true), 8, 16)
+    val proj = GenerateMutableProjection.generate(Seq(sh, wf))
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog and the dog sleeps",
+      "dup dup dup dup dup", "one", "", "short",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    for (s <- samples) {
+      val row = InternalRow(UTF8String.fromString(s))
+      val out = proj(row)
+      assert(out.getLong(0) == sh.eval(row).asInstanceOf[Long],
+        s"simhash codegen/interpreted drift on '$s'")
+      val genFp = out.getArray(1).toLongArray().toSeq
+      val interpFp = wf.eval(row).asInstanceOf[ArrayData].toLongArray().toSeq
+      assert(genFp == interpFp, s"winnow codegen/interpreted drift on '$s'")
+      assert(genFp == genFp.sorted && genFp.distinct == genFp)
+    }
+    val nullRow = InternalRow(null)
+    assert(proj(nullRow).isNullAt(0) && proj(nullRow).isNullAt(1))
+  }
+
   test("dot_ll generated code compiles and matches interpreted eval") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
