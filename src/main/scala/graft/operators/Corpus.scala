@@ -22,13 +22,19 @@ object Corpus {
     * Scale: a narrow map over the scan, no shuffle, no state.
     */
   def hashSplit(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100).as("bucket"))
+    docs.select(col("doc_id"), hashBucket(col("doc_id")).as("bucket"))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
+
+  /** The Spark side of the percent-bucket arithmetic — SINGLE-SOURCED
+    * here next to its DuckDB mirror [[bucketSql]] so the pair stays
+    * bit-identical (hashSplit/c01, stratifiedSample/q63, and any future
+    * hash-membership operator all route through this one expression). */
+  private[operators] def hashBucket(
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
 
   /** DuckDB mirror of the bucket arithmetic (DuckDB has no base-16
     * string→int conversion, so the 4 hex digits are positional strpos

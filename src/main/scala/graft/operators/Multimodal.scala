@@ -74,7 +74,7 @@ object Multimodal {
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("png").next()
         val bos = new java.io.ByteArrayOutputStream()
-        it.map { p =>
+        val rows = it.map { p =>
           val n = p.payload.length
           val h = math.max(1, (n + ImgWidth - 1) / ImgWidth)
           val img = new java.awt.image.BufferedImage(
@@ -86,12 +86,14 @@ object Multimodal {
             i += 1
           }
           bos.reset()
+          // close() releases the stream's internal cache promptly (the
+          // ImageIO contract requires it) — leaking one per row holds
+          // every image's cache until GC
           val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-          writer.setOutput(ios)
-          writer.write(img)
-          ios.flush()
+          try { writer.setOutput(ios); writer.write(img) } finally ios.close()
           PngRow(p.doc_id, n.toLong, bos.toByteArray, ImgWidth, h)
         }
+        disposeOnExhaust(rows)(writer.dispose())
       }
   }
 
@@ -108,7 +110,7 @@ object Multimodal {
     import spark.implicits._
     encodePng(docs).mapPartitions { it =>
       val decode = pngReader()
-      it.map { r =>
+      disposeOnExhaust(it.map { r =>
         val img = decode(r.png)
         val raster = img.getRaster
         val acc = new Array[Long](8)
@@ -124,23 +126,43 @@ object Multimodal {
           y += 1
         }
         Features(r.doc_id, r.n_bytes, Array.tabulate(8)(j => acc(j).toFloat / 255.0f))
-      }
+      })(decode.dispose())
     }
   }
 
   /** Per-partition PNG decoder: reader-registry lookup ONCE, decode
-    * many (call inside mapPartitions — readers are not serializable). */
-  private def pngReader(): Array[Byte] => java.awt.image.BufferedImage = {
+    * many (call inside mapPartitions — readers are not serializable).
+    * Callers wrap their output in [[disposeOnExhaust]] to release the
+    * codec's native state when the partition completes. */
+  private def pngReader(): PngDecoder = {
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
-    bytes => {
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      reader.setInput(iis)
-      val img = reader.read(0)
-      iis.close()
-      img
+    new PngDecoder {
+      def apply(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try { reader.setInput(iis); reader.read(0) } finally iis.close()
+      }
+      def dispose(): Unit = reader.dispose()
     }
   }
+
+  private trait PngDecoder extends (Array[Byte] => java.awt.image.BufferedImage) {
+    def dispose(): Unit
+  }
+
+  /** Run `cleanup` exactly once, when the wrapped iterator is drained —
+    * the codec-disposal hook for per-partition ImageIO reader/writer
+    * instances (Spark fully drains task iterators on the happy path). */
+  private def disposeOnExhaust[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] =
+    new Iterator[T] {
+      private var done = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !done) { done = true; cleanup }
+        h
+      }
+      def next(): T = it.next()
+    }
 
   case class FrameRow(doc_id: Long, frame_idx: Long, px_sum: Long)
 
@@ -155,7 +177,7 @@ object Multimodal {
     import spark.implicits._
     encodePng(docs).mapPartitions { it =>
       val decode = pngReader()
-      it.flatMap { r =>
+      disposeOnExhaust(it.flatMap { r =>
         val img = decode(r.png)
         val raster = img.getRaster
         (0 until img.getHeight by stride).iterator.map { y =>
@@ -164,7 +186,7 @@ object Multimodal {
           while (x < img.getWidth) { s += raster.getSample(x, y, 0); x += 1 }
           FrameRow(r.doc_id, y.toLong, s)
         }
-      }
+      })(decode.dispose())
     }
   }
 

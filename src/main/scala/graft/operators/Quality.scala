@@ -111,11 +111,17 @@ object Quality {
     * columns, emitting one row per ADDED / REMOVED / CHANGED key
     * (unchanged rows — the overwhelming bulk — are filtered out, so
     * the result is the small changeset). The value hash rides the
-    * shuffle instead of the row bodies. */
+    * shuffle instead of the row bodies. Hashing goes through
+    * `to_json(struct(...))`: JSON quoting makes column boundaries
+    * unambiguous at any payload, and named fields keep nulls
+    * distinguishable ((null,"x") vs ("x",null) hash apart) — a
+    * separator-joined concat_ws silently DROPS null columns, so those
+    * two distinct tuples would collide and a changed row would be
+    * reported unchanged. */
   def snapshotDiff(old: DataFrame, nu: DataFrame, key: String,
                    valueCols: Seq[String]): DataFrame = {
     def h(df: DataFrame, side: String) = df.select(col(key).as("key"),
-      md5(concat_ws("", valueCols.map(c => col(c).cast("string")): _*))
+      md5(to_json(struct(valueCols.map(col): _*)))
         .as(s"${side}_h"))
     h(old, "old").join(h(nu, "new"), Seq("key"), "full_outer")
       .withColumn("change",

@@ -21,11 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic percent-bucket in [0, 100) from a row id — the same
-    * first-4-hex-digits-of-md5 arithmetic as the c01 split, so any
-    * engine recomputes membership from the id alone. */
+  /** Deterministic percent-bucket in [0, 100) from a row id — the
+    * SHARED c01 arithmetic ([[Corpus.hashBucket]], single-sourced next
+    * to its DuckDB mirror so this oracle pair can't drift from c01's). */
   private def hashPct(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
+    Corpus.hashBucket(id)
 
   /** Stratified sampling: each stratum keeps its own percentage of
     * rows, decided per row by the id-hash bucket. The rates table is
@@ -63,7 +63,10 @@ object Sampling {
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     val ranked = docs.select(col(domainCol), col(idCol))
       .withColumn("rk", row_number().over(w).cast("long"))
-    val sizes = ranked.groupBy(col(domainCol)).agg(max(col("rk")).as("n"))
+    // per-domain size == max(rk) by construction, but a plain count
+    // over the input is a map-side-combinable aggregate — reading it
+    // off `ranked` would re-run the whole md5-order window a second time
+    val sizes = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
     val slots = sizes
       .select(col(domainCol), col("n"),
         explode(sequence(lit(0L), lit(quota - 1L))).as("slot"))

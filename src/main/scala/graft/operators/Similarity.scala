@@ -26,6 +26,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Shared knobs for the ANN kernels AND their audit pins (s08/s09).
+    * Single-sourced so a tuning change cannot silently desynchronize a
+    * pin from the routing the kernel actually uses — the pins audit
+    * `knnIvf()`/`knnLsh()` at these same defaults. */
+  private[graft] val DefaultQueryMod = 100
+  private[graft] val IvfNProbe = 2
+
   /** Quantized embedding: exact bigint milli-units. */
   private val qCol = expr(
     "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
@@ -57,7 +64,7 @@ object Similarity {
 
   /** Brute-force cosine top-k: every query (vec_id ≡ 0 mod queryMod)
     * against the whole corpus; ties broken by neighbor id. */
-  def knnBruteForce(emb: DataFrame, k: Int = 5, queryMod: Int = 100): DataFrame = {
+  def knnBruteForce(emb: DataFrame, k: Int = 5, queryMod: Int = DefaultQueryMod): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scoredAllPairs(emb, queryMod)
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -120,12 +127,18 @@ object Similarity {
         expr("array_sort(collect_list(struct(cid, cv)), (l, r) -> CASE " +
           "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END)")
           .as("cs"))
+      // distance computed ONCE per centroid (transform), then a cheap
+      // struct argmin fold — inlining $d into the IF would evaluate the
+      // 64-dim fold twice per centroid (Catalyst does not CSE inside
+      // HOF lambdas); strict < keeps ties at the smallest cid since cs
+      // is cid-sorted
       base.crossJoin(broadcast(one))
         .withColumn("best", expr(
-          s"""aggregate(cs,
+          s"""aggregate(
+                transform(cs, c -> named_struct('d2', $d, 'cid', c.cid)),
                 named_struct('d2', CAST(4611686018427387903 AS BIGINT),
                              'cid', CAST(-1 AS BIGINT)),
-                (acc, c) -> IF($d < acc.d2, named_struct('d2', $d, 'cid', c.cid), acc))"""))
+                (acc, s) -> IF(s.d2 < acc.d2, s, acc))"""))
         .select(col("vec_id"), col("qv"),
           col("best.cid").as("cid"), col("best.d2").as("d2"))
     }
@@ -181,7 +194,7 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: queries only compare against corpus
     * vectors in the same bucket (sub-linear candidate set). */
-  def knnLsh(emb: DataFrame, k: Int = 5, queryMod: Int = 100, nBits: Int = 8): DataFrame = {
+  def knnLsh(emb: DataFrame, k: Int = 5, queryMod: Int = DefaultQueryMod, nBits: Int = 8): DataFrame = {
     val base = lshBuckets(emb, nBits)
     val queries = base.filter(col("vec_id") % queryMod === 0)
       .select(col("bucket"), col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
@@ -212,12 +225,6 @@ object Similarity {
       .select(col("label").as("c_label"),
         expr("transform(dc, x -> x.centroid)").as("cv"))
 
-  /** IVF-style approximate top-k: rank centroids per query (coarse
-    * quantizer), probe the nProbe nearest inverted lists (label blocks),
-    * brute-force only inside probed lists. The corpus never shuffles:
-    * probed lists meet the corpus on a broadcast equi-join on label.
-    * At 100 TB the corpus would be bucketed/partitioned BY label so a
-    * probe touches only matching partitions (partition pruning). */
   /** The IVF coarse-quantizer routing: per query, the nProbe nearest
     * centroid lists (cosine vs the exact-decimal centroid means, ties
     * to the smaller label). Exposed so the s09 pin can audit the fine
@@ -241,7 +248,14 @@ object Similarity {
       .select(col("q_id"), col("q_qv"), col("q_nrm"), col("c_label"))
   }
 
-  def knnIvf(emb: DataFrame, k: Int = 5, queryMod: Int = 100, nProbe: Int = 2): DataFrame = {
+  /** IVF-style approximate top-k: rank centroids per query (coarse
+    * quantizer), probe the nProbe nearest inverted lists (label blocks),
+    * brute-force only inside probed lists. The corpus never shuffles:
+    * probed lists meet the corpus on a broadcast equi-join on label.
+    * At 100 TB the corpus would be bucketed/partitioned BY label so a
+    * probe touches only matching partitions (partition pruning). */
+  def knnIvf(emb: DataFrame, k: Int = 5, queryMod: Int = DefaultQueryMod,
+             nProbe: Int = IvfNProbe): DataFrame = {
     val base = quantized(emb)
     val probed = ivfProbes(emb, queryMod, nProbe)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -274,7 +288,7 @@ object Similarity {
     * rows (fail fast, not OOM) — at 100 TB a larger query load splits
     * into driver-sized chunks of this same operator, or switches to the
     * shuffled [[knnBrute]]/[[knnIvf]] paths. */
-  def knnMipsPruned(emb: DataFrame, k: Int = 5, queryMod: Int = 100,
+  def knnMipsPruned(emb: DataFrame, k: Int = 5, queryMod: Int = DefaultQueryMod,
                     maxQueries: Int = 1 << 20): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -458,7 +472,7 @@ object Similarity {
     // Oracle = the empty set (d11 pattern).
     "s08_lsh_score_pin" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val truth = scoredAllPairs(emb, 100)
+      val truth = scoredAllPairs(emb, DefaultQueryMod)
         .select(col("q_id"), col("neighbor_id"), col("cos").as("true_cos"))
       knnLsh(emb)
         .join(truth, Seq("q_id", "neighbor_id"), "left_outer")
@@ -483,7 +497,7 @@ object Similarity {
     "s09_ivf_exactness_pin" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val ivf = knnIvf(emb)
-      val truth = scoredAllPairs(emb, 100)
+      val truth = scoredAllPairs(emb, DefaultQueryMod)
         .select(col("q_id"), col("neighbor_id"), col("cos").as("true_cos"))
       val wrongScore = ivf
         .join(truth, Seq("q_id", "neighbor_id"), "left_outer")
@@ -492,7 +506,7 @@ object Similarity {
       val labels = quantized(emb).select(col("vec_id").as("neighbor_id"),
         col("label").as("c_label"))
       val probedCand = truth.join(labels, Seq("neighbor_id"))
-        .join(ivfProbes(emb, 100, 2).select(col("q_id"), col("c_label")),
+        .join(ivfProbes(emb, DefaultQueryMod, IvfNProbe).select(col("q_id"), col("c_label")),
           Seq("q_id", "c_label"))
       val kth = ivf.groupBy(col("q_id"))
         .agg(max(struct(col("rk"), col("cos"), col("neighbor_id"))).as("kth"))

@@ -314,7 +314,15 @@ object EventStreams {
             ps.exists(p => p.numInputRows == 0L && p.batchId > lastData)
           }
           val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-          while (!flushed && System.nanoTime() < deadline) Thread.sleep(25)
+          // rethrow a failure in the watermark-only batch immediately —
+          // a dead query can never flush, and spinning to the deadline
+          // would surface as a row-count mismatch with the real stream
+          // exception swallowed
+          while (!flushed && System.nanoTime() < deadline) {
+            q.exception.foreach(e => throw e)
+            Thread.sleep(25)
+          }
+          q.exception.foreach(e => throw e)
         }
         onFinish(q)
       } finally q.stop()
