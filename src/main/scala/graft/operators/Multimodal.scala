@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * stage DECODES that PNG and computes its statistics from the decoded
   * pixels. Because 8-bit grayscale PNG is lossless at the raster level,
   * the pixel stats have a closed form over the source bytes — which is
-  * what lets the decode path keep a DuckDB oracle (m03/m07) instead of
-  * a rows-only check. Audio/video stay out of scope (no codecs in the
+  * what lets the decode path keep a DuckDB oracle (m03/m07/m08) instead
+  * of a rows-only check. The audio path (m09) needs no codec at all —
+  * raw 8-bit PCM is the byte column itself, and the frame features
+  * (DC-removed energy, zero crossings) are exact integer arithmetic.
+  * Compressed audio/video codecs stay out of scope (none in the
   * container), but they would slot into the same shape: binary column
   * in, `mapPartitions` codec call, typed stats out.
   *
@@ -190,6 +193,86 @@ object Multimodal {
     }
   }
 
+  case class DsRow(doc_id: Long, row_idx: Long, ds_sum: Long)
+
+  /** RESIZE through the real codec: decode the PNG, 2×2 box-filter
+    * downsample (each output pixel = integer mean `div 4` of its source
+    * box — the standard antialiased integer downscale), emit each
+    * output row's pixel sum. Only FULL boxes are produced (outH =
+    * h div 2), so images shorter than two raster rows emit nothing —
+    * no edge-extrapolation ambiguity to mirror. The per-pixel `div`
+    * happens BEFORE the row sum, so the oracle genuinely checks the
+    * resize arithmetic, not a linear function that commutes past it.
+    * Narrow mapPartitions, codec reused per partition, no shuffle. */
+  def downsampleRowStats(docs: DataFrame): Dataset[DsRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    encodePng(docs).mapPartitions { it =>
+      val decode = pngReader()
+      disposeOnExhaust(it.flatMap { r =>
+        val img = decode(r.png)
+        val raster = img.getRaster
+        val outH = img.getHeight / 2
+        val outW = img.getWidth / 2
+        (0 until outH).iterator.map { yy =>
+          var s = 0L
+          var xx = 0
+          while (xx < outW) {
+            s += (raster.getSample(2 * xx, 2 * yy, 0)
+              + raster.getSample(2 * xx + 1, 2 * yy, 0)
+              + raster.getSample(2 * xx, 2 * yy + 1, 0)
+              + raster.getSample(2 * xx + 1, 2 * yy + 1, 0)) / 4
+            xx += 1
+          }
+          DsRow(r.doc_id, yy.toLong, s)
+        }
+      })(decode.dispose())
+    }
+  }
+
+  case class AudioFrame(doc_id: Long, frame_idx: Long, energy: Long,
+                        zero_crossings: Long)
+
+  /** Audio-feature extraction over raw 8-bit PCM payloads (PCM is
+    * codec-free, so unlike image decode this path needs no stub at
+    * all): per fixed-size frame, DC-offset removal (integer floor mean
+    * — the standard pre-step; without it a unipolar signal never
+    * crosses zero) then signal energy Σ(v−μ)² and zero-crossing count
+    * (sign changes of the centered signal — the classic cheap
+    * voiced/unvoiced + pitch-proxy features). All-integer arithmetic on
+    * the byte samples, so every value is engine-exact. Narrow map over
+    * the payload column, no codec state, no shuffle. */
+  def audioFrameStats(docs: DataFrame, frame: Int = 64): Dataset[AudioFrame] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asBinary(docs).select(col("doc_id"), col("payload")).as[Payload]
+      .flatMap { p =>
+        val n = p.payload.length
+        val nf = (n + frame - 1) / frame
+        (0 until nf).iterator.map { f =>
+          val start = f * frame
+          val end = math.min(n, start + frame)
+          var sum = 0L
+          var i = start
+          while (i < end) { sum += (p.payload(i) & 0xff); i += 1 }
+          val mu = sum / (end - start)
+          var e = 0L
+          var zc = 0L
+          i = start
+          while (i < end) {
+            val v = (p.payload(i) & 0xff) - mu
+            e += v * v
+            if (i + 1 < end) {
+              val w = (p.payload(i + 1) & 0xff) - mu
+              if (v * w < 0) zc += 1
+            }
+            i += 1
+          }
+          AudioFrame(p.doc_id, f.toLong, e, zc)
+        }
+      }
+  }
+
   case class Embedding(doc_id: Long, e0: Long, e1: Long, e2: Long, e3: Long)
 
   /** Batched "model inference" over binary payloads: `grouped(batchSize)`
@@ -277,7 +360,17 @@ object Multimodal {
     "m04_frame_sample" -> ((s, d) =>
       chunkIndex(t(s, d, "documents"))
         .filter(col("chunk_idx") % 4 === 0)
-        .orderBy(col("doc_id"), col("chunk_idx")))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    // 2×2 box downsample THROUGH the codec (encode → decode → resize):
+    // per-pixel integer div before the row sum, so the resize arithmetic
+    // itself is what the oracle hashes
+    "m08_box_downsample" -> ((s, d) =>
+      downsampleRowStats(t(s, d, "documents")).toDF()
+        .orderBy(col("doc_id"), col("row_idx"))),
+    // raw-PCM audio frames: DC-removed energy + zero crossings
+    "m09_audio_frames" -> ((s, d) =>
+      audioFrameStats(t(s, d, "documents")).toDF()
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -325,6 +418,44 @@ object Multimodal {
     // raster row r of the encoded image holds bytes [32r, 32r+32) (1-based
     // text positions 32r+1 .. min(n, 32r+32)); empty docs still encode a
     // single all-zero row
+    // output pixel (yy, xx) averages 1-based text positions
+    // {64yy+2xx+1, +2, +33, +34} (rows 2yy and 2yy+1 of the width-32
+    // raster); positions past n read the zero tail padding; only full
+    // 2×2 boxes exist (yy < h div 2), so sub-64-byte docs emit nothing
+    "m08_box_downsample" -> {
+      def px(off: Int) =
+        s"(CASE WHEN 64 * yy + 2 * xx + $off <= n THEN ord(text[64 * yy + 2 * xx + $off]) ELSE 0 END)"
+      s"""WITH c AS (
+           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n, text,
+             unnest(range(0, greatest(1, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)) // 2)) AS yy
+           FROM documents)
+         SELECT doc_id, yy AS row_idx,
+           CAST(list_sum(list_transform(range(0, 16), xx ->
+             (${px(1)} + ${px(2)} + ${px(33)} + ${px(34)}) // 4)) AS BIGINT) AS ds_sum
+         FROM c ORDER BY doc_id, row_idx"""
+    },
+    // frame f spans 1-based positions f*64+1 .. min(n, f*64+64); μ is
+    // the integer floor mean (sums are non-negative, so // ≡ div);
+    // single-sample frames have no pairs → zero crossings 0
+    "m09_audio_frames" ->
+      """WITH c AS (
+           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n, text,
+             unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS f
+           FROM documents),
+         fr AS (
+           SELECT doc_id, f,
+             list_transform(range(f * 64 + 1, least(n, f * 64 + 64) + 1),
+               i -> ord(text[i])) AS v
+           FROM c),
+         m AS (
+           SELECT doc_id, f, v,
+             CAST(list_sum(v) AS BIGINT) // len(v) AS mu
+           FROM fr)
+         SELECT doc_id, f AS frame_idx,
+           CAST(list_sum(list_transform(v, x -> (x - mu) * (x - mu))) AS BIGINT) AS energy,
+           CAST(COALESCE(list_sum(list_transform(range(1, len(v)),
+             i -> CASE WHEN (v[i] - mu) * (v[i + 1] - mu) < 0 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+         FROM m ORDER BY doc_id, frame_idx""",
     "m07_frame_pixel_stats" ->
       """WITH c AS (
            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n, text,

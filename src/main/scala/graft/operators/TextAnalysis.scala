@@ -214,6 +214,41 @@ object TextAnalysis {
       .select(explode(map_keys(col("mg"))).as("token"))
   }
 
+  /** Count–Min point-frequency estimates for the corpus's exact top-n
+    * tokens (see functions/CountMinAgg for the algorithm and the 100 TB
+    * rationale: a depth×width counter grid rides the shuffle instead of
+    * one row per distinct vocabulary term; merge = element-wise add, so
+    * the sketch is invariant under any partitioning or retry).
+    *
+    * The md5 hash family is engine-replayable, so unlike t14's
+    * containment pin this carries a FULL value-level oracle: DuckDB
+    * rebuilds the identical grid from the frequency table (bucket sums
+    * weighted by count ≡ one increment per occurrence — addition
+    * commutes) and replays every estimate. Estimates are exact-or-over
+    * by construction (est ≥ exact always; overcount = collision mass in
+    * the lightest of the token's depth buckets). */
+  def cmsEstimates(docs: DataFrame, depth: Int = 3, width: Int = 128,
+                   topn: Int = 10): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val toks = docs.select(explode(ws).as("w")).filter(col("w") =!= "")
+    val sketch = toks.as(Encoders.STRING)
+      .select(new graft.functions.CountMinAgg(depth, width).toColumn.name("cms"))
+      .toDF("cms")
+    val probes = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_c"))
+      .orderBy(col("exact_c").desc, col("w")).limit(topn)
+    // bucket_r(w) = first 4 hex digits of md5("r:w") mod width — the
+    // same two bytes CountMinAgg.bucket reads; element_at is 1-based
+    def bucketCol(r: Int) =
+      conv(substring(md5(concat(lit(s"$r:"), col("w"))), 1, 4), 16, 10)
+        .cast("long") % width
+    val est = least((0 until depth).map { r =>
+      element_at(col("cms"), (bucketCol(r) + lit(r * width + 1)).cast("int"))
+    }: _*)
+    probes.crossJoin(broadcast(sketch))
+      .select(col("w").as("token"), col("exact_c"), est.as("cms_est"))
+      .orderBy(col("exact_c").desc, col("token"))
+  }
+
   /** Exact heavy hitters: tokens with frequency strictly above
     * n_total/(k+1) — the ground-truth side of t14's pin. The total
     * rides a 1-row broadcast cross join, never a driver collect. */
@@ -433,7 +468,8 @@ object TextAnalysis {
       exactHeavyHitters(docs, 19)
         .except(heavyHitterCandidates(docs, 19))
         .orderBy(col("token"))
-    })
+    }),
+    "t17_cms_estimates" -> ((s, d) => cmsEstimates(t(s, d, "documents")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -442,6 +478,35 @@ object TextAnalysis {
          WHERE 1 = 0""",
     "t14_heavy_hitters_pin" ->
       """SELECT CAST(NULL AS VARCHAR) AS token WHERE 1 = 0""",
+    // the full CMS grid replayed in SQL: per-(row, bucket) sums over the
+    // frequency table (count-weighted ≡ one increment per occurrence),
+    // estimate = min over rows of the probe token's bucket sum; the
+    // bucket arithmetic is the c01 hex-digit mirror with a row salt
+    "t17_cms_estimates" -> {
+      def bkt(rExpr: String, tokExpr: String) = {
+        def digit(i: Int) =
+          s"(strpos('0123456789abcdef', substring(md5(CAST($rExpr AS VARCHAR) || ':' || $tokExpr), $i, 1)) - 1)"
+        s"((${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)}) % 128)"
+      }
+      s"""WITH tk AS (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         tk2 AS (SELECT w FROM tk WHERE w <> ''),
+         freq AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_c
+                  FROM tk2 GROUP BY w),
+         probes AS (SELECT w, exact_c FROM freq
+                    ORDER BY exact_c DESC, w LIMIT 10),
+         rs AS (SELECT unnest(range(0, 3)) AS r),
+         grid AS (SELECT r, ${bkt("r", "w")} AS b,
+                    CAST(sum(exact_c) AS BIGINT) AS s
+                  FROM freq CROSS JOIN rs GROUP BY 1, 2)
+         SELECT p.w AS token, p.exact_c,
+           CAST(min(g.s) AS BIGINT) AS cms_est
+         FROM probes p
+         JOIN rs ON true
+         JOIN grid g ON g.r = rs.r AND g.b = ${bkt("rs.r", "p.w")}
+         GROUP BY p.w, p.exact_c
+         ORDER BY p.exact_c DESC, token"""
+    },
     "t15_fingerprint_collision_pin" ->
       """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
          WHERE 1 = 0""",

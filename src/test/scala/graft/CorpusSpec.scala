@@ -103,4 +103,48 @@ class CorpusSpec extends SparkSpec {
     assert(m.size <= 5)
     assert(m.contains("a") && m.contains("f")) // largest from both sides
   }
+
+  test("count-min: estimates ≥ exact for EVERY token, partitioning-invariant") {
+    import spark.implicits._
+    // skewed fixture with deliberate collision pressure (width 16)
+    val stream = (Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
+      (0 until 200).map(i => s"rare${i % 60}")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val d = stream.toDF("doc_id", "text")
+    def estimates(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.cmsEstimates(df, depth = 3, width = 16, topn = 62)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val one = estimates(d.repartition(1))
+    val many = estimates(d.repartition(7))
+    // merge is element-wise add ⇒ identical sketch under any partitioning
+    assert(one.toSeq == many.toSeq)
+    // one-sided error: never an undercount
+    one.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"$tok undercounted: est $est < exact $exact")
+    }
+    // the hot token's buckets carry at least its own mass
+    assert(one.find(_._1 == "hot").get._2 == 50L)
+  }
+
+  test("count-min: sketch grid matches a hand-computed reference") {
+    import spark.implicits._
+    val toks = Seq("a", "b", "a", "c", "a", "b")
+    val agg = new graft.functions.CountMinAgg(2, 8)
+    val grid = toks.foldLeft(agg.zero)(agg.reduce)
+    def bucket(r: Int, tok: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$tok".getBytes("UTF-8"))
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 8
+    }
+    val expect = new Array[Long](16)
+    toks.foreach { t =>
+      (0 until 2).foreach { r => expect(r * 8 + bucket(r, t)) += 1L }
+    }
+    assert(grid.toSeq == expect.toSeq)
+    // split-point invariance of merge
+    val (l, r) = toks.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.toSeq == expect.toSeq)
+  }
 }

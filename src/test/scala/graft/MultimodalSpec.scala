@@ -81,6 +81,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("box downsample == per-pixel integer box means of source bytes (m08)") {
+    val got = Multimodal.downsampleRowStats(docsDF).collect()
+      .groupBy(_.doc_id).view.mapValues(_.map(r => r.row_idx -> r.ds_sum).toMap).toMap
+    for ((id, bytes) <- samples) {
+      val h = math.max(1, (bytes.length + 31) / 32)
+      def px(i: Int): Long = if (i < bytes.length) (bytes(i) & 0xff).toLong else 0L
+      val expect = (0 until h / 2).map { yy =>
+        yy.toLong -> (0 until 16).map { xx =>
+          (px(64 * yy + 2 * xx) + px(64 * yy + 2 * xx + 1)
+            + px(64 * yy + 2 * xx + 32) + px(64 * yy + 2 * xx + 33)) / 4
+        }.sum
+      }.toMap
+      assert(got.getOrElse(id, Map.empty) == expect, s"doc $id downsample diverged")
+    }
+    // sub-64-byte docs emit no rows (no full 2x2 box exists)
+    assert(!got.contains(0L) && !got.contains(1L) && !got.contains(2L))
+  }
+
+  test("audio frames: DC-removed energy and zero crossings, exact integers (m09)") {
+    val got = Multimodal.audioFrameStats(docsDF).collect()
+      .groupBy(_.doc_id).view
+      .mapValues(_.map(r => r.frame_idx -> (r.energy, r.zero_crossings)).toMap).toMap
+    for ((id, bytes) <- samples if bytes.nonEmpty) {
+      val nf = (bytes.length + 63) / 64
+      val expect = (0 until nf).map { f =>
+        val fr = bytes.slice(f * 64, math.min(bytes.length, f * 64 + 64))
+          .map(b => (b & 0xff).toLong)
+        val mu = fr.sum / fr.length
+        val c = fr.map(_ - mu)
+        val e = c.map(v => v * v).sum
+        val zc = c.sliding(2).count(p => p.length == 2 && p(0) * p(1) < 0)
+        f.toLong -> (e, zc.toLong)
+      }.toMap
+      assert(got(id) == expect, s"doc $id audio frames diverged")
+    }
+    assert(!got.contains(0L)) // empty payload → no frames
+    // a genuinely oscillating frame has nonzero crossings on the fixture
+    assert(got(5L).values.exists(_._2 > 0L))
+  }
+
   test("decoded frame-row sums == per-32-byte-span sums, stride honored (m07)") {
     val got = Multimodal.frameRowStats(docsDF).collect()
       .groupBy(_.doc_id).view.mapValues(_.map(r => r.frame_idx -> r.px_sum).toMap).toMap
