@@ -154,6 +154,105 @@ object Similarity {
       .select(col("vec_id"), col("cid").as("cluster_id"), col("d2").as("dist2"))
   }
 
+  // ------------------------------------------------------- product quant
+  /** The 64-dim milli-vector split into `m` contiguous subvectors of
+    * `subDim` dims — the decomposition product quantization runs on.
+    * One narrow explode; (vec_id, s) rows never shuffle downstream
+    * except where a kernel says so. */
+  private[graft] def subvectors(emb: DataFrame, m: Int = 8,
+                                subDim: Int = 8): DataFrame =
+    quantized(emb).select(col("vec_id"),
+      explode(array((0 until m).map { s =>
+        struct(lit(s).as("s"), slice(col("qv"), s * subDim + 1, subDim).as("sub"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
+
+  /** Nearest-centroid assignment of subvectors, per subspace: the
+    * kmeansAssign argmin fold applied under an `s` key — the per-s
+    * codebooks collapse to m broadcast rows of (cid, cv) structs, the
+    * argmin is a per-row fold, the corpus never shuffles. Exact integer
+    * L2², ties to the smallest cid. */
+  private def assignSub(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.groupBy(col("s")).agg(
+      expr("array_sort(collect_list(struct(cid, cv)), (l, r) -> CASE " +
+        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END)")
+        .as("cs"))
+    val d = "aggregate(zip_with(sub, c.cv, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    sub.join(broadcast(packed), Seq("s"))
+      .withColumn("best", expr(
+        s"""aggregate(
+              transform(cs, c -> named_struct('d2', $d, 'cid', c.cid)),
+              named_struct('d2', CAST(4611686018427387903 AS BIGINT),
+                           'cid', CAST(-1 AS BIGINT)),
+              (acc, t) -> IF(t.d2 < acc.d2, t, acc))"""))
+      .select(col("vec_id"), col("s"), col("sub"),
+        col("best.cid").as("cid"), col("best.d2").as("d2"))
+  }
+
+  /** Per-subspace PQ codebooks — k codewords per subspace trained with
+    * the s11 recipe restricted to each subspace (deterministic seeds =
+    * the k smallest vec_ids' subvectors, one Lloyd step with exact
+    * integer argmin and floor-mean updates), so the whole training
+    * recurrence stays engine-replayable. Codebook size m·k rows — a
+    * broadcast literal at any corpus size. */
+  def pqCodebooks(emb: DataFrame, m: Int = 8, subDim: Int = 8,
+                  k: Int = 4): DataFrame = {
+    val sub = subvectors(emb, m, subDim)
+    val seedIds = quantized(emb).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(k)
+    val seeds = sub.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("s"), col("vec_id").as("cid"), col("sub").as("cv"))
+    assignSub(sub, seeds)
+      .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("dim", "v")))
+      .groupBy(col("s"), col("cid"), col("dim"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("mv"))
+      .groupBy(col("s"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("dm"))
+      .select(col("s"), col("cid"), expr("transform(dm, x -> x.mv)").as("cv"))
+  }
+
+  /** PQ ENCODE: each vector compresses to m codeword ids (+ the exact
+    * per-subspace reconstruction error) — 64 dims → m bytes, the
+    * storage step IVF-PQ (the canonical 100 TB ANN layout: IVF routes,
+    * PQ compresses the lists) runs before indexing. Narrow: codebooks
+    * broadcast, corpus never shuffles. */
+  def pqCodes(emb: DataFrame, m: Int = 8, subDim: Int = 8,
+              k: Int = 4): DataFrame =
+    assignSub(subvectors(emb, m, subDim), pqCodebooks(emb, m, subDim, k))
+      .select(col("vec_id"), col("s"), col("cid").as("code"), col("d2"))
+
+  /** PQ ASYMMETRIC-DISTANCE top-k: per query, the distance to a
+    * compressed vector is the sum over subspaces of d2(query_sub,
+    * codeword(code)) — looked up from a per-query distance table of
+    * m·k entries built ONCE (the ADC trick: k·m exact distances per
+    * query replace n·64-dim arithmetic). The table (nq·m·k rows)
+    * broadcasts; the codes side joins it map-side, partial-aggregates
+    * the per-subspace terms before any shuffle (n·nq combined rows ride
+    * the exchange, never n·m·nq), and WindowGroupLimit bounds the
+    * final top-k sort. Exact integer arithmetic end to end, determinate
+    * ties (adc, vec_id) — hence the full value oracle. */
+  def pqAdcTopK(emb: DataFrame, topK: Int = 5, queryMod: Int = 400,
+                m: Int = 8, subDim: Int = 8, k: Int = 4): DataFrame = {
+    val cb = pqCodebooks(emb, m, subDim, k)
+    val codes = pqCodes(emb, m, subDim, k)
+    val qsub = subvectors(emb, m, subDim)
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
+    val dq = "aggregate(zip_with(qsub, cv, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    val dtab = qsub.join(broadcast(cb), Seq("s"))
+      .select(col("q_id"), col("s"), col("cid").as("code"), expr(dq).as("dq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(dtab), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("adc"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("adc"))
+  }
+
   /** Seed-derived ±1 random hyperplanes — the ONE shared definition:
     * the Spark signature expression and the DuckDB oracle mirror are
     * both generated from this array, so the two engines cannot drift. */
@@ -527,6 +626,18 @@ object Similarity {
       quantizeUint8(t(s, d, "embeddings")).orderBy(col("vec_id"))),
     "s11_kmeans_2iter" -> ((s, d) =>
       kmeansAssign(t(s, d, "embeddings")).orderBy(col("vec_id"))),
+    // PQ encode: every vector's m codeword ids + exact per-subspace
+    // reconstruction error, through the full deterministic training
+    // recurrence (seeds → Lloyd step → encode) — one oracle replays it
+    "s12_pq_codes" -> ((s, d) =>
+      pqCodes(t(s, d, "embeddings"))
+        .select(col("vec_id"), col("s").cast("long").as("s"),
+          col("code"), col("d2"))
+        .orderBy(col("vec_id"), col("s"))),
+    // PQ ADC top-k: compressed-domain nearest neighbors; the per-query
+    // m·k distance table replaces full-dim arithmetic per candidate
+    "s13_pq_adc_topk" -> ((s, d) =>
+      pqAdcTopK(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s02_knn_lsh" -> ((s, d) =>
       knnLsh(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s07_knn_mips_pruned" -> ((s, d) =>
@@ -549,6 +660,47 @@ object Similarity {
       // cos ≈ 0.47); this returns the top-similar tail instead of ∅.
       cosineDupPairs(t(s, d, "embeddings"), 0.30).orderBy(col("a_id"), col("b_id")))
   )
+
+  /** The PQ training recurrence replayed in DuckDB — subspace split,
+    * deterministic seeds, one Lloyd step (argmin with (d2, cid) ties,
+    * floor-mean update), final encode. Shared by the s12 and s13
+    * oracles so the two replay ONE definition; ends at the `code` CTE
+    * (vec_id, s, code, d2). Mirrors [[pqCodebooks]]/[[pqCodes]] at the
+    * catalog defaults m=8, subDim=8, k=4. */
+  private def pqTrainSql(qv: String): String =
+    s"""WITH q AS (
+         SELECT vec_id, $qv AS qv FROM embeddings),
+       ss AS (SELECT unnest(range(0, 8)) AS s),
+       sub AS (
+         SELECT vec_id, s, qv[(s * 8 + 1):(s * 8 + 8)] AS sub
+         FROM q CROSS JOIN ss),
+       seeds AS (
+         SELECT s, vec_id AS cid, sub AS cv FROM sub
+         WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 4)),
+       d1 AS (
+         SELECT sub.vec_id, sub.s, sub.sub, seeds.cid,
+           CAST(list_sum(list_transform(range(1, 9),
+             i -> (sub.sub[i] - seeds.cv[i]) * (sub.sub[i] - seeds.cv[i]))) AS BIGINT) AS d2
+         FROM sub JOIN seeds ON sub.s = seeds.s),
+       a1 AS (
+         SELECT vec_id, s, sub, cid FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+           FROM d1) WHERE rk = 1),
+       mm AS (
+         SELECT s, cid, i AS dim,
+           CAST(floor(sum(sub[i]) / count(*)) AS BIGINT) AS mv
+         FROM a1, (SELECT unnest(range(1, 9)) AS i)
+         GROUP BY s, cid, i),
+       c1 AS (SELECT s, cid, list(mv ORDER BY dim) AS cv FROM mm GROUP BY s, cid),
+       enc AS (
+         SELECT sub.vec_id, sub.s, c1.cid,
+           CAST(list_sum(list_transform(range(1, 9),
+             i -> (sub.sub[i] - c1.cv[i]) * (sub.sub[i] - c1.cv[i]))) AS BIGINT) AS d2
+         FROM sub JOIN c1 ON sub.s = c1.s),
+       code AS (
+         SELECT vec_id, s, cid AS code, d2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+           FROM enc) WHERE rk = 1)"""
 
   def oracleSql: Map[String, String] = {
     val qv = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
@@ -576,6 +728,29 @@ object Similarity {
       // the unrolled 2-iteration Lloyd recurrence, replayed step by step:
       // same seeds, same integer argmin + (d2, cid) tie order, same
       // floor(mean) update — floor of an exact double in both engines
+      "s12_pq_codes" ->
+        (pqTrainSql(qv) + """
+           SELECT vec_id, s, code, d2 FROM code ORDER BY vec_id, s"""),
+      "s13_pq_adc_topk" ->
+        (pqTrainSql(qv) + """,
+           qs AS (SELECT vec_id AS q_id, s, sub AS qsub
+                  FROM sub WHERE vec_id % 400 = 0),
+           dtab AS (
+             SELECT qs.q_id, c1.s, c1.cid AS code,
+               CAST(list_sum(list_transform(range(1, 9),
+                 i -> (qs.qsub[i] - c1.cv[i]) * (qs.qsub[i] - c1.cv[i]))) AS BIGINT) AS dq
+             FROM qs JOIN c1 ON qs.s = c1.s),
+           adc AS (
+             SELECT d.q_id, c.vec_id, CAST(sum(d.dq) AS BIGINT) AS adc
+             FROM code c
+             JOIN dtab d ON c.s = d.s AND c.code = d.code AND c.vec_id != d.q_id
+             GROUP BY d.q_id, c.vec_id),
+           ranked AS (
+             SELECT q_id, vec_id AS neighbor_id, adc,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rk
+             FROM adc)
+           SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, adc
+           FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""),
       "s11_kmeans_2iter" ->
         s"""WITH q AS (
              SELECT vec_id, $qv AS qv FROM embeddings),

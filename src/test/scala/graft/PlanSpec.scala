@@ -37,6 +37,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly the output-sort exchange, got $exchanges:\n$p")
   }
 
+  test("s13: PQ ADC distance table broadcasts; corpus side never sort-merge-joins") {
+    val p = plan("s13_pq_adc_topk")
+    assert(p.contains("BroadcastHashJoin"), s"ADC lookup lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ crept into ADC:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("knn brute force: query side broadcasts, corpus never shuffles") {
     val p = plan("s01_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

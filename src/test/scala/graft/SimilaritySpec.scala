@@ -104,6 +104,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall == hits * 10000 / nTrue && recall <= 10000)
   }
 
+  test("pq: exact reconstruction when clusters are pure, ADC == true L2², partition-invariant") {
+    import spark.implicits._
+    // 4 patterns, 16-milli apart in every dim, each repeated 3× — after
+    // the Lloyd step every cluster holds copies of ONE pattern, so the
+    // codebook equals the patterns, reconstruction is exact (d2 = 0),
+    // and ADC collapses to the true integer L2²
+    val base = Array.tabulate(4)(c =>
+      Array.tabulate(64)(i => (c * 16 + i % 7).toFloat / 1000f))
+    val emb = (0L until 12L).map(id => (id, base((id % 4).toInt), 0))
+      .toDF("vec_id", "embedding", "label")
+    val codes = Similarity.pqCodes(emb).collect()
+    assert(codes.length == 12 * 8)
+    assert(codes.forall(_.getLong(3) == 0L), "pure clusters must reconstruct exactly")
+    // identical results under any input layout (integer/floor arithmetic)
+    val a = Similarity.pqCodes(emb.repartition(5)).orderBy("vec_id", "s")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val b = Similarity.pqCodes(emb.repartition(2)).orderBy("vec_id", "s")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(a == b)
+    // the one query (vec_id 0): its two exact duplicates (4, 8) rank
+    // first at adc 0; every adc equals the true subspace-summed L2²
+    val top = Similarity.pqAdcTopK(emb).orderBy("q_id", "rk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def l2(x: Array[Float], y: Array[Float]): Long =
+      x.zip(y).map { case (p, q) =>
+        val d = math.round(p * 1000.0) - math.round(q * 1000.0); d * d
+      }.sum
+    assert(top.take(2).map(r => (r._2, r._4)) == Seq((4L, 0L), (8L, 0L)))
+    top.foreach { case (q, n, _, adc) =>
+      assert(adc == l2(base((q % 4).toInt), base((n % 4).toInt)),
+        s"adc($q, $n) diverged from true L2²")
+    }
+  }
+
   test("kmeansAssign: partitioning-invariant, seeds self-assign at round one, dist2 exact") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
