@@ -114,45 +114,58 @@ object Similarity {
     * keep themselves (dist 0 at iter 1), so no empty-cluster rule is
     * needed. More iterations = the same loop body (with g01-style
     * lineage cuts); the per-element HOF distance would get the DotLL
-    * native treatment if iteration count grew hot. */
-  def kmeansAssign(emb: DataFrame, k: Int = 4): DataFrame = {
+    * native treatment if iteration count grew hot.
+    *
+    * Split into [[assignFull]] (generic argmin) + [[kmeansCentroids]]
+    * (the trained centroids) + [[kmeansAssign]] (the s11 surface) so
+    * the IVF-PQ routing can reuse the same trained quantizer. */
+  /** Nearest-centroid assignment over the FULL 64-dim space: the
+    * centroids collapse to ONE broadcast row of (cid, cv) structs and
+    * the argmin is a per-row fold — a narrow map, the corpus never
+    * shuffles. Distance computed ONCE per centroid (transform), then a
+    * cheap struct argmin fold — inlining the distance into the IF would
+    * evaluate the 64-dim fold twice per centroid (Catalyst does not CSE
+    * inside HOF lambdas); strict < keeps ties at the smallest cid since
+    * cs is cid-sorted. Returns (vec_id, qv, cid, d2). */
+  private def assignFull(base: DataFrame, cents: DataFrame): DataFrame = {
+    val d = "aggregate(zip_with(qv, c.cv, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    val one = cents.agg(
+      expr("array_sort(collect_list(struct(cid, cv)), (l, r) -> CASE " +
+        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END)")
+        .as("cs"))
+    base.crossJoin(broadcast(one))
+      .withColumn("best", expr(
+        s"""aggregate(
+              transform(cs, c -> named_struct('d2', $d, 'cid', c.cid)),
+              named_struct('d2', CAST(4611686018427387903 AS BIGINT),
+                           'cid', CAST(-1 AS BIGINT)),
+              (acc, s) -> IF(s.d2 < acc.d2, s, acc))"""))
+      .select(col("vec_id"), col("qv"),
+        col("best.cid").as("cid"), col("best.d2").as("d2"))
+  }
+
+  /** The k centroids after one deterministic Lloyd step (seeds = the k
+    * smallest vec_ids' vectors, exact integer argmin, floor-mean
+    * update) — the trained coarse quantizer both kmeansAssign and the
+    * IVF-PQ routing consume. k·64 longs — a broadcast literal. */
+  def kmeansCentroids(emb: DataFrame, k: Int = 4): DataFrame = {
     val base = quantized(emb).select(col("vec_id"), col("qv"))
     val seeds = base.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    // d2(c) inline over the struct array; MaxLong/4 sentinel start
-    val d = "aggregate(zip_with(qv, c.cv, (x, y) -> (x - y) * (x - y)), " +
-      "CAST(0 AS BIGINT), (a, v) -> a + v)"
-    def assign(cents: DataFrame): DataFrame = {
-      val one = cents.agg(
-        expr("array_sort(collect_list(struct(cid, cv)), (l, r) -> CASE " +
-          "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END)")
-          .as("cs"))
-      // distance computed ONCE per centroid (transform), then a cheap
-      // struct argmin fold — inlining $d into the IF would evaluate the
-      // 64-dim fold twice per centroid (Catalyst does not CSE inside
-      // HOF lambdas); strict < keeps ties at the smallest cid since cs
-      // is cid-sorted
-      base.crossJoin(broadcast(one))
-        .withColumn("best", expr(
-          s"""aggregate(
-                transform(cs, c -> named_struct('d2', $d, 'cid', c.cid)),
-                named_struct('d2', CAST(4611686018427387903 AS BIGINT),
-                             'cid', CAST(-1 AS BIGINT)),
-                (acc, s) -> IF(s.d2 < acc.d2, s, acc))"""))
-        .select(col("vec_id"), col("qv"),
-          col("best.cid").as("cid"), col("best.d2").as("d2"))
-    }
-    val a1 = assign(seeds)
-    val cents1 = a1
+    assignFull(base, seeds)
       .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
       .groupBy(col("cid"), col("dim"))
       .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("m"))
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cid"), expr("transform(dm, x -> x.m)").as("cv"))
-    assign(cents1)
-      .select(col("vec_id"), col("cid").as("cluster_id"), col("d2").as("dist2"))
   }
+
+  def kmeansAssign(emb: DataFrame, k: Int = 4): DataFrame =
+    assignFull(quantized(emb).select(col("vec_id"), col("qv")),
+        kmeansCentroids(emb, k))
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("d2").as("dist2"))
 
   // ------------------------------------------------------- product quant
   /** The 64-dim milli-vector split into `m` contiguous subvectors of
@@ -246,6 +259,66 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
     codes.join(broadcast(dtab), Seq("s", "code"))
       .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("adc"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("adc"))
+  }
+
+  /** IVF-PQ: the composed 100 TB ANN layout — the coarse quantizer
+    * routes each query to its nProbe nearest inverted lists, and the
+    * fine search runs in the COMPRESSED domain (PQ codes + the per-query
+    * ADC table), so a probe touches m-byte codes, never raw vectors.
+    *
+    * Unlike [[knnIvf]] (float-cosine routing over label lists — its
+    * exactness is pinned, not oracled), this routing is the TRAINED
+    * integer quantizer ([[kmeansCentroids]]: exact L2² argmin, (d2, cid)
+    * ties), so the ENTIRE pipeline — coarse training, routing, PQ
+    * training, encode, ADC — is engine-replayable and s14 carries a
+    * full value-level oracle.
+    *
+    * Scale: centroids and the route table broadcast; list membership
+    * (kmeansAssign) is a narrow fold; candidates = the probed fraction
+    * of the corpus (·nProbe/k), met on a broadcast equi-join on cid —
+    * at 100 TB the corpus is partitioned BY cid so a probe is partition
+    * pruning. ADC joins ride broadcasts; per-subspace terms partial-
+    * aggregate map-side; WindowGroupLimit bounds the top-k sort. */
+  def ivfPqTopK(emb: DataFrame, topK: Int = 5, queryMod: Int = 400,
+                nProbe: Int = IvfNProbe, m: Int = 8, subDim: Int = 8,
+                k: Int = 4): DataFrame = {
+    val base = quantized(emb).select(col("vec_id"), col("qv"))
+    val cents = kmeansCentroids(emb, k)
+    val member = kmeansAssign(emb, k)
+      .select(col("vec_id"), col("cluster_id").as("cid"))
+    // query routing: exact integer L2² to each trained centroid
+    // (nq·k rows), top-nProbe with (d2, cid) ties
+    val qd = "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("rd2"), col("cid"))
+    val route = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("rd2", expr(qd))
+      .withColumn("rrk", row_number().over(wr))
+      .filter(col("rrk") <= nProbe)
+      .select(col("q_id"), col("cid"))
+    val cand = member.join(broadcast(route), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    // compressed-domain fine search: per-query ADC table over the codes
+    val cb = pqCodebooks(emb, m, subDim, k)
+    val codes = pqCodes(emb, m, subDim, k)
+    val qsub = subvectors(emb, m, subDim)
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
+    val dq = "aggregate(zip_with(qsub, cv, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    val dtab = qsub.join(broadcast(cb), Seq("s"))
+      .select(col("q_id"), col("s"), col("cid").as("code"), expr(dq).as("dq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("q_id", "s", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dq")).as("adc"))
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -638,6 +711,10 @@ object Similarity {
     // m·k distance table replaces full-dim arithmetic per candidate
     "s13_pq_adc_topk" -> ((s, d) =>
       pqAdcTopK(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    // IVF-PQ composed: trained integer coarse routing + compressed-
+    // domain ADC — the full 100 TB ANN layout under ONE value oracle
+    "s14_ivfpq_topk" -> ((s, d) =>
+      ivfPqTopK(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s02_knn_lsh" -> ((s, d) =>
       knnLsh(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s07_knn_mips_pruned" -> ((s, d) =>
@@ -745,6 +822,63 @@ object Similarity {
              FROM code c
              JOIN dtab d ON c.s = d.s AND c.code = d.code AND c.vec_id != d.q_id
              GROUP BY d.q_id, c.vec_id),
+           ranked AS (
+             SELECT q_id, vec_id AS neighbor_id, adc,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rk
+             FROM adc)
+           SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, adc
+           FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""),
+      // the coarse chain (kc*: the s11 recurrence) + routing + the PQ
+      // chain (via pqTrainSql) composed — one oracle replays the whole
+      // IVF-PQ pipeline end to end
+      "s14_ivfpq_topk" ->
+        (pqTrainSql(qv) + """,
+           kc0 AS (
+             SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 4),
+           kd1 AS (
+             SELECT q.vec_id, q.qv, kc0.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (q.qv[i] - kc0.cv[i]) * (q.qv[i] - kc0.cv[i]))) AS BIGINT) AS d2
+             FROM q CROSS JOIN kc0),
+           ka1 AS (
+             SELECT vec_id, qv, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+               FROM kd1) WHERE rk = 1),
+           km AS (
+             SELECT cid, i AS dim,
+               CAST(floor(sum(qv[i]) / count(*)) AS BIGINT) AS mv
+             FROM ka1, (SELECT unnest(range(1, 65)) AS i)
+             GROUP BY cid, i),
+           kc1 AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM km GROUP BY cid),
+           kdd AS (
+             SELECT q.vec_id, kc1.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (q.qv[i] - kc1.cv[i]) * (q.qv[i] - kc1.cv[i]))) AS BIGINT) AS d2
+             FROM q CROSS JOIN kc1),
+           kassign AS (
+             SELECT vec_id, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+               FROM kdd) WHERE rk = 1),
+           kroute AS (
+             SELECT vec_id AS q_id, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+               FROM kdd WHERE vec_id % 400 = 0) WHERE rk <= 2),
+           qs AS (SELECT vec_id AS q_id, s, sub AS qsub
+                  FROM sub WHERE vec_id % 400 = 0),
+           dtab AS (
+             SELECT qs.q_id, c1.s, c1.cid AS code,
+               CAST(list_sum(list_transform(range(1, 9),
+                 i -> (qs.qsub[i] - c1.cv[i]) * (qs.qsub[i] - c1.cv[i]))) AS BIGINT) AS dq
+             FROM qs JOIN c1 ON qs.s = c1.s),
+           cand AS (
+             SELECT r.q_id, a.vec_id
+             FROM kassign a JOIN kroute r ON a.cid = r.cid AND a.vec_id != r.q_id),
+           adc AS (
+             SELECT cand.q_id, cand.vec_id, CAST(sum(d.dq) AS BIGINT) AS adc
+             FROM cand
+             JOIN code c ON c.vec_id = cand.vec_id
+             JOIN dtab d ON d.q_id = cand.q_id AND d.s = c.s AND d.code = c.code
+             GROUP BY cand.q_id, cand.vec_id),
            ranked AS (
              SELECT q_id, vec_id AS neighbor_id, adc,
                row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rk

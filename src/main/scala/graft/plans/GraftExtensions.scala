@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dot_ll(arr1, arr2) - tight-loop integer dot product",
       args => { arity(args, 2, "dot_ll(arr1, arr2)")
         graft.functions.DotLL(args.head, args(1)) })
+    fn("interleave_bits", classOf[graft.functions.InterleaveBits],
+      "interleave_bits(x, y) - Morton (Z-order) interleave of two 32-bit keys",
+      args => { arity(args, 2, "interleave_bits(x, y)")
+        graft.functions.InterleaveBits(args.head, args(1)) })
 
     ext.injectOptimizerRule(_ => SimplifyMergeThenExtract)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

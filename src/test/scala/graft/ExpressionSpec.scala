@@ -54,12 +54,14 @@ class ExpressionSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT minhash_sig(t, 16) AS mh, simhash64(t) AS sh,
          winnow_fingerprint(t, 5, 4) AS wf,
-         dot_ll(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d
+         dot_ll(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d,
+         interleave_bits(5L, 3L) AS z
          FROM sig_samples""").collect().head
     assert(r.getSeq[Long](0).length == 16)
     assert(r.getLong(1) != 0L)
     assert(r.getSeq[Long](2).nonEmpty)
     assert(r.getLong(3) == 32L)
+    assert(r.getLong(4) == graft.functions.InterleaveBits.morton(5L, 3L))
   }
 
   test("minhash_sig generated code compiles and matches interpreted eval") {

@@ -136,6 +136,15 @@ class SimilaritySpec extends SparkSpec {
       assert(adc == l2(base((q % 4).toInt), base((n % 4).toInt)),
         s"adc($q, $n) diverged from true L2²")
     }
+    // the composed IVF-PQ path routes the query to its own (pure)
+    // cluster first, so the exact duplicates again rank 1–2 at adc 0,
+    // and every returned candidate lies in a probed cluster
+    val ivfpq = Similarity.ivfPqTopK(emb).orderBy("q_id", "rk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(ivfpq.take(2).map(r => (r._2, r._4)) == Seq((4L, 0L), (8L, 0L)))
+    ivfpq.foreach { case (q, n, _, adc) =>
+      assert(adc == l2(base((q % 4).toInt), base((n % 4).toInt)))
+    }
   }
 
   test("kmeansAssign: partitioning-invariant, seeds self-assign at round one, dist2 exact") {
