@@ -236,17 +236,34 @@ object TextAnalysis {
       .toDF("cms")
     val probes = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_c"))
       .orderBy(col("exact_c").desc, col("w")).limit(topn)
-    // bucket_r(w) = first 4 hex digits of md5("r:w") mod width — the
-    // same two bytes CountMinAgg.bucket reads; element_at is 1-based
+    probes.crossJoin(broadcast(sketch))
+      .select(col("w").as("token"), col("exact_c"),
+        cmsEstimate(depth, width, col("w")).as("cms_est"))
+      .orderBy(col("exact_c").desc, col("token"))
+  }
+
+  /** CMS point-estimate read against a `cms` grid column in scope:
+    * min over rows of the token's bucket counter. bucket_r(tok) =
+    * first 4 hex digits of md5("r:tok") mod width — the same two
+    * digest bytes CountMinAgg.bucket reads; element_at is 1-based.
+    * Shared by the batch (t17) and streaming (st20) readers. */
+  private[graft] def cmsEstimate(depth: Int, width: Int,
+                                 token: Column): Column = {
     def bucketCol(r: Int) =
-      conv(substring(md5(concat(lit(s"$r:"), col("w"))), 1, 4), 16, 10)
+      conv(substring(md5(concat(lit(s"$r:"), token)), 1, 4), 16, 10)
         .cast("long") % width
-    val est = least((0 until depth).map { r =>
+    least((0 until depth).map { r =>
       element_at(col("cms"), (bucketCol(r) + lit(r * width + 1)).cast("int"))
     }: _*)
-    probes.crossJoin(broadcast(sketch))
-      .select(col("w").as("token"), col("exact_c"), est.as("cms_est"))
-      .orderBy(col("exact_c").desc, col("token"))
+  }
+
+  /** DuckDB mirror of the CMS bucket arithmetic (the c01 hex-digit
+    * pattern with a row salt) — shared by the t17 and st20 oracles. */
+  private[graft] def cmsBucketSql(rExpr: String, tokExpr: String,
+                                  width: Int): String = {
+    def digit(i: Int) =
+      s"(strpos('0123456789abcdef', substring(md5(CAST($rExpr AS VARCHAR) || ':' || $tokExpr), $i, 1)) - 1)"
+    s"((${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)}) % $width)"
   }
 
   /** Exact heavy hitters: tokens with frequency strictly above
@@ -483,11 +500,7 @@ object TextAnalysis {
     // estimate = min over rows of the probe token's bucket sum; the
     // bucket arithmetic is the c01 hex-digit mirror with a row salt
     "t17_cms_estimates" -> {
-      def bkt(rExpr: String, tokExpr: String) = {
-        def digit(i: Int) =
-          s"(strpos('0123456789abcdef', substring(md5(CAST($rExpr AS VARCHAR) || ':' || $tokExpr), $i, 1)) - 1)"
-        s"((${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)}) % 128)"
-      }
+      def bkt(rExpr: String, tokExpr: String) = cmsBucketSql(rExpr, tokExpr, 128)
       s"""WITH tk AS (
            SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          tk2 AS (SELECT w FROM tk WHERE w <> ''),

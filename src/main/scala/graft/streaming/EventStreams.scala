@@ -49,6 +49,27 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Count–Min sketch as a STREAMING aggregate: the token stream folds
+    * into one depth×width counter grid held in the state store — the
+    * mergeable-summary property (element-wise-add merge) is exactly
+    * what lets a sketch run under micro-batched, arbitrarily-partitioned
+    * arrival and still equal the batch sketch bit-for-bit (the st20
+    * contract; the batch t17 twin carries the full grid oracle). Token =
+    * event_type ⊕ user_id mod 97 — a few hundred distinct keys, while
+    * the state stays ONE grid row however large the stream. */
+  def cmsTokenSketch(events: DataFrame, depth: Int = 3,
+                     width: Int = 128): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(concat(col("event_type"), lit(":"),
+        (col("user_id") % 97).cast("string")).as("w")).as[String]
+      .groupByKey(_ => 1)
+      .agg(new graft.functions.CountMinAgg(depth, width).toColumn.name("cms"))
+      .toDF("g", "cms")
+      .select(col("cms"))
+  }
+
   /** Watermarked tumbling-window aggregate (append-mode capable). */
   def tumbling(events: DataFrame, width: String = "5 minutes",
                watermark: String = "10 minutes"): DataFrame =
