@@ -266,6 +266,50 @@ object TextAnalysis {
     s"((${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)}) % $width)"
   }
 
+  /** One full BPE merge step — the tokenizer-TRAINING inner loop
+    * (Sennrich et al. 2016) at corpus scale: weighted adjacent-pair
+    * counts over the vocabulary, the argmax merge (count desc, then
+    * lexicographic — deterministic), greedy merge application, recount.
+    * Returns the post-merge top pairs with the merged symbol rendered
+    * as its digraph.
+    *
+    * The merge applies via `replace(w, l||r, chr(1))`: string replace
+    * is greedy left-to-right non-overlapping in BOTH engines — exactly
+    * BPE's merge semantics while every symbol is one char ("aaa" under
+    * merge "aa" → [aa][a]) — which is what keeps the whole two-level
+    * recurrence SQL-replayable. chr(1) cannot collide: the corpus is
+    * space-split printable text.
+    *
+    * Scale: the heavy kernel is the pair count — map-side-combinable
+    * (l, r)-keyed sums over the VOCABULARY (already aggregated, ≪
+    * corpus); the chosen merge is a 1-row broadcast; apply is a narrow
+    * map. Real BPE training = this step iterated with the same plan
+    * per round (g01-style lineage cuts). */
+  def bpeMergeStep(docs: DataFrame, topn: Int = 10): DataFrame = {
+    val vocab = docs.select(explode(ws).as("w")).filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    def pairCounts(v: DataFrame) = v.filter(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 1)").as("l"),
+        expr("substring(w, i + 1, 1)").as("r"), col("freq"))
+      .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("pair_count"))
+    val top1 = pairCounts(vocab)
+      .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
+      .select(col("l").as("m_l"), col("r").as("m_r"))
+    val merged = vocab.crossJoin(broadcast(top1))
+      .select(expr("replace(w, m_l || m_r, chr(1))").as("w"), col("freq"))
+    pairCounts(merged).crossJoin(broadcast(top1))
+      .select(
+        when(col("l") === expr("chr(1)"), concat(col("m_l"), col("m_r")))
+          .otherwise(col("l")).as("pair_l"),
+        when(col("r") === expr("chr(1)"), concat(col("m_l"), col("m_r")))
+          .otherwise(col("r")).as("pair_r"),
+        col("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair_l"), col("pair_r"))
+      .limit(topn)
+  }
+
   /** Exact heavy hitters: tokens with frequency strictly above
     * n_total/(k+1) — the ground-truth side of t14's pin. The total
     * rides a 1-row broadcast cross join, never a driver collect. */
@@ -486,7 +530,8 @@ object TextAnalysis {
         .except(heavyHitterCandidates(docs, 19))
         .orderBy(col("token"))
     }),
-    "t17_cms_estimates" -> ((s, d) => cmsEstimates(t(s, d, "documents")))
+    "t17_cms_estimates" -> ((s, d) => cmsEstimates(t(s, d, "documents"))),
+    "t18_bpe_merge_step" -> ((s, d) => bpeMergeStep(t(s, d, "documents")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -495,6 +540,34 @@ object TextAnalysis {
          WHERE 1 = 0""",
     "t14_heavy_hitters_pin" ->
       """SELECT CAST(NULL AS VARCHAR) AS token WHERE 1 = 0""",
+    // the two-level BPE recurrence replayed: pair count → argmax merge
+    // (count desc, lexicographic ties) → greedy replace → recount;
+    // replace() is greedy left-to-right non-overlapping in both engines
+    "t18_bpe_merge_step" ->
+      """WITH tk AS (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+                   FROM tk WHERE w <> '' GROUP BY w),
+         sp1 AS (SELECT w, freq, unnest(range(1, length(w))) AS i
+                 FROM vocab WHERE length(w) >= 2),
+         p1 AS (SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r,
+                  CAST(sum(freq) AS BIGINT) AS pair_count
+                FROM sp1 GROUP BY l, r),
+         top1 AS (SELECT l AS m_l, r AS m_r FROM p1
+                  ORDER BY pair_count DESC, l, r LIMIT 1),
+         merged AS (SELECT replace(w, m_l || m_r, chr(1)) AS w, freq
+                    FROM vocab CROSS JOIN top1),
+         sp2 AS (SELECT w, freq, unnest(range(1, length(w))) AS i
+                 FROM merged WHERE length(w) >= 2),
+         p2 AS (SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r,
+                  CAST(sum(freq) AS BIGINT) AS pair_count
+                FROM sp2 GROUP BY l, r)
+         SELECT
+           CASE WHEN l = chr(1) THEN (SELECT m_l || m_r FROM top1) ELSE l END AS pair_l,
+           CASE WHEN r = chr(1) THEN (SELECT m_l || m_r FROM top1) ELSE r END AS pair_r,
+           pair_count
+         FROM p2
+         ORDER BY pair_count DESC, pair_l, pair_r LIMIT 10""",
     // the full CMS grid replayed in SQL: per-(row, bucket) sums over the
     // frequency table (count-weighted ≡ one increment per occurrence),
     // estimate = min over rows of the probe token's bucket sum; the

@@ -126,6 +126,18 @@ class CorpusSpec extends SparkSpec {
     assert(one.find(_._1 == "hot").get._2 == 50L)
   }
 
+  test("bpe merge step: argmax pair, greedy non-overlap apply, exact recount") {
+    import spark.implicits._
+    // vocab: "aaab"×3, "ab"×2, "ba"×1 → pair counts: aa=6 (2 per aaab),
+    // ab=5, ba=1 → merge (a,a). Greedy left-to-right: "aaab" → [aa][a][b]
+    // so post-merge pairs: (aa,a)=3, (a,b)=3+2, (b,a)=1
+    val docs = Seq.fill(3)("aaab").zipWithIndex.map { case (w, i) => (i.toLong, w) } ++
+      Seq((10L, "ab ab"), (11L, "ba"))
+    val got = graft.operators.TextAnalysis.bpeMergeStep(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "b", 5L), ("aa", "a", 3L), ("b", "a", 1L)))
+  }
+
   test("count-min: sketch grid matches a hand-computed reference") {
     import spark.implicits._
     val toks = Seq("a", "b", "a", "c", "a", "b")
