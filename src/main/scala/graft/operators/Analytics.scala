@@ -333,6 +333,34 @@ object Analytics {
         .agg(median(col("vq")).as("median_vq"),
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))
+    }),
+    // ---- robust outlier gate: per-group median absolute deviation
+    //      (the robust spread measure a data-quality gate uses where
+    //      stddev would be dragged by the very outliers it hunts).
+    //      Everything rides the q59 quantization: medians are doubled
+    //      (2·median of int64s is an exactly-representable integer-
+    //      valued double even after midpoint interpolation), deviations
+    //      cast back to int64 exactly, and the 5·MAD outlier compare is
+    //      exact double arithmetic — engine-identical throughout. Two
+    //      grouped medians + one count, each one shuffle on the tiny
+    //      group key; group medians at 100 TB swap to the same
+    //      sort-based percentile per partition-bucketed group
+    "q68_group_mad" -> ((s, d) => {
+      val base = t(s, d, "events")
+        .select(col("event_type"),
+          (col("value").cast(DecimalType(18, 4)) * 10000).cast("long").as("vq"))
+      val med = base.groupBy(col("event_type"))
+        .agg((median(col("vq")) * 2).as("med2"))
+      val dev = base.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("med2"),
+          abs(col("vq") * 2 - col("med2")).cast("long").as("dev"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(median(col("dev")).as("mad2"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"), col("med2"), col("mad2"))
+        .agg(count(when(col("dev") > lit(5.0) * col("mad2"), 1)).as("n_outliers"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -413,6 +441,23 @@ object Analytics {
          median(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS median_vq,
          count(*) AS n_events
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q68_group_mad" ->
+      """WITH b AS (
+           SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vq
+           FROM events),
+         med AS (SELECT event_type, median(vq) * 2 AS med2 FROM b GROUP BY 1),
+         dev AS (
+           SELECT b.event_type, med.med2,
+             CAST(abs(b.vq * 2 - med.med2) AS BIGINT) AS dev
+           FROM b JOIN med USING (event_type)),
+         mad AS (SELECT event_type, median(dev) AS mad2 FROM dev GROUP BY 1)
+         SELECT d.event_type, d.med2, m.mad2,
+           CAST(count(CASE WHEN d.dev > 5 * m.mad2 THEN 1 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM dev d JOIN mad m USING (event_type)
+         GROUP BY d.event_type, d.med2, m.mad2
+         ORDER BY event_type""",
     "q46_window_values" -> WindowValuesSql,
     "q47_ratio_to_report" -> RatioToReportSql,
     "q36_mode_per_group" ->

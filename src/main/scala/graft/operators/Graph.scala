@@ -118,10 +118,48 @@ object Graph {
     profile.crossJoin(broadcast(tri))
   }
 
+  /** Bounded k-core peeling (Seidman 1983): `rounds` rounds of "drop
+    * every node whose CURRENT degree < k, with its edges" — the
+    * degeneracy filter crawl pipelines run to strip leaf/tendril pages
+    * before ranking. A fixed round count (not run-to-fixpoint) keeps
+    * the recurrence unrolled and engine-replayable, the g01 stance;
+    * at convergence it IS the k-core, and the bench fixture converges
+    * within the default 4 (GraphSpec pins round-4 ≡ round-5).
+    *
+    * Scale: each round = one degree aggregate + two semi-joins on the
+    * node key (the standard distributed peel); lineage cut per round so
+    * the plan stays O(1) deep. Returns surviving (node, deg). */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame = {
+    var (cur, curRdd) = cutLineage(edges)
+    for (_ <- 1 to rounds) {
+      val keep = cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("node"))
+      val next = cur
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+      val (cut, cutRdd) = cutLineage(next)
+      curRdd.unpersist()
+      cur = cut; curRdd = cutRdd
+    }
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> ((s, d) => pageRank(partSupplierEdges(t(s, d, "lineitem")), iters = 5)),
-    "g02_triangles" -> ((s, d) => triangleStats(customerGraphEdges(t(s, d, "orders"))))
+    "g02_triangles" -> ((s, d) => triangleStats(customerGraphEdges(t(s, d, "orders")))),
+    "g03_kcore" -> ((s, d) => kCore(partSupplierEdges(t(s, d, "lineitem"))))
   )
+
+  /** The unrolled k-core peel for the g03 oracle: round i keeps nodes
+    * whose degree in e(i−1) is ≥ k and filters edges to kept∩kept. */
+  private def kcoreRounds(rounds: Int, k: Int): String =
+    (1 to rounds).map { i =>
+      s"""kp$i AS (SELECT src AS node FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN kp$i a ON e.src = a.node JOIN kp$i b ON e.dst = b.node)""".stripMargin
+    }.mkString(",\n")
 
   private def oracleRounds(iters: Int): String =
     (1 to iters).map { i =>
@@ -155,6 +193,13 @@ object Graph {
            CAST((SELECT sum(d) FROM deg) / 2 AS BIGINT) AS n_edges,
            CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
            (SELECT n_triangles FROM tri) AS n_triangles""",
+    "g03_kcore" ->
+      s"""WITH ee AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+         |e0 AS (SELECT src, dst FROM ee UNION ALL SELECT dst AS src, src AS dst FROM ee),
+         |${kcoreRounds(4, 3)}
+         |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |FROM e4 GROUP BY src ORDER BY node""".stripMargin,
     "g01_pagerank" ->
       s"""WITH e0 AS (
          |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),

@@ -62,4 +62,22 @@ class GraphSpec extends SparkSpec {
     // path: 0 triangles, wedge at each interior node
     assert(stats(Seq((1L,2L),(2L,3L),(3L,4L))) == (4L, 3L, 2L, 0L))
   }
+
+  test("kCore: K4+tail peels the tail, keeps the clique; known fixture exact") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} plus a tail 3–4–5: 3-core = exactly the K4
+    val und = Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L),(3L,4L),(4L,5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 3, rounds = 4).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L,3L),(1L,3L),(2L,3L),(3L,3L)))
+  }
+
+  test("kCore: bench fixture converges within the default rounds (round-4 ≡ round-5)") {
+    val edges = Graph.partSupplierEdges(
+      graft.sources.Tables(spark, "/root/testdata/sf0.001", "lineitem"))
+    val r4 = Graph.kCore(edges, 3, 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val r5 = Graph.kCore(edges, 3, 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r4 == r5, "peeling had not converged at the default round count")
+    assert(r4.forall(_._2 >= 3L))
+  }
 }

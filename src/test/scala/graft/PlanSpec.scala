@@ -44,6 +44,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s14: IVF-PQ plans with broadcast route/ADC tables and no cartesian node") {
+    val p = plan("s14_ivfpq_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    info(s"s14 joins: $bhj broadcast, $smj sort-merge")
+    // route, codebook and ADC tables must all ride broadcasts; the one
+    // tolerated shuffle join is candidates ⋈ codes on vec_id (both
+    // corpus-derived — co-partitioned/bucketed by vec_id at 100 TB)
+    assert(bhj >= 3, s"expected ≥3 broadcast joins:\n$p")
+    assert(smj <= 1, s"only the vec_id candidates⋈codes join may SMJ:\n$p")
+  }
+
   test("knn brute force: query side broadcasts, corpus never shuffles") {
     val p = plan("s01_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
