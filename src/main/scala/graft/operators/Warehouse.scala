@@ -172,6 +172,28 @@ object Warehouse {
           max(col("l_shipdate")).as("last_ship"))
         .orderBy(col("l_linestatus"))
     }),
+    // the text-format twin of q53: CSV is the messy interchange format
+    // a lake ingests at the edge. Java's Double.toString is shortest-
+    // round-trip, so doubles survive the text roundtrip bit-exactly and
+    // the decimal-cast aggregate stays oracle-identical; the read-back
+    // uses the writer's own schema (no inference — a schema drift there
+    // is a silent-corruption source at scale)
+    "q69_csv_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_csv_slice_${ProcessHandle.current().pid()}").toString
+      val slice = t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate"))
+      slice.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(slice.schema).option("header", "true").csv(out)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          max(col("l_shipdate")).as("last_ship"))
+        .orderBy(col("l_linestatus"))
+    }),
     // Z-order layout key: morton-interleave two filter dimensions into
     // one clustering key (native codegen'd expression — see
     // functions/InterleaveBits.scala). `tile` = the 10-bit-coarse z
@@ -243,6 +265,15 @@ object Warehouse {
          FROM snapshot t FULL OUTER JOIN changes s ON t.custkey = s.custkey
          ORDER BY custkey""",
     "q53_orc_roundtrip" ->
+      """SELECT l_linestatus, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         max(l_shipdate) AS last_ship
+         FROM lineitem WHERE l_quantity >= 25
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+    // identical aggregate contract to q53 — the format under test is
+    // the only difference, so the same oracle text pins the roundtrip
+    "q69_csv_roundtrip" ->
       """SELECT l_linestatus, count(*) AS n_items,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
