@@ -139,11 +139,22 @@ object Graph {
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
       val (cut, cutRdd) = cutLineage(next)
-      curRdd.unpersist()
+      // materialize THIS round while the previous is still cached —
+      // unlike pageRank (which reads the prior round once, so lazy
+      // chains stay linear), a peel round reads `cur` TWICE (the
+      // degree aggregate and the edge filter); dropping the cache
+      // before materializing would double the recompute per round,
+      // i.e. 2^rounds scans of the edge base by the final action
+      cutRdd.count()
+      curRdd.unpersist(blocking = false)
       cur = cut; curRdd = cutRdd
     }
-    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .orderBy(col("node"))
+    // pin the (tiny, O(nodes)) result, then release the last round's
+    // cache leak-free — the pageRank closing pattern
+    val out = cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("node")).localCheckpoint(true)
+    curRdd.unpersist(blocking = false)
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

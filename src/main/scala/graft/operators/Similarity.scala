@@ -248,7 +248,10 @@ object Similarity {
   def pqAdcTopK(emb: DataFrame, topK: Int = 5, queryMod: Int = 400,
                 m: Int = 8, subDim: Int = 8, k: Int = 4): DataFrame = {
     val cb = pqCodebooks(emb, m, subDim, k)
-    val codes = pqCodes(emb, m, subDim, k)
+    // encode against the codebooks ALREADY in scope — calling pqCodes()
+    // here would silently re-run the whole training chain a second time
+    val codes = assignSub(subvectors(emb, m, subDim), cb)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
     val qsub = subvectors(emb, m, subDim)
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
@@ -289,8 +292,10 @@ object Similarity {
                 k: Int = 4): DataFrame = {
     val base = quantized(emb).select(col("vec_id"), col("qv"))
     val cents = kmeansCentroids(emb, k)
-    val member = kmeansAssign(emb, k)
-      .select(col("vec_id"), col("cluster_id").as("cid"))
+    // assign against the centroids ALREADY in scope — kmeansAssign()
+    // would re-run the coarse training chain a second time
+    val member = assignFull(base, cents)
+      .select(col("vec_id"), col("cid"))
     // query routing: exact integer L2² to each trained centroid
     // (nq·k rows), top-nProbe with (d2, cid) ties
     val qd = "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
@@ -306,9 +311,12 @@ object Similarity {
     val cand = member.join(broadcast(route), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
-    // compressed-domain fine search: per-query ADC table over the codes
+    // compressed-domain fine search: per-query ADC table over the
+    // codes, encoded against the one trained codebook set (pqCodes()
+    // would train a duplicate)
     val cb = pqCodebooks(emb, m, subDim, k)
-    val codes = pqCodes(emb, m, subDim, k)
+    val codes = assignSub(subvectors(emb, m, subDim), cb)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
     val qsub = subvectors(emb, m, subDim)
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))

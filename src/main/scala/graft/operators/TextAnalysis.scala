@@ -227,13 +227,30 @@ object TextAnalysis {
     * commutes) and replays every estimate. Estimates are exact-or-over
     * by construction (est ≥ exact always; overcount = collision mass in
     * the lightest of the token's depth buckets). */
-  def cmsEstimates(docs: DataFrame, depth: Int = 3, width: Int = 128,
-                   topn: Int = 10): DataFrame = {
+  /** The catalog CMS shape — depth/width single-sourced here for the
+    * aggregator calls, the estimate reads, and BOTH oracles (t17/st20);
+    * a width change that missed one copy would silently break the
+    * sketch/estimate agreement. */
+  val CmsDepth = 3
+  val CmsWidth = 128
+
+  def cmsEstimates(docs: DataFrame, depth: Int = CmsDepth,
+                   width: Int = CmsWidth, topn: Int = 10): DataFrame = {
     import org.apache.spark.sql.Encoders
     val toks = docs.select(explode(ws).as("w")).filter(col("w") =!= "")
     val sketch = toks.as(Encoders.STRING)
       .select(new graft.functions.CountMinAgg(depth, width).toColumn.name("cms"))
       .toDF("cms")
+    cmsEstimatesFor(toks, sketch, depth, width, topn)
+  }
+
+  /** Estimate read shared by the batch (t17) and streaming (st20)
+    * paths: exact top-n probe tokens from `toks` (one `w` column)
+    * against a 1-row `cms` grid. */
+  private[graft] def cmsEstimatesFor(toks: DataFrame, sketch: DataFrame,
+                                     depth: Int = CmsDepth,
+                                     width: Int = CmsWidth,
+                                     topn: Int = 10): DataFrame = {
     val probes = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_c"))
       .orderBy(col("exact_c").desc, col("w")).limit(topn)
     probes.crossJoin(broadcast(sketch))
@@ -241,6 +258,29 @@ object TextAnalysis {
         cmsEstimate(depth, width, col("w")).as("cms_est"))
       .orderBy(col("exact_c").desc, col("token"))
   }
+
+  /** The grid-rebuild oracle shared by t17 and st20: `tkSelect` yields
+    * the token relation (one `w` column); the rest — frequency table,
+    * count-weighted (row, bucket) sums, min-over-rows estimates — is
+    * the one shared definition. */
+  private[graft] def cmsOracleSql(tkSelect: String, depth: Int = CmsDepth,
+                                  width: Int = CmsWidth): String =
+    s"""WITH tk AS ($tkSelect),
+       freq AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_c
+                FROM tk WHERE w <> '' GROUP BY w),
+       probes AS (SELECT w, exact_c FROM freq
+                  ORDER BY exact_c DESC, w LIMIT 10),
+       rs AS (SELECT unnest(range(0, $depth)) AS r),
+       grid AS (SELECT r, ${cmsBucketSql("r", "w", width)} AS b,
+                  CAST(sum(exact_c) AS BIGINT) AS s
+                FROM freq CROSS JOIN rs GROUP BY 1, 2)
+       SELECT p.w AS token, p.exact_c,
+         CAST(min(g.s) AS BIGINT) AS cms_est
+       FROM probes p
+       JOIN rs ON true
+       JOIN grid g ON g.r = rs.r AND g.b = ${cmsBucketSql("rs.r", "p.w", width)}
+       GROUP BY p.w, p.exact_c
+       ORDER BY p.exact_c DESC, token"""
 
   /** CMS point-estimate read against a `cms` grid column in scope:
     * min over rows of the token's bucket counter. bucket_r(tok) =
@@ -572,27 +612,8 @@ object TextAnalysis {
     // frequency table (count-weighted ≡ one increment per occurrence),
     // estimate = min over rows of the probe token's bucket sum; the
     // bucket arithmetic is the c01 hex-digit mirror with a row salt
-    "t17_cms_estimates" -> {
-      def bkt(rExpr: String, tokExpr: String) = cmsBucketSql(rExpr, tokExpr, 128)
-      s"""WITH tk AS (
-           SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-         tk2 AS (SELECT w FROM tk WHERE w <> ''),
-         freq AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_c
-                  FROM tk2 GROUP BY w),
-         probes AS (SELECT w, exact_c FROM freq
-                    ORDER BY exact_c DESC, w LIMIT 10),
-         rs AS (SELECT unnest(range(0, 3)) AS r),
-         grid AS (SELECT r, ${bkt("r", "w")} AS b,
-                    CAST(sum(exact_c) AS BIGINT) AS s
-                  FROM freq CROSS JOIN rs GROUP BY 1, 2)
-         SELECT p.w AS token, p.exact_c,
-           CAST(min(g.s) AS BIGINT) AS cms_est
-         FROM probes p
-         JOIN rs ON true
-         JOIN grid g ON g.r = rs.r AND g.b = ${bkt("rs.r", "p.w")}
-         GROUP BY p.w, p.exact_c
-         ORDER BY p.exact_c DESC, token"""
-    },
+    "t17_cms_estimates" -> cmsOracleSql(
+      "SELECT unnest(string_split(text, ' ')) AS w FROM documents"),
     "t15_fingerprint_collision_pin" ->
       """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
          WHERE 1 = 0""",

@@ -152,13 +152,15 @@ object Warehouse {
     // from parquet, so any roundtrip lossiness (types, ms timestamps,
     // nulls) breaks the hash match.
     "q53_orc_roundtrip" -> ((s, d) => {
-      // per-PROCESS path (pid suffix) + overwrite: repeated runs within
+      // per-(process, dataset) path + overwrite: repeated runs within
       // one JVM rewrite ONE multi-MB slice instead of leaking a fresh
-      // temp dir per invocation, while two concurrent graft JVMs (bench
-      // overlapping verify) can no longer clobber each other's slice
-      // between the write and the read-back
+      // temp dir per invocation; the pid keeps concurrent graft JVMs
+      // (bench overlapping verify) off each other's slice, and the sf
+      // suffix keeps a second scale factor built in the SAME JVM from
+      // clobbering the files under a not-yet-collected first DataFrame
       val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_orc_slice_${ProcessHandle.current().pid()}").toString
+        s"graft_orc_slice_${ProcessHandle.current().pid()}_" +
+          java.nio.file.Paths.get(d).getFileName).toString
       t(s, d, "lineitem")
         .filter(col("l_quantity") >= 25)
         .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),
@@ -179,8 +181,10 @@ object Warehouse {
     // uses the writer's own schema (no inference — a schema drift there
     // is a silent-corruption source at scale)
     "q69_csv_roundtrip" -> ((s, d) => {
+      // per-(process, dataset) path — see q53's rationale
       val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_csv_slice_${ProcessHandle.current().pid()}").toString
+        s"graft_csv_slice_${ProcessHandle.current().pid()}_" +
+          java.nio.file.Paths.get(d).getFileName).toString
       val slice = t(s, d, "lineitem")
         .filter(col("l_quantity") >= 25)
         .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),

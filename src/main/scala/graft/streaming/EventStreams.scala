@@ -57,8 +57,9 @@ object EventStreams {
     * contract; the batch t17 twin carries the full grid oracle). Token =
     * event_type ⊕ user_id mod 97 — a few hundred distinct keys, while
     * the state stays ONE grid row however large the stream. */
-  def cmsTokenSketch(events: DataFrame, depth: Int = 3,
-                     width: Int = 128): DataFrame = {
+  def cmsTokenSketch(events: DataFrame,
+                     depth: Int = graft.operators.TextAnalysis.CmsDepth,
+                     width: Int = graft.operators.TextAnalysis.CmsWidth): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     events

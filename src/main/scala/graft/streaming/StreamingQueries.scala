@@ -27,12 +27,7 @@ object StreamingQueries {
       val toks = graft.sources.Tables(s, d, "events")
         .select(concat(col("event_type"), lit(":"),
           (col("user_id") % 97).cast("string")).as("w"))
-      val probes = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_c"))
-        .orderBy(col("exact_c").desc, col("w")).limit(10)
-      probes.crossJoin(broadcast(grid))
-        .select(col("w").as("token"), col("exact_c"),
-          graft.operators.TextAnalysis.cmsEstimate(3, 128, col("w")).as("cms_est"))
-        .orderBy(col("exact_c").desc, col("token"))
+      graft.operators.TextAnalysis.cmsEstimatesFor(toks, grid)
     }),
     "st02_stream_sessions" -> ((s, d) =>
       EventStreams.runToBatch(s, d, "st02_mem", "complete")(EventStreams.sessionWindows(_))
@@ -204,27 +199,8 @@ object StreamingQueries {
     // (row, bucket) sums from the frequency table ≡ the streamed grid
     // (addition commutes across micro-batches), estimates = min over
     // rows — the whole streaming sketch replayed in SQL
-    "st20_stream_cms" -> {
-      import graft.operators.TextAnalysis.cmsBucketSql
-      s"""WITH tk AS (
-           SELECT event_type || ':' || CAST(user_id % 97 AS VARCHAR) AS w
-           FROM events),
-         freq AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_c
-                  FROM tk GROUP BY w),
-         probes AS (SELECT w, exact_c FROM freq
-                    ORDER BY exact_c DESC, w LIMIT 10),
-         rs AS (SELECT unnest(range(0, 3)) AS r),
-         grid AS (SELECT r, ${cmsBucketSql("r", "w", 128)} AS b,
-                    CAST(sum(exact_c) AS BIGINT) AS s
-                  FROM freq CROSS JOIN rs GROUP BY 1, 2)
-         SELECT p.w AS token, p.exact_c,
-           CAST(min(g.s) AS BIGINT) AS cms_est
-         FROM probes p
-         JOIN rs ON true
-         JOIN grid g ON g.r = rs.r AND g.b = ${cmsBucketSql("rs.r", "p.w", 128)}
-         GROUP BY p.w, p.exact_c
-         ORDER BY p.exact_c DESC, token"""
-    },
+    "st20_stream_cms" -> graft.operators.TextAnalysis.cmsOracleSql(
+      "SELECT event_type || ':' || CAST(user_id % 97 AS VARCHAR) AS w FROM events"),
     // identical semantics to st01/e01 (same oracle text)
     "st07_stream_sink_parquet" ->
       s"""SELECT epoch_us(time_bucket(INTERVAL 5 MINUTE, make_timestamp($tsUs))) AS w_start_us,
