@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Warehouse-pattern operators: bloom-filter-accelerated semi join,
   * MERGE-style upsert, and a columnar-format interchange roundtrip.
@@ -174,6 +175,28 @@ object Warehouse {
           max(col("l_shipdate")).as("last_ship"))
         .orderBy(col("l_linestatus"))
     }),
+    // incremental materialized-view maintenance: a standing aggregate
+    // updated from a delta batch by MERGING PARTIALS (counts add,
+    // exact-decimal sums add — both order-independent), never
+    // re-scanning the base. The oracle is the full recompute over the
+    // whole table, so a PASS proves incremental ≡ full — the contract
+    // that makes nightly-snapshot + streaming-delta rollups sound. At
+    // 100 TB the base partials are the stored MV (group-count rows);
+    // only the delta is scanned per refresh
+    "q70_incremental_agg" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      def partials(df: DataFrame) = df
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).as("sp"))
+      val snapshot = partials(orders.filter(col("o_orderkey") % 10 =!= 0))
+      val delta = partials(orders.filter(col("o_orderkey") % 10 === 0))
+      snapshot.unionByName(delta)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("sp")).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // the text-format twin of q53: CSV is the messy interchange format
     // a lake ingests at the edge. Java's Double.toString is shortest-
     // round-trip, so doubles survive the text roundtrip bit-exactly and
@@ -275,6 +298,12 @@ object Warehouse {
          max(l_shipdate) AS last_ship
          FROM lineitem WHERE l_quantity >= 25
          GROUP BY l_linestatus ORDER BY l_linestatus""",
+    // the full recompute — hash-equality against it IS the
+    // incremental-maintenance correctness claim
+    "q70_incremental_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // identical aggregate contract to q53 — the format under test is
     // the only difference, so the same oracle text pins the roundtrip
     "q69_csv_roundtrip" ->
