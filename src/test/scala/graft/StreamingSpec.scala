@@ -322,6 +322,50 @@ class StreamingSpec extends SparkSpec {
       s"got $fin")
   }
 
+  test("checkpoint restart: aggregate state recovers exactly-once across stop/start") {
+    import spark.implicits._
+    // the fault-tolerance contract a 100 TB stream lives on: a NEW query
+    // started on the SAME checkpoint must (a) recover the aggregation
+    // state store and (b) not re-read source files already committed —
+    // the final counts expose either failure (state lost → view=1;
+    // double-read would double b1's contribution)
+    val dir = Files.createTempDirectory("graft-restart-src").toString
+    val out = Files.createTempDirectory("graft-restart-out").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+
+    def writeBatch(path: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      rows.map { case (id, tpe) => (id, us(600) * 1000L, 1L, tpe, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(path)
+      new java.io.File(path).listFiles().foreach(_.setLastModified(mtime))
+    }
+    def runOnce(): Unit = {
+      val scoped = spark.newSession()
+      scoped.conf.set("spark.sql.shuffle.partitions", "4")
+      val src = scoped.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def snapshot(): Map[String, Long] = spark.read.parquet(out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    writeBatch(s"$dir/b1", 1000000L, Seq((1L, "view"), (2L, "view"), (3L, "click")))
+    runOnce()
+    assert(snapshot() == Map("view" -> 2L, "click" -> 1L))
+
+    writeBatch(s"$dir/b2", 2000000L, Seq((4L, "view"), (5L, "purchase")))
+    runOnce() // fresh query object, same checkpoint: only b2 is new
+    assert(snapshot() == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L),
+      "restarted query lost state or re-read committed files")
+  }
+
   test("CDC apply: final state invariant under batch split and order") {
     import graft.streaming.CdcApply
     val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
