@@ -19,39 +19,51 @@ import org.apache.spark.sql.expressions.Aggregator
   * partitioning, retry, or executor count. The grid is a few KB however
   * large the corpus.
   *
-  * Hash family: bucket_r(tok) = (first 4 hex digits of md5("r:tok"))
-  * mod width — the c01 percent-bucket arithmetic with a row-index salt.
-  * md5 is chosen because BOTH engines can replay it bit-identically
-  * (DuckDB mirrors it in plain SQL — see TextAnalysis.cmsBucketSql), so
-  * the ENTIRE sketch, not just a property of it, carries a value-level
-  * oracle. A production deployment would swap the two-line [[bucket]]
-  * for the XXH64 statics the MinHash/SimHash kernels codegen against —
-  * same API, same merge algebra, no oracle then (d11-pin pattern
-  * instead).
+  * Two hash families, same merge algebra:
+  *  - "md5" (the catalog default): bucket_r(tok) = (first 4 hex digits
+  *    of md5("r:tok")) mod width — the c01 percent-bucket arithmetic
+  *    with a row-index salt, chosen because BOTH engines replay it
+  *    bit-identically (DuckDB mirrors it in plain SQL — TextAnalysis
+  *    .cmsBucketSql), so the ENTIRE sketch carries a value-level
+  *    oracle (t17/st20).
+  *  - "xx" (the production family): the row index seeds the same
+  *    `catalyst.expressions.XXH64` statics the MinHash/SimHash kernels
+  *    codegen against — ~20× cheaper per token, not SQL-replayable, so
+  *    its guarantees are spec-pinned (est ≥ exact, partitioning
+  *    invariance) rather than oracled — the d11-pin trade.
   *
   * reduce: +1 at (r, bucket_r(tok)) for every row r. merge: element-wise
   * sum. finish: the flat grid (row-major), read by the estimate join.
   */
-class CountMinAgg(depth: Int, width: Int)
+class CountMinAgg(depth: Int, width: Int, hashFamily: String = "md5")
     extends Aggregator[String, Array[Long], Array[Long]] {
+
+  require(hashFamily == "md5" || hashFamily == "xx",
+    s"unknown CMS hash family: $hashFamily")
 
   @transient private lazy val md =
     java.security.MessageDigest.getInstance("MD5")
 
-  /** First 4 hex digits of md5("r:tok") mod width — i.e. the first two
-    * digest bytes as a big-endian int. Exactly `TextAnalysis
-    * .cmsBucketSql`'s arithmetic (oracle mirror) and `Corpus
-    * .hashBucket`'s shape (the c01 split family). */
-  private def bucket(r: Int, tok: String): Int = {
-    val d = md.digest(s"$r:$tok".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % width
+  /** The row-salted bucket. md5: first two digest bytes of "r:tok" as a
+    * big-endian int (exactly `TextAnalysis.cmsBucketSql`'s arithmetic);
+    * xx: XXH64 of the token bytes seeded by the row index. Exposed to
+    * the spec so reference grids derive from the SAME definition. */
+  private[graft] def bucketOf(r: Int, tok: String): Int = hashFamily match {
+    case "md5" =>
+      val d = md.digest(s"$r:$tok".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % width
+    case _ =>
+      val b = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, r.toLong)
+      java.lang.Math.floorMod(h, width.toLong).toInt
   }
 
   override def zero: Array[Long] = new Array[Long](depth * width)
 
   override def reduce(b: Array[Long], tok: String): Array[Long] = {
     var r = 0
-    while (r < depth) { b(r * width + bucket(r, tok)) += 1L; r += 1 }
+    while (r < depth) { b(r * width + bucketOf(r, tok)) += 1L; r += 1 }
     b
   }
 

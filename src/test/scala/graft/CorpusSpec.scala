@@ -126,6 +126,24 @@ class CorpusSpec extends SparkSpec {
     assert(one.find(_._1 == "hot").get._2 == 50L)
   }
 
+  test("count-min xx family: production hash keeps the guarantees (spec-pinned, no oracle)") {
+    import spark.implicits._
+    val stream = Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
+      (0 until 200).map(i => s"rare${i % 60}")
+    val agg = new graft.functions.CountMinAgg(3, 16, "xx")
+    def grid(parts: Int): Array[Long] =
+      stream.toDS().repartition(parts).select(agg.toColumn).collect().head
+    val g1 = grid(1)
+    // element-wise-add merge ⇒ identical grid under any partitioning
+    assert(g1.toSeq == grid(7).toSeq)
+    // one-sided error via the aggregator's own bucket definition
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+    exact.foreach { case (tok, c) =>
+      val est = (0 until 3).map(r => g1(r * 16 + agg.bucketOf(r, tok))).min
+      assert(est >= c, s"$tok undercounted under the xx family")
+    }
+  }
+
   test("bpe merge step: argmax pair, greedy non-overlap apply, exact recount") {
     import spark.implicits._
     // vocab: "aaab"×3, "ab"×2, "ba"×1 → pair counts: aa=6 (2 per aaab),

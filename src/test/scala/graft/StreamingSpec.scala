@@ -328,42 +328,51 @@ class StreamingSpec extends SparkSpec {
     // started on the SAME checkpoint must (a) recover the aggregation
     // state store and (b) not re-read source files already committed —
     // the final counts expose either failure (state lost → view=1;
-    // double-read would double b1's contribution)
-    val dir = Files.createTempDirectory("graft-restart-src").toString
-    val out = Files.createTempDirectory("graft-restart-out").toString
-    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    // double-read would double b1's contribution). Both providers: the
+    // default HDFS-backed store and RocksDB (the disk-spilling backend
+    // every stateful-heavy catalog stream runs on)
+    val providers = Seq(
+      "default" -> Map.empty[String, String],
+      "rocksdb" -> Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    for ((name, conf) <- providers) {
+      val dir = Files.createTempDirectory(s"graft-restart-src-$name").toString
+      val out = Files.createTempDirectory(s"graft-restart-out-$name").toString
+      val ckpt = Files.createTempDirectory(s"graft-restart-ckpt-$name").toString
 
-    def writeBatch(path: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
-      rows.map { case (id, tpe) => (id, us(600) * 1000L, 1L, tpe, 1.0, "{}") }
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.parquet(path)
-      new java.io.File(path).listFiles().foreach(_.setLastModified(mtime))
+      def writeBatch(path: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+        rows.map { case (id, tpe) => (id, us(600) * 1000L, 1L, tpe, 1.0, "{}") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(path)
+        new java.io.File(path).listFiles().foreach(_.setLastModified(mtime))
+      }
+      def runOnce(): Unit = {
+        val scoped = spark.newSession()
+        scoped.conf.set("spark.sql.shuffle.partitions", "4")
+        conf.foreach { case (k, v) => scoped.conf.set(k, v) }
+        val src = scoped.readStream.schema(EventStreams.rawSchema)
+          .parquet(s"$dir/*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("complete")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            b.write.mode("overwrite").parquet(out)
+          }
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def snapshot(): Map[String, Long] = spark.read.parquet(out)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      writeBatch(s"$dir/b1", 1000000L, Seq((1L, "view"), (2L, "view"), (3L, "click")))
+      runOnce()
+      assert(snapshot() == Map("view" -> 2L, "click" -> 1L), s"provider $name")
+
+      writeBatch(s"$dir/b2", 2000000L, Seq((4L, "view"), (5L, "purchase")))
+      runOnce() // fresh query object, same checkpoint: only b2 is new
+      assert(snapshot() == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L),
+        s"provider $name: restarted query lost state or re-read committed files")
     }
-    def runOnce(): Unit = {
-      val scoped = spark.newSession()
-      scoped.conf.set("spark.sql.shuffle.partitions", "4")
-      val src = scoped.readStream.schema(EventStreams.rawSchema)
-        .parquet(s"$dir/*")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-        .writeStream.outputMode("complete")
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
-          b.write.mode("overwrite").parquet(out)
-        }
-        .option("checkpointLocation", ckpt).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    def snapshot(): Map[String, Long] = spark.read.parquet(out)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-
-    writeBatch(s"$dir/b1", 1000000L, Seq((1L, "view"), (2L, "view"), (3L, "click")))
-    runOnce()
-    assert(snapshot() == Map("view" -> 2L, "click" -> 1L))
-
-    writeBatch(s"$dir/b2", 2000000L, Seq((4L, "view"), (5L, "purchase")))
-    runOnce() // fresh query object, same checkpoint: only b2 is new
-    assert(snapshot() == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L),
-      "restarted query lost state or re-read committed files")
   }
 
   test("CDC apply: final state invariant under batch split and order") {
