@@ -252,6 +252,18 @@ object Similarity {
     // here would silently re-run the whole training chain a second time
     val codes = assignSub(subvectors(emb, m, subDim), cb)
       .select(col("vec_id"), col("s"), col("cid").as("code"))
+    adcTopKFromIndex(emb, cb, codes, topK, queryMod, m, subDim)
+  }
+
+  /** The ADC serve path against a PREBUILT index — (codebooks, codes)
+    * however they were obtained: freshly trained (pqAdcTopK) or read
+    * back from a persisted parquet layout (s15). This split is the
+    * build-once/query-many lifecycle a production ANN index lives:
+    * training is amortized over every query batch, and the serving
+    * plan touches only m-byte codes plus a broadcast distance table. */
+  private def adcTopKFromIndex(emb: DataFrame, cb: DataFrame,
+                               codes: DataFrame, topK: Int, queryMod: Int,
+                               m: Int, subDim: Int): DataFrame = {
     val qsub = subvectors(emb, m, subDim)
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
@@ -267,6 +279,27 @@ object Similarity {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("adc"))
+  }
+
+  /** Index PERSISTENCE roundtrip: train + encode, write the index (two
+    * small parquet relations — m·k codebook rows, n·m code rows), read
+    * it back, and serve the ADC query from the SAVED layout. Shares
+    * s13's oracle verbatim: persistence must be invisible to results.
+    * At 100 TB the codes relation would be written bucketed by vec_id
+    * alongside the corpus so serving joins stay exchange-free. */
+  def pqIndexRoundtrip(emb: DataFrame, indexDir: String, topK: Int = 5,
+                       queryMod: Int = 400, m: Int = 8, subDim: Int = 8,
+                       k: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val cb = pqCodebooks(emb, m, subDim, k)
+    val codes = assignSub(subvectors(emb, m, subDim), cb)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$indexDir/codes")
+    adcTopKFromIndex(emb,
+      spark.read.parquet(s"$indexDir/codebooks"),
+      spark.read.parquet(s"$indexDir/codes"),
+      topK, queryMod, m, subDim)
   }
 
   /** IVF-PQ: the composed 100 TB ANN layout — the coarse quantizer
@@ -723,6 +756,15 @@ object Similarity {
     // domain ADC — the full 100 TB ANN layout under ONE value oracle
     "s14_ivfpq_topk" -> ((s, d) =>
       ivfPqTopK(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    // index persistence: serve ADC from the parquet-SAVED index — same
+    // oracle as s13, so persistence is pinned invisible to results
+    "s15_pq_index_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_pq_index_${ProcessHandle.current().pid()}_" +
+          java.nio.file.Paths.get(d).getFileName).toString
+      pqIndexRoundtrip(t(s, d, "embeddings"), out)
+        .orderBy(col("q_id"), col("rk"))
+    }),
     "s02_knn_lsh" -> ((s, d) =>
       knnLsh(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s07_knn_mips_pruned" -> ((s, d) =>
@@ -789,7 +831,7 @@ object Similarity {
 
   def oracleSql: Map[String, String] = {
     val qv = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
-    Map(
+    val base = Map(
       "s08_lsh_score_pin" ->
         """SELECT CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS neighbor_id,
            CAST(NULL AS DOUBLE) AS cos, CAST(NULL AS DOUBLE) AS true_cos
@@ -816,6 +858,8 @@ object Similarity {
       "s12_pq_codes" ->
         (pqTrainSql(qv) + """
            SELECT vec_id, s, code, d2 FROM code ORDER BY vec_id, s"""),
+      // s15 serves the identical query from the persisted index, so it
+      // shares this oracle text verbatim (see map tail)
       "s13_pq_adc_topk" ->
         (pqTrainSql(qv) + """,
            qs AS (SELECT vec_id AS q_id, s, sub AS qsub
@@ -980,5 +1024,8 @@ object Similarity {
            SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.30
            ORDER BY a_id, b_id"""
     )
+    // persistence must be invisible to results: the saved-index serve
+    // path answers to the SAME oracle as the freshly-trained s13
+    base + ("s15_pq_index_roundtrip" -> base("s13_pq_adc_topk"))
   }
 }
