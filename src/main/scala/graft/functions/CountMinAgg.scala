@@ -26,11 +26,13 @@ import org.apache.spark.sql.expressions.Aggregator
   *    bit-identically (DuckDB mirrors it in plain SQL — TextAnalysis
   *    .cmsBucketSql), so the ENTIRE sketch carries a value-level
   *    oracle (t17/st20).
-  *  - "xx" (the production family): the row index seeds the same
-  *    `catalyst.expressions.XXH64` statics the MinHash/SimHash kernels
-  *    codegen against — ~20× cheaper per token, not SQL-replayable, so
-  *    its guarantees are spec-pinned (est ≥ exact, partitioning
-  *    invariance) rather than oracled — the d11-pin trade.
+  *  - "xx" (the production family): bucket = `xxhash64(tok, r)` mod
+  *    width, in EXACTLY Spark SQL's chained-seed arithmetic (token
+  *    hashed at seed 42, then the int row index folded on top — the
+  *    same two-step the MinHash kernel uses per lane), so the built-in
+  *    `functions.xxhash64` is an INDEPENDENT engine-side reference for
+  *    the spec. ~20× cheaper per token than md5; not DuckDB-replayable,
+  *    so cross-engine it is spec-pinned, not oracled — the d11 trade.
   *
   * reduce: +1 at (r, bucket_r(tok)) for every row r. merge: element-wise
   * sum. finish: the flat grid (row-major), read by the estimate join.
@@ -46,16 +48,19 @@ class CountMinAgg(depth: Int, width: Int, hashFamily: String = "md5")
 
   /** The row-salted bucket. md5: first two digest bytes of "r:tok" as a
     * big-endian int (exactly `TextAnalysis.cmsBucketSql`'s arithmetic);
-    * xx: XXH64 of the token bytes seeded by the row index. Exposed to
-    * the spec so reference grids derive from the SAME definition. */
+    * xx: Spark SQL's `xxhash64(tok, r)` chain — token bytes at seed 42,
+    * then the int row index at seed h0 (`XxHash64Function` semantics),
+    * so the codegen'd built-in recomputes the identical bucket. Exposed
+    * to the spec, which checks it AGAINST that built-in. */
   private[graft] def bucketOf(r: Int, tok: String): Int = hashFamily match {
     case "md5" =>
       val d = md.digest(s"$r:$tok".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % width
     case _ =>
       val b = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, r.toLong)
+      val h0 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(r, h0)
       java.lang.Math.floorMod(h, width.toLong).toInt
   }
 

@@ -291,13 +291,17 @@ object Similarity {
                        queryMod: Int = 400, m: Int = 8, subDim: Int = 8,
                        k: Int = 4): DataFrame = {
     val spark = emb.sparkSession
-    val cb = pqCodebooks(emb, m, subDim, k)
-    val codes = assignSub(subvectors(emb, m, subDim), cb)
+    // train ONCE: persist the codebooks, then encode against the
+    // READ-BACK copy — encoding against the in-memory `cb` would
+    // re-execute the whole training DAG a second time for the codes
+    // write (the same silent-retrain hazard pqAdcTopK's comment names)
+    pqCodebooks(emb, m, subDim, k)
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    val cb = spark.read.parquet(s"$indexDir/codebooks")
+    assignSub(subvectors(emb, m, subDim), cb)
       .select(col("vec_id"), col("s"), col("cid").as("code"))
-    cb.write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    codes.write.mode("overwrite").parquet(s"$indexDir/codes")
-    adcTopKFromIndex(emb,
-      spark.read.parquet(s"$indexDir/codebooks"),
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    adcTopKFromIndex(emb, cb,
       spark.read.parquet(s"$indexDir/codes"),
       topK, queryMod, m, subDim)
   }
@@ -757,7 +761,10 @@ object Similarity {
     "s14_ivfpq_topk" -> ((s, d) =>
       ivfPqTopK(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     // index persistence: serve ADC from the parquet-SAVED index — same
-    // oracle as s13, so persistence is pinned invisible to results
+    // oracle as s13, so persistence is pinned invisible to results.
+    // Eager write at build time + per-(pid, sf) overwritten path is the
+    // q53/q69 interchange convention: bounded on disk (one dir per
+    // process per scale factor, rewritten in place), never accumulating
     "s15_pq_index_roundtrip" -> ((s, d) => {
       val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft_pq_index_${ProcessHandle.current().pid()}_" +

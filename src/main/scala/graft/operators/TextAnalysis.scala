@@ -285,7 +285,7 @@ object TextAnalysis {
   /** CMS point-estimate read against a `cms` grid column in scope:
     * min over rows of the token's bucket counter. bucket_r(tok) =
     * first 4 hex digits of md5("r:tok") mod width — the same two
-    * digest bytes CountMinAgg.bucket reads; element_at is 1-based.
+    * digest bytes CountMinAgg.bucketOf reads; element_at is 1-based.
     * Shared by the batch (t17) and streaming (st20) readers. */
   private[graft] def cmsEstimate(depth: Int, width: Int,
                                  token: Column): Column = {

@@ -126,20 +126,44 @@ class CorpusSpec extends SparkSpec {
     assert(one.find(_._1 == "hot").get._2 == 50L)
   }
 
-  test("count-min xx family: production hash keeps the guarantees (spec-pinned, no oracle)") {
+  test("count-min xx family: buckets match the engine's xxhash64, grid exact, invariant") {
     import spark.implicits._
     val stream = Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
       (0 until 200).map(i => s"rare${i % 60}")
     val agg = new graft.functions.CountMinAgg(3, 16, "xx")
+    // INDEPENDENT reference: the codegen'd built-in xxhash64(tok, r) —
+    // the aggregator promises exactly its chained-seed arithmetic, so a
+    // broken row seed or wrong byte hashing diverges here (the earlier
+    // est≥exact-via-own-buckets check held for ANY deterministic fn)
+    val refBuckets = stream.distinct.toDF("w")
+      .select(col("w") +: (0 until 3).map(r =>
+        pmod(xxhash64(col("w"), lit(r)), lit(16)).cast("int").as(s"b$r")): _*)
+      .collect()
+      .map(row => row.getString(0) -> (0 until 3).map(i => row.getInt(i + 1)))
+      .toMap
+    refBuckets.foreach { case (tok, bs) =>
+      (0 until 3).foreach { r =>
+        assert(agg.bucketOf(r, tok) == bs(r), s"xx bucket diverged: $tok row $r")
+      }
+    }
+    // the row seed must matter (all-rows-identical buckets would gut
+    // the min-of-rows error bound)
+    assert(refBuckets.exists { case (_, bs) => bs.distinct.size > 1 })
+    // grid == reference grid built from the BUILT-IN's buckets
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = new Array[Long](48)
+    exact.foreach { case (tok, c) =>
+      (0 until 3).foreach(r => expect(r * 16 + refBuckets(tok)(r)) += c)
+    }
     def grid(parts: Int): Array[Long] =
       stream.toDS().repartition(parts).select(agg.toColumn).collect().head
     val g1 = grid(1)
+    assert(g1.toSeq == expect.toSeq)
     // element-wise-add merge ⇒ identical grid under any partitioning
     assert(g1.toSeq == grid(7).toSeq)
-    // one-sided error via the aggregator's own bucket definition
-    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+    // one-sided error, read via the independent reference buckets
     exact.foreach { case (tok, c) =>
-      val est = (0 until 3).map(r => g1(r * 16 + agg.bucketOf(r, tok))).min
+      val est = (0 until 3).map(r => g1(r * 16 + refBuckets(tok)(r))).min
       assert(est >= c, s"$tok undercounted under the xx family")
     }
   }
