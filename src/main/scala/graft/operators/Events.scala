@@ -142,7 +142,27 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Event-type transition counts — the Markov-chain kernel under path
+    * analysis / next-event prediction: per user, events in (ts,
+    * event_id) order, each consecutive (prev → next) type pair counted
+    * corpus-wide. One user-keyed shuffle for the lag window, then a
+    * map-side-combinable pair count — the e-family shuffle discipline
+    * (the transition matrix is |types|² rows however large the log). */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e09_transition_counts" -> ((s, d) =>
+      transitionCounts(t(s, d, "events"))
+        .orderBy(col("prev_type"), col("next_type"))),
     "e06_ewma" -> ((s, d) => ewmaPerUser(t(s, d, "events")).orderBy(col("user_id"))),
     "e07_funnel" -> ((s, d) => funnel(t(s, d, "events")).orderBy(col("user_id"))),
     "e08_retention_cohorts" -> ((s, d) =>
@@ -163,6 +183,18 @@ object Events {
   private val tsUs = "(epoch_ns(ts) // 1000)"
 
   def oracleSql: Map[String, String] = Map(
+    "e09_transition_counts" ->
+      s"""WITH ev AS (
+           SELECT user_id, event_id, event_type, $tsUs AS ts_us FROM events),
+         tr AS (
+           SELECT event_type, lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+           FROM ev)
+         SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+         FROM tr WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, next_type
+         ORDER BY prev_type, next_type""",
     "e07_funnel" ->
       s"""WITH v AS (
            SELECT user_id, min($tsUs) AS v_us FROM events
