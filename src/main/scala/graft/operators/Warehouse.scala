@@ -111,6 +111,37 @@ object Warehouse {
         col("valid_to_us").isNull.as("is_current"))
   }
 
+  /** Small-files compaction — the lakehouse maintenance op that keeps a
+    * streamed-into table scannable (thousands of micro-batch shards →
+    * target-sized files): size the output file count from the on-disk
+    * byte total, rewrite into a staging dir, then SWAP via directory
+    * renames so a reader never observes a half-compacted table. Returns
+    * the compacted file count.
+    *
+    * Scale: runs per partition-leaf directory (compact each `lang=xx`
+    * independently — embarrassingly parallel, and a leaf is the natural
+    * isolation unit); targetFileBytes ≈ 128 MB matches the scan split
+    * size so one task reads one file. On a table format (Delta/Iceberg)
+    * the swap is the snapshot commit; the rename pair here is the plain-
+    * filesystem analogue of that atomicity. Content is pinned unchanged
+    * by SinkSpec's order-free fingerprint. */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L << 20): Int = {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = dir + ".compact_tmp"
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val old = dir + ".compact_old"
+    JFiles.move(Paths.get(dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    JFiles.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
+    nFiles
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_scd2_intervals" -> ((s, d) =>
       scd2Intervals(t(s, d, "events"))

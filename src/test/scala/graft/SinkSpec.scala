@@ -46,6 +46,29 @@ class SinkSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
   }
 
+  test("compaction: many micro-batch shards collapse to sized files, content bit-identical") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = Files.createTempDirectory("graft_compact").resolve("tbl").toString
+    // simulate a streamed-into table: lots of tiny files
+    docs.repartition(1).write.option("maxRecordsPerFile", 25)
+      .mode("overwrite").parquet(out)
+    def files() = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.select(xxhash64(col("doc_id"), col("text"), col("lang")).as("h"))
+        .agg(expr("bit_xor(h)")).head.getLong(0)
+    val before = files().length
+    val beforeFp = fp(spark.read.parquet(out))
+    assert(before >= 10, s"fixture should fragment, got $before files")
+    val n = graft.operators.Warehouse.compact(spark, out, targetFileBytes = 1L << 30)
+    assert(n == 1 && files().length == 1, s"expected 1 compacted file, got ${files().length}")
+    // content invariant under the rewrite+swap (order-free fingerprint)
+    assert(fp(spark.read.parquet(out)) == beforeFp)
+    // staging/old dirs fully cleaned up
+    assert(!new java.io.File(out + ".compact_tmp").exists())
+    assert(!new java.io.File(out + ".compact_old").exists())
+  }
+
   test("schema evolution on read: mergeSchema unifies widening batches, null-fills the old ones") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
     val root = Files.createTempDirectory("graft_evolve").resolve("t").toString
