@@ -149,8 +149,7 @@ object Events {
     * map-side-combinable pair count — the e-family shuffle discipline
     * (the transition matrix is |types|² rows however large the log). */
   def transitionCounts(events: DataFrame): DataFrame = {
-    val byUser = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"))
+    val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     events
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))

@@ -113,33 +113,48 @@ object Warehouse {
 
   /** Small-files compaction — the lakehouse maintenance op that keeps a
     * streamed-into table scannable (thousands of micro-batch shards →
-    * target-sized files): size the output file count from the on-disk
-    * byte total, rewrite into a staging dir, then SWAP via directory
-    * renames so a reader never observes a half-compacted table. Returns
-    * the compacted file count.
+    * target-sized files): size the target file count from the on-disk
+    * byte total, rewrite into a staging dir, then swap via two ATOMIC
+    * renames. Each rename is atomic, but the PAIR is not: a reader
+    * racing the swap can see the path missing for the instant between
+    * them, and a crash there leaves the data under `.compact_old` —
+    * the table-format snapshot commit (Delta/Iceberg) is precisely
+    * what removes that window; this is its closest plain-filesystem
+    * analogue, and the leftover dirs are self-healing (pre-cleaned on
+    * the next run). Returns the file count actually written (≤ the
+    * computed target — trailing partitions can come up empty).
     *
     * Scale: runs per partition-leaf directory (compact each `lang=xx`
     * independently — embarrassingly parallel, and a leaf is the natural
     * isolation unit); targetFileBytes ≈ 128 MB matches the scan split
-    * size so one task reads one file. On a table format (Delta/Iceberg)
-    * the swap is the snapshot commit; the rename pair here is the plain-
-    * filesystem analogue of that atomicity. Content is pinned unchanged
-    * by SinkSpec's order-free fingerprint. */
+    * size so one task reads one file. Content is pinned unchanged by
+    * SinkSpec's count + order-free fingerprint. */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L << 20): Int = {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
-    val bytes = new java.io.File(dir).listFiles()
+    val root = new java.io.File(dir).getAbsoluteFile // normalizes "tbl/"
+    val shards = Option(root.listFiles()).getOrElse(
+      throw new IllegalArgumentException(
+        s"compact: $dir is not a readable directory " +
+          s"(a crashed swap leaves the data under $dir.compact_old)"))
+    val bytes = shards
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.length()).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = dir + ".compact_tmp"
-    spark.read.parquet(dir).repartition(nFiles)
+    val tmp = root.getPath + ".compact_tmp"
+    val old = root.getPath + ".compact_old"
+    // self-heal leftovers from a crashed prior run: mode(overwrite)
+    // clears tmp, but a stale old dir would fail the first rename with
+    // ENOTEMPTY — and that failure must be LOUD, not a silent leak
+    if (new java.io.File(old).exists() &&
+        !org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old)))
+      throw new IllegalStateException(s"compact: cannot clear stale $old")
+    spark.read.parquet(root.getPath).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp)
-    val old = dir + ".compact_old"
-    JFiles.move(Paths.get(dir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    JFiles.move(Paths.get(tmp), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+    JFiles.move(root.toPath, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    JFiles.move(Paths.get(tmp), root.toPath, StandardCopyOption.ATOMIC_MOVE)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
-    nFiles
+    root.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   */
 class SinkSpec extends SparkSpec {
 
+  /** Order-free content fingerprint of a documents-shaped frame.
+    * bit_xor, not sum: an int64 sum of hashes overflows under ANSI
+    * mode. Pair with a row-count check — xor alone is blind to rows
+    * whose multiplicity changes by an even number. */
+  private def docFp(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(xxhash64(col("doc_id"), col("text"), col("lang")).as("h"))
+      .agg(expr("bit_xor(h)")).head.getLong(0)
+
   test("partitioned write: prunable layout, bounded files, lossless read-back") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
     val out = Files.createTempDirectory("graft_sink").resolve("corpus").toString
@@ -34,11 +42,7 @@ class SinkSpec extends SparkSpec {
 
     // (c) lossless: same rows, same content fingerprint (order-free)
     assert(back.count() == docs.count())
-    // bit_xor, not sum: an int64 sum of hashes overflows under ANSI mode
-    def fp(df: org.apache.spark.sql.DataFrame) =
-      df.select(xxhash64(col("doc_id"), col("text"), col("lang")).as("h"))
-        .agg(expr("bit_xor(h)")).head.getLong(0)
-    assert(fp(back) == fp(docs))
+    assert(docFp(back) == docFp(docs))
 
     // (d) a lang filter reaches the scan as a PARTITION filter — the
     // read touches one directory, not the corpus
@@ -54,16 +58,16 @@ class SinkSpec extends SparkSpec {
       .mode("overwrite").parquet(out)
     def files() = new java.io.File(out).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    def fp(df: org.apache.spark.sql.DataFrame) =
-      df.select(xxhash64(col("doc_id"), col("text"), col("lang")).as("h"))
-        .agg(expr("bit_xor(h)")).head.getLong(0)
     val before = files().length
-    val beforeFp = fp(spark.read.parquet(out))
+    val beforeN = docs.count()
+    val beforeFp = docFp(spark.read.parquet(out))
     assert(before >= 10, s"fixture should fragment, got $before files")
     val n = graft.operators.Warehouse.compact(spark, out, targetFileBytes = 1L << 30)
     assert(n == 1 && files().length == 1, s"expected 1 compacted file, got ${files().length}")
-    // content invariant under the rewrite+swap (order-free fingerprint)
-    assert(fp(spark.read.parquet(out)) == beforeFp)
+    // content invariant under the rewrite+swap: count AND order-free
+    // fingerprint (the xor alone is blind to even-multiplicity changes)
+    assert(spark.read.parquet(out).count() == beforeN)
+    assert(docFp(spark.read.parquet(out)) == beforeFp)
     // staging/old dirs fully cleaned up
     assert(!new java.io.File(out + ".compact_tmp").exists())
     assert(!new java.io.File(out + ".compact_old").exists())
