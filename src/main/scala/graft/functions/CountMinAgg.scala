@@ -42,6 +42,13 @@ class CountMinAgg(depth: Int, width: Int, hashFamily: String = "md5")
 
   require(hashFamily == "md5" || hashFamily == "xx",
     s"unknown CMS hash family: $hashFamily")
+  // the md5 family draws buckets from the first two digest bytes
+  // (0..65535): a width beyond that range would leave buckets ≥ 65536
+  // permanently empty and silently skew every estimate (the DuckDB
+  // mirror shares the limitation, so oracles could never catch it)
+  require(depth > 0, s"CMS depth must be positive: $depth")
+  require(width > 0 && width <= 65536,
+    s"CMS width must be in (0, 65536]: $width")
 
   @transient private lazy val md =
     java.security.MessageDigest.getInstance("MD5")

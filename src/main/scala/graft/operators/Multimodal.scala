@@ -153,19 +153,26 @@ object Multimodal {
     def dispose(): Unit
   }
 
-  /** Run `cleanup` exactly once, when the wrapped iterator is drained —
+  /** Run `cleanup` exactly once when the wrapped iterator is drained —
     * the codec-disposal hook for per-partition ImageIO reader/writer
-    * instances (Spark fully drains task iterators on the happy path). */
-  private def disposeOnExhaust[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] =
+    * instances. Drain alone is not enough: an early-terminating consumer
+    * (limit/take/first) never reaches the final hasNext, so disposal is
+    * ALSO registered as a task-completion listener — the codec is
+    * released however the task iterator ends. */
+  private def disposeOnExhaust[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] = {
+    var done = false
+    def runOnce(): Unit = if (!done) { done = true; cleanup }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => runOnce()))
     new Iterator[T] {
-      private var done = false
       def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !done) { done = true; cleanup }
+        if (!h) runOnce()
         h
       }
       def next(): T = it.next()
     }
+  }
 
   case class FrameRow(doc_id: Long, frame_idx: Long, px_sum: Long)
 

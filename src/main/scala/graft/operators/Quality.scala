@@ -142,8 +142,13 @@ object Quality {
         .withColumn("c_acctbal",
           when(col("c_custkey") % 11 === 0, col("c_acctbal") + 1.0)
             .otherwise(col("c_acctbal")))
+        // negated ids for the synthetic "added" rows: real custkeys are
+        // non-negative at every scale factor (they start at 0 here), so
+        // -(k+1) ≤ -1 can never collide with an existing key (a fixed
+        // +1e6 offset would wrap into the live id range once the table
+        // passes 1M keys, sf ≳ 7; a bare -k collides at k = 0)
         .unionByName(cust.filter(col("c_custkey") % 17 === 0)
-          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+          .withColumn("c_custkey", -(col("c_custkey") + 1)))
       snapshotDiff(cust, nu, "c_custkey", Seq("c_name", "c_acctbal", "c_mktsegment"))
         .orderBy(col("key"))
     }),
@@ -192,7 +197,7 @@ object Quality {
                   ELSE c_acctbal END AS c_acctbal
            FROM customer WHERE c_custkey % 13 <> 0
            UNION ALL
-           SELECT c_custkey + 1000000, c_acctbal
+           SELECT -(c_custkey + 1), c_acctbal
            FROM customer WHERE c_custkey % 17 = 0)
          SELECT COALESCE(o.c_custkey, n.c_custkey) AS key,
            CASE WHEN o.c_custkey IS NULL THEN 'added'

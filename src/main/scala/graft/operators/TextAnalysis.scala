@@ -298,7 +298,10 @@ object TextAnalysis {
   }
 
   /** DuckDB mirror of the CMS bucket arithmetic (the c01 hex-digit
-    * pattern with a row salt) — shared by the t17 and st20 oracles. */
+    * pattern with a row salt) — shared by the t17 and st20 oracles.
+    * Like `CountMinAgg`, the bucket draws from the first two digest
+    * bytes only, so `width` must stay ≤ 65536 (enforced by the
+    * aggregator's constructor; a wider grid would never be filled). */
   private[graft] def cmsBucketSql(rExpr: String, tokExpr: String,
                                   width: Int): String = {
     def digit(i: Int) =

@@ -295,7 +295,16 @@ object EventStreams {
     // r6 wall times of st06/st08/st14 — and on a real cluster this is
     // the recommended RocksDB production setting for exactly the same
     // reason (commit latency decoupled from state size).
-    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+    // Background maintenance (snapshot consolidation + old-version GC)
+    // competes with the micro-batches for the same cores. These queries
+    // run seconds and their checkpoints are deleted on exit, so defer
+    // maintenance past the query's lifetime: changelog commits alone
+    // carry correctness; consolidation is purely a long-run read-path
+    // optimization a bounded run never benefits from. A durable 100 TB
+    // stream keeps the 60 s default — snapshots bound replay time there.
+    "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s",
+    "spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "1000")
 
   private[graft] def runBounded(spark: SparkSession, name: String,
       build: SparkSession => DataFrame, outputMode: String,
@@ -339,10 +348,16 @@ object EventStreams {
           // rethrow a failure in the watermark-only batch immediately —
           // a dead query can never flush, and spinning to the deadline
           // would surface as a row-count mismatch with the real stream
-          // exception swallowed
+          // exception swallowed. Exponential backoff (5 → 160 ms): on a
+          // loaded host a fixed fine-grained poll steals scheduler time
+          // from the very micro-batch it is waiting on; backoff keeps
+          // the fast path fast (first checks within ~15 ms) and the
+          // slow path cheap (≤ ~7 wakeups/s once the batch is slow).
+          var napMs = 5L
           while (!flushed && System.nanoTime() < deadline) {
             q.exception.foreach(e => throw e)
-            Thread.sleep(25)
+            Thread.sleep(napMs)
+            napMs = math.min(napMs * 2, 160L)
           }
           q.exception.foreach(e => throw e)
         }
