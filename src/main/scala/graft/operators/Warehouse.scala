@@ -129,20 +129,40 @@ object Warehouse {
     * isolation unit); targetFileBytes ≈ 128 MB matches the scan split
     * size so one task reads one file. Content is pinned unchanged by
     * SinkSpec's count + order-free fingerprint. */
+  /** The swap-staging siblings for a leaf directory: DOT-PREFIXED, so
+    * Spark's file/partition discovery (which skips `.`/`_` names) never
+    * sees a non-`k=v` directory inside a partitioned root while a leaf
+    * is mid-compaction. */
+  private def stagingPaths(root: java.io.File): (String, String) = {
+    val parent = Option(root.getParentFile).map(_.getPath).getOrElse(".")
+    (s"$parent/.${root.getName}.compact_tmp",
+      s"$parent/.${root.getName}.compact_old")
+  }
+
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L << 20): Int = {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     val root = new java.io.File(dir).getAbsoluteFile // normalizes "tbl/"
+    val (tmp, old) = stagingPaths(root)
     val shards = Option(root.listFiles()).getOrElse(
       throw new IllegalArgumentException(
         s"compact: $dir is not a readable directory " +
-          s"(a crashed swap leaves the data under $dir.compact_old)"))
+          s"(a crashed swap leaves the data under $old)"))
+    // LEAF directories only: called on a partitioned root, the top-level
+    // *.parquet glob would size bytes = 0 → one giant output file, while
+    // spark.read.parquet recursed into every partition — and the swap
+    // would flatten the partition columns out of the layout. Fail loud
+    // and point at the per-leaf entry point instead.
+    shards.find(f => f.isDirectory &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_")).foreach { sub =>
+      throw new IllegalArgumentException(
+        s"compact: $dir contains subdirectory ${sub.getName} — it is a " +
+          "partitioned root, not a leaf; use compactPartitioned")
+    }
     val bytes = shards
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.length()).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = root.getPath + ".compact_tmp"
-    val old = root.getPath + ".compact_old"
     // self-heal leftovers from a crashed prior run: mode(overwrite)
     // clears tmp, but a stale old dir would fail the first rename with
     // ENOTEMPTY — and that failure must be LOUD, not a silent leak
@@ -155,6 +175,38 @@ object Warehouse {
     JFiles.move(Paths.get(tmp), root.toPath, StandardCopyOption.ATOMIC_MOVE)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
     root.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  /** Per-leaf compaction over a partitioned root: walk the `k=v`
+    * directory tree to its leaves and [[compact]] each independently.
+    * Returns root-relative leaf path → file count written.
+    *
+    * Each leaf is its own rewrite + atomic swap, so (a) partition
+    * values survive untouched — the leaf DIRECTORY name carries them
+    * and only its contents are rewritten; (b) a failure mid-run leaves
+    * every other leaf intact (the leaf is the isolation unit); (c) at
+    * 100 TB the leaves are embarrassingly parallel — this sequential
+    * driver loop becomes one job per leaf (or one multi-threaded
+    * scheduler pool), because no two leaves share any state. Staging
+    * dirs are dot-prefixed siblings, invisible to a concurrent
+    * partition-discovering reader of the root. */
+  def compactPartitioned(spark: SparkSession, rootDir: String,
+                         targetFileBytes: Long = 128L << 20): Map[String, Int] = {
+    val root = new java.io.File(rootDir).getAbsoluteFile
+    require(root.isDirectory, s"compactPartitioned: $rootDir is not a directory")
+    def leaves(d: java.io.File): Seq[java.io.File] = {
+      val sub = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      if (sub.isEmpty) Seq(d) else sub.toSeq.sortBy(_.getName).flatMap(leaves)
+    }
+    leaves(root).map { leaf =>
+      val rel = root.toPath.relativize(leaf.toPath).toString match {
+        case "" => "."
+        case p => p
+      }
+      rel -> compact(spark, leaf.getPath, targetFileBytes)
+    }.toMap
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators.Similarity
 
 /** The one-pass VectorMeanAgg centroids must agree with the exploded
@@ -102,6 +103,68 @@ class SimilaritySpec extends SparkSpec {
     val (hits, nTrue, recall) = (r.getLong(0), r.getLong(1), r.getLong(2))
     assert(nTrue > 0 && hits >= 0 && hits <= nTrue)
     assert(recall == hits * 10000 / nTrue && recall <= 10000)
+  }
+
+  test("ivf-pq recall telemetry: recall@5 vs exact-L2 and vs cosine brute, per nProbe") {
+    // A MEASUREMENT, not a gate (the s09 lesson: at these corpus sizes a
+    // recall floor cannot reliably separate a working index from chance
+    // without flaking) — the test pins structure (bounds, monotonicity in
+    // nProbe at full probe count) and REPORTS the numbers; SURVEY §8.3
+    // records them per scale factor. GRAFT_RECALL_SF overrides the SF.
+    val sf = sys.env.getOrElse("GRAFT_RECALL_SF", "0.001")
+    val emb = graft.sources.Tables(spark, s"/root/testdata/sf$sf", "embeddings")
+    val queryMod = 100
+    // exact-L2 ground truth over the same quantized vectors: separates
+    // quantization+probe loss from metric mismatch (ADC is L2², the s01
+    // brute ranking is cosine — both reported)
+    val base = Similarity.quantized(emb).select(col("vec_id"), col("qv"))
+    val q = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val exactL2 = base.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2", expr("aggregate(zip_with(qv, q_qv, (x, y) -> (x - y) * (x - y)), " +
+        "cast(0 as bigint), (a, v) -> a + v)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val cosine = Similarity.knnBruteForce(emb, 5, queryMod)
+    // sweep BOTH knobs: k (cells AND codewords per subspace — the
+    // codebook budget) and nProbe (routing coverage). NOTE recall is NOT
+    // guaranteed monotone in nProbe: more probes add candidates whose
+    // UNDERESTIMATED ADC can displace true neighbors from the top-5
+    // (observed at sf0.1: k=16 nProbe 2→4 dropped 900→800). The
+    // deterministic structural law is different: at nProbe = k every
+    // cell is probed, the candidate set is the whole corpus minus self,
+    // and ivfPqTopK must EQUAL the pure ADC ranking (same distance, same
+    // (adc, vec_id) tie-break) — asserted below; the recall values
+    // themselves are telemetry, recorded in SURVEY §8.3.
+    val sweeps = Seq(4 -> Seq(1, 2, 4), 16 -> Seq(2, 4, 16))
+    sweeps.foreach { case (k, probes) =>
+      probes.foreach { nProbe =>
+        val approx = Similarity.ivfPqTopK(emb, topK = 5, queryMod = queryMod,
+          nProbe = nProbe, k = k)
+        val rL2 = Similarity.recallVsExact(approx, exactL2).collect().head
+        val rCos = Similarity.recallVsExact(approx, cosine).collect().head
+        Seq(rL2, rCos).foreach { r =>
+          assert(r.getLong(1) > 0 && r.getLong(0) >= 0 && r.getLong(0) <= r.getLong(1))
+          assert(r.getLong(2) <= 10000)
+        }
+        info(s"sf=$sf k=$k nProbe=$nProbe recall@5 ×1e4: vs exact-L2 ${rL2.getLong(2)} " +
+          s"(${rL2.getLong(0)}/${rL2.getLong(1)}), vs cosine ${rCos.getLong(2)} " +
+          s"(${rCos.getLong(0)}/${rCos.getLong(1)})")
+      }
+    }
+    // full-probe equivalence: routing at nProbe = k removes itself from
+    // the picture entirely — ivfPqTopK degenerates to pqAdcTopK exactly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id", "rk", "adc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3))
+    val full = rows(Similarity.ivfPqTopK(emb, topK = 5, queryMod = queryMod,
+      nProbe = 4, k = 4))
+    val adc = rows(Similarity.pqAdcTopK(emb, topK = 5, queryMod = queryMod, k = 4))
+    assert(full.toSeq == adc.toSeq,
+      s"full-probe IVF-PQ must equal the pure ADC ranking")
   }
 
   test("pq: exact reconstruction when clusters are pure, ADC == true L2², partition-invariant") {

@@ -68,9 +68,90 @@ class SinkSpec extends SparkSpec {
     // fingerprint (the xor alone is blind to even-multiplicity changes)
     assert(spark.read.parquet(out).count() == beforeN)
     assert(docFp(spark.read.parquet(out)) == beforeFp)
-    // staging/old dirs fully cleaned up
-    assert(!new java.io.File(out + ".compact_tmp").exists())
-    assert(!new java.io.File(out + ".compact_old").exists())
+    // staging/old dirs fully cleaned up (dot-prefixed siblings)
+    val parent = new java.io.File(out).getParentFile
+    val base = new java.io.File(out).getName
+    assert(!new java.io.File(parent, s".$base.compact_tmp").exists())
+    assert(!new java.io.File(parent, s".$base.compact_old").exists())
+  }
+
+  test("per-leaf compaction: each lang=xx leaf compacts independently, partition values intact") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = Files.createTempDirectory("graft_leafcompact").resolve("tbl").toString
+    // a partitioned root whose every leaf is fragmented
+    docs.repartition(1).write.partitionBy("lang")
+      .option("maxRecordsPerFile", 20).mode("overwrite").parquet(out)
+    def leafFiles(leaf: String) = new java.io.File(out, leaf).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val leafNames = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(leafNames.length >= 2, s"fixture needs ≥2 leaves, got ${leafNames.toSeq}")
+    assert(leafNames.forall(leafFiles(_) >= 2), "each leaf should be fragmented")
+    val beforeN = docs.count()
+    val beforeFp = docFp(spark.read.parquet(out)
+      .select(col("doc_id"), col("text"), col("lang")))
+
+    // compact() on the root must refuse — it is not a leaf
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Warehouse.compact(spark, out)
+    }
+    assert(e.getMessage.contains("compactPartitioned"), e.getMessage)
+
+    val counts = graft.operators.Warehouse.compactPartitioned(
+      spark, out, targetFileBytes = 1L << 30)
+    // one compacted file per leaf, keyed by the leaf's relative path
+    assert(counts.keySet == leafNames.toSet, s"$counts vs ${leafNames.toSeq}")
+    assert(counts.values.forall(_ == 1), counts.toString)
+    assert(leafNames.forall(leafFiles(_) == 1))
+    // partition values preserved: the read-back still carries lang from
+    // the directory names, rows + content identical
+    val back = spark.read.parquet(out)
+    assert(back.count() == beforeN)
+    assert(docFp(back.select(col("doc_id"), col("text"), col("lang"))) == beforeFp)
+    // and the partition column still prunes
+    val plan = back.filter(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+  }
+
+  test("ivf-pq layout: cid-partitioned corpus — a probe reads only the probed partition dirs") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    // the physical ANN layout SURVEY §9 promises: corpus partitioned by
+    // the TRAINED coarse quantizer's cell id, so an nProbe-cell probe is
+    // directory-level partition pruning, not a corpus scan
+    val member = Similarity.kmeansAssign(emb, 4)
+      .select(col("vec_id"), col("cluster_id").as("cid"))
+    val out = Files.createTempDirectory("graft_ivfpq").resolve("corpus").toString
+    emb.join(member, Seq("vec_id"))
+      .write.partitionBy("cid").mode("overwrite").parquet(out)
+    val cidDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(cidDirs.length == 4, s"expected 4 cells, got ${cidDirs.toSeq}")
+    def filesUnder(dirs: Seq[String]) = dirs.map(d =>
+      new java.io.File(s"$out/$d").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))).sum
+
+    // an nProbe=2 probe over two cells
+    val probed = cidDirs.take(2).map(_.stripPrefix("cid=").toLong)
+    val probe = spark.read.parquet(out)
+      .filter(col("cid").isin(probed: _*))
+    // execute through the Dataset's OWN QueryExecution (a write would
+    // plan a separate execution and leave these metrics untouched)
+    assert(probe.collect().nonEmpty, "probe returned no rows")
+    // (a) the filter reaches the scan as a PARTITION filter, and
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("cid"), plan)
+    // (b) the scan's own numFiles metric says it opened exactly the
+    // probed partitions' files — the directory-pruned read, measured,
+    // not inferred from the plan text
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail(s"no FileSourceScanExec in:\n$plan"))
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles == filesUnder(cidDirs.take(2)).toLong,
+      s"scan opened $numFiles files, probed dirs hold ${filesUnder(cidDirs.take(2))}")
+    assert(numFiles < filesUnder(cidDirs.toSeq).toLong,
+      "probe touched every partition — pruning did not happen")
   }
 
   test("schema evolution on read: mergeSchema unifies widening batches, null-fills the old ones") {
