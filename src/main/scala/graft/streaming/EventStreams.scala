@@ -304,7 +304,13 @@ object EventStreams {
     // optimization a bounded run never benefits from. A durable 100 TB
     // stream keeps the 60 s default — snapshots bound replay time there.
     "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s",
-    "spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "1000")
+    "spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "1000",
+    // per-commit exact row counting walks every store on every commit —
+    // telemetry, not correctness; the recommended production setting for
+    // commit-latency-sensitive jobs is to disable it (numRows metrics
+    // then report -1). With 4 stores × partitions per batch in the
+    // stream-stream joins this is pure fixed cost.
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false")
 
   private[graft] def runBounded(spark: SparkSession, name: String,
       build: SparkSession => DataFrame, outputMode: String,
