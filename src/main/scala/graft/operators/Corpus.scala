@@ -115,9 +115,42 @@ object Corpus {
         phone, "<PHONE>")).as("redacted_md5"))
   }
 
+  // ---------------------------------------------------------------- c05
+  /** Length-bucketed batching: documents fall into fixed-width length
+    * buckets, and batches of `batchSize` similar-length docs form inside
+    * each bucket — the padding-minimization step a training dataloader
+    * runs (a batch pads every sequence to its longest member; batching
+    * similar lengths bounds the waste to < bucketWidth per doc by
+    * construction). Batches form WITHIN deterministic (bucket, shard)
+    * cells — the c03 shard pattern: the ranking window is one bounded
+    * exchange per cell, never a global sort, and shards scale with the
+    * corpus. Emitted per batch: size, length range, and the exact
+    * padding waste Σ(max_len − len) the loader will burn — the number
+    * that justifies the bucketing. All-integer arithmetic.
+    */
+  def lengthBucketBatches(docs: DataFrame, bucketWidth: Int = 256,
+                          batchSize: Int = 16, shards: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("len"), col("doc_id"))
+    docs.select(col("doc_id"), col("n_chars").as("len"),
+        expr(s"n_chars div $bucketWidth").as("bucket"),
+        (col("doc_id") % shards).as("shard"))
+      .withColumn("rk", (row_number().over(w) - 1).cast("long"))
+      .withColumn("batch_idx", expr(s"rk div $batchSize"))
+      .groupBy(col("bucket"), col("shard"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("len")).as("min_len"), max(col("len")).as("max_len"),
+        (count(lit(1)) * max(col("len")) - sum(col("len"))).as("pad_waste"))
+      .select(col("bucket"), col("shard"), col("batch_idx"),
+        col("n_docs"), col("min_len"), col("max_len"), col("pad_waste"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_hash_split" -> ((s, d) =>
       hashSplit(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "c05_length_buckets" -> ((s, d) =>
+      lengthBucketBatches(t(s, d, "documents"))
+        .orderBy(col("bucket"), col("shard"), col("batch_idx"))),
     "c02_split_leakage" -> ((s, d) =>
       splitLeakage(t(s, d, "documents")).orderBy(col("train_id"))),
     "c03_sequence_packing" -> ((s, d) =>
@@ -127,6 +160,21 @@ object Corpus {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c05_length_buckets" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars AS len, n_chars // 256 AS bucket,
+             doc_id % 4 AS shard
+           FROM documents),
+         r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY bucket, shard ORDER BY len, doc_id) - 1 AS rk
+           FROM b)
+         SELECT bucket, shard, rk // 16 AS batch_idx,
+           count(*) AS n_docs,
+           min(len) AS min_len, max(len) AS max_len,
+           CAST(count(*) * max(len) - sum(len) AS BIGINT) AS pad_waste
+         FROM r GROUP BY bucket, shard, batch_idx
+         ORDER BY bucket, shard, batch_idx""",
     "c01_hash_split" ->
       s"""SELECT doc_id, CAST(${bucketSql("doc_id")} AS BIGINT) AS bucket,
          CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'

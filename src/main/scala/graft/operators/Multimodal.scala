@@ -237,6 +237,52 @@ object Multimodal {
     }
   }
 
+  case class PatchRow(doc_id: Long, py: Long, px: Long, px_sum: Long,
+                      px_min: Long, px_max: Long)
+
+  /** ViT-style patch grid through the real codec: decode the PNG and
+    * split the raster into non-overlapping `patch`×`patch` tiles — the
+    * tokenization step a vision transformer runs before embedding (an
+    * image becomes a sequence of patch tokens). Per patch: pixel sum,
+    * min, max (the stats a patch-normalization layer consumes). Only
+    * FULL patch rows are produced (grid height = h div patch — the m08
+    * no-partial-box policy), so the one ambiguous edge case is out by
+    * construction; zero padding INSIDE a full bottom block (n not a
+    * multiple of the raster width) is real pixel data the oracle
+    * reproduces from the byte layout. Narrow mapPartitions, codec
+    * reused + disposed per partition, no shuffle — at 100 TB this is
+    * the classic embarrassing-parallel preprocessing stage. */
+  def vitPatchStats(docs: DataFrame, patch: Int = 8): Dataset[PatchRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    encodePng(docs).mapPartitions { it =>
+      val decode = pngReader()
+      disposeOnExhaust(it.flatMap { r =>
+        val img = decode(r.png)
+        val raster = img.getRaster
+        val gridH = img.getHeight / patch
+        val gridW = img.getWidth / patch
+        for {
+          py <- (0 until gridH).iterator
+          px <- (0 until gridW).iterator
+        } yield {
+          var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var y = py * patch
+          while (y < (py + 1) * patch) {
+            var x = px * patch
+            while (x < (px + 1) * patch) {
+              val v = raster.getSample(x, y, 0).toLong
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          PatchRow(r.doc_id, py.toLong, px.toLong, s, mn, mx)
+        }
+      })(decode.dispose())
+    }
+  }
+
   case class AudioFrame(doc_id: Long, frame_idx: Long, energy: Long,
                         zero_crossings: Long)
 
@@ -377,7 +423,12 @@ object Multimodal {
     // raw-PCM audio frames: DC-removed energy + zero crossings
     "m09_audio_frames" -> ((s, d) =>
       audioFrameStats(t(s, d, "documents")).toDF()
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+    // ViT patch tokenization through the decode path: 8×8 tiles of the
+    // decoded raster with per-patch sum/min/max
+    "m10_vit_patches" -> ((s, d) =>
+      vitPatchStats(t(s, d, "documents")).toDF()
+        .orderBy(col("doc_id"), col("py"), col("px")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -463,6 +514,30 @@ object Multimodal {
            CAST(COALESCE(list_sum(list_transform(range(1, len(v)),
              i -> CASE WHEN (v[i] - mu) * (v[i + 1] - mu) < 0 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
          FROM m ORDER BY doc_id, frame_idx""",
+    // patch (py, px) covers raster positions (py*8+j//8, px*8+j%8) for
+    // j in 0..63; position p holds byte p of the text when p < n, else
+    // the encoder's zero padding — decoded pixels ≡ this byte layout
+    // because grayscale PNG is lossless
+    "m10_vit_patches" ->
+      """WITH c AS (
+           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n, text,
+             unnest(range(0, greatest(1, CAST(ceil(octet_length(encode(text)) / 32.0)
+               AS BIGINT)) // 8)) AS py
+           FROM documents),
+         p AS (
+           SELECT doc_id, n, text, py, unnest(range(0, 4)) AS px FROM c),
+         v AS (
+           SELECT doc_id, py, px,
+             list_transform(range(0, 64), j ->
+               CASE WHEN (py * 8 + j // 8) * 32 + px * 8 + j % 8 < n
+                 THEN ord(text[CAST((py * 8 + j // 8) * 32 + px * 8 + j % 8 + 1 AS BIGINT)])
+                 ELSE 0 END) AS vals
+           FROM p)
+         SELECT doc_id, py, px,
+           CAST(list_sum(vals) AS BIGINT) AS px_sum,
+           CAST(list_min(vals) AS BIGINT) AS px_min,
+           CAST(list_max(vals) AS BIGINT) AS px_max
+         FROM v ORDER BY doc_id, py, px""",
     "m07_frame_pixel_stats" ->
       """WITH c AS (
            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n, text,

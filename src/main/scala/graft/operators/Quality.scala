@@ -132,7 +132,31 @@ object Quality {
       .select(col("key"), col("change"))
   }
 
+  /** Key-skew profile — the diagnostic a shuffle-planning decision
+    * (salting, AQE skew thresholds, broadcast cutoffs) is made FROM: the
+    * exact row share of the `topN` hottest keys of a prospective
+    * join/groupBy column, in parts-per-million (integer-exact, no
+    * float drift). Two-level shape: per-key counts partial-aggregate
+    * map-side (one shuffle on the key), the total rides a 1-row
+    * broadcast, and the global top-N is a TakeOrdered over the count
+    * table (K rows, never a full sort of it). At 100 TB this runs as a
+    * sampled pre-pass or over the count table of an existing job. */
+  def keySkewProfile(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("n"),
+        expr("n * 1000000L div total").as("share_ppm"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the hottest event keys with exact ppm shares — the input to any
+    // salting/broadcast decision on this column
+    "v07_key_skew" -> ((s, d) =>
+      keySkewProfile(t(s, d, "events"), "user_id")),
     // the "new" snapshot is a deterministic mutation of customer:
     // custkey % 11 == 0 gets a balance bump (changed), % 13 == 0 is
     // dropped (removed), and a shifted-id copy of % 17 == 0 is added
@@ -187,6 +211,12 @@ object Quality {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v07_key_skew" ->
+      """WITH c AS (
+           SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),
+         t AS (SELECT sum(n) AS total FROM c)
+         SELECT key, n, CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+         FROM c, t ORDER BY n DESC, key LIMIT 10""",
     // the oracle needs no hashing: only c_acctbal can differ, so a
     // direct value compare reaches the same ADDED/REMOVED/CHANGED
     // verdicts the md5 comparison does

@@ -371,6 +371,42 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("adc"))
   }
 
+  /** Two-stage retrieve + re-rank — the production ANN SERVING pattern
+    * on top of the s14 index: stage 1 retrieves a `shortlist`-sized
+    * candidate set in the compressed domain ([[ivfPqTopK]]: trained
+    * coarse routing + ADC — cheap, m-byte codes); stage 2 re-scores
+    * ONLY those candidates against the raw vectors with the exact
+    * integer cosine and returns the top-k. This is how a 100 TB corpus
+    * answers with near-exact quality at index cost: the expensive exact
+    * arithmetic touches nq·shortlist rows, never nq·n.
+    *
+    * Scale: the shortlist (nq·shortlist rows) BROADCASTS to meet the
+    * corpus on vec_id — the corpus never shuffles; query vectors ride a
+    * second broadcast; WindowGroupLimit bounds the final sort. With
+    * shortlist ≥ the probed candidate count the result is EXACTLY the
+    * probed-set cosine ranking (SimilaritySpec pins full-probe+full-
+    * shortlist ≡ brute force). */
+  def retrieveRerank(emb: DataFrame, topK: Int = 5, shortlist: Int = 25,
+                     queryMod: Int = 400, nProbe: Int = IvfNProbe,
+                     m: Int = 8, subDim: Int = 8, k: Int = 4): DataFrame = {
+    val cands = ivfPqTopK(emb, shortlist, queryMod, nProbe, m, subDim, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val base = quantized(emb)
+    val corpus = base.select(col("vec_id").as("neighbor_id"),
+      col("qv").as("c_qv"), col("nrm").as("c_nrm"))
+    val qvec = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(qvec), Seq("q_id"))
+      .withColumn("cos",
+        idot("c_qv", "q_qv").cast("double") / (col("c_nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("neighbor_id"), col("rk"), col("cos"))
+  }
+
   /** Seed-derived ±1 random hyperplanes — the ONE shared definition:
     * the Spark signature expression and the DuckDB oracle mirror are
     * both generated from this array, so the two engines cannot drift. */
@@ -760,6 +796,11 @@ object Similarity {
     // domain ADC — the full 100 TB ANN layout under ONE value oracle
     "s14_ivfpq_topk" -> ((s, d) =>
       ivfPqTopK(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    // two-stage serve: s14 shortlist (compressed domain) → exact-cosine
+    // re-rank of only those candidates — near-exact answers at index
+    // cost; the oracle replays both stages
+    "s16_retrieve_rerank" -> ((s, d) =>
+      retrieveRerank(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     // index persistence: serve ADC from the parquet-SAVED index — same
     // oracle as s13, so persistence is pinned invisible to results.
     // Eager write at build time + per-(pid, sf) overwritten path is the
@@ -836,6 +877,63 @@ object Similarity {
            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
            FROM enc) WHERE rk = 1)"""
 
+  /** The IVF-PQ pipeline CTEs (coarse training kc* — the s11 recurrence
+    * — routing, ADC against the pqTrainSql codes), ending at `ranked`
+    * (q_id, neighbor_id, adc, rk). Appended to [[pqTrainSql]]; shared by
+    * the s14 oracle (rk ≤ 5 head) and the s16 oracle (rk ≤ 25 shortlist
+    * + exact-cosine re-rank) so both replay ONE chain definition. */
+  private val ivfPqChainSql: String = """,
+       kc0 AS (
+         SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 4),
+       kd1 AS (
+         SELECT q.vec_id, q.qv, kc0.cid,
+           CAST(list_sum(list_transform(range(1, 65),
+             i -> (q.qv[i] - kc0.cv[i]) * (q.qv[i] - kc0.cv[i]))) AS BIGINT) AS d2
+         FROM q CROSS JOIN kc0),
+       ka1 AS (
+         SELECT vec_id, qv, cid FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+           FROM kd1) WHERE rk = 1),
+       km AS (
+         SELECT cid, i AS dim,
+           CAST(floor(sum(qv[i]) / count(*)) AS BIGINT) AS mv
+         FROM ka1, (SELECT unnest(range(1, 65)) AS i)
+         GROUP BY cid, i),
+       kc1 AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM km GROUP BY cid),
+       kdd AS (
+         SELECT q.vec_id, kc1.cid,
+           CAST(list_sum(list_transform(range(1, 65),
+             i -> (q.qv[i] - kc1.cv[i]) * (q.qv[i] - kc1.cv[i]))) AS BIGINT) AS d2
+         FROM q CROSS JOIN kc1),
+       kassign AS (
+         SELECT vec_id, cid FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+           FROM kdd) WHERE rk = 1),
+       kroute AS (
+         SELECT vec_id AS q_id, cid FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+           FROM kdd WHERE vec_id % 400 = 0) WHERE rk <= 2),
+       qs AS (SELECT vec_id AS q_id, s, sub AS qsub
+              FROM sub WHERE vec_id % 400 = 0),
+       dtab AS (
+         SELECT qs.q_id, c1.s, c1.cid AS code,
+           CAST(list_sum(list_transform(range(1, 9),
+             i -> (qs.qsub[i] - c1.cv[i]) * (qs.qsub[i] - c1.cv[i]))) AS BIGINT) AS dq
+         FROM qs JOIN c1 ON qs.s = c1.s),
+       cand AS (
+         SELECT r.q_id, a.vec_id
+         FROM kassign a JOIN kroute r ON a.cid = r.cid AND a.vec_id != r.q_id),
+       adc AS (
+         SELECT cand.q_id, cand.vec_id, CAST(sum(d.dq) AS BIGINT) AS adc
+         FROM cand
+         JOIN code c ON c.vec_id = cand.vec_id
+         JOIN dtab d ON d.q_id = cand.q_id AND d.s = c.s AND d.code = c.code
+         GROUP BY cand.q_id, cand.vec_id),
+       ranked AS (
+         SELECT q_id, vec_id AS neighbor_id, adc,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rk
+         FROM adc)"""
+
   def oracleSql: Map[String, String] = {
     val qv = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
     val base = Map(
@@ -891,59 +989,33 @@ object Similarity {
       // chain (via pqTrainSql) composed — one oracle replays the whole
       // IVF-PQ pipeline end to end
       "s14_ivfpq_topk" ->
-        (pqTrainSql(qv) + """,
-           kc0 AS (
-             SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 4),
-           kd1 AS (
-             SELECT q.vec_id, q.qv, kc0.cid,
-               CAST(list_sum(list_transform(range(1, 65),
-                 i -> (q.qv[i] - kc0.cv[i]) * (q.qv[i] - kc0.cv[i]))) AS BIGINT) AS d2
-             FROM q CROSS JOIN kc0),
-           ka1 AS (
-             SELECT vec_id, qv, cid FROM (
-               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
-               FROM kd1) WHERE rk = 1),
-           km AS (
-             SELECT cid, i AS dim,
-               CAST(floor(sum(qv[i]) / count(*)) AS BIGINT) AS mv
-             FROM ka1, (SELECT unnest(range(1, 65)) AS i)
-             GROUP BY cid, i),
-           kc1 AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM km GROUP BY cid),
-           kdd AS (
-             SELECT q.vec_id, kc1.cid,
-               CAST(list_sum(list_transform(range(1, 65),
-                 i -> (q.qv[i] - kc1.cv[i]) * (q.qv[i] - kc1.cv[i]))) AS BIGINT) AS d2
-             FROM q CROSS JOIN kc1),
-           kassign AS (
-             SELECT vec_id, cid FROM (
-               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
-               FROM kdd) WHERE rk = 1),
-           kroute AS (
-             SELECT vec_id AS q_id, cid FROM (
-               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
-               FROM kdd WHERE vec_id % 400 = 0) WHERE rk <= 2),
-           qs AS (SELECT vec_id AS q_id, s, sub AS qsub
-                  FROM sub WHERE vec_id % 400 = 0),
-           dtab AS (
-             SELECT qs.q_id, c1.s, c1.cid AS code,
-               CAST(list_sum(list_transform(range(1, 9),
-                 i -> (qs.qsub[i] - c1.cv[i]) * (qs.qsub[i] - c1.cv[i]))) AS BIGINT) AS dq
-             FROM qs JOIN c1 ON qs.s = c1.s),
-           cand AS (
-             SELECT r.q_id, a.vec_id
-             FROM kassign a JOIN kroute r ON a.cid = r.cid AND a.vec_id != r.q_id),
-           adc AS (
-             SELECT cand.q_id, cand.vec_id, CAST(sum(d.dq) AS BIGINT) AS adc
-             FROM cand
-             JOIN code c ON c.vec_id = cand.vec_id
-             JOIN dtab d ON d.q_id = cand.q_id AND d.s = c.s AND d.code = c.code
-             GROUP BY cand.q_id, cand.vec_id),
-           ranked AS (
-             SELECT q_id, vec_id AS neighbor_id, adc,
-               row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rk
-             FROM adc)
+        (pqTrainSql(qv) + ivfPqChainSql + """
            SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, adc
            FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""),
+      // stage-1 shortlist = the s14 chain at rk ≤ 25; stage 2 re-scores
+      // those candidates with the exact integer cosine (the s01
+      // arithmetic) — the oracle replays the full two-stage serve
+      "s16_retrieve_rerank" ->
+        (pqTrainSql(qv) + ivfPqChainSql + """,
+           short AS (
+             SELECT q_id, neighbor_id FROM ranked WHERE rk <= 25),
+           nn AS (
+             SELECT vec_id, qv,
+               sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+             FROM q),
+           rr AS (
+             SELECT s.q_id, s.neighbor_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> c.qv[i] * qq.qv[i])) AS DOUBLE) / (c.nrm * qq.nrm) AS cos
+             FROM short s
+             JOIN nn c ON c.vec_id = s.neighbor_id
+             JOIN nn qq ON qq.vec_id = s.q_id),
+           rranked AS (
+             SELECT q_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+             FROM rr)
+           SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cos
+           FROM rranked WHERE rk <= 5 ORDER BY q_id, rk"""),
       "s11_kmeans_2iter" ->
         s"""WITH q AS (
              SELECT vec_id, $qv AS qv FROM embeddings),

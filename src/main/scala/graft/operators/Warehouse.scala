@@ -319,6 +319,30 @@ object Warehouse {
           max(col("l_shipdate")).as("last_ship"))
         .orderBy(col("l_linestatus"))
     }),
+    // JSON-lines interchange, the third text-format twin (q53 ORC, q69
+    // CSV): the at-the-edge ingestion format for event feeds. Jackson
+    // writes doubles shortest-roundtrip and dates as ISO strings; the
+    // read-back uses the writer's own schema (inference on JSON is the
+    // same silent-corruption source the q69 comment names — worse here,
+    // since JSON would widen absent fields to string)
+    "q71_json_roundtrip" -> ((s, d) => {
+      // per-(process, dataset) path — see q53's rationale
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_json_slice_${ProcessHandle.current().pid()}_" +
+          java.nio.file.Paths.get(d).getFileName).toString
+      val slice = t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 25)
+        .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate"))
+      slice.write.mode("overwrite").json(out)
+      s.read.schema(slice.schema).json(out)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          max(col("l_shipdate")).as("last_ship"))
+        .orderBy(col("l_linestatus"))
+    }),
     // Z-order layout key: morton-interleave two filter dimensions into
     // one clustering key (native codegen'd expression — see
     // functions/InterleaveBits.scala). `tile` = the 10-bit-coarse z
@@ -405,6 +429,13 @@ object Warehouse {
     // identical aggregate contract to q53 — the format under test is
     // the only difference, so the same oracle text pins the roundtrip
     "q69_csv_roundtrip" ->
+      """SELECT l_linestatus, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         max(l_shipdate) AS last_ship
+         FROM lineitem WHERE l_quantity >= 25
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q71_json_roundtrip" ->
       """SELECT l_linestatus, count(*) AS n_items,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

@@ -12,6 +12,32 @@ class CorpusSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def docs = graft.sources.Tables(spark, sf, "documents")
 
+  test("length buckets: batch bound, bucket homogeneity, one partial batch per cell, waste law") {
+    val batches = Corpus.lengthBucketBatches(docs).collect()
+    assert(batches.nonEmpty)
+    batches.foreach { r =>
+      val (bucket, n) = (r.getLong(0), r.getLong(3))
+      val (mn, mx, waste) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(n >= 1 && n <= 16, s"batch size $n out of [1,16]")
+      // every member's length lies in the batch's bucket ⇒ the range the
+      // waste can span is < bucketWidth
+      assert(mn >= bucket * 256 && mx < (bucket + 1) * 256,
+        s"bucket $bucket holds lengths [$mn,$mx]")
+      // padding waste is bounded by construction: each non-max member
+      // wastes < bucketWidth
+      assert(waste >= 0 && waste <= (n - 1) * 255, s"waste $waste vs n=$n")
+    }
+    // conservation: every document lands in exactly one batch
+    assert(batches.map(_.getLong(3)).sum == docs.count())
+    // within a (bucket, shard) cell only the LAST batch may be partial
+    batches.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (cell, rs) =>
+      assert(rs.count(_.getLong(3) < 16) <= 1, s"cell $cell has >1 partial batch")
+      val partialIdx = rs.filter(_.getLong(3) < 16).map(_.getLong(2))
+      val maxIdx = rs.map(_.getLong(2)).max
+      assert(partialIdx.forall(_ == maxIdx), s"cell $cell: partial batch not last")
+    }
+  }
+
   test("hash split: deterministic, id-stable, ~80/10/10") {
     val s1 = Corpus.hashSplit(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     val s2 = Corpus.hashSplit(docs.orderBy(col("doc_id").desc))

@@ -23,7 +23,11 @@ class MultimodalSpec extends SparkSpec {
     2L -> Array.tabulate[Byte](32)(i => i.toByte),
     3L -> Array.tabulate[Byte](33)(i => ((i * 3) % 128).toByte),
     4L -> Array.tabulate[Byte](128)(i => i.toByte),
-    5L -> "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
+    5L -> "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"),
+    // ≥ 256 bytes: tall enough (h ≥ 8) to produce a full 8×8 patch row,
+    // with a padded tail INSIDE the bottom block (300 = 9 rows + 12) —
+    // the m10 edge the grid stats must reproduce
+    6L -> Array.tabulate[Byte](300)(i => ((i * 7) % 128).toByte))
 
   private def docsDF = samples
     .map { case (id, b) => (id, new String(b.map(x => (x & 0xff).toChar))) }
@@ -62,6 +66,27 @@ class MultimodalSpec extends SparkSpec {
       // zero padding beyond the payload
       (bytes.length until img.getWidth * img.getHeight).foreach { j =>
         assert(raster.getSample(j % 32, j / 32, 0) == 0, s"doc $id: pad pixel $j non-zero")
+      }
+    }
+  }
+
+  test("vit patches: 8×8 tile stats == direct byte arithmetic, full blocks only") {
+    val got = Multimodal.vitPatchStats(docsDF).collect().groupBy(_.doc_id)
+    for ((id, bytes) <- samples) {
+      val h = math.max(1, (bytes.length + 31) / 32)
+      val gridH = h / 8
+      val rows = got.getOrElse(id, Array.empty)
+      // full patch rows only: docs shorter than 8 raster rows emit none
+      assert(rows.length == gridH * 4,
+        s"doc $id: ${rows.length} patches, expected ${gridH * 4}")
+      rows.foreach { pr =>
+        val vals = (0 until 64).map { j =>
+          val pos = (pr.py.toInt * 8 + j / 8) * 32 + pr.px.toInt * 8 + j % 8
+          if (pos < bytes.length) bytes(pos) & 0xff else 0
+        }
+        assert(pr.px_sum == vals.map(_.toLong).sum, s"doc $id patch (${pr.py},${pr.px}) sum")
+        assert(pr.px_min == vals.min.toLong && pr.px_max == vals.max.toLong,
+          s"doc $id patch (${pr.py},${pr.px}) min/max")
       }
     }
   }

@@ -167,6 +167,22 @@ class SimilaritySpec extends SparkSpec {
       s"full-probe IVF-PQ must equal the pure ADC ranking")
   }
 
+  test("retrieve+rerank: full probe + full shortlist degenerates to brute force exactly") {
+    // with every cell probed and an uncapped shortlist, stage 1 passes
+    // the whole corpus through and stage 2's exact cosine ranking IS the
+    // s01 brute force — same integer dot, same norms, same (cos desc,
+    // neighbor_id) ties ⇒ bit-identical doubles, not approximate
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id", "rk", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3))
+    val got = rows(Similarity.retrieveRerank(emb, topK = 5, shortlist = 10000,
+      queryMod = 100, nProbe = 4))
+    val want = rows(Similarity.knnBruteForce(emb, 5, 100))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("pq: exact reconstruction when clusters are pure, ADC == true L2², partition-invariant") {
     import spark.implicits._
     // 4 patterns, 16-milli apart in every dim, each repeated 3× — after
