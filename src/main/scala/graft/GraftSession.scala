@@ -29,5 +29,14 @@ object GraftSession {
       // with a previous run's leftover directories
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // State-store maintenance runs on ONE per-JVM task whose interval
+      // is pinned by the FIRST stateful query's conf — setting it only
+      // in EventStreams.RocksDbConf would be a no-op whenever a
+      // default-conf stateful query ran first in the JVM. Every entry
+      // point here runs bounded, seconds-long streams over throwaway
+      // checkpoints, so deferring background snapshot consolidation
+      // JVM-wide is always right; a durable 100 TB deployment keeps
+      // the 60 s default (snapshots bound replay time there).
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       .config("spark.ui.enabled", "false")
 }

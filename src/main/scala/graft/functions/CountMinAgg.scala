@@ -45,10 +45,13 @@ class CountMinAgg(depth: Int, width: Int, hashFamily: String = "md5")
   // the md5 family draws buckets from the first two digest bytes
   // (0..65535): a width beyond that range would leave buckets ≥ 65536
   // permanently empty and silently skew every estimate (the DuckDB
-  // mirror shares the limitation, so oracles could never catch it)
+  // mirror shares the limitation, so oracles could never catch it).
+  // The xx family folds a full 64-bit hash, so ANY positive width
+  // fills — no cap there (production widths go well past 2¹⁶)
   require(depth > 0, s"CMS depth must be positive: $depth")
-  require(width > 0 && width <= 65536,
-    s"CMS width must be in (0, 65536]: $width")
+  require(width > 0, s"CMS width must be positive: $width")
+  require(hashFamily != "md5" || width <= 65536,
+    s"md5-family CMS width must be ≤ 65536 (two digest bytes): $width")
 
   @transient private lazy val md =
     java.security.MessageDigest.getInstance("MD5")

@@ -282,6 +282,11 @@ object Relational {
     //      the raw column. Halves the fact-table aggregation work.
     "q60_approx_distinct_pin" -> ((s, d) => {
       t(s, d, "lineitem")
+        // NULL partkeys out first: countDistinct (the pre-r8 form) and
+        // approx_count_distinct both ignore NULLs, but count(*) over the
+        // deduped set would tally a NULL group — a spurious +1 on
+        // exact_n on any dataset with NULL keys
+        .filter(col("l_partkey").isNotNull)
         .select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_n"),

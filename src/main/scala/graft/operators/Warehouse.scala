@@ -139,11 +139,30 @@ object Warehouse {
       s"$parent/.${root.getName}.compact_old")
   }
 
+  /** Recover a directory stranded by a crash between [[compact]]'s two
+    * renames: the data then lives ONLY under the dot-prefixed
+    * `.name.compact_old` sibling — which Spark's discovery and the
+    * [[compactPartitioned]] walk both skip — so it MUST be moved back
+    * before anything else reads or compacts the tree. Returns true if a
+    * restore happened. */
+  private def restoreIfStranded(target: java.io.File): Boolean = {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val (_, old) = stagingPaths(target)
+    if (!target.exists() && new java.io.File(old).isDirectory) {
+      JFiles.move(Paths.get(old), target.toPath, StandardCopyOption.ATOMIC_MOVE)
+      true
+    } else false
+  }
+
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L << 20): Int = {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     val root = new java.io.File(dir).getAbsoluteFile // normalizes "tbl/"
     val (tmp, old) = stagingPaths(root)
+    // self-heal a crash BETWEEN the two renames of a prior run: the data
+    // sits only under the hidden old path — restore it (loudly visible
+    // in the fact that compact proceeds rather than throwing)
+    restoreIfStranded(root)
     val shards = Option(root.listFiles()).getOrElse(
       throw new IllegalArgumentException(
         s"compact: $dir is not a readable directory " +
@@ -195,6 +214,18 @@ object Warehouse {
     val root = new java.io.File(rootDir).getAbsoluteFile
     require(root.isDirectory, s"compactPartitioned: $rootDir is not a directory")
     def leaves(d: java.io.File): Seq[java.io.File] = {
+      // FIRST restore any child stranded mid-swap by a crashed prior
+      // run — its data hides under a dot-prefixed .child.compact_old
+      // this walk (and every Spark reader) would otherwise skip,
+      // silently dropping the partition from the result
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith(".") &&
+          f.getName.endsWith(".compact_old"))
+        .foreach { o =>
+          val target = new java.io.File(d,
+            o.getName.stripPrefix(".").stripSuffix(".compact_old"))
+          restoreIfStranded(target)
+        }
       val sub = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.isDirectory &&
           !f.getName.startsWith(".") && !f.getName.startsWith("_"))
@@ -208,6 +239,46 @@ object Warehouse {
       rel -> compact(spark, leaf.getPath, targetFileBytes)
     }.toMap
   }
+
+  /** The ONE interchange-roundtrip kernel behind q53/q69/q71: the same
+    * lineitem slice through a format's write→read cycle, then the same
+    * decimal-exact aggregate — so the three format pins can never
+    * desynchronize (they share this slice, this aggregate, and ONE
+    * oracle text). Per-(process, dataset) output path + overwrite:
+    * repeated runs within one JVM rewrite one slice instead of leaking
+    * temp dirs; the pid keeps concurrent graft JVMs off each other's
+    * slice; the sf suffix keeps a second scale factor in the SAME JVM
+    * from clobbering files under a not-yet-collected first DataFrame. */
+  private def formatRoundtrip(s: SparkSession, d: String, fmt: String,
+      write: (DataFrame, String) => Unit,
+      read: (org.apache.spark.sql.types.StructType, String) => DataFrame): DataFrame = {
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_${fmt}_slice_${ProcessHandle.current().pid()}_" +
+        java.nio.file.Paths.get(d).getFileName).toString
+    val slice = t(s, d, "lineitem")
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+    write(slice, out)
+    read(slice.schema, out)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** The roundtrip oracle — aggregates the q53/q69/q71 slice straight
+    * from parquet, so any format lossiness breaks the hash; shared by
+    * all three so the contract is literally one text. */
+  private val RoundtripOracleSql =
+    """SELECT l_linestatus, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       max(l_shipdate) AS last_ship
+       FROM lineitem WHERE l_quantity >= 25
+       GROUP BY l_linestatus ORDER BY l_linestatus"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_scd2_intervals" -> ((s, d) =>
@@ -250,29 +321,10 @@ object Warehouse {
     // → read back → aggregate. Oracle aggregates the same slice straight
     // from parquet, so any roundtrip lossiness (types, ms timestamps,
     // nulls) breaks the hash match.
-    "q53_orc_roundtrip" -> ((s, d) => {
-      // per-(process, dataset) path + overwrite: repeated runs within
-      // one JVM rewrite ONE multi-MB slice instead of leaking a fresh
-      // temp dir per invocation; the pid keeps concurrent graft JVMs
-      // (bench overlapping verify) off each other's slice, and the sf
-      // suffix keeps a second scale factor built in the SAME JVM from
-      // clobbering the files under a not-yet-collected first DataFrame
-      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_orc_slice_${ProcessHandle.current().pid()}_" +
-          java.nio.file.Paths.get(d).getFileName).toString
-      t(s, d, "lineitem")
-        .filter(col("l_quantity") >= 25)
-        .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),
-          col("l_extendedprice"), col("l_shipdate"))
-        .write.mode("overwrite").orc(out)
-      s.read.orc(out)
-        .groupBy(col("l_linestatus"))
-        .agg(count(lit(1)).as("n_items"),
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_price"),
-          max(col("l_shipdate")).as("last_ship"))
-        .orderBy(col("l_linestatus"))
-    }),
+    "q53_orc_roundtrip" -> ((s, d) =>
+      formatRoundtrip(s, d, "orc",
+        (df, out) => df.write.mode("overwrite").orc(out),
+        (_, out) => s.read.orc(out))),
     // incremental materialized-view maintenance: a standing aggregate
     // updated from a delta batch by MERGING PARTIALS (counts add,
     // exact-decimal sums add — both order-independent), never
@@ -301,48 +353,19 @@ object Warehouse {
     // the decimal-cast aggregate stays oracle-identical; the read-back
     // uses the writer's own schema (no inference — a schema drift there
     // is a silent-corruption source at scale)
-    "q69_csv_roundtrip" -> ((s, d) => {
-      // per-(process, dataset) path — see q53's rationale
-      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_csv_slice_${ProcessHandle.current().pid()}_" +
-          java.nio.file.Paths.get(d).getFileName).toString
-      val slice = t(s, d, "lineitem")
-        .filter(col("l_quantity") >= 25)
-        .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),
-          col("l_extendedprice"), col("l_shipdate"))
-      slice.write.mode("overwrite").option("header", "true").csv(out)
-      s.read.schema(slice.schema).option("header", "true").csv(out)
-        .groupBy(col("l_linestatus"))
-        .agg(count(lit(1)).as("n_items"),
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_price"),
-          max(col("l_shipdate")).as("last_ship"))
-        .orderBy(col("l_linestatus"))
-    }),
-    // JSON-lines interchange, the third text-format twin (q53 ORC, q69
-    // CSV): the at-the-edge ingestion format for event feeds. Jackson
-    // writes doubles shortest-roundtrip and dates as ISO strings; the
-    // read-back uses the writer's own schema (inference on JSON is the
-    // same silent-corruption source the q69 comment names — worse here,
-    // since JSON would widen absent fields to string)
-    "q71_json_roundtrip" -> ((s, d) => {
-      // per-(process, dataset) path — see q53's rationale
-      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_json_slice_${ProcessHandle.current().pid()}_" +
-          java.nio.file.Paths.get(d).getFileName).toString
-      val slice = t(s, d, "lineitem")
-        .filter(col("l_quantity") >= 25)
-        .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"),
-          col("l_extendedprice"), col("l_shipdate"))
-      slice.write.mode("overwrite").json(out)
-      s.read.schema(slice.schema).json(out)
-        .groupBy(col("l_linestatus"))
-        .agg(count(lit(1)).as("n_items"),
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_price"),
-          max(col("l_shipdate")).as("last_ship"))
-        .orderBy(col("l_linestatus"))
-    }),
+    "q69_csv_roundtrip" -> ((s, d) =>
+      formatRoundtrip(s, d, "csv",
+        (df, out) => df.write.mode("overwrite").option("header", "true").csv(out),
+        (schema, out) => s.read.schema(schema).option("header", "true").csv(out))),
+    // JSON-lines interchange, the third format twin (q53 ORC, q69 CSV):
+    // the at-the-edge ingestion format for event feeds. Jackson writes
+    // doubles shortest-roundtrip and dates as ISO strings; the explicit
+    // read-back schema is doubly load-bearing here, since JSON inference
+    // would silently widen fields to string
+    "q71_json_roundtrip" -> ((s, d) =>
+      formatRoundtrip(s, d, "json",
+        (df, out) => df.write.mode("overwrite").json(out),
+        (schema, out) => s.read.schema(schema).json(out))),
     // Z-order layout key: morton-interleave two filter dimensions into
     // one clustering key (native codegen'd expression — see
     // functions/InterleaveBits.scala). `tile` = the 10-bit-coarse z
@@ -413,13 +436,7 @@ object Warehouse {
                 ELSE 'keep' END AS action
          FROM snapshot t FULL OUTER JOIN changes s ON t.custkey = s.custkey
          ORDER BY custkey""",
-    "q53_orc_roundtrip" ->
-      """SELECT l_linestatus, count(*) AS n_items,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-         max(l_shipdate) AS last_ship
-         FROM lineitem WHERE l_quantity >= 25
-         GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q53_orc_roundtrip" -> RoundtripOracleSql,
     // the full recompute — hash-equality against it IS the
     // incremental-maintenance correctness claim
     "q70_incremental_agg" ->
@@ -427,20 +444,8 @@ object Warehouse {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // identical aggregate contract to q53 — the format under test is
-    // the only difference, so the same oracle text pins the roundtrip
-    "q69_csv_roundtrip" ->
-      """SELECT l_linestatus, count(*) AS n_items,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-         max(l_shipdate) AS last_ship
-         FROM lineitem WHERE l_quantity >= 25
-         GROUP BY l_linestatus ORDER BY l_linestatus""",
-    "q71_json_roundtrip" ->
-      """SELECT l_linestatus, count(*) AS n_items,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-         max(l_shipdate) AS last_ship
-         FROM lineitem WHERE l_quantity >= 25
-         GROUP BY l_linestatus ORDER BY l_linestatus"""
+    // the only difference, so the SAME oracle text pins all roundtrips
+    "q69_csv_roundtrip" -> RoundtripOracleSql,
+    "q71_json_roundtrip" -> RoundtripOracleSql
   )
 }

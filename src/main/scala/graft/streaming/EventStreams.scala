@@ -297,13 +297,12 @@ object EventStreams {
     // reason (commit latency decoupled from state size).
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
     // Background maintenance (snapshot consolidation + old-version GC)
-    // competes with the micro-batches for the same cores. These queries
-    // run seconds and their checkpoints are deleted on exit, so defer
-    // maintenance past the query's lifetime: changelog commits alone
-    // carry correctness; consolidation is purely a long-run read-path
-    // optimization a bounded run never benefits from. A durable 100 TB
-    // stream keeps the 60 s default — snapshots bound replay time there.
-    "spark.sql.streaming.stateStore.maintenanceInterval" -> "600s",
+    // competes with the micro-batches for the same cores; changelog
+    // commits alone carry correctness for these bounded runs. The
+    // maintenance INTERVAL itself lives in GraftSession (it is pinned
+    // per-JVM by the first stateful query, so a per-query conf here
+    // could silently not apply); the per-store snapshot threshold does
+    // honor per-query conf and is raised here.
     "spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "1000",
     // per-commit exact row counting walks every store on every commit —
     // telemetry, not correctness; the recommended production setting for

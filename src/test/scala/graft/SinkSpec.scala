@@ -113,6 +113,32 @@ class SinkSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
   }
 
+  test("per-leaf compaction self-heals a leaf stranded mid-swap (crash between renames)") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = Files.createTempDirectory("graft_strand").resolve("tbl").toString
+    docs.repartition(1).write.partitionBy("lang")
+      .option("maxRecordsPerFile", 20).mode("overwrite").parquet(out)
+    val beforeN = docs.count()
+    val beforeFp = docFp(spark.read.parquet(out)
+      .select(col("doc_id"), col("text"), col("lang")))
+    // simulate the crash window: first rename done, second never ran —
+    // one leaf's data lives ONLY under its hidden .leaf.compact_old
+    val leaf = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang=")).minBy(_.getName)
+    val hidden = new java.io.File(leaf.getParentFile, s".${leaf.getName}.compact_old")
+    java.nio.file.Files.move(leaf.toPath, hidden.toPath)
+    assert(!leaf.exists() && hidden.isDirectory)
+    // a naive reader would now silently drop the partition...
+    val counts = graft.operators.Warehouse.compactPartitioned(
+      spark, out, targetFileBytes = 1L << 30)
+    // ...but the walk restores it, compacts it, and loses nothing
+    assert(counts.contains(leaf.getName), s"stranded leaf missing from $counts")
+    assert(leaf.isDirectory && !hidden.exists())
+    val back = spark.read.parquet(out)
+    assert(back.count() == beforeN)
+    assert(docFp(back.select(col("doc_id"), col("text"), col("lang"))) == beforeFp)
+  }
+
   test("ivf-pq layout: cid-partitioned corpus — a probe reads only the probed partition dirs") {
     import graft.operators.Similarity
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
