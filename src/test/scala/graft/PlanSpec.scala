@@ -37,6 +37,33 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly the output-sort exchange, got $exchanges:\n$p")
   }
 
+  test("v07: key-skew profile is a TakeOrdered over the count table, never a global sort") {
+    val p = plan("v07_key_skew")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N lost its TakeOrdered:\n$p")
+    // the only exchange is the per-key count's partial→final shuffle;
+    // the total rides a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"total lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("s16: retrieve+rerank — shortlist and query vectors broadcast, corpus never SMJs") {
+    val p = plan("s16_retrieve_rerank")
+    assert(p.contains("BroadcastHashJoin"), s"rerank joins lost their broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ crept into rerank:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the native codegen'd dot product, not a HOF fold, scores the rerank
+    assert(p.contains("dot_ll"), s"exact rerank lost the native dot product:\n$p")
+  }
+
+  test("c05: length buckets — cell-partitioned window, no single-partition exchange") {
+    val p = plan("c05_length_buckets")
+    // the ranking window partitions by (bucket, shard): its exchange is
+    // hashpartitioning, never the SinglePartition a global ntile needs
+    assert(p.contains("hashpartitioning(bucket"), s"window lost its cell partitioning:\n$p")
+    assert(!p.contains("SinglePartition"), s"a global exchange crept in:\n$p")
+  }
+
   test("s13: PQ ADC distance table broadcasts; corpus side never sort-merge-joins") {
     val p = plan("s13_pq_adc_topk")
     assert(p.contains("BroadcastHashJoin"), s"ADC lookup lost its broadcast:\n$p")
