@@ -145,9 +145,40 @@ object Corpus {
         col("n_docs"), col("min_len"), col("max_len"), col("pad_waste"))
   }
 
+  // ---------------------------------------------------------------- c06
+  /** Source-balanced deterministic interleave — the epoch-order
+    * generator: within each source, documents take a deterministic
+    * pseudo-random rank (the c01 md5 bucket, then doc_id — content-
+    * independent, so every re-run and engine reproduces the "shuffle");
+    * the global stream key `rank·nSources + source_idx` cycles sources
+    * round-robin, so no training window is dominated by one source (the
+    * mix stays at the corpus ratio at every prefix ± one doc per
+    * source). No global sort executes: the key is COMPUTED per row off
+    * a per-source window (one bounded exchange on source) plus two
+    * broadcast dims; the loader reads key order off the sorted write.
+    */
+  def sourceInterleave(docs: DataFrame): DataFrame = {
+    val srcs = docs.select(col("source")).distinct()
+    // dim-sized (a handful of sources): the single-partition window over
+    // the DISTINCT list is |sources| rows, not corpus rows
+    val sIdx = srcs.withColumn("source_idx",
+      (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+    val nSrc = srcs.agg(count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bkt"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), hashBucket(col("doc_id")).as("bkt"))
+      .withColumn("rank_in_source", (row_number().over(w) - 1).cast("long"))
+      .join(broadcast(sIdx), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"), col("rank_in_source"),
+        (col("rank_in_source") * col("n_sources") + col("source_idx"))
+          .as("interleave_key"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_hash_split" -> ((s, d) =>
       hashSplit(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "c06_source_interleave" -> ((s, d) =>
+      sourceInterleave(t(s, d, "documents")).orderBy(col("interleave_key"))),
     "c05_length_buckets" -> ((s, d) =>
       lengthBucketBatches(t(s, d, "documents"))
         .orderBy(col("bucket"), col("shard"), col("batch_idx"))),
@@ -160,6 +191,22 @@ object Corpus {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c06_source_interleave" ->
+      s"""WITH s AS (SELECT DISTINCT source FROM documents),
+         si AS (SELECT source, row_number() OVER (ORDER BY source) - 1
+                  AS source_idx FROM s),
+         ns AS (SELECT count(*) AS n FROM s),
+         b AS (SELECT doc_id, source, ${bucketSql("doc_id")} AS bkt
+               FROM documents),
+         r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY bkt, doc_id) - 1
+                   AS rank_in_source
+               FROM b)
+         SELECT r.doc_id, r.source,
+           CAST(r.rank_in_source AS BIGINT) AS rank_in_source,
+           CAST(r.rank_in_source * ns.n + si.source_idx AS BIGINT) AS interleave_key
+         FROM r JOIN si USING (source) CROSS JOIN ns
+         ORDER BY interleave_key""",
     "c05_length_buckets" ->
       """WITH b AS (
            SELECT doc_id, n_chars AS len, n_chars // 256 AS bucket,

@@ -326,6 +326,38 @@ object Multimodal {
       }
   }
 
+  case class ShotBoundary(doc_id: Long, frame_idx: Long, diff_sum: Long,
+                          is_boundary: Boolean)
+
+  /** Shot-boundary detection over the frame stream: consecutive FULL
+    * 64-byte frames (the m04 frame convention — a video decoder would
+    * hand the same shape) compared by summed absolute sample
+    * difference; a boundary fires when the mean per-sample change
+    * exceeds `threshold` — the classic pixel-difference cut detector,
+    * the first pass of any video-curation pipeline (dedup shots, sample
+    * one keyframe per shot). All-integer, codec-free on this byte
+    * layout; narrow map, no shuffle, no state — at 100 TB the frame
+    * pairs of one payload never leave their task. */
+  def shotBoundaries(docs: DataFrame, frame: Int = 64,
+                     threshold: Int = 32): Dataset[ShotBoundary] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asBinary(docs).select(col("doc_id"), col("payload")).as[Payload]
+      .flatMap { p =>
+        val nFull = p.payload.length / frame
+        (0 until nFull - 1).iterator.map { f =>
+          var diff = 0L
+          var i = 0
+          while (i < frame) {
+            diff += math.abs((p.payload(f * frame + i) & 0xff)
+              - (p.payload((f + 1) * frame + i) & 0xff))
+            i += 1
+          }
+          ShotBoundary(p.doc_id, f.toLong, diff, diff > threshold.toLong * frame)
+        }
+      }
+  }
+
   case class Embedding(doc_id: Long, e0: Long, e1: Long, e2: Long, e3: Long)
 
   /** Batched "model inference" over binary payloads: `grouped(batchSize)`
@@ -428,7 +460,12 @@ object Multimodal {
     // decoded raster with per-patch sum/min/max
     "m10_vit_patches" -> ((s, d) =>
       vitPatchStats(t(s, d, "documents")).toDF()
-        .orderBy(col("doc_id"), col("py"), col("px")))
+        .orderBy(col("doc_id"), col("py"), col("px"))),
+    // consecutive-frame pixel-difference cut detector over the frame
+    // stream — the first pass of a video-curation pipeline
+    "m11_shot_boundaries" -> ((s, d) =>
+      shotBoundaries(t(s, d, "documents")).toDF()
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -514,6 +551,24 @@ object Multimodal {
            CAST(COALESCE(list_sum(list_transform(range(1, len(v)),
              i -> CASE WHEN (v[i] - mu) * (v[i + 1] - mu) < 0 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
          FROM m ORDER BY doc_id, frame_idx""",
+    // frame f vs f+1, both full (pairs = n//64 − 1); 1-based text
+    // positions f*64+i / (f+1)*64+i for i in 1..64; boundary when the
+    // summed absolute difference exceeds 32 per sample (2048 per frame)
+    "m11_shot_boundaries" ->
+      """WITH c AS (
+           SELECT doc_id, text,
+             unnest(range(0, greatest(
+               octet_length(encode(text)) // 64 - 1, 0))) AS f
+           FROM documents),
+         d AS (
+           SELECT doc_id, f,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> abs(ord(text[CAST(f * 64 + i AS BIGINT)])
+                      - ord(text[CAST((f + 1) * 64 + i AS BIGINT)]))))
+               AS BIGINT) AS diff_sum
+           FROM c)
+         SELECT doc_id, f AS frame_idx, diff_sum, diff_sum > 2048 AS is_boundary
+         FROM d ORDER BY doc_id, frame_idx""",
     // patch (py, px) covers raster positions (py*8+j//8, px*8+j%8) for
     // j in 0..63; position p holds byte p of the text when p < n, else
     // the encoder's zero padding — decoded pixels ≡ this byte layout

@@ -306,6 +306,29 @@ object Similarity {
       topK, queryMod, m, subDim)
   }
 
+  /** Incremental index UPSERT — the maintenance op a live ANN index
+    * runs on every ingestion batch: NEW vectors encode against the
+    * EXISTING (frozen) codebooks — no retrain, no touch of the
+    * already-encoded corpus — and serving immediately covers
+    * base + delta. Base = vec_id % 10 ≠ 0 trains the codebooks; the
+    * delta (every 10th vector, the "new arrivals") encodes against
+    * them; the ADC query — the query set itself lies in the delta —
+    * is answered over the merged code set. At 100 TB the delta encode
+    * is a narrow map over the arrival batch alone (codebooks are a
+    * broadcast literal), appended to the codes relation; quantization
+    * drift as the distribution shifts is the documented trade, with
+    * s12's reconstruction-error telemetry as the retrain trigger. */
+  def pqIndexUpsert(emb: DataFrame, topK: Int = 5, queryMod: Int = 400,
+                    m: Int = 8, subDim: Int = 8, k: Int = 4): DataFrame = {
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val cb = pqCodebooks(base, m, subDim, k)
+    // encode base AND delta against the base-trained codebooks — one
+    // assignSub call stands in for "codes relation + delta append"
+    val codes = assignSub(subvectors(emb, m, subDim), cb)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
+    adcTopKFromIndex(emb, cb, codes, topK, queryMod, m, subDim)
+  }
+
   /** IVF-PQ: the composed 100 TB ANN layout — the coarse quantizer
     * routes each query to its nProbe nearest inverted lists, and the
     * fine search runs in the COMPRESSED domain (PQ codes + the per-query
@@ -801,6 +824,11 @@ object Similarity {
     // cost; the oracle replays both stages
     "s16_retrieve_rerank" -> ((s, d) =>
       retrieveRerank(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    // frozen-codebook index upsert: delta vectors encode against the
+    // base-trained codebooks, serving covers base+delta — the
+    // no-retrain ingestion loop, full value oracle
+    "s17_index_upsert" -> ((s, d) =>
+      pqIndexUpsert(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     // index persistence: serve ADC from the parquet-SAVED index — same
     // oracle as s13, so persistence is pinned invisible to results.
     // Eager write at build time + per-(pid, sf) overwritten path is the
@@ -838,25 +866,30 @@ object Similarity {
 
   /** The PQ training recurrence replayed in DuckDB — subspace split,
     * deterministic seeds, one Lloyd step (argmin with (d2, cid) ties,
-    * floor-mean update), final encode. Shared by the s12 and s13
-    * oracles so the two replay ONE definition; ends at the `code` CTE
+    * floor-mean update), final encode. Shared by the s12/s13/s17
+    * oracles so they replay ONE definition; ends at the `code` CTE
     * (vec_id, s, code, d2). Mirrors [[pqCodebooks]]/[[pqCodes]] at the
-    * catalog defaults m=8, subDim=8, k=4. */
-  private def pqTrainSql(qv: String): String =
+    * catalog defaults m=8, subDim=8, k=4. `trainPred` (over `vec_id`)
+    * restricts the TRAINING population — seeds and Lloyd statistics —
+    * while the encode still covers every vector: exactly the frozen-
+    * codebook upsert contract (s17); the default TRUE trains on all. */
+  private def pqTrainSql(qv: String, trainPred: String = "TRUE"): String =
     s"""WITH q AS (
          SELECT vec_id, $qv AS qv FROM embeddings),
        ss AS (SELECT unnest(range(0, 8)) AS s),
        sub AS (
          SELECT vec_id, s, qv[(s * 8 + 1):(s * 8 + 8)] AS sub
          FROM q CROSS JOIN ss),
+       subt AS (SELECT * FROM sub WHERE $trainPred),
        seeds AS (
-         SELECT s, vec_id AS cid, sub AS cv FROM sub
-         WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 4)),
+         SELECT s, vec_id AS cid, sub AS cv FROM subt
+         WHERE vec_id IN (SELECT vec_id FROM q WHERE $trainPred
+                          ORDER BY vec_id LIMIT 4)),
        d1 AS (
-         SELECT sub.vec_id, sub.s, sub.sub, seeds.cid,
+         SELECT subt.vec_id, subt.s, subt.sub, seeds.cid,
            CAST(list_sum(list_transform(range(1, 9),
-             i -> (sub.sub[i] - seeds.cv[i]) * (sub.sub[i] - seeds.cv[i]))) AS BIGINT) AS d2
-         FROM sub JOIN seeds ON sub.s = seeds.s),
+             i -> (subt.sub[i] - seeds.cv[i]) * (subt.sub[i] - seeds.cv[i]))) AS BIGINT) AS d2
+         FROM subt JOIN seeds ON subt.s = seeds.s),
        a1 AS (
          SELECT vec_id, s, sub, cid FROM (
            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
@@ -876,6 +909,29 @@ object Similarity {
          SELECT vec_id, s, cid AS code, d2 FROM (
            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
            FROM enc) WHERE rk = 1)"""
+
+  /** The ADC serve chain (query subvectors → per-query distance table →
+    * ADC sum → rank, top-5 at queryMod 400) appended after a train/code
+    * chain — shared verbatim by the s13, s15 and s17 oracles. */
+  private val AdcServeTailSql = """,
+       qs AS (SELECT vec_id AS q_id, s, sub AS qsub
+              FROM sub WHERE vec_id % 400 = 0),
+       dtab AS (
+         SELECT qs.q_id, c1.s, c1.cid AS code,
+           CAST(list_sum(list_transform(range(1, 9),
+             i -> (qs.qsub[i] - c1.cv[i]) * (qs.qsub[i] - c1.cv[i]))) AS BIGINT) AS dq
+         FROM qs JOIN c1 ON qs.s = c1.s),
+       adc AS (
+         SELECT d.q_id, c.vec_id, CAST(sum(d.dq) AS BIGINT) AS adc
+         FROM code c
+         JOIN dtab d ON c.s = d.s AND c.code = d.code AND c.vec_id != d.q_id
+         GROUP BY d.q_id, c.vec_id),
+       ranked AS (
+         SELECT q_id, vec_id AS neighbor_id, adc,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rk
+         FROM adc)
+       SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, adc
+       FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
 
   /** The IVF-PQ pipeline CTEs (coarse training kc* — the s11 recurrence
     * — routing, ADC against the pqTrainSql codes), ending at `ranked`
@@ -965,26 +1021,12 @@ object Similarity {
            SELECT vec_id, s, code, d2 FROM code ORDER BY vec_id, s"""),
       // s15 serves the identical query from the persisted index, so it
       // shares this oracle text verbatim (see map tail)
-      "s13_pq_adc_topk" ->
-        (pqTrainSql(qv) + """,
-           qs AS (SELECT vec_id AS q_id, s, sub AS qsub
-                  FROM sub WHERE vec_id % 400 = 0),
-           dtab AS (
-             SELECT qs.q_id, c1.s, c1.cid AS code,
-               CAST(list_sum(list_transform(range(1, 9),
-                 i -> (qs.qsub[i] - c1.cv[i]) * (qs.qsub[i] - c1.cv[i]))) AS BIGINT) AS dq
-             FROM qs JOIN c1 ON qs.s = c1.s),
-           adc AS (
-             SELECT d.q_id, c.vec_id, CAST(sum(d.dq) AS BIGINT) AS adc
-             FROM code c
-             JOIN dtab d ON c.s = d.s AND c.code = d.code AND c.vec_id != d.q_id
-             GROUP BY d.q_id, c.vec_id),
-           ranked AS (
-             SELECT q_id, vec_id AS neighbor_id, adc,
-               row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rk
-             FROM adc)
-           SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk, adc
-           FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""),
+      "s13_pq_adc_topk" -> (pqTrainSql(qv) + AdcServeTailSql),
+      // frozen-codebook upsert: training restricted to the base
+      // population (vec_id % 10 ≠ 0), encode + serve over EVERYTHING —
+      // the oracle replays exactly the no-retrain ingestion contract
+      "s17_index_upsert" ->
+        (pqTrainSql(qv, "vec_id % 10 != 0") + AdcServeTailSql),
       // the coarse chain (kc*: the s11 recurrence) + routing + the PQ
       // chain (via pqTrainSql) composed — one oracle replays the whole
       // IVF-PQ pipeline end to end

@@ -38,6 +38,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("source interleave: first min·|sources| positions carry EXACTLY min docs per source") {
+    val rows = Corpus.sourceInterleave(docs)
+      .orderBy(col("interleave_key")).collect()
+    val bySource = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val ns = bySource.size
+    val minCount = bySource.values.min
+    assert(ns >= 2, s"fixture needs ≥2 sources, got $bySource")
+    // keys are unique and the order is total
+    assert(rows.map(_.getLong(3)).distinct.length == rows.length)
+    // before any source exhausts (rank < min), the round-robin is exact:
+    // every prefix of r full rounds holds exactly r docs of EVERY source
+    val prefix = rows.take(minCount * ns)
+    prefix.groupBy(_.getString(1)).foreach { case (src, docsOf) =>
+      assert(docsOf.length == minCount,
+        s"source $src has ${docsOf.length} docs in the first $minCount rounds")
+    }
+    // determinism: a second evaluation reproduces the identical order
+    val again = Corpus.sourceInterleave(docs)
+      .orderBy(col("interleave_key")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("hash split: deterministic, id-stable, ~80/10/10") {
     val s1 = Corpus.hashSplit(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     val s2 = Corpus.hashSplit(docs.orderBy(col("doc_id").desc))

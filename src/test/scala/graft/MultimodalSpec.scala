@@ -91,6 +91,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("shot boundaries: hand-built cut fires, steady frames don't, partial tail ignored") {
+    // 3 full frames + a 10-byte tail: flat 0s → flat 64s → flat 64s.
+    // cut at 0→1 (diff 64·64 = 4096 > 2048), none at 1→2; the tail
+    // forms no full frame pair, so exactly 2 comparisons emit.
+    val bytes = Array.fill[Byte](64)(0) ++ Array.fill[Byte](64)(64) ++
+      Array.fill[Byte](64)(64) ++ Array.fill[Byte](10)(7)
+    val df = Seq((1L, new String(bytes.map(x => (x & 0xff).toChar))))
+      .toDF("doc_id", "text")
+    val got = Multimodal.shotBoundaries(df).collect().sortBy(_.frame_idx)
+    assert(got.length == 2, s"expected 2 frame pairs, got ${got.length}")
+    assert(got(0).diff_sum == 64L * 64 && got(0).is_boundary,
+      s"cut not detected: ${got(0)}")
+    assert(got(1).diff_sum == 0L && !got(1).is_boundary,
+      s"false boundary: ${got(1)}")
+  }
+
   test("decoded lane sums == direct byte arithmetic (the m03 contract)") {
     val got = Multimodal.extractFeatures(docsDF).collect()
       .map(f => f.doc_id -> f).toMap

@@ -224,6 +224,18 @@ class SimilaritySpec extends SparkSpec {
     ivfpq.foreach { case (q, n, _, adc) =>
       assert(adc == l2(base((q % 4).toInt), base((n % 4).toInt)))
     }
+    // frozen-codebook upsert on the same fixture: vec 0 (a DELTA id,
+    // excluded from training with vec 10) still finds its exact twins —
+    // base clusters stay pure without them, so the base-trained
+    // codebooks equal the patterns and every ADC keeps the true L2²
+    val ups = Similarity.pqIndexUpsert(emb).orderBy("q_id", "rk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(ups.take(2).map(r => (r._2, r._4)) == Seq((4L, 0L), (8L, 0L)),
+      s"upsert lost the exact twins: $ups")
+    ups.foreach { case (q, n, _, adc) =>
+      assert(adc == l2(base((q % 4).toInt), base((n % 4).toInt)),
+        s"upsert adc($q, $n) diverged from true L2²")
+    }
   }
 
   test("kmeansAssign: partitioning-invariant, seeds self-assign at round one, dist2 exact") {
