@@ -361,8 +361,90 @@ object Analytics {
         .agg(count(when(col("dev") > lit(5.0) * col("mad2"), 1)).as("n_outliers"),
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))
-    })
+    }),
+    // ---- ordered set concatenation — the LISTAGG/string_agg surface.
+    //      Cardinality-bounded by construction (a per-group SET of a
+    //      low-cardinality column); an unbounded listagg is the
+    //      documented anti-pattern at scale (one group's list must fit
+    //      a row), which is why the engine exposes the set form
+    "q72_string_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"))
+        .orderBy(col("o_orderpriority"))),
+    // ---- 2-D Pareto skyline (min price, max recency) via the
+    //      distributed global-order prefix scan — see [[skylinePareto]]
+    "q73_skyline_pareto" -> ((s, d) =>
+      skylinePareto(t(s, d, "orders"))
+        .orderBy(col("price"), col("d").desc, col("o_orderkey")))
   )
+
+  case class SkyRow(o_orderkey: Long, price: Double, d: Long)
+
+  /** 2-D Pareto skyline (the non-dominated frontier: no other row has
+    * price ≤ AND recency ≥ with one strict) via a DISTRIBUTED
+    * global-order prefix scan — the kernel Spark's window cannot give:
+    * a global ORDER BY frame plans as a SinglePartition exchange, so
+    * instead (1) range-partition + sort by the scan order, (2) collect
+    * the per-partition maxima of the running statistic — nPart rows,
+    * the only driver traffic, same bounded shape as the JDBC stride
+    * pass, (3) fold the exclusive per-partition prefix offsets into a
+    * broadcast, (4) one narrow per-partition pass finishes the scan.
+    * Dominance is decided against the lexicographic running max of
+    * (d, −price): a strictly-earlier sort row dominates iff its d
+    * exceeds mine, or ties my d at strictly smaller price — exact
+    * duplicates survive (no strict edge), matching the NOT EXISTS
+    * definition. Two passes over a 3-column projection; at 100 TB the
+    * scan order key would be the table's range-partitioned layout so
+    * pass 1 rides the existing sort. */
+  def skylinePareto(orders: DataFrame, nPart: Int = 16): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    def lexMax(a: (Long, Double), b: (Long, Double)): (Long, Double) =
+      if (b._1 > a._1 || (b._1 == a._1 && b._2 > a._2)) b else a
+    val sorted = orders.select(col("o_orderkey"),
+        col("o_totalprice").as("price"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"))
+      .as[SkyRow]
+      .repartitionByRange(nPart, col("price"), col("d").desc, col("o_orderkey"))
+      .sortWithinPartitions(col("price"), col("d").desc, col("o_orderkey"))
+    // pass 1: per-partition maxima of the running statistic
+    val pmax = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var best: (Long, Double) = null
+      it.foreach { r =>
+        val cand = (r.d, -r.price)
+        best = if (best == null) cand else lexMax(best, cand)
+      }
+      Option(best).map(b => (pid, b._1, b._2)).iterator
+    }.collect().sortBy(_._1)
+    // exclusive prefix fold over ALL partition ids (an empty partition
+    // contributes nothing but must not break the chain for later ones)
+    val pm = pmax.map(x => x._1 -> ((x._2, x._3))).toMap
+    val offsets = {
+      var acc: (Long, Double) = null
+      (0 until nPart).map { p =>
+        val entry = p -> acc
+        pm.get(p).foreach(m => acc = if (acc == null) m else lexMax(acc, m))
+        entry
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: narrow per-partition scan with the broadcast offset
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run: (Long, Double) = bc.value.getOrElse(pid, null)
+      it.flatMap { r =>
+        val dominated = run != null &&
+          (run._1 > r.d || (run._1 == r.d && -run._2 < r.price))
+        val cand = (r.d, -r.price)
+        run = if (run == null) cand else lexMax(run, cand)
+        if (dominated) Iterator.empty else Iterator.single(r)
+      }
+    }.toDF()
+  }
 
   /** Shared ANSI texts — the SAME string runs on Spark (via the SQL
     * entry point) and on DuckDB as its own oracle. */
@@ -403,6 +485,28 @@ object Analytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q72_string_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the window replay of the same scan logic: the exclusive running
+    // lexicographic max of (d, -price) over the (price, d DESC, key)
+    // order decides dominance exactly as the distributed kernel does
+    "q73_skyline_pareto" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_totalprice AS price,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+           FROM orders),
+         w AS (
+           SELECT o_orderkey, price, d,
+             max(struct_pack(d := d, np := -price)) OVER (
+               ORDER BY price, d DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+           FROM o)
+         SELECT o_orderkey, price, CAST(d AS BIGINT) AS d
+         FROM w
+         WHERE m IS NULL OR NOT (m.d > d OR (m.d = d AND -m.np < price))
+         ORDER BY price, d DESC, o_orderkey""",
     "q62_linear_interpolate" ->
       """WITH ev AS (
            SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/** The q73 skyline kernel — the distributed global-order prefix scan —
+  * checked against the quadratic NOT-EXISTS definition it replaces, at
+  * unit scale where quadratic is fine, including the edge cases the
+  * window formulation gets wrong without care (exact duplicates,
+  * same-price chains, empty range partitions). */
+class AnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // (key, price, epoch-day): crafted so the frontier includes a
+  // same-price pair decided by date, an exact DUPLICATE pair (both must
+  // survive — no strict edge), and dominated interior points
+  private val fixture = Seq(
+    (1L, 10.0, 100L), // frontier (cheapest)
+    (2L, 10.0, 90L),  // dominated by 1 (same price, older)
+    (3L, 20.0, 200L), // frontier
+    (4L, 20.0, 200L), // exact duplicate of 3 — must ALSO survive
+    (5L, 30.0, 150L), // dominated by 3 (pricier, older)
+    (6L, 40.0, 300L), // frontier (newest)
+    (7L, 35.0, 250L), // frontier (cheaper than 6, newer than 3)
+    (8L, 50.0, 300L), // dominated by 6 (same date, pricier)
+    (9L, 5.0, 50L)    // frontier (global cheapest)
+  )
+
+  private def df = fixture
+    .map { case (k, p, d) => (k, p, java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(d))) }
+    .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+
+  private def brute: Set[Long] = fixture.filter { a =>
+    !fixture.exists(b => b._2 <= a._2 && b._3 >= a._3 &&
+      (b._2 < a._2 || b._3 > a._3))
+  }.map(_._1).toSet
+
+  test("skyline == quadratic NOT-EXISTS ground truth, duplicates survive") {
+    val got = Analytics.skylinePareto(df).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"got $got want $brute")
+    assert(got.contains(3L) && got.contains(4L),
+      "exact duplicates must BOTH be non-dominated")
+    assert(!got.contains(2L) && !got.contains(8L),
+      "same-price-older / same-date-pricier must be dominated")
+  }
+
+  test("skyline is invariant to the range-partition count (incl. empty partitions)") {
+    // 9 rows over 16 range partitions forces empty partitions — the
+    // exclusive-prefix chain must carry across the gaps
+    val results = Seq(1, 3, 16).map { n =>
+      Analytics.skylinePareto(df, nPart = n)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    }
+    assert(results.distinct.size == 1, s"partition-count dependent: $results")
+    assert(results.head == brute)
+  }
+}
