@@ -404,12 +404,21 @@ object Analytics {
     import spark.implicits._
     def lexMax(a: (Long, Double), b: (Long, Double)): (Long, Double) =
       if (b._1 > a._1 || (b._1 == a._1 && b._2 > a._2)) b else a
+    // localCheckpoint(eager): BOTH passes must see ONE materialized
+    // partitioning — re-executing repartitionByRange re-samples its
+    // range boundaries (the sampler is seeded per job), so without the
+    // checkpoint pass 2 could assign a boundary row to a different
+    // partition than the one its broadcast offset was computed from and
+    // mis-decide dominance. It also halves the work: the projection +
+    // range exchange + sort run once, not once per pass (the st11
+    // precedent; blocks are freed by the context cleaner on GC).
     val sorted = orders.select(col("o_orderkey"),
         col("o_totalprice").as("price"),
         datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"))
       .as[SkyRow]
       .repartitionByRange(nPart, col("price"), col("d").desc, col("o_orderkey"))
       .sortWithinPartitions(col("price"), col("d").desc, col("o_orderkey"))
+      .localCheckpoint(true)
     // pass 1: per-partition maxima of the running statistic
     val pmax = sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -419,7 +428,7 @@ object Analytics {
         best = if (best == null) cand else lexMax(best, cand)
       }
       Option(best).map(b => (pid, b._1, b._2)).iterator
-    }.collect().sortBy(_._1)
+    }.collect()
     // exclusive prefix fold over ALL partition ids (an empty partition
     // contributes nothing but must not break the chain for later ones)
     val pm = pmax.map(x => x._1 -> ((x._2, x._3))).toMap
