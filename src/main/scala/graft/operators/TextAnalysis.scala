@@ -328,21 +328,29 @@ object TextAnalysis {
     * corpus); the chosen merge is a 1-row broadcast; apply is a narrow
     * map. Real BPE training = this step iterated with the same plan
     * per round (g01-style lineage cuts). */
-  def bpeMergeStep(docs: DataFrame, topn: Int = 10): DataFrame = {
-    val vocab = docs.select(explode(ws).as("w")).filter(col("w") =!= "")
+  /** The BPE base vocabulary (word → corpus frequency) and the weighted
+    * adjacent-pair count — shared by the one-step kernel (t18) and the
+    * iterated trainer (t19). */
+  private def bpeVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(ws).as("w")).filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    def pairCounts(v: DataFrame) = v.filter(length(col("w")) >= 2)
+
+  private def bpePairCounts(v: DataFrame): DataFrame =
+    v.filter(length(col("w")) >= 2)
       .select(col("w"), col("freq"),
         explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
       .select(expr("substring(w, i, 1)").as("l"),
         expr("substring(w, i + 1, 1)").as("r"), col("freq"))
       .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("pair_count"))
-    val top1 = pairCounts(vocab)
+
+  def bpeMergeStep(docs: DataFrame, topn: Int = 10): DataFrame = {
+    val vocab = bpeVocab(docs)
+    val top1 = bpePairCounts(vocab)
       .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
       .select(col("l").as("m_l"), col("r").as("m_r"))
     val merged = vocab.crossJoin(broadcast(top1))
       .select(expr("replace(w, m_l || m_r, chr(1))").as("w"), col("freq"))
-    pairCounts(merged).crossJoin(broadcast(top1))
+    bpePairCounts(merged).crossJoin(broadcast(top1))
       .select(
         when(col("l") === expr("chr(1)"), concat(col("m_l"), col("m_r")))
           .otherwise(col("l")).as("pair_l"),
@@ -351,6 +359,50 @@ object TextAnalysis {
         col("pair_count"))
       .orderBy(col("pair_count").desc, col("pair_l"), col("pair_r"))
       .limit(topn)
+  }
+
+  /** ITERATED BPE training — t18's inner loop run for `rounds` rounds,
+    * producing the artifact real training produces: the ordered MERGE
+    * TABLE (round, left symbol, right symbol — fully rendered — and the
+    * pair count that won the round). Round r's merged symbol lives in
+    * the vocabulary as the single placeholder char chr(r), so every
+    * symbol stays one char and the same substring pair-split drives all
+    * rounds; placeholders are expanded through the accumulated merge
+    * history on output.
+    *
+    * Scale: the per-round heavy kernel is the map-side-combinable pair
+    * count over the VOCABULARY (≪ corpus, and it shrinks as merges
+    * land); the winning pair is ONE collected row per round — the merge
+    * table is driver-state in every real BPE trainer, and R rows is the
+    * entire driver traffic. Each round's vocabulary is eagerly
+    * materialized (localCheckpoint) — the g03 lesson: a lazily chained
+    * loop whose round reads its predecessor TWICE (argmax + re-encode)
+    * recomputes 2^R times without the cut. */
+  def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = bpeVocab(docs).localCheckpoint(true)
+    val rendered = scala.collection.mutable.Map[Char, String]()
+    def render(s: String): String =
+      s.flatMap(c => rendered.getOrElse(c, c.toString))
+    val merges = (1 to rounds).flatMap { round =>
+      val top = bpePairCounts(vocab)
+        .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
+        .collect()
+      top.headOption.map { row =>
+        val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+        // chr()-coded literals: the symbols may BE control-char
+        // placeholders from earlier rounds — never splice them raw
+        vocab = vocab.select(
+          expr(s"replace(w, chr(${l.head.toInt}) || chr(${r.head.toInt}), " +
+            s"chr($round))").as("w"), col("freq"))
+          .localCheckpoint(true)
+        val (rl, rr) = (render(l), render(r))
+        rendered(round.toChar) = rl + rr
+        (round.toLong, rl, rr, cnt)
+      }
+    }
+    merges.toDF("merge_round", "merge_l", "merge_r", "gain")
   }
 
   /** Exact heavy hitters: tokens with frequency strictly above
@@ -574,10 +626,49 @@ object TextAnalysis {
         .orderBy(col("token"))
     }),
     "t17_cms_estimates" -> ((s, d) => cmsEstimates(t(s, d, "documents"))),
-    "t18_bpe_merge_step" -> ((s, d) => bpeMergeStep(t(s, d, "documents")))
+    "t18_bpe_merge_step" -> ((s, d) => bpeMergeStep(t(s, d, "documents"))),
+    // iterated BPE training: the ordered merge table over 3 rounds,
+    // placeholders rendered — the real tokenizer-training artifact
+    "t19_bpe_train" -> ((s, d) =>
+      bpeTrain(t(s, d, "documents")).orderBy(col("merge_round")))
   )
 
+  /** The t19 oracle, generated for `rounds` levels: each round's pair
+    * count → argmax (count desc, lexicographic) → placeholder replace
+    * feeds the next; rendering CTEs expand chr(j) placeholders through
+    * the accumulated (already fully-rendered) merge history. */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH tk AS (
+         SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+              FROM tk WHERE w <> '' GROUP BY w)"""
+    for (r <- 1 to rounds) sb ++= s""",
+       sp$r AS (SELECT w, freq, unnest(range(1, length(w))) AS i
+               FROM v${r - 1} WHERE length(w) >= 2),
+       p$r AS (SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r,
+                CAST(sum(freq) AS BIGINT) AS pair_count
+              FROM sp$r GROUP BY l, r),
+       t$r AS (SELECT l, r, pair_count FROM p$r
+              ORDER BY pair_count DESC, l, r LIMIT 1),
+       v$r AS (SELECT replace(w, (SELECT l || r FROM t$r), chr($r)) AS w, freq
+              FROM v${r - 1})"""
+    for (r <- 1 to rounds) {
+      def rend(c: String): String = (1 until r).foldLeft(c)((acc, j) =>
+        s"replace($acc, chr($j), (SELECT rl || rr FROM rend$j))")
+      sb ++= s""",
+       rend$r AS (SELECT ${rend("l")} AS rl, ${rend("r")} AS rr, pair_count
+                  FROM t$r)"""
+    }
+    sb ++= (1 to rounds).map(r => s"""
+       SELECT CAST($r AS BIGINT) AS merge_round, rl AS merge_l,
+         rr AS merge_r, pair_count AS gain FROM rend$r""")
+      .mkString("", "\n       UNION ALL", "\n       ORDER BY merge_round")
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "t19_bpe_train" -> bpeTrainOracleSql(3),
     "d13_winnow_subset_pin" ->
       """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
          WHERE 1 = 0""",

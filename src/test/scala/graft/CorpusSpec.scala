@@ -228,6 +228,21 @@ class CorpusSpec extends SparkSpec {
     assert(got == Seq(("a", "b", 5L), ("aa", "a", 3L), ("b", "a", 1L)))
   }
 
+  test("bpe train: merges compose (later rounds render earlier symbols), dry vocab stops early") {
+    import spark.implicits._
+    // "abc"×3 + "ab": pairs (a,b)=4, (b,c)=3 → round 1 merges (a,b) g=4.
+    // vocab becomes {⟨ab⟩c ×3, ⟨ab⟩ ×1}; round 2 merges (⟨ab⟩, c) g=3 —
+    // the LEFT symbol is a placeholder and must render as "ab". After
+    // that every word is a single symbol: round 3 finds no pair and the
+    // trainer emits 2 rows, not 3 (the oracle's empty-CTE chain agrees).
+    val docs = (Seq.fill(3)("abc") :+ "ab").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+    val got = graft.operators.TextAnalysis.bpeTrain(docs.toDF("doc_id", "text"))
+      .orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "a", "b", 4L), (2L, "ab", "c", 3L)), got.toString)
+  }
+
   test("count-min: sketch grid matches a hand-computed reference") {
     import spark.implicits._
     val toks = Seq("a", "b", "a", "c", "a", "b")
