@@ -119,6 +119,35 @@ object Events {
         min(col("p_us")).as("p_us"))
   }
 
+  /** Time-bounded funnel — [[funnel]] with a conversion-window
+    * constraint: each step counts only within `gapUs` of the step it
+    * follows (the form product analytics actually ships — "purchased
+    * within an hour of clicking", not "ever after"). Anchoring is
+    * first-touch: the window chains off the user's FIRST view and the
+    * first in-window click after it — deterministic, and the standard
+    * first-touch attribution convention (a later view whose window
+    * would have converted does not re-anchor). Same plan shape as e07:
+    * one user shuffle, conditional-min windows, zero self-joins. */
+  def timeBoundedFunnel(events: DataFrame,
+                        gapUs: Long = 3600L * 1000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    ev
+      .withColumn("v_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("c_us",
+        min(when(col("event_type") === "click" && col("ts_us") > col("v_us")
+          && col("ts_us") <= col("v_us") + gapUs, col("ts_us"))).over(w))
+      .withColumn("p_us",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("c_us")
+          && col("ts_us") <= col("c_us") + gapUs, col("ts_us"))).over(w))
+      .filter(col("v_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("v_us")).as("v_us"), min(col("c_us")).as("c_us"),
+        min(col("p_us")).as("p_us"))
+  }
+
   /** Retention cohorts: users grouped by the epoch-aligned 7-day bucket
     * of their FIRST event; for each cohort × week-offset, how many of
     * its users were active that week. Integer microsecond bucketing —
@@ -164,6 +193,8 @@ object Events {
         .orderBy(col("prev_type"), col("next_type"))),
     "e06_ewma" -> ((s, d) => ewmaPerUser(t(s, d, "events")).orderBy(col("user_id"))),
     "e07_funnel" -> ((s, d) => funnel(t(s, d, "events")).orderBy(col("user_id"))),
+    "e10_timebound_funnel" -> ((s, d) =>
+      timeBoundedFunnel(t(s, d, "events")).orderBy(col("user_id"))),
     "e08_retention_cohorts" -> ((s, d) =>
       retentionCohorts(t(s, d, "events"))
         .orderBy(col("cohort_us"), col("week_offset"))),
@@ -207,6 +238,27 @@ object Events {
            SELECT e.user_id, min($tsUs) AS p_us
            FROM events e JOIN c USING (user_id)
            WHERE e.event_type = 'purchase' AND $tsUs > c.c_us
+           GROUP BY e.user_id)
+         SELECT v.user_id, v.v_us, c.c_us, p.p_us
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         ORDER BY v.user_id""",
+    // e07's chain with the 1-hour (3.6e9 µs) conversion window on each
+    // inter-step gap; first-touch anchoring as documented on the op
+    "e10_timebound_funnel" ->
+      s"""WITH v AS (
+           SELECT user_id, min($tsUs) AS v_us FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min($tsUs) AS c_us
+           FROM events e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND $tsUs > v.v_us
+             AND $tsUs <= v.v_us + 3600000000
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min($tsUs) AS p_us
+           FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND $tsUs > c.c_us
+             AND $tsUs <= c.c_us + 3600000000
            GROUP BY e.user_id)
          SELECT v.user_id, v.v_us, c.c_us, p.p_us
          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)

@@ -430,6 +430,39 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("rk"), col("cos"))
   }
 
+  /** Prefix-dimension retrieve + refine — the Matryoshka-representation
+    * serving pattern (Kusupati et al. 2022): embeddings trained so a
+    * PREFIX of the dimensions is itself a usable representation let
+    * stage 1 score candidates on the first `prefixDims` dims (a
+    * `prefixDims/64` fraction of the arithmetic AND of the scanned
+    * bytes — with a column layout storing the prefix separately, the
+    * stage-1 scan reads only it), and stage 2 re-rank only the
+    * `shortlist` survivors on all 64. Pure integer MIPS both stages —
+    * fully oracle-replayable, unlike PQ no training step at all.
+    *
+    * Scale: queries broadcast (both stages); the corpus never shuffles;
+    * WindowGroupLimit bounds both rank passes; stage 2 touches
+    * nq·shortlist rows. */
+  def prefixRefineTopK(emb: DataFrame, topK: Int = 5, prefixDims: Int = 16,
+                       shortlist: Int = 50,
+                       queryMod: Int = DefaultQueryMod): DataFrame = {
+    val base = quantized(emb)
+      .select(col("vec_id"), col("qv"), slice(col("qv"), 1, prefixDims).as("pv"))
+    val queries = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("pv").as("q_pv"))
+    val w1 = Window.partitionBy(col("q_id")).orderBy(col("ip_pre").desc, col("vec_id"))
+    val cand = base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("ip_pre", idot("pv", "q_pv"))
+      .withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= shortlist)
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("vec_id"))
+    cand
+      .withColumn("ip", idot("qv", "q_qv"))
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("ip"))
+  }
+
   /** Seed-derived ±1 random hyperplanes — the ONE shared definition:
     * the Spark signature expression and the DuckDB oracle mirror are
     * both generated from this array, so the two engines cannot drift. */
@@ -829,6 +862,10 @@ object Similarity {
     // no-retrain ingestion loop, full value oracle
     "s17_index_upsert" -> ((s, d) =>
       pqIndexUpsert(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    // Matryoshka prefix-dim retrieve + full-dim refine: training-free
+    // two-stage MIPS, integer-exact both stages
+    "s18_prefix_refine" -> ((s, d) =>
+      prefixRefineTopK(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     // index persistence: serve ADC from the parquet-SAVED index — same
     // oracle as s13, so persistence is pinned invisible to results.
     // Eager write at build time + per-(pid, sf) overwritten path is the
@@ -1106,6 +1143,29 @@ object Similarity {
              FROM scored)
            SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
            ORDER BY q_id, rk""",
+      // both stages replayed: prefix-16 integer MIPS shortlist, then the
+      // full-64 re-rank of exactly those survivors
+      "s18_prefix_refine" ->
+        s"""WITH q AS (
+             SELECT vec_id, $qv AS qv FROM embeddings),
+           scored1 AS (
+             SELECT qq.vec_id AS q_id, c.vec_id,
+               CAST(list_sum(list_transform(range(1, 17),
+                 i -> c.qv[i] * qq.qv[i])) AS BIGINT) AS ip_pre,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> c.qv[i] * qq.qv[i])) AS BIGINT) AS ip
+             FROM q c JOIN q qq ON qq.vec_id % 100 = 0 AND c.vec_id != qq.vec_id),
+           r1 AS (
+             SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY ip_pre DESC, vec_id) AS rk1
+             FROM scored1),
+           short AS (SELECT q_id, vec_id, ip FROM r1 WHERE rk1 <= 50),
+           r2 AS (
+             SELECT q_id, vec_id, ip, row_number() OVER (
+               PARTITION BY q_id ORDER BY ip DESC, vec_id) AS rk
+             FROM short)
+           SELECT q_id, vec_id AS neighbor_id, CAST(rk AS BIGINT) AS rk, ip
+           FROM r2 WHERE rk <= 5 ORDER BY q_id, rk""",
       // EXACT pruned MIPS ≡ brute-force MIPS, so the oracle is the plain
       // dot-product ranking — integer ip, no floats at all
       "s07_knn_mips_pruned" ->

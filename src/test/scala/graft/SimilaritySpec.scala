@@ -183,6 +183,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("prefix-refine: uncapped shortlist degenerates to the exact MIPS ranking") {
+    // with shortlist ≥ corpus, stage 1 prunes nothing and stage 2's
+    // full-dim integer MIPS rank IS s07's brute ranking — bit-identical
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id", "rk", "ip").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3))
+    val got = rows(Similarity.prefixRefineTopK(emb, shortlist = 10000))
+    val want = rows(Similarity.knnMipsPruned(emb))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("pq: exact reconstruction when clusters are pure, ADC == true L2², partition-invariant") {
     import spark.implicits._
     // 4 patterns, 16-milli apart in every dim, each repeated 3× — after
