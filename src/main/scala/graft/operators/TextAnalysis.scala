@@ -391,11 +391,15 @@ object TextAnalysis {
         .collect()
       top.headOption.map { row =>
         val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
-        // chr()-coded literals: the symbols may BE control-char
-        // placeholders from earlier rounds — never splice them raw
-        vocab = vocab.select(
-          expr(s"replace(w, chr(${l.head.toInt}) || chr(${r.head.toInt}), " +
-            s"chr($round))").as("w"), col("freq"))
+        // pattern/replacement as literal COLUMNS, never spliced into SQL
+        // text: lit() carries any symbol — control-char placeholders,
+        // non-ASCII, surrogate pairs — exactly (Spark's chr() is mod-256
+        // byte-only, so a chr(codePoint) splice would silently mangle a
+        // non-ASCII winning pair and desync from the oracle)
+        vocab = vocab
+          .withColumn("_p", lit(l + r))
+          .withColumn("_s", lit(round.toChar.toString))
+          .select(expr("replace(w, _p, _s)").as("w"), col("freq"))
           .localCheckpoint(true)
         val (rl, rr) = (render(l), render(r))
         rendered(round.toChar) = rl + rr
