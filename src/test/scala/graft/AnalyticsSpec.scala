@@ -47,6 +47,33 @@ class AnalyticsSpec extends SparkSpec {
       "same-price-older / same-date-pricier must be dominated")
   }
 
+  test("skyline == brute force on seeded random sets (duplicate-heavy, clustered, uniform)") {
+    // three deterministic generators stress different frontier shapes:
+    // heavy duplicates (collision-prone small value grids), clustered
+    // prices (long same-price chains), and uniform spread
+    for ((seed, nRows, priceRange, dayRange) <- Seq(
+        (42L, 200, 10, 10),    // dense collisions: many exact duplicates
+        (7L, 300, 5, 1000),    // few prices — long same-price chains
+        (13L, 500, 1000, 1000) // uniform
+      )) {
+      val rng = new scala.util.Random(seed)
+      val rows = (1L to nRows.toLong).map(k =>
+        (k, (rng.nextInt(priceRange) + 1).toDouble,
+          rng.nextInt(dayRange).toLong + 1))
+      val want = rows.filter { a =>
+        !rows.exists(b => b._2 <= a._2 && b._3 >= a._3 &&
+          (b._2 < a._2 || b._3 > a._3))
+      }.map(_._1).toSet
+      val in = rows.map { case (k, p, d) => (k, p, java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(d))) }
+        .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      val got = Analytics.skylinePareto(in, nPart = 8)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      assert(got == want,
+        s"seed=$seed: missing ${want -- got}, extra ${got -- want}")
+    }
+  }
+
   test("skyline is invariant to the range-partition count (incl. empty partitions)") {
     // 9 rows over 16 range partitions forces empty partitions — the
     // exclusive-prefix chain must carry across the gaps
