@@ -316,12 +316,19 @@ object TextAnalysis {
     * Returns the post-merge top pairs with the merged symbol rendered
     * as its digraph.
     *
-    * The merge applies via `replace(w, l||r, chr(1))`: string replace
-    * is greedy left-to-right non-overlapping in BOTH engines — exactly
-    * BPE's merge semantics while every symbol is one char ("aaa" under
-    * merge "aa" → [aa][a]) — which is what keeps the whole two-level
-    * recurrence SQL-replayable. chr(1) cannot collide: the corpus is
-    * space-split printable text.
+    * The merge applies via `replace(w, l||r, ⟨placeholder⟩)`: string
+    * replace is greedy left-to-right non-overlapping in BOTH engines —
+    * exactly BPE's merge semantics while every symbol is one char ("aaa"
+    * under merge "aa" → [aa][a]) — which is what keeps the whole
+    * two-level recurrence SQL-replayable. Round r's placeholder is the
+    * private-use code point U+E000+r (see `pua`), NOT chr(r): the
+    * documents corpus is shared with the raw-bytes views (m04/m10/m11),
+    * and a real control char chr(1..R) in a word would be
+    * indistinguishable from a merged symbol — identically on both
+    * engines, so the hash gate could never have caught the collision.
+    * U+E000.. is reserved-by-Unicode private use: no real text assigns
+    * it, and the remaining precondition (corpus free of U+E001..U+E0FF)
+    * is explicit rather than silent.
     *
     * Scale: the heavy kernel is the pair count — map-side-combinable
     * (l, r)-keyed sums over the VOCABULARY (already aggregated, ≪
@@ -331,6 +338,14 @@ object TextAnalysis {
   /** The BPE base vocabulary (word → corpus frequency) and the weighted
     * adjacent-pair count — shared by the one-step kernel (t18) and the
     * iterated trainer (t19). */
+  /** Round r's in-vocabulary placeholder symbol: private-use-area code
+    * point U+E000+r. Single BMP char (one UTF-16 unit, one code point),
+    * so substring/length pair-splitting treats it like any letter on
+    * both engines; DuckDB's chr() is code-point based, so the oracles
+    * mirror it as chr(57344+r). Spark's chr() is byte-only (mod 256) —
+    * the Scala side must carry it as a string literal, never chr(). */
+  private[operators] def pua(round: Int): Char = (0xE000 + round).toChar
+
   private def bpeVocab(docs: DataFrame): DataFrame =
     docs.select(explode(ws).as("w")).filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -349,12 +364,13 @@ object TextAnalysis {
       .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
       .select(col("l").as("m_l"), col("r").as("m_r"))
     val merged = vocab.crossJoin(broadcast(top1))
-      .select(expr("replace(w, m_l || m_r, chr(1))").as("w"), col("freq"))
+      .withColumn("_s", lit(pua(1).toString))
+      .select(expr("replace(w, m_l || m_r, _s)").as("w"), col("freq"))
     bpePairCounts(merged).crossJoin(broadcast(top1))
       .select(
-        when(col("l") === expr("chr(1)"), concat(col("m_l"), col("m_r")))
+        when(col("l") === lit(pua(1).toString), concat(col("m_l"), col("m_r")))
           .otherwise(col("l")).as("pair_l"),
-        when(col("r") === expr("chr(1)"), concat(col("m_l"), col("m_r")))
+        when(col("r") === lit(pua(1).toString), concat(col("m_l"), col("m_r")))
           .otherwise(col("r")).as("pair_r"),
         col("pair_count"))
       .orderBy(col("pair_count").desc, col("pair_l"), col("pair_r"))
