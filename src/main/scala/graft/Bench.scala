@@ -82,7 +82,16 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val runs = Seq(once(), once(), once()) // cold, warm, warm
-      (name, runs)
+      // Health sentinel (r8 item 2): cache/storage state AFTER the
+      // query's last run. A leaked cache/localCheckpoint shows up as
+      // monotone growth of these two numbers across the suite — the
+      // r8 "p01 warm 2× cold" question took a cross-round no-op to
+      // falsify; these fields make that class self-diagnosing in one
+      // artifact.
+      val sc = spark.sparkContext
+      val prdds = sc.getPersistentRDDs.size
+      val storageMb = sc.getRDDStorageInfo.map(_.memSize).sum / (1024.0 * 1024.0)
+      (name, runs, prdds, storageMb)
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def spread(xs: Seq[Double]): Double = xs.max - xs.min
@@ -91,16 +100,20 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def f1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    val medTotal = results.map(r => median(r._2)).sum
-    val coldTotal = results.map(_._2.head).sum
+    val timings = results.map(r => (r._1, r._2))
+    val medTotal = timings.map(r => median(r._2)).sum
+    val coldTotal = timings.map(_._2.head).sum
     val sfName = new java.io.File(sfDir).getName
     // Full-fidelity detail file — the artifact the judge reads. Raw
-    // runs, median, spread per query, full query names, 3-decimal.
+    // runs, median, spread per query, full query names, 3-decimal;
+    // prdds/storage_mb are the post-query cache-leak sentinel (both
+    // should be flat across the alphabetical run order).
     try {
-      val full = results.map { case (k, runs) =>
+      val full = results.map { case (k, runs, prdds, storageMb) =>
         "\"" + k + "\":{\"runs\":[" + runs.map(f).mkString(",") +
           "],\"cold\":" + f(runs.head) + ",\"med\":" + f(median(runs)) +
-          ",\"spread\":" + f(spread(runs)) + "}"
+          ",\"spread\":" + f(spread(runs)) +
+          ",\"prdds\":" + prdds + ",\"storage_mb\":" + f1(storageMb) + "}"
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (s"""{"value":${f(medTotal)},"cold_total":${f(coldTotal)},""" +
@@ -124,10 +137,10 @@ object Bench {
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       s"""{"metric":"total","value":${f(medTotal)},"unit":"sec","cold_total":${f(coldTotal)},"queries":$qs$om,"sf":"$sfName","detail":"bench_detail.json"}"""
     }
-    val byCost = results.sortBy(r => median(r._2)) // cheapest first
+    val byCost = timings.sortBy(r => median(r._2)) // cheapest first
     var drop = 0
-    var line = buildLine(results, 0)
-    while (line.length > lineBudget && drop < results.size) {
+    var line = buildLine(timings, 0)
+    while (line.length > lineBudget && drop < timings.size) {
       drop += 1
       val keep = byCost.drop(drop).sortBy(_._1)
       line = buildLine(keep, drop)

@@ -381,7 +381,8 @@ object TextAnalysis {
     * producing the artifact real training produces: the ordered MERGE
     * TABLE (round, left symbol, right symbol — fully rendered — and the
     * pair count that won the round). Round r's merged symbol lives in
-    * the vocabulary as the single placeholder char chr(r), so every
+    * the vocabulary as the single private-use placeholder char `pua(r)`
+    * (U+E000+r — see the `pua` doc for why not chr(r)), so every
     * symbol stays one char and the same substring pair-split drives all
     * rounds; placeholders are expanded through the accumulated merge
     * history on output.
@@ -397,32 +398,98 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrainMerges(docs, rounds)
+      .map(m => (m.round.toLong, m.renderedL, m.renderedR, m.gain))
+      .toDF("merge_round", "merge_l", "merge_r", "gain")
+  }
+
+  /** One learned merge: round number, the pair as it appears in the
+    * placeholder-encoded vocabulary (`rawL`/`rawR` — single chars, each
+    * either a base char or an earlier round's `pua`), the same pair
+    * fully rendered through the merge history, and the winning pair
+    * count. The raw form is what the t20 encoder replays; the rendered
+    * form is what users (and the t19 merge table) see. */
+  private[graft] final case class BpeMerge(
+      round: Int, rawL: String, rawR: String,
+      renderedL: String, renderedR: String, gain: Long)
+
+  /** The t19 training loop, returning the driver-side merge table (R
+    * rows — the same R rows every real BPE trainer holds in driver
+    * state; this is the entire collect traffic). */
+  private[graft] def bpeTrainMerges(docs: DataFrame, rounds: Int): Seq[BpeMerge] = {
     var vocab = bpeVocab(docs).localCheckpoint(true)
     val rendered = scala.collection.mutable.Map[Char, String]()
     def render(s: String): String =
       s.flatMap(c => rendered.getOrElse(c, c.toString))
-    val merges = (1 to rounds).flatMap { round =>
+    (1 to rounds).flatMap { round =>
       val top = bpePairCounts(vocab)
         .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
         .collect()
       top.headOption.map { row =>
         val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
         // pattern/replacement as literal COLUMNS, never spliced into SQL
-        // text: lit() carries any symbol — control-char placeholders,
+        // text: lit() carries any symbol — private-use placeholders,
         // non-ASCII, surrogate pairs — exactly (Spark's chr() is mod-256
         // byte-only, so a chr(codePoint) splice would silently mangle a
         // non-ASCII winning pair and desync from the oracle)
         vocab = vocab
           .withColumn("_p", lit(l + r))
-          .withColumn("_s", lit(round.toChar.toString))
+          .withColumn("_s", lit(pua(round).toString))
           .select(expr("replace(w, _p, _s)").as("w"), col("freq"))
           .localCheckpoint(true)
         val (rl, rr) = (render(l), render(r))
-        rendered(round.toChar) = rl + rr
-        (round.toLong, rl, rr, cnt)
+        rendered(pua(round)) = rl + rr
+        BpeMerge(round, l, r, rl, rr, cnt)
       }
     }
-    merges.toDF("merge_round", "merge_l", "merge_r", "gain")
+  }
+
+  /** t20 — BPE corpus ENCODE: the serving half of the t19 trainer.
+    * Trains the R-round merge table, then tokenizes EVERY document with
+    * it: each word replays the same placeholder recurrence the trainer
+    * ran over the vocabulary (`replace(w, rawL‖rawR, pua(r))` in merge
+    * order — greedy left-to-right non-overlapping replace IS BPE's
+    * apply rule while every symbol is one char), then splits into
+    * single-char symbols and renders placeholders back to their merged
+    * digraphs. Output: one row per (doc, word position, symbol
+    * position) with the rendered token — the token stream a pretraining
+    * pipeline feeds the model.
+    *
+    * Scale: after the R driver-side argmax rows (training), encoding is
+    * a SINGLE NARROW pass over the corpus — R chained `replace`
+    * projections, an explode, and a literal-map render; no join, no
+    * shuffle (the final orderBy exists only for the deterministic gate;
+    * a production sink drops it). The merge table rides into the
+    * closure as R string literals — at a real vocab size it would be a
+    * broadcast map + a scalar expression, same shape. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val merges = bpeTrainMerges(docs, rounds)
+    // 1-based word coordinates BEFORE the empty-token filter, so the
+    // (doc_id, wi) coordinates are stable under it (mirrors the
+    // oracle's range-over-list indexing)
+    val words = docs
+      .select(col("doc_id"), posexplode(ws).as(Seq("wi0", "w")))
+      .select(col("doc_id"), (col("wi0") + 1).cast("long").as("wi"), col("w"))
+      .filter(col("w") =!= "")
+    val enc = merges.foldLeft(words) { (df, m) =>
+      df.withColumn("_p", lit(m.rawL + m.rawR))
+        .withColumn("_s", lit(pua(m.round).toString))
+        .select(col("doc_id"), col("wi"), expr("replace(w, _p, _s)").as("w"))
+    }
+    val syms = enc
+      .withColumn("si", explode(sequence(lit(1), length(col("w")))))
+      .select(col("doc_id"), col("wi"), col("si").cast("long").as("si"),
+        expr("substring(w, si, 1)").as("sym"))
+    // render: each merge's placeholder is a single char and rendered
+    // digraphs carry no placeholders, so the chain order is immaterial
+    val out = merges.foldLeft(syms) { (df, m) =>
+      df.withColumn("_ph", lit(pua(m.round).toString))
+        .withColumn("_rv", lit(m.renderedL + m.renderedR))
+        .select(col("doc_id"), col("wi"), col("si"),
+          expr("replace(sym, _ph, _rv)").as("sym"))
+    }
+    out.select(col("doc_id"), col("wi"), col("si"), col("sym").as("token"))
+      .orderBy(col("doc_id"), col("wi"), col("si"))
   }
 
   /** Exact heavy hitters: tokens with frequency strictly above
@@ -650,14 +717,26 @@ object TextAnalysis {
     // iterated BPE training: the ordered merge table over 3 rounds,
     // placeholders rendered — the real tokenizer-training artifact
     "t19_bpe_train" -> ((s, d) =>
-      bpeTrain(t(s, d, "documents")).orderBy(col("merge_round")))
+      bpeTrain(t(s, d, "documents")).orderBy(col("merge_round"))),
+    // BPE corpus encode: tokenize every document with the table t19
+    // trained — the serving half every pretraining pipeline runs
+    "t20_bpe_encode" -> ((s, d) => bpeEncode(t(s, d, "documents")))
   )
 
-  /** The t19 oracle, generated for `rounds` levels: each round's pair
-    * count → argmax (count desc, lexicographic) → placeholder replace
-    * feeds the next; rendering CTEs expand chr(j) placeholders through
-    * the accumulated (already fully-rendered) merge history. */
-  private def bpeTrainOracleSql(rounds: Int): String = {
+  /** DuckDB chr() argument for round r's placeholder — the code-point
+    * mirror of `pua(r)` (DuckDB's chr is code-point based, unlike
+    * Spark's byte-mod-256 chr, which is why the Scala side carries the
+    * placeholder as a string literal instead). */
+  private def puaChr(round: Int): String = s"chr(${0xE000 + round})"
+
+  /** The shared BPE-training CTE chain, generated for `rounds` levels:
+    * each round's pair count → argmax (count desc, lexicographic) →
+    * placeholder replace feeds the next; rendering CTEs expand the
+    * U+E000+j placeholders through the accumulated (already
+    * fully-rendered) merge history. Reused verbatim by the t19 train
+    * oracle and the t20 encode oracle, so the two gates replay ONE
+    * recurrence. */
+  private def bpeOracleCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH tk AS (
          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
@@ -671,24 +750,51 @@ object TextAnalysis {
               FROM sp$r GROUP BY l, r),
        t$r AS (SELECT l, r, pair_count FROM p$r
               ORDER BY pair_count DESC, l, r LIMIT 1),
-       v$r AS (SELECT replace(w, (SELECT l || r FROM t$r), chr($r)) AS w, freq
+       v$r AS (SELECT replace(w, (SELECT l || r FROM t$r), ${puaChr(r)}) AS w, freq
               FROM v${r - 1})"""
     for (r <- 1 to rounds) {
       def rend(c: String): String = (1 until r).foldLeft(c)((acc, j) =>
-        s"replace($acc, chr($j), (SELECT rl || rr FROM rend$j))")
+        s"replace($acc, ${puaChr(j)}, (SELECT rl || rr FROM rend$j))")
       sb ++= s""",
        rend$r AS (SELECT ${rend("l")} AS rl, ${rend("r")} AS rr, pair_count
                   FROM t$r)"""
     }
-    sb ++= (1 to rounds).map(r => s"""
+    sb.toString
+  }
+
+  /** The t19 oracle: the shared CTE chain + the merge-table select. */
+  private def bpeTrainOracleSql(rounds: Int): String =
+    bpeOracleCtes(rounds) ++ (1 to rounds).map(r => s"""
        SELECT CAST($r AS BIGINT) AS merge_round, rl AS merge_l,
          rr AS merge_r, pair_count AS gain FROM rend$r""")
       .mkString("", "\n       UNION ALL", "\n       ORDER BY merge_round")
-    sb.toString
+
+  /** The t20 oracle: the SAME training CTE chain, then every document's
+    * words replayed through the per-round replace (patterns drawn from
+    * the t$r argmax CTEs), split to single-char symbols, placeholders
+    * rendered through the rend$j tables. One recurrence, two gates. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val encChain = (1 to rounds).map(r =>
+      s"""
+       e$r AS (SELECT doc_id, wi,
+                replace(w, (SELECT l || r FROM t$r), ${puaChr(r)}) AS w
+              FROM e${r - 1})""").mkString(",")
+    val rendToken = (1 to rounds).foldLeft("substring(w, si, 1)")((acc, j) =>
+      s"replace($acc, ${puaChr(j)}, (SELECT rl || rr FROM rend$j))")
+    bpeOracleCtes(rounds) ++ s""",
+       dw0 AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       dw1 AS (SELECT doc_id, unnest(range(1, len(sp) + 1)) AS wi, sp
+               FROM dw0),
+       e0 AS (SELECT doc_id, wi, sp[wi] AS w FROM dw1 WHERE sp[wi] <> ''),$encChain,
+       sy AS (SELECT doc_id, wi, unnest(range(1, length(w) + 1)) AS si, w
+              FROM e$rounds)
+       SELECT doc_id, wi, si, $rendToken AS token
+       FROM sy ORDER BY doc_id, wi, si"""
   }
 
   def oracleSql: Map[String, String] = Map(
     "t19_bpe_train" -> bpeTrainOracleSql(3),
+    "t20_bpe_encode" -> bpeEncodeOracleSql(3),
     "d13_winnow_subset_pin" ->
       """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
          WHERE 1 = 0""",
@@ -709,7 +815,7 @@ object TextAnalysis {
                 FROM sp1 GROUP BY l, r),
          top1 AS (SELECT l AS m_l, r AS m_r FROM p1
                   ORDER BY pair_count DESC, l, r LIMIT 1),
-         merged AS (SELECT replace(w, m_l || m_r, chr(1)) AS w, freq
+         merged AS (SELECT replace(w, m_l || m_r, chr(57345)) AS w, freq
                     FROM vocab CROSS JOIN top1),
          sp2 AS (SELECT w, freq, unnest(range(1, length(w))) AS i
                  FROM merged WHERE length(w) >= 2),
@@ -717,8 +823,8 @@ object TextAnalysis {
                   CAST(sum(freq) AS BIGINT) AS pair_count
                 FROM sp2 GROUP BY l, r)
          SELECT
-           CASE WHEN l = chr(1) THEN (SELECT m_l || m_r FROM top1) ELSE l END AS pair_l,
-           CASE WHEN r = chr(1) THEN (SELECT m_l || m_r FROM top1) ELSE r END AS pair_r,
+           CASE WHEN l = chr(57345) THEN (SELECT m_l || m_r FROM top1) ELSE l END AS pair_l,
+           CASE WHEN r = chr(57345) THEN (SELECT m_l || m_r FROM top1) ELSE r END AS pair_r,
            pair_count
          FROM p2
          ORDER BY pair_count DESC, pair_l, pair_r LIMIT 10""",

@@ -243,6 +243,43 @@ class CorpusSpec extends SparkSpec {
     assert(got == Seq((1L, "a", "b", 4L), (2L, "ab", "c", 3L)), got.toString)
   }
 
+  test("bpe encode: greedy apply per round, placeholder render, exact round-trip") {
+    import spark.implicits._
+    // Same fixture as the trainer test (merges: round 1 (a,b), round 2
+    // (ab,c)), plus a doc whose words exercise the interesting cases:
+    //  - "zabc"  → round 1 z⟨ab⟩c, round 2 z⟨abc⟩ → tokens [z, abc]
+    //    (the round-2 pattern's LEFT is a placeholder — the encoder must
+    //    replay the RAW recurrence, not the rendered digraphs)
+    //  - "abab"  → greedy non-overlap → [ab, ab]
+    //  - "cab"   → round 1 c⟨ab⟩, round 2 no hit (needs ⟨ab⟩ THEN c) →
+    //    [c, ab] — order sensitivity of the pair
+    // rounds pinned to 2: a third round would merge (c, ⟨ab⟩) and
+    // collapse the order-sensitivity case
+    val docs = ((Seq.fill(3)("abc") :+ "ab") :+ "zabc abab cab").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+    val got = graft.operators.TextAnalysis.bpeEncode(docs.toDF("doc_id", "text"), rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def toks(id: Long, wi: Long): Seq[String] =
+      got.filter(t => t._1 == id && t._2 == wi).sortBy(_._3).map(_._4).toSeq
+    assert(toks(0L, 1L) == Seq("abc"))
+    assert(toks(3L, 1L) == Seq("ab"))
+    assert(toks(4L, 1L) == Seq("z", "abc"))
+    assert(toks(4L, 2L) == Seq("ab", "ab"))
+    assert(toks(4L, 3L) == Seq("c", "ab"))
+    // round-trip law: concatenating a word's tokens in symbol order
+    // reconstructs the word, for EVERY (doc, word) coordinate
+    val words = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).zipWithIndex.collect {
+        case (w, i) if w.nonEmpty => ((id, i + 1L), w)
+      }
+    }.toMap
+    val grouped = got.groupBy(t => (t._1, t._2))
+    assert(grouped.keySet == words.keySet)
+    grouped.foreach { case (k, ts) =>
+      assert(ts.sortBy(_._3).map(_._4).mkString == words(k), s"round-trip at $k")
+    }
+  }
+
   test("count-min: sketch grid matches a hand-computed reference") {
     import spark.implicits._
     val toks = Seq("a", "b", "a", "c", "a", "b")
