@@ -148,7 +148,12 @@ object Quality {
     counts.crossJoin(broadcast(total))
       .select(col("key"), col("n"),
         expr("n * 1000000L div total").as("share_ppm"))
-      .orderBy(col("n").desc, col("key"))
+      // asc_nulls_last matched by NULLS LAST in the v07 oracle: on an n
+      // tie at the top-N boundary involving a NULL key, Spark's default
+      // (NULLs first asc) and DuckDB's (NULLs last) would otherwise
+      // select different keys — a NULL key is a real outcome for a
+      // prospective join column, and it should rank after real keys
+      .orderBy(col("n").desc, col("key").asc_nulls_last)
       .limit(topN)
   }
 
@@ -216,7 +221,7 @@ object Quality {
            SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),
          t AS (SELECT sum(n) AS total FROM c)
          SELECT key, n, CAST(n * 1000000 // total AS BIGINT) AS share_ppm
-         FROM c, t ORDER BY n DESC, key LIMIT 10""",
+         FROM c, t ORDER BY n DESC, key NULLS LAST LIMIT 10""",
     // the oracle needs no hashing: only c_acctbal can differ, so a
     // direct value compare reaches the same ADDED/REMOVED/CHANGED
     // verdicts the md5 comparison does

@@ -21,16 +21,28 @@ object Tables {
 
   /** Load one table from a scale-factor directory.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; we read it as a long (nanos since epoch,
-    * `spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
-    * TimestampType (truncation — matches DuckDB's TIMESTAMP_NS→TIMESTAMP
-    * cast, so oracle comparisons stay exact). */
+    * `events.ts` is written as parquet TIMESTAMP(NANOS). Depending on
+    * the Spark build, the inferred type is either a long (nanos since
+    * epoch, `spark.sql.legacy.parquet.nanosAsLong`) or — on builds
+    * where NTZ inference takes precedence over that legacy conf — a
+    * micros-truncated TIMESTAMP_NTZ. Normalize BOTH to the engine's
+    * canonical microsecond TimestampType by inspecting the type the
+    * reader actually produced: long → explicit nanos-div-1000
+    * truncation; NTZ → cast (the session timezone is pinned UTC by
+    * GraftSession, so the cast is value-preserving and lands on the
+    * same micros-truncated instants). Either path matches DuckDB's
+    * TIMESTAMP_NS→TIMESTAMP cast, so oracle comparisons stay exact. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view (for spark.sql entry points). */

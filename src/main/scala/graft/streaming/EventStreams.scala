@@ -26,11 +26,20 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over a scale-factor dir (nanos → micros ts, as
-    * in graft.sources.Tables). The testdata ships `events.parquet` as a
-    * single FILE; Spark's FileStreamSource only monitors directories, so
-    * the file is staged (hard-linked/copied once) into a per-sf temp dir
-    * — in production the source would already be a directory of files. */
+  /** File-source stream over a scale-factor dir (ts normalized to the
+    * engine's microsecond TimestampType, as in graft.sources.Tables).
+    * The testdata ships `events.parquet` as a single FILE; Spark's
+    * FileStreamSource only monitors directories, so the file is staged
+    * (hard-linked/copied once) into a per-sf temp dir — in production
+    * the source would already be a directory of files.
+    *
+    * The testdata's ts column has shipped under two parquet
+    * annotations across driver generations — TIMESTAMP(NANOS) (reads
+    * as int64 nanos under the legacy conf) and TIMESTAMP(MICROS)
+    * (reads as TIMESTAMP_NTZ) — so probe the footer ONCE via batch
+    * schema inference and parameterize the stream's explicit schema +
+    * normalization accordingly; both paths land on identical
+    * micros-truncated instants (session timezone pinned UTC). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(dir, "events.parquet")
@@ -43,10 +52,20 @@ object EventStreams {
       catch { case _: Exception =>
         Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spark.read.parquet(staged.toString).schema("ts").dataType match {
+      case LongType =>
+        spark.readStream
+          .schema(rawSchema)
+          .parquet(staged.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case tsType =>
+        val sch = StructType(rawSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = tsType) else f))
+        spark.readStream
+          .schema(sch)
+          .parquet(staged.toString)
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Count–Min sketch as a STREAMING aggregate: the token stream folds
