@@ -39,6 +39,12 @@ object StreamingQueries {
       EventStreams.runBounded(s, "st18_mem",
         scoped => EventStreams.staticEnrichRollup(scoped, d), "complete")
         .orderBy(col("w_start_us"), col("segment"))),
+    // streaming ANN serve: a query-vector stream answered per micro-
+    // batch against the persisted PQ index (st18's stream-static
+    // contract over the s15 layout; serving is stateless per query, so
+    // the replay hash-matches the batch s13 oracle)
+    "st21_stream_ann_serve" -> ((s, d) =>
+      AnnServeStream.runAnnServe(s, d).orderBy(col("q_id"), col("rk"))),
     // streaming quality monitor: windowed event-type mix + exact-integer
     // TVD numerator vs uniform (the v05 gate, online)
     "st17_stream_mix_drift" -> ((s, d) =>
@@ -195,6 +201,11 @@ object StreamingQueries {
          ORDER BY a.user_id, a.session_seq"""
 
   def oracleSql: Map[String, String] = Map(
+    // the streamed serve answers to the SAME oracle as the batch ADC
+    // top-k (s13) — persistence AND micro-batched arrival must both be
+    // invisible to results
+    "st21_stream_ann_serve" ->
+      graft.operators.Similarity.oracleSql("s13_pq_adc_topk"),
     // the t17 grid-rebuild oracle over the event-token stream: per-
     // (row, bucket) sums from the frequency table ≡ the streamed grid
     // (addition commutes across micro-batches), estimates = min over
