@@ -270,4 +270,40 @@ class SimilaritySpec extends SparkSpec {
     // dist2 is the exact integer L2² to the FINAL centroid ≥ 0
     assert(a.forall(_._3 >= 0L))
   }
+
+  test("persisted-index serve ≡ in-query training: s16 and s17 steady-state paths") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+
+    // IVF-PQ: build once, serve from the read-back layout — row-for-row
+    // equal to the train-in-query s16 composition
+    Similarity.buildIvfPqIndex(emb, s"$root/ivfpq")
+    val fromIdx = Similarity.retrieveRerankFromIndex(emb, s"$root/ivfpq")
+      .orderBy("q_id", "rk").collect().toSeq
+    val trained = Similarity.retrieveRerank(emb)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(fromIdx == trained, s"from-index serve diverged: $fromIdx vs $trained")
+
+    // frozen-codebook upsert: persisted base index + in-query delta
+    // encode — equal to the full in-query s17
+    Similarity.buildPqIndex(emb.filter(col("vec_id") % 10 =!= 0), s"$root/pqbase")
+    val upsertIdx = Similarity.pqIndexUpsertFromBase(emb, s"$root/pqbase")
+      .orderBy("q_id", "rk").collect().toSeq
+    val upsert = Similarity.pqIndexUpsert(emb)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(upsertIdx == upsert, s"upsert-from-base diverged: $upsertIdx vs $upsert")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("from-index serve plan: broadcasts only — no sort-merge join, no cartesian") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-idxplan").toString
+    Similarity.buildIvfPqIndex(emb, s"$root/ivfpq")
+    val p = Similarity.retrieveRerankFromIndex(emb, s"$root/ivfpq")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"serve lost its broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ crept into the serve:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }

@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
+import graft.operators.Similarity
 
 /** Watermark semantics across micro-batches: data later than the
   * watermark horizon is DROPPED from append-mode aggregates, and
@@ -373,6 +374,50 @@ class StreamingSpec extends SparkSpec {
       assert(snapshot() == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L),
         s"provider $name: restarted query lost state or re-read committed files")
     }
+  }
+
+  test("ann serve: union over micro-batched query arrival equals the batch answer") {
+    // the st21 invariant made visible: the catalog replay runs the one
+    // staged file in one batch, so force TWO micro-batches (query set
+    // split by vec_id parity across two files, maxFilesPerTrigger=1)
+    // and pin that per-batch serving against the static index composes
+    // to exactly the batch ADC top-k
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = Files.createTempDirectory("graft-annstream").toString
+    Similarity.buildPqIndex(emb, s"$root/idx")
+    val queryMod = 100 // denser query set than the catalog's 400
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+    queries.filter(col("vec_id") % 200 === 0)
+      .coalesce(1).write.parquet(s"$root/src/b1")
+    queries.filter(col("vec_id") % 200 =!= 0)
+      .coalesce(1).write.parquet(s"$root/src/b2")
+
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val cb = scoped.read.parquet(s"$root/idx/codebooks")
+    val codes = scoped.read.parquet(s"$root/idx/codes")
+    val schema = scoped.read.parquet(s"$root/src/b1").schema
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ckpt = Files.createTempDirectory("graft-annstream-ckpt")
+    val q = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/src/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) served.incrementAndGet()
+        Similarity.adcServeQueries(batch.toDF(), cb, codes, topK = 5)
+          .write.mode("append").parquet(s"$root/out")
+      }
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(served.get() >= 2, s"expected >= 2 non-empty serving batches, got ${served.get()}")
+    val got = scoped.read.parquet(s"$root/out")
+      .orderBy("q_id", "rk").collect().toSeq
+    val want = Similarity.pqAdcTopK(emb, topK = 5, queryMod = queryMod)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(got == want, s"streamed serve diverged from batch: $got vs $want")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
   }
 
   test("CDC apply: final state invariant under batch split and order") {
