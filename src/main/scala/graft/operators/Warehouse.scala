@@ -207,8 +207,14 @@ object Warehouse {
     * 100 TB the leaves are embarrassingly parallel — this sequential
     * driver loop becomes one job per leaf (or one multi-threaded
     * scheduler pool), because no two leaves share any state. Staging
-    * dirs are dot-prefixed siblings, invisible to a concurrent
-    * partition-discovering reader of the root. */
+    * dirs are dot-prefixed siblings, so a concurrent partition-
+    * discovering reader never sees a non-`k=v` directory — but the
+    * two-rename swap has an instant where the leaf directory itself
+    * does not exist, and a reader listing the root in that window
+    * silently misses the whole partition. The contract here is
+    * therefore SINGLE-WRITER, NO CONCURRENT READER mid-compaction;
+    * [[compactManifested]] is the pointer-commit protocol that removes
+    * that window for readers that consult the manifest. */
   def compactPartitioned(spark: SparkSession, rootDir: String,
                          targetFileBytes: Long = 128L << 20): Map[String, Int] = {
     val root = new java.io.File(rootDir).getAbsoluteFile
@@ -238,6 +244,91 @@ object Warehouse {
       }
       rel -> compact(spark, leaf.getPath, targetFileBytes)
     }.toMap
+  }
+
+  // ---------------------------------------------- manifested compaction
+  /** Manifest-pointer commit — the table-format move (Delta/Iceberg
+    * snapshot commit) that CLOSES [[compact]]'s absence window, on a
+    * plain filesystem: data files live in dot-prefixed GENERATION
+    * directories (`.gen-<n>` — invisible to naive discovery), and the
+    * `_current` manifest file holds the name of the live one. A commit
+    * writes the new generation in full, then atomically replaces
+    * `_current` (tmp-write + ATOMIC_MOVE with REPLACE_EXISTING — a
+    * reader sees the old pointer or the new, never a missing or partial
+    * one). [[readManifested]] resolves the pointer per read, so at
+    * every instant of a compaction there is a complete generation to
+    * read — no absence window, by construction.
+    *
+    * GC keeps the PREVIOUS generation and deletes older ones: a reader
+    * that resolved the pointer just before a commit may still be
+    * scanning the old generation, and one-generation retention gives it
+    * a full compaction cycle of grace (the local analogue of
+    * Iceberg/Delta's time-bounded snapshot retention; transient cost ≤
+    * 2× the leaf). Single-writer per leaf, like every table format. */
+  def compactManifested(spark: SparkSession, dir: String,
+                        targetFileBytes: Long = 128L << 20): Int = {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val root = new java.io.File(dir).getAbsoluteFile
+    val pointer = Paths.get(root.getPath, "_current")
+    // adopt a plain leaf on first contact: its loose parquet files
+    // become generation 0 (one-time migration — run it before any
+    // concurrent reader exists, like any format conversion)
+    if (!JFiles.exists(pointer)) {
+      val gen0 = new java.io.File(root, ".gen-0")
+      JFiles.createDirectories(gen0.toPath)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach(f => JFiles.move(f.toPath,
+          gen0.toPath.resolve(f.getName), StandardCopyOption.ATOMIC_MOVE))
+      commitPointer(pointer, ".gen-0")
+    }
+    val cur = JFiles.readString(pointer).trim
+    val curDir = new java.io.File(root, cur)
+    val bytes = Option(curDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val nextId = cur.stripPrefix(".gen-").toLong + 1
+    val next = s".gen-$nextId"
+    // the new generation is invisible until the pointer flips, so it
+    // can be written in place — no staging rename needed
+    spark.read.parquet(curDir.getPath).repartition(nFiles)
+      .write.mode("overwrite").parquet(new java.io.File(root, next).getPath)
+    commitPointer(pointer, next)
+    // retain exactly the previous generation; delete everything older
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".gen-") &&
+        f.getName.stripPrefix(".gen-").toLong < nextId - 1)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    new java.io.File(root, next).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  /** Atomic manifest replace: full tmp write + fsync'd ATOMIC_MOVE. */
+  private def commitPointer(pointer: java.nio.file.Path, gen: String): Unit = {
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    val tmp = pointer.resolveSibling("._current.tmp")
+    JFiles.writeString(tmp, gen)
+    JFiles.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read a [[compactManifested]] leaf through its manifest: resolve
+    * `_current`, scan that generation. `spark.read.parquet` lists the
+    * generation eagerly, so a stale pointer surfaces here (not at some
+    * later action) and the one retry re-resolves it — that race is
+    * possible only when the resolve races TWO commits back to back
+    * (the one-generation retention grace has run out). Mid-scan
+    * expiry is covered by POSIX open-handle semantics locally and by
+    * time-bounded retention on a real object store. */
+  def readManifested(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths}
+    def resolve(): DataFrame = {
+      val gen = JFiles.readString(Paths.get(dir, "_current")).trim
+      spark.read.parquet(new java.io.File(dir, gen).getPath)
+    }
+    try resolve()
+    catch { case _: org.apache.spark.sql.AnalysisException => resolve() }
   }
 
   /** The ONE interchange-roundtrip kernel behind q53/q69/q71: the same

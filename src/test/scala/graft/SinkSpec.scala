@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 
 /** Output-layout contract for the curated corpus: the write side of a
@@ -73,6 +74,55 @@ class SinkSpec extends SparkSpec {
     val base = new java.io.File(out).getName
     assert(!new java.io.File(parent, s".$base.compact_tmp").exists())
     assert(!new java.io.File(parent, s".$base.compact_old").exists())
+  }
+
+  test("manifested compaction: a concurrent reader never sees an absent or partial table") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = Files.createTempDirectory("graft_mcompact").resolve("tbl").toString
+    docs.repartition(1).write.option("maxRecordsPerFile", 25)
+      .mode("overwrite").parquet(out)
+    val beforeN = docs.count()
+    val beforeFp = docFp(spark.read.parquet(out))
+
+    // adoption is the documented one-time, pre-concurrency migration —
+    // run it (plus the first commit) before any reader exists
+    graft.operators.Warehouse.compactManifested(spark, out, targetFileBytes = 1L << 30)
+
+    // a reader hammering the manifest WHILE commits happen: every
+    // single read must land on a complete generation — the assertion
+    // compact()'s two-rename swap cannot make (its absence window
+    // would surface here as a missing-path failure or a partial count)
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val n = graft.operators.Warehouse.readManifested(spark, out).count()
+          reads.incrementAndGet()
+          if (n != beforeN) failures.add(s"read saw $n rows, want $beforeN")
+        } catch { case e: Throwable => failures.add(s"read failed: ${e.getMessage}") }
+      }
+    })
+    reader.start()
+    try {
+      // three further commits, all under concurrent reads
+      (1 to 3).foreach { _ =>
+        graft.operators.Warehouse.compactManifested(spark, out, targetFileBytes = 1L << 30)
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(failures.isEmpty, s"concurrent reader hit: ${failures.asScala.toSeq.take(3)}")
+    assert(reads.get() > 0, "reader never completed a read")
+
+    // steady state: one live generation + one retained predecessor,
+    // content bit-identical through every commit
+    assert(graft.operators.Warehouse.readManifested(spark, out).count() == beforeN)
+    assert(docFp(graft.operators.Warehouse.readManifested(spark, out)) == beforeFp)
+    val gens = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(".gen-")).map(_.getName).sorted
+    assert(gens.toSeq == Seq(".gen-3", ".gen-4"), gens.mkString(","))
+    val live = spark.read.parquet(s"$out/.gen-4")
+    assert(live.count() == beforeN)
   }
 
   test("per-leaf compaction: each lang=xx leaf compacts independently, partition values intact") {
