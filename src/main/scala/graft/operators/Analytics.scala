@@ -378,81 +378,127 @@ object Analytics {
     //      distributed global-order prefix scan — see [[skylinePareto]]
     "q73_skyline_pareto" -> ((s, d) =>
       skylinePareto(t(s, d, "orders"))
-        .orderBy(col("price"), col("d").desc, col("o_orderkey")))
+        .orderBy(col("price"), col("d").desc, col("o_orderkey"))),
+    // ---- running-record scan: second instantiation of the
+    //      [[runningScan]] kernel (prefix price max over date order)
+    "q74_running_records" -> ((s, d) =>
+      runningRecords(t(s, d, "orders")).orderBy(col("o_orderkey")))
   )
 
   case class SkyRow(o_orderkey: Long, price: Double, d: Long)
 
+  /** The GENERIC distributed global-order prefix scan — the kernel
+    * Spark's window cannot give: a global ORDER BY frame plans as a
+    * SinglePartition exchange, so instead (1) range-partition + sort by
+    * the scan order, (2) collect the per-partition merge of the running
+    * statistic — nPart rows, the only driver traffic, same bounded
+    * shape as the JDBC stride pass, (3) fold the exclusive per-
+    * partition prefix offsets into a broadcast, (4) one narrow per-
+    * partition pass finishes the scan, each row deciding against the
+    * exact prefix statistic of every strictly-earlier row.
+    *
+    * Caller supplies the monoid: `lift` a row into the statistic,
+    * `combine` two statistics (must be associative — the prefix fold
+    * depends on it), `emit` a row given the statistic over its strict
+    * prefix (None = first row of the global order). Instantiated by
+    * the q73 skyline (lexicographic dominance max) and the q74 running-
+    * record scan (prefix price max); any running-stat operator —
+    * frontier membership, prefix sums, high-watermarks — is one more
+    * (lift, combine, emit) triple. Two passes over the projection; at
+    * 100 TB the scan-order key would be the table's range-partitioned
+    * layout so pass 1 rides the existing sort.
+    *
+    * localCheckpoint(eager): BOTH passes must see ONE materialized
+    * partitioning — re-executing repartitionByRange re-samples its
+    * range boundaries (the sampler is seeded per job), so without the
+    * checkpoint pass 2 could assign a boundary row to a different
+    * partition than the one its broadcast offset was computed from and
+    * mis-decide against a wrong prefix. It also halves the work: the
+    * projection + range exchange + sort run once, not once per pass
+    * (the st11 precedent; blocks are freed by the context cleaner). */
+  private[graft] def runningScan[T, S, R: org.apache.spark.sql.Encoder](
+      ds: org.apache.spark.sql.Dataset[T], nPart: Int,
+      sortCols: Seq[org.apache.spark.sql.Column])(lift: T => S)(
+      combine: (S, S) => S)(
+      emit: (Option[S], T) => Option[R]): org.apache.spark.sql.Dataset[R] = {
+    val sorted = ds
+      .repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint(true)
+    // pass 1: per-partition merge of the running statistic (RDD lane:
+    // the statistic needs no Encoder, only Java serialization for the
+    // nPart-row driver hop)
+    val pm: Map[Int, S] = sorted.rdd.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var best: Option[S] = None
+      it.foreach(r => best = Some(best.fold(lift(r))(combine(_, lift(r)))))
+      best.map(pid -> _).iterator
+    }.collect().toMap
+    // exclusive prefix fold over ALL partition ids (an empty partition
+    // contributes nothing but must not break the chain for later ones)
+    val offsets: Map[Int, S] = {
+      var acc: Option[S] = None
+      (0 until nPart).flatMap { p =>
+        val entry = acc.map(p -> _)
+        pm.get(p).foreach(m => acc = Some(acc.fold(m)(combine(_, m))))
+        entry
+      }.toMap
+    }
+    val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
+    // pass 2: narrow per-partition scan with the broadcast offset
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run: Option[S] = bc.value.get(pid)
+      it.flatMap { r =>
+        val out = emit(run, r)
+        run = Some(run.fold(lift(r))(combine(_, lift(r))))
+        out.iterator
+      }
+    }
+  }
+
   /** 2-D Pareto skyline (the non-dominated frontier: no other row has
-    * price ≤ AND recency ≥ with one strict) via a DISTRIBUTED
-    * global-order prefix scan — the kernel Spark's window cannot give:
-    * a global ORDER BY frame plans as a SinglePartition exchange, so
-    * instead (1) range-partition + sort by the scan order, (2) collect
-    * the per-partition maxima of the running statistic — nPart rows,
-    * the only driver traffic, same bounded shape as the JDBC stride
-    * pass, (3) fold the exclusive per-partition prefix offsets into a
-    * broadcast, (4) one narrow per-partition pass finishes the scan.
-    * Dominance is decided against the lexicographic running max of
-    * (d, −price): a strictly-earlier sort row dominates iff its d
+    * price ≤ AND recency ≥ with one strict) — [[runningScan]] under the
+    * scan order (price, d desc, key) with the lexicographic running max
+    * of (d, −price): a strictly-earlier sort row dominates iff its d
     * exceeds mine, or ties my d at strictly smaller price — exact
     * duplicates survive (no strict edge), matching the NOT EXISTS
-    * definition. Two passes over a 3-column projection; at 100 TB the
-    * scan order key would be the table's range-partitioned layout so
-    * pass 1 rides the existing sort. */
+    * definition. */
   def skylinePareto(orders: DataFrame, nPart: Int = 16): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._
     def lexMax(a: (Long, Double), b: (Long, Double)): (Long, Double) =
       if (b._1 > a._1 || (b._1 == a._1 && b._2 > a._2)) b else a
-    // localCheckpoint(eager): BOTH passes must see ONE materialized
-    // partitioning — re-executing repartitionByRange re-samples its
-    // range boundaries (the sampler is seeded per job), so without the
-    // checkpoint pass 2 could assign a boundary row to a different
-    // partition than the one its broadcast offset was computed from and
-    // mis-decide dominance. It also halves the work: the projection +
-    // range exchange + sort run once, not once per pass (the st11
-    // precedent; blocks are freed by the context cleaner on GC).
-    val sorted = orders.select(col("o_orderkey"),
+    val rows = orders.select(col("o_orderkey"),
         col("o_totalprice").as("price"),
         datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"))
       .as[SkyRow]
-      .repartitionByRange(nPart, col("price"), col("d").desc, col("o_orderkey"))
-      .sortWithinPartitions(col("price"), col("d").desc, col("o_orderkey"))
-      .localCheckpoint(true)
-    // pass 1: per-partition maxima of the running statistic
-    val pmax = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var best: (Long, Double) = null
-      it.foreach { r =>
-        val cand = (r.d, -r.price)
-        best = if (best == null) cand else lexMax(best, cand)
-      }
-      Option(best).map(b => (pid, b._1, b._2)).iterator
-    }.collect()
-    // exclusive prefix fold over ALL partition ids (an empty partition
-    // contributes nothing but must not break the chain for later ones)
-    val pm = pmax.map(x => x._1 -> ((x._2, x._3))).toMap
-    val offsets = {
-      var acc: (Long, Double) = null
-      (0 until nPart).map { p =>
-        val entry = p -> acc
-        pm.get(p).foreach(m => acc = if (acc == null) m else lexMax(acc, m))
-        entry
-      }.toMap
-    }
-    val bc = spark.sparkContext.broadcast(offsets)
-    // pass 2: narrow per-partition scan with the broadcast offset
-    sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var run: (Long, Double) = bc.value.getOrElse(pid, null)
-      it.flatMap { r =>
-        val dominated = run != null &&
-          (run._1 > r.d || (run._1 == r.d && -run._2 < r.price))
-        val cand = (r.d, -r.price)
-        run = if (run == null) cand else lexMax(run, cand)
-        if (dominated) Iterator.empty else Iterator.single(r)
-      }
+    runningScan(rows, nPart,
+        Seq(col("price"), col("d").desc, col("o_orderkey")))(
+        r => (r.d, -r.price))(lexMax) { (run, r) =>
+      val dominated = run.exists(m => m._1 > r.d || (m._1 == r.d && -m._2 < r.price))
+      if (dominated) None else Some(r)
     }.toDF()
+  }
+
+  /** Running-record scan (frontier membership over time): the orders
+    * whose price strictly exceeds EVERY earlier order's price in
+    * (o_orderdate, o_orderkey) order — [[runningScan]] with the prefix
+    * price max as the statistic. The SQL equivalent is a global-order
+    * window (`max(price) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING
+    * TO 1 PRECEDING)`), which Spark plans as a SinglePartition
+    * exchange — the exact bottleneck the kernel exists to avoid. */
+  def runningRecords(orders: DataFrame, nPart: Int = 16): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val rows = orders.select(col("o_orderkey"),
+        col("o_totalprice").as("price"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"))
+      .as[SkyRow]
+    runningScan(rows, nPart,
+        Seq(col("d"), col("o_orderkey")))(_.price)(math.max) { (run, r) =>
+      if (run.forall(r.price > _)) Some((r.o_orderkey, r.d, r.price)) else None
+    }.toDF("o_orderkey", "d", "price")
   }
 
   /** Shared ANSI texts — the SAME string runs on Spark (via the SQL
@@ -516,6 +562,20 @@ object Analytics {
          FROM w
          WHERE m IS NULL OR NOT (m.d > d OR (m.d = d AND -m.np < price))
          ORDER BY price, d DESC, o_orderkey""",
+    // the global-order window the kernel replaces, as its own oracle
+    "q74_running_records" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_totalprice AS price,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+           FROM orders),
+         w AS (
+           SELECT o_orderkey, price, d,
+             max(price) OVER (ORDER BY d, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           FROM o)
+         SELECT o_orderkey, CAST(d AS BIGINT) AS d, price
+         FROM w WHERE prev_max IS NULL OR price > prev_max
+         ORDER BY o_orderkey""",
     "q62_linear_interpolate" ->
       """WITH ev AS (
            SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,

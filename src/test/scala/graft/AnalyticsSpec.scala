@@ -84,4 +84,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(results.distinct.size == 1, s"partition-count dependent: $results")
     assert(results.head == brute)
   }
+
+  test("running records == sequential scan, invariant to partition count") {
+    // ground truth: fold the fixture in (day, key) order, keep strict
+    // new maxima — the definition the distributed kernel must match
+    val want = {
+      var mx = Double.NegativeInfinity
+      fixture.sortBy(r => (r._3, r._1)).flatMap { r =>
+        if (r._2 > mx) { mx = r._2; Some(r._1) } else None
+      }.toSet
+    }
+    val results = Seq(1, 3, 16).map { n =>
+      Analytics.runningRecords(df, nPart = n)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    }
+    assert(results.distinct.size == 1, s"partition-count dependent: $results")
+    assert(results.head == want, s"got ${results.head} want $want")
+    // strictness: a price TIE is not a record (row 1 repeats row 2's
+    // price ten days later); a same-day strict increase IS (row 8
+    // follows row 6 in key order and beats its price)
+    assert(!results.head.contains(1L) && results.head.contains(8L))
+  }
 }
