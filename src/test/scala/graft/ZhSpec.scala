@@ -80,7 +80,26 @@ class ZhSpec extends SparkSpec {
       "软件工程师" -> "軟件工程師",                       // [≠OpenCC-tw: 軟體]
       "网络安全" -> "網絡安全", "计算机内存" -> "計算機內存",
       "飞机场" -> "飛機場", "医生护士" -> "醫生護士",
-      "图书馆藏书" -> "圖書館藏書", "经济发展规划" -> "經濟發展規劃")
+      "图书馆藏书" -> "圖書館藏書", "经济发展规划" -> "經濟發展規劃",
+      // r10 growth: more context-sensitive multi-char, mixed-script,
+      // and SURROGATE-PAIR rows (emoji, math-alphanumeric, CJK ext-B —
+      // conversion must apply around an inert non-BMP code point
+      // without corrupting it)
+      "山里的孩子" -> "山裡的孩子", "这里" -> "這裡",     // 里 inside
+      "皇后区" -> "皇后區", "头等舱" -> "頭等艙",
+      "方便面" -> "方便面",                               // [ICU quirk: misses
+                                                          //  the noodle 麵 here]
+      "当面" -> "當面", "出发" -> "出發",
+      "理发师" -> "理髮師", "头发丝" -> "頭髮絲",
+      "一发子弹" -> "一髮子彈",                           // [ICU quirk: 髮 where
+                                                          //  the classifier is 發]
+      "干净" -> "乾淨", "若干" -> "若干",                 // 干 clean vs several
+      "苹果面包" -> "蘋果麵包",                           // 面 → 麵 in bread
+      "WiFi密码是123" -> "WiFi密碼是123",
+      "北京大学的图书馆" -> "北京大學的圖書館",
+      "😀发型😀" -> "😀髮型😀",                           // emoji surrogate pair
+      "𝐀汉字𝐀" -> "𝐀漢字𝐀",                           // math-bold A (U+1D400)
+      "𠀀与发" -> "𠀀與發")                               // CJK ext-B (U+20000)
     val t2sGolden = Seq(
       "乾燥" -> "干燥", "幹部" -> "干部", "頭髮" -> "头发",
       "麵條" -> "面条", "皇后" -> "皇后", "後面" -> "后面",
@@ -92,7 +111,15 @@ class ZhSpec extends SparkSpec {
       "特徵" -> "特征", "多餘" -> "多余", "稻穀" -> "稻谷",
       "“引號”與『書名』" -> "“引号”与『书名』",
       "軟體工程師" -> "软体工程师",                       // [≠OpenCC: 软件——
-      "網路安全" -> "网路安全")                           //  no vocab mapping]
+      "網路安全" -> "网路安全",                           //  no vocab mapping]
+      // r10 growth (T2S is many-to-one, so the round trip is lossy by
+      // design — these pin the collapse direction)
+      "這裡" -> "这里", "乾淨" -> "干净",
+      "理髮師" -> "理发师", "方便麵" -> "方便面",
+      "頭等艙" -> "头等舱", "當面" -> "当面", "出發" -> "出发",
+      "皇后區" -> "皇后区", "發射" -> "发射",
+      "髮型屋" -> "发型屋",                               // 發/髮 both → 发
+      "𠀀與髮" -> "𠀀与发")                               // ext-B inert
     for ((in, want) <- s2tGolden)
       assert(Zh.toTraditional(in) == want, s"S2T($in)")
     for ((in, want) <- t2sGolden)
