@@ -174,7 +174,14 @@ object Similarity {
     * except where a kernel says so. */
   private[graft] def subvectors(emb: DataFrame, m: Int = 8,
                                 subDim: Int = 8): DataFrame =
-    quantized(emb).select(col("vec_id"),
+    subvectorsOf(quantized(emb), m, subDim)
+
+  /** The subspace split over ALREADY-quantized (vec_id, qv) rows — so
+    * a persisted quantized layout ([[buildIvfPqIndex]]'s `vectors`
+    * relation) feeds the same kernels without re-quantizing raw
+    * floats. */
+  private def subvectorsOf(base: DataFrame, m: Int, subDim: Int): DataFrame =
+    base.select(col("vec_id"),
       explode(array((0 until m).map { s =>
         struct(lit(s).as("s"), slice(col("qv"), s * subDim + 1, subDim).as("sub"))
       }: _*)).as("e"))
@@ -410,26 +417,29 @@ object Similarity {
     val cb = pqCodebooks(emb, m, subDim, k)
     val codes = assignSub(subvectors(emb, m, subDim), cb)
       .select(col("vec_id"), col("s"), col("cid").as("code"))
-    ivfPqServe(emb, cents, member, cb, codes, topK, queryMod, nProbe, m, subDim)
+    ivfPqServe(quantized(emb), cents, member, cb, codes,
+      topK, queryMod, nProbe, m, subDim)
   }
 
-  /** The IVF-PQ SERVE path against the four index relations, however
+  /** The IVF-PQ SERVE path against the index relations, however
     * obtained — freshly trained ([[ivfPqTopK]]) or read back from a
     * persisted layout ([[ivfPqTopKFromIndex]]): coarse routing (exact
     * integer L2² to each centroid, top-nProbe with (d2, cid) ties),
     * probed-list candidates on a broadcast cid equi-join, per-query ADC
-    * table over only the candidates' codes. */
-  private def ivfPqServe(emb: DataFrame, cents: DataFrame, member: DataFrame,
+    * table over only the candidates' codes. `vectors` carries
+    * ALREADY-quantized (vec_id, qv) rows — raw floats are quantized
+    * once, at build or train time, never per serve. */
+  private def ivfPqServe(vectors: DataFrame, cents: DataFrame, member: DataFrame,
                          cb: DataFrame, codes: DataFrame, topK: Int,
                          queryMod: Int, nProbe: Int, m: Int,
                          subDim: Int): DataFrame = {
-    val base = quantized(emb).select(col("vec_id"), col("qv"))
+    val queries = vectors.filter(col("vec_id") % queryMod === 0)
     // query routing: exact integer L2² to each trained centroid
     // (nq·k rows), top-nProbe with (d2, cid) ties
     val qd = "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), " +
       "CAST(0 AS BIGINT), (a, v) -> a + v)"
     val wr = Window.partitionBy(col("q_id")).orderBy(col("rd2"), col("cid"))
-    val route = base.filter(col("vec_id") % queryMod === 0)
+    val route = queries
       .select(col("vec_id").as("q_id"), col("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("rd2", expr(qd))
@@ -439,8 +449,7 @@ object Similarity {
     val cand = member.join(broadcast(route), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
-    val qsub = subvectors(emb, m, subDim)
-      .filter(col("vec_id") % queryMod === 0)
+    val qsub = subvectorsOf(queries, m, subDim)
       .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
     val dq = "aggregate(zip_with(qsub, cv, (x, y) -> (x - y) * (x - y)), " +
       "CAST(0 AS BIGINT), (a, v) -> a + v)"
@@ -456,19 +465,23 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("adc"))
   }
 
-  /** Train the FULL IVF-PQ index and persist its four relations under
-    * `dir`: coarse centroids (k rows), list membership (n rows),
+  /** Train the FULL IVF-PQ index and persist its five relations under
+    * `dir`: the QUANTIZED corpus (vec_id, qv, nrm — the storage layout
+    * serving reads instead of re-quantizing raw floats per query
+    * batch), coarse centroids (k rows), list membership (n rows),
     * PQ codebooks (m·k rows), PQ codes (n·m rows). Members and codes
     * encode against the READ-BACK trained relations so each training
     * DAG executes exactly once. At 100 TB: centroids + codebooks are
-    * broadcast literals; members/codes live bucketed (or partitioned
-    * BY cid) next to the corpus so a probe is partition pruning —
-    * the layout s15/SinkSpec pin. */
+    * broadcast literals; vectors/members/codes live bucketed (or
+    * partitioned BY cid) next to the corpus so a probe is partition
+    * pruning — the layout s15/SinkSpec pin. */
   def buildIvfPqIndex(emb: DataFrame, dir: String, m: Int = 8,
                       subDim: Int = 8, k: Int = 4): Unit = {
     val spark = emb.sparkSession
+    quantized(emb).select(col("vec_id"), col("qv"), col("nrm"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
     kmeansCentroids(emb, k).write.mode("overwrite").parquet(s"$dir/centroids")
-    assignFull(quantized(emb).select(col("vec_id"), col("qv")),
+    assignFull(spark.read.parquet(s"$dir/vectors").select(col("vec_id"), col("qv")),
         spark.read.parquet(s"$dir/centroids"))
       .select(col("vec_id"), col("cid"))
       .write.mode("overwrite").parquet(s"$dir/members")
@@ -476,19 +489,18 @@ object Similarity {
   }
 
   /** IVF-PQ serve from the [[buildIvfPqIndex]] layout — the per-query-
-    * batch cost of the 100 TB steady state, with training amortized
-    * into the build. Same answer (and oracle) as [[ivfPqTopK]]. */
-  def ivfPqTopKFromIndex(emb: DataFrame, indexDir: String, topK: Int = 5,
+    * batch cost of the 100 TB steady state, with training (and the
+    * corpus quantization) amortized into the build. Same answer (and
+    * oracle) as [[ivfPqTopK]]. */
+  def ivfPqTopKFromIndex(spark: SparkSession, indexDir: String, topK: Int = 5,
                          queryMod: Int = 400, nProbe: Int = IvfNProbe,
-                         m: Int = 8, subDim: Int = 8): DataFrame = {
-    val spark = emb.sparkSession
-    ivfPqServe(emb,
+                         m: Int = 8, subDim: Int = 8): DataFrame =
+    ivfPqServe(spark.read.parquet(s"$indexDir/vectors"),
       spark.read.parquet(s"$indexDir/centroids"),
       spark.read.parquet(s"$indexDir/members"),
       spark.read.parquet(s"$indexDir/codebooks"),
       spark.read.parquet(s"$indexDir/codes"),
       topK, queryMod, nProbe, m, subDim)
-  }
 
   /** Two-stage retrieve + re-rank — the production ANN SERVING pattern
     * on top of the s14 index: stage 1 retrieves a `shortlist`-sized
@@ -508,7 +520,7 @@ object Similarity {
   def retrieveRerank(emb: DataFrame, topK: Int = 5, shortlist: Int = 25,
                      queryMod: Int = 400, nProbe: Int = IvfNProbe,
                      m: Int = 8, subDim: Int = 8, k: Int = 4): DataFrame =
-    rerankShortlist(emb,
+    rerankShortlist(quantized(emb),
       ivfPqTopK(emb, shortlist, queryMod, nProbe, m, subDim, k)
         .select(col("q_id"), col("neighbor_id")),
       topK, queryMod)
@@ -516,26 +528,26 @@ object Similarity {
   /** Retrieve + re-rank SERVING from the persisted [[buildIvfPqIndex]]
     * layout: stage 1 retrieves the shortlist in the compressed domain
     * against the saved index (no in-query training), stage 2 re-scores
-    * only those candidates exactly. Same answer (and oracle) as
+    * only those candidates exactly against the saved quantized vectors
+    * (no raw-float pass at all). Same answer (and oracle) as
     * [[retrieveRerank]]; the cost is the per-query-batch steady state
     * the 100 TB story amortizes to. */
-  def retrieveRerankFromIndex(emb: DataFrame, indexDir: String,
+  def retrieveRerankFromIndex(spark: SparkSession, indexDir: String,
                               topK: Int = 5, shortlist: Int = 25,
                               queryMod: Int = 400,
                               nProbe: Int = IvfNProbe): DataFrame =
-    rerankShortlist(emb,
-      ivfPqTopKFromIndex(emb, indexDir, shortlist, queryMod, nProbe)
+    rerankShortlist(spark.read.parquet(s"$indexDir/vectors"),
+      ivfPqTopKFromIndex(spark, indexDir, shortlist, queryMod, nProbe)
         .select(col("q_id"), col("neighbor_id")),
       topK, queryMod)
 
   /** Stage 2 of the two-stage serve: exact integer-cosine re-scoring of
-    * a (q_id, neighbor_id) shortlist. The shortlist (nq·shortlist rows)
-    * BROADCASTS to meet the corpus on vec_id — the corpus never
-    * shuffles; query vectors ride a second broadcast; WindowGroupLimit
-    * bounds the final sort. */
-  private def rerankShortlist(emb: DataFrame, cands: DataFrame,
+    * a (q_id, neighbor_id) shortlist over quantized (vec_id, qv, nrm)
+    * rows. The shortlist (nq·shortlist rows) BROADCASTS to meet the
+    * corpus on vec_id — the corpus never shuffles; query vectors ride
+    * a second broadcast; WindowGroupLimit bounds the final sort. */
+  private def rerankShortlist(base: DataFrame, cands: DataFrame,
                               topK: Int, queryMod: Int): DataFrame = {
-    val base = quantized(emb)
     val corpus = base.select(col("vec_id").as("neighbor_id"),
       col("qv").as("c_qv"), col("nrm").as("c_nrm"))
     val qvec = base.filter(col("vec_id") % queryMod === 0)
@@ -980,7 +992,7 @@ object Similarity {
     // call pays training (what the s14 oracle pins) and every repeat
     // prices the steady-state serve the 100 TB story amortizes to
     "s16_retrieve_rerank" -> ((s, d) =>
-      retrieveRerankFromIndex(t(s, d, "embeddings"),
+      retrieveRerankFromIndex(s,
           cachedIndex("ivfpq", d)(buildIvfPqIndex(t(s, d, "embeddings"), _)))
         .orderBy(col("q_id"), col("rk"))),
     // frozen-codebook index upsert: delta vectors encode against the

@@ -278,7 +278,7 @@ class SimilaritySpec extends SparkSpec {
     // IVF-PQ: build once, serve from the read-back layout — row-for-row
     // equal to the train-in-query s16 composition
     Similarity.buildIvfPqIndex(emb, s"$root/ivfpq")
-    val fromIdx = Similarity.retrieveRerankFromIndex(emb, s"$root/ivfpq")
+    val fromIdx = Similarity.retrieveRerankFromIndex(spark, s"$root/ivfpq")
       .orderBy("q_id", "rk").collect().toSeq
     val trained = Similarity.retrieveRerank(emb)
       .orderBy("q_id", "rk").collect().toSeq
@@ -299,7 +299,7 @@ class SimilaritySpec extends SparkSpec {
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val root = java.nio.file.Files.createTempDirectory("graft-idxplan").toString
     Similarity.buildIvfPqIndex(emb, s"$root/ivfpq")
-    val p = Similarity.retrieveRerankFromIndex(emb, s"$root/ivfpq")
+    val p = Similarity.retrieveRerankFromIndex(spark, s"$root/ivfpq")
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"serve lost its broadcasts:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ crept into the serve:\n$p")
