@@ -88,7 +88,23 @@ object Bench {
       // r8 "p01 warm 2× cold" question took a cross-round no-op to
       // falsify; these fields make that class self-diagnosing in one
       // artifact.
+      //
+      // The sentinel measures RETAINED state, not GC timing: the last
+      // run's DataFrame just went out of scope, and correctly-released
+      // blocks (a returned result's own checkpoint — d07/d09/g01/q73
+      // hand back exactly one) sit in the ContextCleaner's reference
+      // queue until a GC notices. Nudge the collector and give the
+      // cleaner a bounded window, OUTSIDE the timed region, so the
+      // reading is deterministic: a genuine leak is a STRONG reference
+      // inside operator state — it survives any number of GCs and
+      // still shows as nonzero; everything else reads 0 every time
+      // instead of "0 unless the cleaner was behind".
       val sc = spark.sparkContext
+      val gcDeadline = System.nanoTime() + 2_000_000_000L
+      while (sc.getPersistentRDDs.nonEmpty && System.nanoTime() < gcDeadline) {
+        System.gc()
+        Thread.sleep(100)
+      }
       val prdds = sc.getPersistentRDDs.size
       val storageMb = sc.getRDDStorageInfo.map(_.memSize).sum / (1024.0 * 1024.0)
       (name, runs, prdds, storageMb)

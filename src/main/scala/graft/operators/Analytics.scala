@@ -415,7 +415,17 @@ object Analytics {
     * partition than the one its broadcast offset was computed from and
     * mis-decide against a wrong prefix. It also halves the work: the
     * projection + range exchange + sort run once, not once per pass
-    * (the st11 precedent; blocks are freed by the context cleaner). */
+    * (the st11 precedent).
+    *
+    * Lifecycle: the emit result is materialized EAGERLY (its own
+    * checkpoint) so the full-projection checkpoint and the offsets
+    * broadcast can be released before return — the operator hands back
+    * only its output's blocks, not a corpus-sized intermediate left to
+    * the async ContextCleaner. The result of a running scan is its
+    * reduction (frontier rows, records), orders of magnitude smaller
+    * than the scanned projection; a full-output instantiation (prefix
+    * sums) pays its output size once, which its sink was about to
+    * materialize anyway. */
   private[graft] def runningScan[T, S, R: org.apache.spark.sql.Encoder](
       ds: org.apache.spark.sql.Dataset[T], nPart: Int,
       sortCols: Seq[org.apache.spark.sql.Column])(lift: T => S)(
@@ -446,7 +456,7 @@ object Analytics {
     }
     val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
     // pass 2: narrow per-partition scan with the broadcast offset
-    sorted.mapPartitions { it =>
+    val result = sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var run: Option[S] = bc.value.get(pid)
       it.flatMap { r =>
@@ -454,7 +464,12 @@ object Analytics {
         run = Some(run.fold(lift(r))(combine(_, lift(r))))
         out.iterator
       }
-    }
+    }.localCheckpoint(true)
+    // deterministic release: the result no longer references them
+    org.apache.spark.sql.graftshim.checkpointRdd(sorted)
+      .foreach(_.unpersist(blocking = true))
+    bc.destroy()
+    result
   }
 
   /** 2-D Pareto skyline (the non-dominated frontier: no other row has

@@ -417,11 +417,21 @@ object TextAnalysis {
     * rows — the same R rows every real BPE trainer holds in driver
     * state; this is the entire collect traffic). */
   private[graft] def bpeTrainMerges(docs: DataFrame, rounds: Int): Seq[BpeMerge] = {
-    var vocab = bpeVocab(docs).localCheckpoint(true)
+    // cutLineage, not localCheckpoint: same round barrier (the g03
+    // lesson — a lazy chain whose round reads its predecessor twice
+    // recomputes 2^R times), minus the eager count job per round — the
+    // next round's argmax collect is what materializes each cut, so the
+    // FINAL round's vocabulary (which nothing reads) never runs at all.
+    // Handles are kept so every round's blocks are released at operator
+    // end: the merge table is driver state, nothing downstream
+    // references the vocabulary datasets.
+    val handles = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    var (vocab, vocabRdd) = cutLineage(bpeVocab(docs))
+    handles += vocabRdd
     val rendered = scala.collection.mutable.Map[Char, String]()
     def render(s: String): String =
       s.flatMap(c => rendered.getOrElse(c, c.toString))
-    (1 to rounds).flatMap { round =>
+    val merges = (1 to rounds).flatMap { round =>
       val top = bpePairCounts(vocab)
         .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
         .collect()
@@ -432,16 +442,22 @@ object TextAnalysis {
         // non-ASCII, surrogate pairs — exactly (Spark's chr() is mod-256
         // byte-only, so a chr(codePoint) splice would silently mangle a
         // non-ASCII winning pair and desync from the oracle)
-        vocab = vocab
+        val (next, nextRdd) = cutLineage(vocab
           .withColumn("_p", lit(l + r))
           .withColumn("_s", lit(pua(round).toString))
-          .select(expr("replace(w, _p, _s)").as("w"), col("freq"))
-          .localCheckpoint(true)
+          .select(expr("replace(w, _p, _s)").as("w"), col("freq")))
+        vocab = next
+        handles += nextRdd
         val (rl, rr) = (render(l), render(r))
         rendered(pua(round)) = rl + rr
         BpeMerge(round, l, r, rl, rr, cnt)
       }
     }
+    // deterministic release (blocking: the blocks are vocabulary-sized,
+    // and a deterministic zero beats an async maybe-zero in the bench's
+    // cache sentinel)
+    handles.foreach(_.unpersist(blocking = true))
+    merges
   }
 
   /** t20 — BPE corpus ENCODE: the serving half of the t19 trainer.

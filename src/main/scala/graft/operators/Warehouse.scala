@@ -304,23 +304,50 @@ object Warehouse {
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
   }
 
-  /** Atomic manifest replace: full tmp write + fsync'd ATOMIC_MOVE. */
+  /** Atomic + durable manifest replace: the tmp file's contents are
+    * force()d to stable storage BEFORE the ATOMIC_MOVE, and the parent
+    * directory is fsynced AFTER it, so a power loss cannot surface a
+    * pointer whose own bytes (or whose rename) were still
+    * buffered. Scope of the claim: this makes the POINTER commit
+    * durable; the generation's DATA files are written by Spark's
+    * parquet committer, whose durability is the filesystem/object
+    * store's contract (as with any Spark write) — a deployment that
+    * needs data-file fsync puts the table on a filesystem that gives
+    * it (or an object store, where PUT is durable on ack). Reader-
+    * visibility atomicity needs none of this: a reader sees the old
+    * pointer or the new, never a partial one, fsync or not. */
   private def commitPointer(pointer: java.nio.file.Path, gen: String): Unit = {
-    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    import java.nio.file.{Files => JFiles, StandardCopyOption, StandardOpenOption}
     val tmp = pointer.resolveSibling("._current.tmp")
-    JFiles.writeString(tmp, gen)
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(gen.getBytes("UTF-8")))
+      ch.force(true)
+    } finally ch.close()
     JFiles.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // fsync the directory so the rename itself survives power loss
+    // (the Lucene pattern: open the dir read-only and force; best-
+    // effort where the platform refuses directory fds)
+    try {
+      val dch = java.nio.channels.FileChannel.open(pointer.getParent,
+        StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    } catch { case _: java.io.IOException => }
   }
 
   /** Read a [[compactManifested]] leaf through its manifest: resolve
     * `_current`, scan that generation. `spark.read.parquet` lists the
-    * generation eagerly, so a stale pointer surfaces here (not at some
-    * later action) and the one retry re-resolves it — that race is
-    * possible only when the resolve races TWO commits back to back
-    * (the one-generation retention grace has run out). Mid-scan
-    * expiry is covered by POSIX open-handle semantics locally and by
-    * time-bounded retention on a real object store. */
+    * generation eagerly, so a stale pointer usually surfaces here (not
+    * at some later action) and the one retry re-resolves it — that
+    * race is possible only when the resolve races TWO commits back to
+    * back (the one-generation retention grace has run out). A reader
+    * that resolved fine but is MID-SCAN (count/collect in flight) when
+    * its generation is GC'd two commits later fails at the ACTION, not
+    * here — run such actions through [[withManifested]], which retries
+    * that class too. */
   def readManifested(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files => JFiles, Paths}
     def resolve(): DataFrame = {
@@ -329,6 +356,27 @@ object Warehouse {
     }
     try resolve()
     catch { case _: org.apache.spark.sql.AnalysisException => resolve() }
+  }
+
+  /** Run `action` against the current generation with the FULL retry:
+    * resolve-time staleness (AnalysisException, already covered inside
+    * [[readManifested]]) AND mid-action expiry — a scan that resolved a
+    * generation, then lost it to GC when two commits landed back to
+    * back, surfaces as a FileNotFoundException (possibly wrapped in a
+    * SparkException task failure); re-resolving and re-running the
+    * action once lands on the new live generation. One retry is the
+    * right budget: a second consecutive loss would mean the reader is
+    * persistently two commits behind per attempt — a pathological
+    * writer, not a race. */
+  def withManifested[T](spark: SparkSession, dir: String)(
+      action: DataFrame => T): T = {
+    def missingFile(e: Throwable, depth: Int = 0): Boolean =
+      e != null && depth < 16 && (e.isInstanceOf[java.io.FileNotFoundException] ||
+        (e.getCause ne e) && missingFile(e.getCause, depth + 1))
+    try action(readManifested(spark, dir))
+    catch {
+      case e: Throwable if missingFile(e) => action(readManifested(spark, dir))
+    }
   }
 
   /** The ONE interchange-roundtrip kernel behind q53/q69/q71: the same

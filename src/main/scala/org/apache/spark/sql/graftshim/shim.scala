@@ -26,4 +26,16 @@ package object graftshim {
                       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
                       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
+  /** The InternalRow RDD behind a LogicalRDD-rooted plan — what
+    * `Dataset.localCheckpoint` leaves as the root. This is the handle an
+    * iterative/two-pass operator needs to `unpersist` its checkpoint
+    * blocks deterministically at operator end instead of leaving them to
+    * the async ContextCleaner (where they bleed into the next queries'
+    * storage readings). None when the root is something else. */
+  def checkpointRdd(ds: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed match {
+      case r: execution.LogicalRDD => Some(r.rdd)
+      case _ => None
+    }
 }

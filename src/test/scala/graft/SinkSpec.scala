@@ -98,7 +98,11 @@ class SinkSpec extends SparkSpec {
     val reader = new Thread(() => {
       while (!stop) {
         try {
-          val n = graft.operators.Warehouse.readManifested(spark, out).count()
+          // withManifested: a read that resolves a generation and is
+          // mid-scan when that generation is GC'd two commits later
+          // (back-to-back commits on a slow host outrun the one-
+          // generation retention grace) re-resolves and re-runs once
+          val n = graft.operators.Warehouse.withManifested(spark, out)(_.count())
           reads.incrementAndGet()
           if (n != beforeN) failures.add(s"read saw $n rows, want $beforeN")
         } catch { case e: Throwable => failures.add(s"read failed: ${e.getMessage}") }
