@@ -382,10 +382,15 @@ object Analytics {
     // ---- running-record scan: second instantiation of the
     //      [[runningScan]] kernel (prefix price max over date order)
     "q74_running_records" -> ((s, d) =>
-      runningRecords(t(s, d, "orders")).orderBy(col("o_orderkey")))
+      runningRecords(t(s, d, "orders")).orderBy(col("o_orderkey"))),
+    // ---- cumulative revenue share: third [[runningScan]]
+    //      instantiation (prefix-sum monoid, full-output emit)
+    "q75_cumulative_share" -> ((s, d) =>
+      cumulativeRevenueShare(t(s, d, "orders")).orderBy(col("o_orderkey")))
   )
 
   case class SkyRow(o_orderkey: Long, price: Double, d: Long)
+  case class CumRow(o_orderkey: Long, d: Long, cents: Long)
 
   /** The GENERIC distributed global-order prefix scan — the kernel
     * Spark's window cannot give: a global ORDER BY frame plans as a
@@ -516,6 +521,41 @@ object Analytics {
     }.toDF("o_orderkey", "d", "price")
   }
 
+  /** Cumulative revenue share — the PREFIX-SUM instantiation of
+    * [[runningScan]] (third, after q73's dominance max and q74's
+    * record max): each order's share of all revenue booked up to and
+    * including it in (o_orderdate, o_orderkey) order. The SQL
+    * equivalent is `sum(...) OVER (ORDER BY ... ROWS UNBOUNDED
+    * PRECEDING)` — a global-order frame Spark plans as a
+    * SinglePartition exchange, the exact bottleneck the kernel
+    * avoids. Unlike q73/q74 this emits EVERY row (the full-output
+    * shape), exercising the kernel's output-sized eager checkpoint.
+    *
+    * Determinism: prices quantize to exact bigint cents
+    * (DECIMAL(18,4)·100) so the running sum is integer-exact and
+    * order-independent within the monoid; the share is ONE terminal
+    * double division of two exactly-summed operands — bit-identical
+    * cross-engine (package doc). The denominator rides a broadcast
+    * 1-row aggregate, never a driver collect. */
+  def cumulativeRevenueShare(orders: DataFrame, nPart: Int = 16): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val cents = (col("o_totalprice").cast(DecimalType(18, 4)) * 100).cast("long")
+    val rows = orders.select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"),
+        cents.as("cents"))
+      .as[CumRow]
+    val cum = runningScan(rows, nPart,
+        Seq(col("d"), col("o_orderkey")))(_.cents)(_ + _) { (run, r) =>
+      Some((r.o_orderkey, r.d, run.getOrElse(0L) + r.cents))
+    }.toDF("o_orderkey", "d", "cum_cents")
+    val total = orders.agg(sum(cents).as("total_cents"))
+    cum.crossJoin(broadcast(total))
+      .select(col("o_orderkey"), col("d"),
+        (col("cum_cents").cast("double") / col("total_cents").cast("double"))
+          .as("cum_share"))
+  }
+
   /** Shared ANSI texts — the SAME string runs on Spark (via the SQL
     * entry point) and on DuckDB as its own oracle. */
   private val WindowValuesSql =
@@ -577,6 +617,21 @@ object Analytics {
          FROM w
          WHERE m IS NULL OR NOT (m.d > d OR (m.d = d AND -m.np < price))
          ORDER BY price, d DESC, o_orderkey""",
+    // the global-order running-sum window the kernel replaces, as its
+    // own oracle; cents are exact bigints, the share one terminal
+    // double division (hugeint→double and bigint→double both round to
+    // nearest, so the operands agree cross-engine)
+    "q75_cumulative_share" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, CAST(d AS BIGINT) AS d,
+           CAST(sum(cents) OVER (ORDER BY d, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST((SELECT sum(cents) FROM o) AS DOUBLE) AS cum_share
+         FROM o ORDER BY o_orderkey""",
     // the global-order window the kernel replaces, as its own oracle
     "q74_running_records" ->
       """WITH o AS (

@@ -105,4 +105,29 @@ class AnalyticsSpec extends SparkSpec {
     // follows row 6 in key order and beats its price)
     assert(!results.head.contains(1L) && results.head.contains(8L))
   }
+
+  test("cumulative share == sequential prefix sum, invariant to partition count") {
+    // ground truth: exact integer cents folded in (day, key) order,
+    // one terminal double division — the full-output emit shape
+    val totalCents = fixture.map(r => math.round(r._2 * 100)).sum
+    val want = {
+      var cum = 0L
+      fixture.sortBy(r => (r._3, r._1)).map { r =>
+        cum += math.round(r._2 * 100)
+        r._1 -> cum.toDouble / totalCents.toDouble
+      }.toMap
+    }
+    val results = Seq(1, 3, 16).map { n =>
+      Analytics.cumulativeRevenueShare(df, nPart = n)
+        .select("o_orderkey", "cum_share").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(results.distinct.size == 1, s"partition-count dependent: $results")
+    assert(results.head == want, s"got ${results.head} want $want")
+    // every row emits (full-output instantiation), last share is 1.0
+    assert(results.head.size == fixture.size)
+    // last row of the global (day, key) order is key 8 (day 300 ties
+    // with key 6, key order decides) — it must close at share 1.0
+    assert(results.head(8L) == 1.0, "final row must close at share 1.0")
+  }
 }
