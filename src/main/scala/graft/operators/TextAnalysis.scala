@@ -63,6 +63,28 @@ object TextAnalysis {
                 element_at(_ws, least(i + 2, size(_ws)))))),
             9223372036854775807L, (acc, h) -> least(acc, h))""").as("min_shingle_hash"))
 
+  /** The ENGINE-REPLAYABLE fingerprint twin of [[fingerprint]] (t21):
+    * md5 over the exact text bytes for the document fingerprint, and
+    * the same word-3-shingle construction with the MIN taken over md5
+    * hex digests (lexicographic on the hex alphabet — pure-ASCII, so
+    * Spark's binary string min and DuckDB's agree byte for byte).
+    * xxhash64 (t04) stays the production path — 8-byte, codegen'd,
+    * cheaper to shuffle as a dedup key; this twin exists so the
+    * fingerprint FAMILY carries one full value oracle (DuckDB ships
+    * md5, not xxhash64) alongside t15's on-corpus injectivity pin. */
+  def fingerprintMd5(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_ws", ws)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        expr("""array_min(
+            transform(sequence(1, greatest(size(_ws) - 2, 1)),
+              i -> md5(concat_ws(' ', element_at(_ws, i),
+                element_at(_ws, least(i + 1, size(_ws))),
+                element_at(_ws, least(i + 2, size(_ws)))))))""")
+          .as("min_shingle_md5"))
+
   /** Global top-k word bigrams (count desc, bigram asc tie-break). */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
     docs
@@ -693,6 +715,10 @@ object TextAnalysis {
         .orderBy(col("lang"), col("script_lang"))),
     "t03_quality_score" -> ((s, d) => qualityScore(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t04_fingerprint" -> ((s, d) => fingerprint(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // the md5 twin of t04 — same shingle construction, engine-
+    // replayable digests, FULL value oracle (see fingerprintMd5 doc)
+    "t21_fingerprint_md5" -> ((s, d) =>
+      fingerprintMd5(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t05_top_bigrams" -> ((s, d) => topBigrams(t(s, d, "documents"))),
     "t09_repetition_stats" -> ((s, d) =>
       repetitionStats(t(s, d, "documents")).orderBy(col("doc_id"))),
@@ -853,6 +879,18 @@ object TextAnalysis {
     "t15_fingerprint_collision_pin" ->
       """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
          WHERE 1 = 0""",
+    // the full value oracle the t04 family lacked: DuckDB replays the
+    // md5 document digest and the word-3-shingle min over md5 hex
+    // digests (ASCII hex, so both engines' string mins agree)
+    "t21_fingerprint_md5" ->
+      """WITH d AS (
+           SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id, md5(text) AS fp_md5,
+           list_min(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+             i -> md5(concat_ws(' ', w[i],
+               w[least(i + 1, len(w))], w[least(i + 2, len(w))]))))
+             AS min_shingle_md5
+         FROM d ORDER BY doc_id""",
     "t12_token_rarity" ->
       """WITH tk AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
