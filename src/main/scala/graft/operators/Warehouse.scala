@@ -211,10 +211,13 @@ object Warehouse {
     * discovering reader never sees a non-`k=v` directory — but the
     * two-rename swap has an instant where the leaf directory itself
     * does not exist, and a reader listing the root in that window
-    * silently misses the whole partition. The contract here is
-    * therefore SINGLE-WRITER, NO CONCURRENT READER mid-compaction;
-    * [[compactManifested]] is the pointer-commit protocol that removes
-    * that window for readers that consult the manifest. */
+    * silently misses the whole partition. Use this variant only for
+    * single-writer, no-concurrent-reader maintenance windows;
+    * [[compactManifestedPartitioned]] runs the SAME per-leaf walk
+    * through per-leaf `_current` pointer commits, which close that
+    * window for readers that consult the manifests
+    * ([[readManifestedPartitioned]]) — at every instant, every leaf
+    * has a complete resolvable generation. */
   def compactPartitioned(spark: SparkSession, rootDir: String,
                          targetFileBytes: Long = 128L << 20): Map[String, Int] = {
     val root = new java.io.File(rootDir).getAbsoluteFile
@@ -269,6 +272,19 @@ object Warehouse {
                         targetFileBytes: Long = 128L << 20): Int = {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     val root = new java.io.File(dir).getAbsoluteFile
+    // LEAF directories only (the compact() convention): a partitioned
+    // root's k=v children each get their OWN manifest — adoption here
+    // would create an empty generation beside them and readers through
+    // the pointer would see an empty table. Fail loud, point at the
+    // per-leaf entry point. (.gen-* dirs are dot-prefixed, so a
+    // manifested leaf itself still walks as a leaf.)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .find(f => f.isDirectory && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")).foreach { sub =>
+        throw new IllegalArgumentException(
+          s"compactManifested: $dir contains subdirectory ${sub.getName} — " +
+            "it is a partitioned root, not a leaf; use compactManifestedPartitioned")
+      }
     val pointer = Paths.get(root.getPath, "_current")
     // adopt a plain leaf on first contact: its loose parquet files
     // become generation 0 (one-time migration — run it before any
@@ -358,6 +374,80 @@ object Warehouse {
     catch { case _: org.apache.spark.sql.AnalysisException => resolve() }
   }
 
+  /** [[compactManifested]] over a partitioned root: walk the `k=v`
+    * tree to its leaves (the [[compactPartitioned]] walk, including
+    * the stranded-`.compact_old` restore for trees migrating from the
+    * two-rename scheme) and give each leaf its OWN `_current` manifest
+    * commit. Returns root-relative leaf path → file count written.
+    *
+    * This closes the one hole the two-rename per-leaf swap left: a
+    * reader listing the root during a leaf's swap could silently miss
+    * that whole partition for an instant. With a per-leaf pointer
+    * there is — by the same construction as the single-leaf argument —
+    * a complete generation resolvable in every leaf at every instant;
+    * [[readManifestedPartitioned]] is the reader that consults them.
+    * Contract stays single-WRITER per leaf (writers to different
+    * leaves are independent, exactly like every table format's
+    * partition-level commit). */
+  def compactManifestedPartitioned(spark: SparkSession, rootDir: String,
+                                   targetFileBytes: Long = 128L << 20): Map[String, Int] = {
+    val root = new java.io.File(rootDir).getAbsoluteFile
+    require(root.isDirectory,
+      s"compactManifestedPartitioned: $rootDir is not a directory")
+    manifestLeaves(root).map { leaf =>
+      val rel = root.toPath.relativize(leaf.toPath).toString match {
+        case "" => "."
+        case p => p
+      }
+      rel -> compactManifested(spark, leaf.getPath, targetFileBytes)
+    }.toMap
+  }
+
+  /** The `k=v` leaf walk shared by the manifested-partitioned compact
+    * and read paths: recurse into visible directories, restoring any
+    * child stranded mid-swap by a crashed two-rename run first (the
+    * [[compactPartitioned]] self-heal — a tree migrating to manifests
+    * may carry that debris). A manifested leaf's `.gen-*`/`_current`
+    * entries are dot/underscore-prefixed, so it walks as a leaf. */
+  private def manifestLeaves(d: java.io.File): Seq[java.io.File] = {
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(".") &&
+        f.getName.endsWith(".compact_old"))
+      .foreach { o =>
+        val target = new java.io.File(d,
+          o.getName.stripPrefix(".").stripSuffix(".compact_old"))
+        restoreIfStranded(target)
+      }
+    val sub = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    if (sub.isEmpty) Seq(d) else sub.toSeq.sortBy(_.getName).flatMap(manifestLeaves)
+  }
+
+  /** Read a [[compactManifestedPartitioned]] tree: every leaf resolves
+    * through its own `_current` (so a compaction in one leaf is
+    * invisible to reads of another, and no leaf is ever absent), with
+    * the `k=v` partition values re-attached from the directory names
+    * as literal columns — the same values a partition-discovering scan
+    * would surface. Leaf unions are by name: each leaf carries the
+    * same data schema (one writer produced them), and the partition
+    * columns are appended uniformly. */
+  def readManifestedPartitioned(spark: SparkSession, rootDir: String): DataFrame = {
+    val root = new java.io.File(rootDir).getAbsoluteFile
+    val parts = manifestLeaves(root).map { leaf =>
+      val rel = root.toPath.relativize(leaf.toPath).toString
+      val kvs = rel.split('/').toSeq.filter(_.contains('='))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }
+      kvs.foldLeft(readManifested(spark, leaf.getPath)) {
+        case (df, (k, v)) => df.withColumn(k, lit(v))
+      }
+    }
+    parts.reduceLeft(_.unionByName(_))
+  }
+
   /** Run `action` against the current generation with the FULL retry:
     * resolve-time staleness (AnalysisException, already covered inside
     * [[readManifested]]) AND mid-action expiry — a scan that resolved a
@@ -369,14 +459,23 @@ object Warehouse {
     * persistently two commits behind per attempt — a pathological
     * writer, not a race. */
   def withManifested[T](spark: SparkSession, dir: String)(
-      action: DataFrame => T): T = {
+      action: DataFrame => T): T =
+    retryOnMissingFile(action(readManifested(spark, dir)))
+
+  /** [[withManifested]] over a partitioned root: the action re-resolves
+    * EVERY leaf pointer and re-runs once if any leaf's generation
+    * expired mid-action (same retry budget, same reasoning — per leaf
+    * now, since each leaf commits independently). */
+  def withManifestedPartitioned[T](spark: SparkSession, rootDir: String)(
+      action: DataFrame => T): T =
+    retryOnMissingFile(action(readManifestedPartitioned(spark, rootDir)))
+
+  private def retryOnMissingFile[T](attempt: => T): T = {
     def missingFile(e: Throwable, depth: Int = 0): Boolean =
       e != null && depth < 16 && (e.isInstanceOf[java.io.FileNotFoundException] ||
         (e.getCause ne e) && missingFile(e.getCause, depth + 1))
-    try action(readManifested(spark, dir))
-    catch {
-      case e: Throwable if missingFile(e) => action(readManifested(spark, dir))
-    }
+    try attempt
+    catch { case e: Throwable if missingFile(e) => attempt }
   }
 
   /** The ONE interchange-roundtrip kernel behind q53/q69/q71: the same

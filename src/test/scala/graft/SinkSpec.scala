@@ -129,6 +129,71 @@ class SinkSpec extends SparkSpec {
     assert(live.count() == beforeN)
   }
 
+  test("manifested partitioned compaction: per-leaf pointers, concurrent reader never sees an absent partition") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = Files.createTempDirectory("graft_mpart").resolve("tbl").toString
+    docs.repartition(1).write.partitionBy("lang")
+      .option("maxRecordsPerFile", 20).mode("overwrite").parquet(out)
+    val beforeN = docs.count()
+    val beforeFp = docFp(docs)
+    val nLangs = docs.select(col("lang")).distinct().count()
+
+    // adoption (one-time migration, pre-concurrency): every leaf gets
+    // its own gen-0 + _current
+    val adopted = graft.operators.Warehouse
+      .compactManifestedPartitioned(spark, out, targetFileBytes = 1L << 30)
+    assert(adopted.size == nLangs, s"leaves adopted: $adopted")
+    assert(adopted.keys.forall(_.startsWith("lang=")), adopted.keys.toSeq)
+
+    // a reader hammering ALL leaves through their manifests while
+    // per-leaf commits land: every read must see every partition,
+    // complete — the per-leaf absence window compactPartitioned's
+    // two-rename swap leaves would surface here as a missing leaf
+    // (count short by a whole language) or a resolve failure
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          // withManifestedPartitioned: any leaf whose generation is
+          // GC'd mid-count re-resolves every pointer and re-runs once
+          val n = graft.operators.Warehouse
+            .withManifestedPartitioned(spark, out)(_.count())
+          reads.incrementAndGet()
+          if (n != beforeN) failures.add(s"read saw $n rows, want $beforeN")
+        } catch { case e: Throwable => failures.add(s"read failed: ${e.getMessage}") }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 2).foreach { _ =>
+        graft.operators.Warehouse
+          .compactManifestedPartitioned(spark, out, targetFileBytes = 1L << 30)
+      }
+    } finally { stop = true; reader.join(60000) }
+    assert(failures.isEmpty, s"concurrent reader hit: ${failures.asScala.toSeq.take(3)}")
+    assert(reads.get() > 0, "reader never completed a read")
+
+    // steady state: content bit-identical THROUGH the partition-column
+    // re-attach (readManifestedPartitioned restores lang from the
+    // directory names), per-leaf generation retention as documented
+    val back = graft.operators.Warehouse.readManifestedPartitioned(spark, out)
+    assert(back.count() == beforeN)
+    assert(docFp(back) == beforeFp)
+    // adoption committed gen-1 over the adopted gen-0, then two more
+    // rounds: live gen-3 + retained gen-2 in every leaf
+    val enGens = new java.io.File(s"$out/lang=en").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(".gen-")).map(_.getName).sorted
+    assert(enGens.toSeq == Seq(".gen-2", ".gen-3"), enGens.mkString(","))
+
+    // compactManifested itself refuses a partitioned root, loudly
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Warehouse.compactManifested(spark, out)
+    }
+    assert(ex.getMessage.contains("compactManifestedPartitioned"))
+  }
+
   test("per-leaf compaction: each lang=xx leaf compacts independently, partition values intact") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
     val out = Files.createTempDirectory("graft_leafcompact").resolve("tbl").toString
