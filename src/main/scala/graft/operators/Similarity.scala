@@ -326,10 +326,19 @@ object Similarity {
     pqCodebooks(emb, m, subDim, k)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
     val cb = spark.read.parquet(s"$dir/codebooks")
-    assignSub(subvectors(emb, m, subDim), cb)
-      .select(col("vec_id"), col("s"), col("cid").as("code"))
+    encodeWithCodebooks(emb, cb, m, subDim)
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
+
+  /** PQ-encode `emb` against GIVEN (frozen) codebooks: the (vec_id, s,
+    * code) rows of the codes relation — a narrow map (codebooks
+    * broadcast inside assignSub, the corpus never shuffles). The
+    * delta-encode kernel of the upsert paths (s17) and the st22
+    * streaming ingest, and the encode half of [[buildPqIndex]]. */
+  private[graft] def encodeWithCodebooks(emb: DataFrame, cb: DataFrame,
+                                         m: Int = 8, subDim: Int = 8): DataFrame =
+    assignSub(subvectors(emb, m, subDim), cb)
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
 
   /** Index PERSISTENCE roundtrip: train + encode, write the index (two
     * small parquet relations — m·k codebook rows, n·m code rows), read
@@ -387,9 +396,8 @@ object Similarity {
     val spark = emb.sparkSession
     val cb = spark.read.parquet(s"$baseDir/codebooks")
     val baseCodes = spark.read.parquet(s"$baseDir/codes")
-    val deltaCodes = assignSub(
-        subvectors(emb.filter(col("vec_id") % 10 === 0), m, subDim), cb)
-      .select(col("vec_id"), col("s"), col("cid").as("code"))
+    val deltaCodes =
+      encodeWithCodebooks(emb.filter(col("vec_id") % 10 === 0), cb, m, subDim)
     adcTopKFromIndex(emb, cb, baseCodes.unionByName(deltaCodes),
       topK, queryMod, m, subDim)
   }

@@ -254,7 +254,9 @@ object Warehouse {
     * snapshot commit) that CLOSES [[compact]]'s absence window, on a
     * plain filesystem: data files live in dot-prefixed GENERATION
     * directories (`.gen-<n>` — invisible to naive discovery), and the
-    * `_current` manifest file holds the name of the live one. A commit
+    * `_current` manifest file holds the live generation list — one
+    * name in the compaction steady state, several while streaming
+    * appends ([[appendManifested]]) accumulate. A commit
     * writes the new generation in full, then atomically replaces
     * `_current` (tmp-write + ATOMIC_MOVE with REPLACE_EXISTING — a
     * reader sees the old pointer or the new, never a missing or partial
@@ -298,27 +300,64 @@ object Warehouse {
           gen0.toPath.resolve(f.getName), StandardCopyOption.ATOMIC_MOVE))
       commitPointer(pointer, ".gen-0")
     }
-    val cur = JFiles.readString(pointer).trim
-    val curDir = new java.io.File(root, cur)
-    val bytes = Option(curDir.listFiles()).getOrElse(Array.empty)
+    // the manifest may list SEVERAL generations (streaming appends via
+    // appendManifested) — compaction folds them all into one
+    val cur = readPointer(pointer)
+    val curIds = cur.map(_.stripPrefix(".gen-").toLong)
+    val bytes = cur.map(g => Option(new java.io.File(root, g).listFiles())
+      .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.length()).sum
+      .map(_.length()).sum).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val nextId = cur.stripPrefix(".gen-").toLong + 1
+    val nextId = curIds.max + 1
     val next = s".gen-$nextId"
     // the new generation is invisible until the pointer flips, so it
     // can be written in place — no staging rename needed
-    spark.read.parquet(curDir.getPath).repartition(nFiles)
+    spark.read.parquet(cur.map(g => new java.io.File(root, g).getPath): _*)
+      .repartition(nFiles)
       .write.mode("overwrite").parquet(new java.io.File(root, next).getPath)
     commitPointer(pointer, next)
-    // retain exactly the previous generation; delete everything older
+    // retain the ENTIRE pre-commit manifest as the reader grace set;
+    // delete every generation older than it (single-generation
+    // pointers keep exactly the previous generation, as before)
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(".gen-") &&
-        f.getName.stripPrefix(".gen-").toLong < nextId - 1)
+        f.getName.stripPrefix(".gen-").toLong < curIds.min)
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     new java.io.File(root, next).listFiles()
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
   }
+
+  /** Manifest-pointer APPEND — the streaming-ingest commit: `df`
+    * becomes ONE new immutable generation directory, and the pointer
+    * atomically swaps to the old list PLUS the new name (the manifest
+    * is newline-separated generation names; [[readManifested]] scans
+    * their union). A reader resolves the old list or the new — either
+    * way a complete, committed set of files — so arriving batches
+    * never expose a partial table. [[compactManifested]] later folds
+    * the accumulated generations back to one, retaining the pre-
+    * compaction manifest as the reader grace set. Adopts an empty or
+    * fresh directory (first append = generation 0). Returns the
+    * committed generation id. Single-writer, like every commit here. */
+  def appendManifested(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = new java.io.File(dir).getAbsoluteFile
+    JFiles.createDirectories(root.toPath)
+    val pointer = Paths.get(root.getPath, "_current")
+    val gens = if (JFiles.exists(pointer)) readPointer(pointer) else Seq.empty
+    val nextId = gens.map(_.stripPrefix(".gen-").toLong)
+      .foldLeft(-1L)(math.max) + 1
+    val next = s".gen-$nextId"
+    df.write.mode("overwrite").parquet(new java.io.File(root, next).getPath)
+    commitPointer(pointer, (gens :+ next).mkString("\n"))
+    nextId
+  }
+
+  /** The manifest's generation list (newline-separated; single-line
+    * pointers — the compaction steady state — are a 1-element list). */
+  private def readPointer(pointer: java.nio.file.Path): Seq[String] =
+    java.nio.file.Files.readString(pointer).trim
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
 
   /** Atomic + durable manifest replace: the tmp file's contents are
     * force()d to stable storage BEFORE the ATOMIC_MOVE, and the parent
@@ -365,10 +404,10 @@ object Warehouse {
     * here — run such actions through [[withManifested]], which retries
     * that class too. */
   def readManifested(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files => JFiles, Paths}
+    import java.nio.file.Paths
     def resolve(): DataFrame = {
-      val gen = JFiles.readString(Paths.get(dir, "_current")).trim
-      spark.read.parquet(new java.io.File(dir, gen).getPath)
+      val gens = readPointer(Paths.get(dir, "_current"))
+      spark.read.parquet(gens.map(g => new java.io.File(dir, g).getPath): _*)
     }
     try resolve()
     catch { case _: org.apache.spark.sql.AnalysisException => resolve() }

@@ -45,6 +45,13 @@ object StreamingQueries {
     // the replay hash-matches the batch s13 oracle)
     "st21_stream_ann_serve" -> ((s, d) =>
       AnnServeStream.runAnnServe(s, d).orderBy(col("q_id"), col("rk"))),
+    // streaming ANN index maintenance (the ingestion half of the
+    // lifecycle): micro-batches delta-encode against the frozen base
+    // codebooks, commit via manifest-pointer append, serve after every
+    // commit; the final serve covers the complete delta, so the replay
+    // answers to the batch s17 oracle
+    "st22_stream_ann_ingest" -> ((s, d) =>
+      AnnIngestStream.runAnnIngest(s, d).orderBy(col("q_id"), col("rk"))),
     // streaming quality monitor: windowed event-type mix + exact-integer
     // TVD numerator vs uniform (the v05 gate, online)
     "st17_stream_mix_drift" -> ((s, d) =>
@@ -206,6 +213,11 @@ object StreamingQueries {
     // invisible to results
     "st21_stream_ann_serve" ->
       graft.operators.Similarity.oracleSql("s13_pq_adc_topk"),
+    // the streamed ingest answers to the batch s17 oracle — batching of
+    // the delta arrival (and the manifested commit protocol) must be
+    // invisible to the final served answer
+    "st22_stream_ann_ingest" ->
+      graft.operators.Similarity.oracleSql("s17_index_upsert"),
     // the t17 grid-rebuild oracle over the event-token stream: per-
     // (row, bucket) sums from the frequency table ≡ the streamed grid
     // (addition commutes across micro-batches), estimates = min over

@@ -420,6 +420,55 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
   }
 
+  test("ann ingest: reader racing the manifested commits always sees complete code sets; final serve == batch upsert") {
+    import graft.streaming.AnnIngestStream
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val codesDir = AnnIngestStream.codesTableDir(sf)
+    // reader thread: from the moment the codes table exists, every
+    // resolved snapshot must be COMPLETE — every visible vector carries
+    // exactly m=8 subspace codes (a partially-written batch visible
+    // through the pointer would surface as a vec_id with < 8 rows),
+    // and whole snapshots only ever grow (commits append, never tear)
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val reader = new Thread(() => {
+      while (!stop) {
+        if (new java.io.File(codesDir, "_current").exists()) {
+          try {
+            val snap = graft.operators.Warehouse
+              .withManifested(spark, codesDir) { df =>
+                df.groupBy(col("vec_id")).count()
+                  .agg(count(lit(1)).as("n_vec"),
+                    sum(when(col("count") =!= 8, 1).otherwise(0)).as("n_partial"))
+                  .head()
+              }
+            if (snap.getLong(1) != 0L)
+              failures.add(s"${snap.getLong(1)} vectors with partial code sets")
+            sizes.add(snap.getLong(0))
+          } catch { case e: Throwable => failures.add(s"read failed: ${e.getMessage}") }
+        }
+      }
+    })
+    reader.start()
+    val got = try AnnIngestStream.runAnnIngest(spark, sf)
+      .orderBy("q_id", "rk").collect().toSeq
+    finally { stop = true; reader.join(30000) }
+    assert(failures.isEmpty, s"racing reader hit: ${failures.asScala.toSeq.take(3)}")
+    assert(!sizes.isEmpty, "reader never resolved a snapshot during the run")
+    // snapshots grow monotonically in arrival order (append-only commits)
+    val seen = sizes.asScala.toSeq
+    assert(seen.zip(seen.tail).forall { case (a, b) => b >= a },
+      s"snapshot sizes regressed: $seen")
+    // the final post-commit serve is EXACTLY the batch s17 answer
+    val want = Similarity.pqIndexUpsertFromBase(emb,
+        Similarity.cachedIndex("pqbase", sf)(d =>
+          Similarity.buildPqIndex(emb.filter(col("vec_id") % 10 =!= 0), d)))
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(got == want, s"streamed ingest diverged from batch upsert")
+  }
+
   test("CDC apply: final state invariant under batch split and order") {
     import graft.streaming.CdcApply
     val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
