@@ -338,18 +338,31 @@ object Warehouse {
     * the accumulated generations back to one, retaining the pre-
     * compaction manifest as the reader grace set. Adopts an empty or
     * fresh directory (first append = generation 0). Returns the
-    * committed generation id. Single-writer, like every commit here. */
-  def appendManifested(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    * committed generation id. Single-writer, like every commit here.
+    *
+    * `genId` makes the commit IDEMPOTENT for retrying producers (a
+    * foreachBatch re-fired after a restart): the caller keys the
+    * generation by a stable id (batchId), a re-fire overwrites its own
+    * generation with identical deterministic content and the pointer —
+    * already listing it — is left untouched, so the retry is a no-op
+    * rewrite instead of a duplicate append. The overwrite of an
+    * already-visible generation can momentarily remove files under a
+    * concurrent scan; that reader class runs [[withManifested]], whose
+    * missing-file retry covers exactly this. Without `genId`,
+    * generations number monotonically from the current maximum. */
+  def appendManifested(spark: SparkSession, dir: String, df: DataFrame,
+                       genId: Option[Long] = None): Long = {
     import java.nio.file.{Files => JFiles, Paths}
     val root = new java.io.File(dir).getAbsoluteFile
     JFiles.createDirectories(root.toPath)
     val pointer = Paths.get(root.getPath, "_current")
     val gens = if (JFiles.exists(pointer)) readPointer(pointer) else Seq.empty
-    val nextId = gens.map(_.stripPrefix(".gen-").toLong)
-      .foldLeft(-1L)(math.max) + 1
+    val nextId = genId.getOrElse(
+      gens.map(_.stripPrefix(".gen-").toLong).foldLeft(-1L)(math.max) + 1)
     val next = s".gen-$nextId"
     df.write.mode("overwrite").parquet(new java.io.File(root, next).getPath)
-    commitPointer(pointer, (gens :+ next).mkString("\n"))
+    if (!gens.contains(next))
+      commitPointer(pointer, (gens :+ next).mkString("\n"))
     nextId
   }
 

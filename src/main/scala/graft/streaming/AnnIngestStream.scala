@@ -33,14 +33,15 @@ import graft.operators.{Similarity, Warehouse}
   * m bytes/vector/batch appended as immutable generations, compacted
   * back to one by [[Warehouse.compactManifested]] on the maintenance
   * cadence; the encode is embarrassingly parallel over the batch; the
-  * serve is the st21 plan. Delivery follows the st21 recipe: the
-  * manifest append is idempotent per batch only if re-fired batches
-  * reuse their generation — here each batch serve overwrites its
-  * batchId-keyed output, and a re-fired APPEND would duplicate codes;
-  * a production deployment keys the generation name by batchId
-  * (deterministic across restarts from one checkpoint) to make the
-  * commit itself idempotent. The bounded fresh-checkpoint replay never
-  * re-fires, so the simpler monotone naming stays honest here.
+  * serve is the st21 plan. Delivery follows the st21 recipe at BOTH
+  * sinks: the serve output overwrites its batchId-keyed directory, and
+  * the code commit keys its GENERATION by batchId
+  * (`appendManifested(genId = batchId + 1)`; the base seed is
+  * generation 0) — batchIds are stable across restarts from one
+  * checkpoint, so a re-fired batch overwrites its own generation with
+  * identical deterministic content and leaves the pointer untouched.
+  * At-least-once execution + idempotent commit and sink = exactly-once
+  * index state and results.
   */
 object AnnIngestStream {
 
@@ -101,8 +102,10 @@ object AnnIngestStream {
                          batchId: Long) =>
           // (1) narrow delta-encode of THIS batch, frozen codebooks
           val deltaCodes = Similarity.encodeWithCodebooks(batch.toDF(), cb)
-          // (2) manifest-pointer commit: complete-or-invisible
-          Warehouse.appendManifested(scoped, codesDir, deltaCodes)
+          // (2) manifest-pointer commit: complete-or-invisible, keyed
+          // by batchId so a re-fired batch is a no-op rewrite
+          Warehouse.appendManifested(scoped, codesDir, deltaCodes,
+            genId = Some(batchId + 1))
           // (3) serve after the commit over base + delta-so-far
           Similarity.adcServeQueries(
               emb.filter(col("vec_id") % queryMod === 0), cb,
