@@ -124,4 +124,34 @@ object AnnIngestStream {
       .map(_.getName.stripPrefix("batch=").toLong).max
     scoped.read.parquet(s"$outDir/batch=$last")
   }
+
+  /** st23 — the MAINTENANCE step that completes the lifecycle (st22
+    * ingests, this compacts, st21 serves): fold the generation list
+    * the streaming appends accumulated back to ONE generation
+    * ([[Warehouse.compactManifested]] — a pointer commit, so a racing
+    * reader resolves the multi-generation list or the compacted one,
+    * both complete), then serve the same query population from the
+    * manifest. Same answer (and oracle) as s17/st22 — compaction must
+    * be invisible to results, which is the entire point of running it
+    * online. Self-sufficient: replays the bounded ingest first if this
+    * process hasn't (in the catalog's alphabetical order st22 just
+    * did, so this entry prices compact + serve — the maintenance
+    * cadence cost, not the ingest). */
+  def runCompactedServe(spark: SparkSession, dir: String, topK: Int = 5,
+                        queryMod: Int = 400): DataFrame = {
+    val codesDir = codesTableDir(dir)
+    if (!new java.io.File(codesDir, "_current").exists())
+      runAnnIngest(spark, dir, topK, queryMod)
+    val idx = Similarity.cachedIndex("pqbase", dir)(d =>
+      Similarity.buildPqIndex(graft.sources.Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") % 10 =!= 0), d))
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    Warehouse.compactManifested(scoped, codesDir)
+    Similarity.adcServeQueries(
+      graft.sources.Tables(scoped, dir, "embeddings")
+        .filter(col("vec_id") % queryMod === 0),
+      scoped.read.parquet(s"$idx/codebooks"),
+      Warehouse.readManifested(scoped, codesDir), topK)
+  }
 }

@@ -52,6 +52,11 @@ object StreamingQueries {
     // answers to the batch s17 oracle
     "st22_stream_ann_ingest" -> ((s, d) =>
       AnnIngestStream.runAnnIngest(s, d).orderBy(col("q_id"), col("rk"))),
+    // the maintenance step: compact the streamed-in generation list to
+    // one (pointer commit — reader-safe), serve again from the
+    // manifest; same oracle — compaction invisible to results
+    "st23_stream_ann_compact_serve" -> ((s, d) =>
+      AnnIngestStream.runCompactedServe(s, d).orderBy(col("q_id"), col("rk"))),
     // streaming quality monitor: windowed event-type mix + exact-integer
     // TVD numerator vs uniform (the v05 gate, online)
     "st17_stream_mix_drift" -> ((s, d) =>
@@ -217,6 +222,10 @@ object StreamingQueries {
     // the delta arrival (and the manifested commit protocol) must be
     // invisible to the final served answer
     "st22_stream_ann_ingest" ->
+      graft.operators.Similarity.oracleSql("s17_index_upsert"),
+    // compaction of the manifested codes table must not change a
+    // single served row — the same s17 oracle pins it at value level
+    "st23_stream_ann_compact_serve" ->
       graft.operators.Similarity.oracleSql("s17_index_upsert"),
     // the t17 grid-rebuild oracle over the event-token stream: per-
     // (row, bucket) sums from the frequency table ≡ the streamed grid

@@ -467,6 +467,21 @@ class StreamingSpec extends SparkSpec {
           Similarity.buildPqIndex(emb.filter(col("vec_id") % 10 =!= 0), d)))
       .orderBy("q_id", "rk").collect().toSeq
     assert(got == want, s"streamed ingest diverged from batch upsert")
+
+    // maintenance (st23): the manifest lists one generation per commit
+    // (base seed + 2 batches); compaction folds it to ONE and changes
+    // nothing the serve returns
+    val gensBefore = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(codesDir, "_current"))
+      .trim.split("\n").length
+    assert(gensBefore == 3, s"expected 3 listed generations, got $gensBefore")
+    val compacted = AnnIngestStream.runCompactedServe(spark, sf)
+      .orderBy("q_id", "rk").collect().toSeq
+    val gensAfter = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(codesDir, "_current"))
+      .trim.split("\n").length
+    assert(gensAfter == 1, s"compaction should leave one listed generation, got $gensAfter")
+    assert(compacted == want, "compaction changed served results")
   }
 
   test("CDC apply: final state invariant under batch split and order") {
