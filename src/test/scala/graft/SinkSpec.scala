@@ -194,6 +194,45 @@ class SinkSpec extends SparkSpec {
     assert(ex.getMessage.contains("compactManifestedPartitioned"))
   }
 
+  test("manifest protocol: any append/compact interleaving preserves content at every step") {
+    // seeded pseudo-random op sequences over the two commit kinds the
+    // protocol exposes (streaming append, maintenance compact): after
+    // EVERY op, the manifested read must equal the exact union of the
+    // batches appended so far, every generation the pointer lists must
+    // exist on disk, and a compact must leave a single-entry list.
+    // This is the algebra st22/st23 rely on, checked shape-free.
+    for (seed <- Seq(11L, 42L, 77L)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft_mprop_$seed").resolve("tbl").toString
+      var appended = 0
+      def expectIds(n: Int): Seq[Long] = (0 until n).flatMap(i =>
+        (i * 100L) until (i * 100L + 50L))
+      (1 to 8).foreach { _ =>
+        if (appended == 0 || rnd.nextBoolean()) {
+          graft.operators.Warehouse.appendManifested(spark, dir,
+            spark.range(appended * 100L, appended * 100L + 50L).toDF("id"))
+          appended += 1
+        } else {
+          graft.operators.Warehouse.compactManifested(spark, dir,
+            targetFileBytes = 1L << 30)
+          val listed = java.nio.file.Files
+            .readString(java.nio.file.Paths.get(dir, "_current")).trim.split("\n")
+          assert(listed.length == 1, s"seed=$seed: compact left ${listed.toSeq}")
+        }
+        val pointerGens = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(dir, "_current")).trim.split("\n")
+        pointerGens.foreach(g => assert(new java.io.File(dir, g).isDirectory,
+          s"seed=$seed: pointer lists missing generation $g"))
+        val got = graft.operators.Warehouse.readManifested(spark, dir)
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == expectIds(appended),
+          s"seed=$seed after $appended appends: content diverged")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("per-leaf compaction: each lang=xx leaf compacts independently, partition values intact") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
     val out = Files.createTempDirectory("graft_leafcompact").resolve("tbl").toString
