@@ -265,6 +265,42 @@ object Dedup {
     shingled.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
+  /** The ENGINE-REPLAYABLE MinHash twin (d16): the same word-3-shingle
+    * split, ONE md5 per shingle, and the k permutation values taken as
+    * k overlapping 8-hex-char slices of that 128-bit digest (Broder's
+    * one-strong-hash minwise family — slices of a strong hash are
+    * themselves uniform) — each signature lane is the min of its slice
+    * over the document's shingles. Pure-ASCII hex everywhere, so
+    * Spark's binary string min and DuckDB's agree byte for byte (the
+    * t21 trick applied to the sketch); emitted long-form
+    * (doc_id, seed, sig). The xxhash64 signatures
+    * ([[minHashSignatures]] / the native MinHashSig) stay the
+    * production path; this twin exists so the SIGNATURE computation
+    * itself carries a full value oracle — the piece d11's soundness
+    * pin (which value-checks emitted candidate PAIRS, not signatures)
+    * cannot see. One explode + one digest per shingle + the
+    * [[minHashSignatures]] aggregate shape — k min-lanes over ONE
+    * doc_id shuffle of the un-multiplied shingle rows (not a k×-row
+    * seed explode), unpivoted to long form after the aggregate. */
+  def minHashSignaturesMd5(docs: DataFrame, k: Int = 8): DataFrame = {
+    val minCols = (0 until k).map(j =>
+      min(expr(s"substring(h, ${j * 3 + 1}, 8)")).as(s"m$j"))
+    val lanes = (0 until k).map(j =>
+      s"named_struct('seed', CAST($j AS BIGINT), 'sig', m$j)").mkString(",")
+    docs
+      .withColumn("_ws", split(col("text"), " "))
+      .withColumn("shingle", explode(expr(
+        """transform(sequence(1, greatest(size(_ws) - 2, 1)),
+           i -> concat_ws(' ', element_at(_ws, i),
+             element_at(_ws, least(i + 1, size(_ws))),
+             element_at(_ws, least(i + 2, size(_ws)))))""")))
+      .withColumn("h", md5(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), explode(expr(s"array($lanes)")).as("e"))
+      .select(col("doc_id"), col("e.seed").as("seed"), col("e.sig").as("sig"))
+  }
+
   /** One-pass MinHash signatures via the native `MinHashSig` expression
     * (graft.functions): no shingle explode, no 64-column aggregate, no
     * shuffle — the 100 TB path. Bit-compatible with
@@ -515,6 +551,11 @@ object Dedup {
       minHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "d05_simhash_neardups" -> ((s, d) =>
       simHashNearDupPairs(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
+    // the md5 twin of the MinHash signature pass — full value oracle
+    // for the sketch itself (see minHashSignaturesMd5 doc)
+    "d16_minhash_md5" -> ((s, d) =>
+      minHashSignaturesMd5(t(s, d, "documents"))
+        .orderBy(col("doc_id"), col("seed"))),
     "d15_sorted_neighborhood" -> ((s, d) =>
       sortedNeighborhoodPairs(t(s, d, "documents"))),
     // SOUNDNESS PIN for d04: every emitted pair must genuinely clear the
@@ -675,6 +716,23 @@ object Dedup {
                                     list_distinct(string_split(b.text, ' '))))))
          SELECT doc_id FROM delta WHERE doc_id NOT IN (SELECT doc_id FROM hits)
          ORDER BY doc_id""",
+    // DuckDB replays the md5 signature pass exactly: same shingles,
+    // one digest per shingle, the same 8-hex-char slices, string min
+    // over ASCII hex
+    "d16_minhash_md5" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, md5(unnest(list_transform(
+             range(1, greatest(len(w) - 2, 1) + 1),
+             i -> concat_ws(' ', w[i], w[least(i + 1, len(w))],
+               w[least(i + 2, len(w))])))) AS h
+           FROM d),
+         sd AS (SELECT unnest(range(0, 8)) AS seed)
+         SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+           min(substring(h, CAST(seed * 3 + 1 AS INTEGER), 8)) AS sig
+         FROM sh CROSS JOIN sd
+         GROUP BY doc_id, seed ORDER BY doc_id, seed""",
     // both engines compare strings bytewise (UTF8String / memcmp), so
     // the global (sort_key, doc_id) order — and therefore the candidate
     // neighborhoods — are identical
