@@ -85,6 +85,35 @@ object TextAnalysis {
                 element_at(_ws, least(i + 2, size(_ws)))))))""")
           .as("min_shingle_md5"))
 
+  /** The ENGINE-REPLAYABLE winnowing twin (t22): the t07/d06 selection
+    * rule — min per window of `w` consecutive k-gram hashes,
+    * deduplicated — over md5 hex digests of CHARACTER k-grams instead
+    * of the Rabin–Karp rolling hash (ASCII hex, so both engines'
+    * string mins agree; the VALUE set is tie-rule-independent, since a
+    * window's min value is the same whichever position carries it).
+    * Shares winnowing's guarantee shape: any shared substring of
+    * length ≥ w+k−1 yields a shared fingerprint. Long-form
+    * (doc_id, fp) rows, sorted distinct per doc. The rolling-hash
+    * native expression (t07) stays the production path — O(1)/gram
+    * vs a digest per gram; this twin gives the WINNOWING computation
+    * a full value oracle alongside t15/d13's subset pins — over a
+    * DETERMINISTIC 1-in-4 document sample: the oracle pins the
+    * selection rule at every position of every sampled doc, which a
+    * sample covers fully; a digest per character position over the
+    * WHOLE corpus would only re-price md5 throughput (one full-corpus
+    * digest pass already exists as t21). Narrow: per-doc transform +
+    * explode, no shuffle before the gate sort. */
+  def winnowFingerprintsMd5(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame =
+    docs
+      .filter(col("doc_id") % 4 === 0 && length(col("text")) >= k)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, length(text) - ${k - 1}),
+            i -> md5(substring(text, i, $k)))""").as("hs"))
+      .withColumn("win", least(lit(w), size(col("hs"))))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(hs) - win + 1),
+           j -> array_min(slice(hs, j, win))))""")).as("fp"))
+
   /** Global top-k word bigrams (count desc, bigram asc tie-break). */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
     docs
@@ -719,6 +748,11 @@ object TextAnalysis {
     // replayable digests, FULL value oracle (see fingerprintMd5 doc)
     "t21_fingerprint_md5" -> ((s, d) =>
       fingerprintMd5(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // the md5 twin of t07's winnowing — same window-min selection,
+    // engine-replayable digests, FULL value oracle
+    "t22_winnow_md5" -> ((s, d) =>
+      winnowFingerprintsMd5(t(s, d, "documents"))
+        .orderBy(col("doc_id"), col("fp"))),
     "t05_top_bigrams" -> ((s, d) => topBigrams(t(s, d, "documents"))),
     "t09_repetition_stats" -> ((s, d) =>
       repetitionStats(t(s, d, "documents")).orderBy(col("doc_id"))),
@@ -879,6 +913,20 @@ object TextAnalysis {
     "t15_fingerprint_collision_pin" ->
       """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id
          WHERE 1 = 0""",
+    // DuckDB replays the winnowing selection exactly: same char
+    // k-grams, same digests, min per w-window over ASCII hex, distinct
+    "t22_winnow_md5" ->
+      """WITH g AS (
+           SELECT doc_id, list_transform(range(1, len(text) - 8 + 2),
+             i -> md5(substring(text, CAST(i AS INTEGER), 8))) AS hs
+           FROM documents WHERE doc_id % 4 = 0 AND len(text) >= 8),
+         w2 AS (SELECT doc_id, hs, least(16, len(hs)) AS win FROM g),
+         u AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(hs) - win + 2),
+             j -> list_min(hs[CAST(j AS INTEGER):CAST(j + win - 1 AS INTEGER)])))
+             AS fp
+           FROM w2)
+         SELECT DISTINCT doc_id, fp FROM u ORDER BY doc_id, fp""",
     // the full value oracle the t04 family lacked: DuckDB replays the
     // md5 document digest and the word-3-shingle min over md5 hex
     // digests (ASCII hex, so both engines' string mins agree)
