@@ -283,6 +283,13 @@ object Dedup {
     * doc_id shuffle of the un-multiplied shingle rows (not a k×-row
     * seed explode), unpivoted to long form after the aggregate. */
   def minHashSignaturesMd5(docs: DataFrame, k: Int = 8): DataFrame = {
+    // ORACLE-TWIN ONLY, not a production MinHash family: the k lanes are
+    // stride-3 slices of ONE md5, so adjacent lanes share 5 of their 8
+    // hex chars — heavily correlated, weaker than independent minwise
+    // permutations. k ≤ 8 keeps every slice inside the 32-char digest
+    // (lane 7 reads chars 22-29); beyond that the slices silently
+    // truncate. Production signatures are [[minHashSignaturesFast]].
+    require(k >= 1 && k <= 8, s"md5 twin supports 1..8 lanes, got $k")
     val minCols = (0 until k).map(j =>
       min(expr(s"substring(h, ${j * 3 + 1}, 8)")).as(s"m$j"))
     val lanes = (0 until k).map(j =>
@@ -299,6 +306,66 @@ object Dedup {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), explode(expr(s"array($lanes)")).as("e"))
       .select(col("doc_id"), col("e.seed").as("seed"), col("e.sig").as("sig"))
+  }
+
+  /** The ENGINE-REPLAYABLE LSH BANDING twin (d17): the complete
+    * candidate→verify pipeline of [[minHashNearDupPairs]], re-expressed
+    * in arithmetic BOTH engines share so the banding JOIN itself —
+    * the last oracle-able dedup surface d16's signature oracle could
+    * not reach — carries a full value oracle. Same shape as the
+    * production kernel: signatures (here the md5 lanes of
+    * [[minHashSignaturesMd5]], wide form), bands of `rowsPerBand`
+    * adjacent lanes with the band VALUE the plain string concat of its
+    * lanes (pure-ASCII hex — no xxhash64 band digest, the one
+    * DuckDB-inexpressible step in d04), bucket equi-join on
+    * (band, value), `a_id < b_id` dedup, then exact word-set Jaccard
+    * verification at `threshold` — byte-identical double arithmetic on
+    * both engines (the d15 precedent). Scale shape is the production
+    * kernel's: candidates meet through a skew-bounded equi-join on the
+    * band value, verification is O(candidates), no all-pairs anywhere.
+    * xxhash64 banding ([[minHashNearDupPairs]]) stays the production
+    * path; this twin exists for the oracle. */
+  def minHashBandedPairsMd5(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                            threshold: Double = 0.5): DataFrame = {
+    require(k >= 1 && k <= 8, s"md5 twin supports 1..8 lanes, got $k")
+    require(bands >= 1 && k % bands == 0,
+      s"bands must divide k, got k=$k bands=$bands")
+    val rowsPerBand = k / bands
+    val minCols = (0 until k).map(j =>
+      min(expr(s"substring(h, ${j * 3 + 1}, 8)")).as(s"m$j"))
+    val wide = docs
+      .withColumn("_ws", split(col("text"), " "))
+      .withColumn("shingle", explode(expr(
+        """transform(sequence(1, greatest(size(_ws) - 2, 1)),
+           i -> concat_ws(' ', element_at(_ws, i),
+             element_at(_ws, least(i + 1, size(_ws))),
+             element_at(_ws, least(i + 2, size(_ws)))))""")))
+      .withColumn("h", md5(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val lanes = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat(lanes: _*).as("bv"))
+    }
+    val buckets = wide
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val cand = buckets.select(col("band"), col("bv"), col("doc_id").as("a_id"))
+      .join(buckets.select(col("band"), col("bv"), col("doc_id").as("b_id")),
+        Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val ws = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    cand
+      .join(ws.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), Seq("a_id"))
+      .join(ws.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), Seq("b_id"))
+      .withColumn("inter",
+        size(array_intersect(col("a_ws"), col("b_ws"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_ws")) + size(col("b_ws")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** One-pass MinHash signatures via the native `MinHashSig` expression
@@ -556,6 +623,12 @@ object Dedup {
     "d16_minhash_md5" -> ((s, d) =>
       minHashSignaturesMd5(t(s, d, "documents"))
         .orderBy(col("doc_id"), col("seed"))),
+    // the md5 twin of the complete LSH band→bucket-join→verify
+    // pipeline — the banding JOIN itself now carries a value oracle
+    // (see minHashBandedPairsMd5 doc)
+    "d17_banded_pairs_md5" -> ((s, d) =>
+      minHashBandedPairsMd5(t(s, d, "documents"))
+        .orderBy(col("a_id"), col("b_id"))),
     "d15_sorted_neighborhood" -> ((s, d) =>
       sortedNeighborhoodPairs(t(s, d, "documents"))),
     // SOUNDNESS PIN for d04: every emitted pair must genuinely clear the
@@ -733,6 +806,48 @@ object Dedup {
            min(substring(h, CAST(seed * 3 + 1 AS INTEGER), 8)) AS sig
          FROM sh CROSS JOIN sd
          GROUP BY doc_id, seed ORDER BY doc_id, seed""",
+    // DuckDB replays the ENTIRE LSH pipeline: the d16 signature pass
+    // wide-form, band values as lane concats, the bucket equi-join,
+    // and the exact-Jaccard verify — both engines do the same ASCII
+    // string mins/concats and the same double division (d15 precedent)
+    "d17_banded_pairs_md5" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, md5(unnest(list_transform(
+             range(1, greatest(len(w) - 2, 1) + 1),
+             i -> concat_ws(' ', w[i], w[least(i + 1, len(w))],
+               w[least(i + 2, len(w))])))) AS h
+           FROM d),
+         sig AS (
+           SELECT doc_id,
+             min(substring(h, 1, 8)) AS m0, min(substring(h, 4, 8)) AS m1,
+             min(substring(h, 7, 8)) AS m2, min(substring(h, 10, 8)) AS m3,
+             min(substring(h, 13, 8)) AS m4, min(substring(h, 16, 8)) AS m5,
+             min(substring(h, 19, 8)) AS m6, min(substring(h, 22, 8)) AS m7
+           FROM sh GROUP BY doc_id),
+         bk AS (
+           SELECT doc_id, 0 AS band, m0 || m1 AS bv FROM sig
+           UNION ALL SELECT doc_id, 1, m2 || m3 FROM sig
+           UNION ALL SELECT doc_id, 2, m4 || m5 FROM sig
+           UNION ALL SELECT doc_id, 3, m6 || m7 FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bk a JOIN bk b
+             ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         ws AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+           FROM documents),
+         v AS (
+           SELECT a_id, b_id,
+             CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+               / (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws)))
+               AS jaccard
+           FROM cand
+           JOIN ws wa ON wa.doc_id = a_id
+           JOIN ws wb ON wb.doc_id = b_id)
+         SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.5
+         ORDER BY a_id, b_id""",
     // both engines compare strings bytewise (UTF8String / memcmp), so
     // the global (sort_key, doc_id) order — and therefore the candidate
     // neighborhoods — are identical
