@@ -264,14 +264,20 @@ object Warehouse {
     * every instant of a compaction there is a complete generation to
     * read — no absence window, by construction.
     *
-    * GC keeps the PREVIOUS generation and deletes older ones: a reader
-    * that resolved the pointer just before a commit may still be
-    * scanning the old generation, and one-generation retention gives it
-    * a full compaction cycle of grace (the local analogue of
-    * Iceberg/Delta's time-bounded snapshot retention; transient cost ≤
-    * 2× the leaf). Single-writer per leaf, like every table format. */
+    * GC retains the last `retainSnapshots` committed manifests (and
+    * every generation they reference) and deletes older ones — at the
+    * default 1, a reader that resolved the pointer just before a
+    * commit may still be scanning the old generation and gets a full
+    * compaction cycle of grace (transient cost ≤ 2× the leaf). The
+    * same window bounds [[readManifestedAt]] time travel: raise
+    * `retainSnapshots` to keep more history, exactly Iceberg/Delta's
+    * count-bounded snapshot retention. Single-writer per leaf, like
+    * every table format. */
   def compactManifested(spark: SparkSession, dir: String,
-                        targetFileBytes: Long = 128L << 20): Int = {
+                        targetFileBytes: Long = 128L << 20,
+                        retainSnapshots: Int = 1): Int = {
+    require(retainSnapshots >= 0,
+      s"retainSnapshots must be >= 0, got $retainSnapshots")
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     val root = new java.io.File(dir).getAbsoluteFile
     // LEAF directories only (the compact() convention): a partitioned
@@ -298,7 +304,7 @@ object Warehouse {
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .foreach(f => JFiles.move(f.toPath,
           gen0.toPath.resolve(f.getName), StandardCopyOption.ATOMIC_MOVE))
-      commitPointer(pointer, ".gen-0")
+      commitManifest(root, pointer, Seq(".gen-0"))
     }
     // the manifest may list SEVERAL generations (streaming appends via
     // appendManifested) — compaction folds them all into one
@@ -312,17 +318,34 @@ object Warehouse {
     val nextId = curIds.max + 1
     val next = s".gen-$nextId"
     // the new generation is invisible until the pointer flips, so it
-    // can be written in place — no staging rename needed
-    spark.read.parquet(cur.map(g => new java.io.File(root, g).getPath): _*)
+    // can be written in place — no staging rename needed. mergeSchema:
+    // the fold must carry an evolved (add-a-column) union forward, not
+    // silently truncate it to the first generation's schema.
+    spark.read.option("mergeSchema", "true")
+      .parquet(cur.map(g => new java.io.File(root, g).getPath): _*)
       .repartition(nFiles)
       .write.mode("overwrite").parquet(new java.io.File(root, next).getPath)
-    commitPointer(pointer, next)
-    // retain the ENTIRE pre-commit manifest as the reader grace set;
-    // delete every generation older than it (single-generation
-    // pointers keep exactly the previous generation, as before)
+    val v = commitManifest(root, pointer, Seq(next))
+    // SNAPSHOT RETENTION: the last `retainSnapshots` committed
+    // manifests before this one stay readable — their files and the
+    // generations they reference survive this GC — which is both the
+    // reader grace window (default 1 = the previous contract: the
+    // entire pre-commit manifest survives one compaction cycle) and
+    // the [[readManifestedAt]] time-travel window, the local analogue
+    // of Iceberg/Delta snapshot retention. Everything older — manifest
+    // files and the generations only expired manifests reference — is
+    // deleted.
+    val keepGens: Set[String] =
+      (manifestVersions(root).filter(_ >= v - retainSnapshots)
+        .flatMap(x => readPointer(root.toPath.resolve(s"_manifest-$x"))) ++
+        (if (retainSnapshots >= 1) cur else Seq.empty) :+ next).toSet
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(".gen-") &&
-        f.getName.stripPrefix(".gen-").toLong < curIds.min)
+        !keepGens.contains(f.getName))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_manifest-") &&
+        f.getName.stripPrefix("_manifest-").toLong < v - retainSnapshots)
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     new java.io.File(root, next).listFiles()
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -349,20 +372,52 @@ object Warehouse {
     * already-visible generation can momentarily remove files under a
     * concurrent scan; that reader class runs [[withManifested]], whose
     * missing-file retry covers exactly this. Without `genId`,
-    * generations number monotonically from the current maximum. */
+    * generations number monotonically from the current maximum.
+    *
+    * A plain leaf already holding LOOSE parquet files (no `_current`)
+    * is adopted on first contact exactly as [[compactManifested]]
+    * adopts it: the loose files become generation 0, THEN the batch
+    * appends — never a pointer that silently excludes pre-existing
+    * data. A batchId-keyed producer whose first batch would ALSO be
+    * generation 0 fails loudly instead of overwriting the adopted
+    * data.
+    *
+    * Schema may EVOLVE additively across generations (a later batch
+    * adds a column): [[readManifested]]/[[readManifestedAt]] merge
+    * parquet schemas across the scanned generations, so rows from
+    * generations written before the column read it as null — the
+    * add-a-column lake contract, pinned by SinkSpec. Dropping or
+    * retyping a column is NOT supported (parquet merge refuses
+    * incompatible types loudly). */
   def appendManifested(spark: SparkSession, dir: String, df: DataFrame,
                        genId: Option[Long] = None): Long = {
-    import java.nio.file.{Files => JFiles, Paths}
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     val root = new java.io.File(dir).getAbsoluteFile
     JFiles.createDirectories(root.toPath)
     val pointer = Paths.get(root.getPath, "_current")
+    if (!JFiles.exists(pointer)) {
+      val loose = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (loose.nonEmpty) {
+        require(genId.forall(_ != 0L),
+          s"appendManifested: $dir holds pre-existing loose parquet " +
+            "files, adopted as generation 0 — a genId=0 append would " +
+            "overwrite them; key the producer's batches from a nonzero " +
+            "id or compactManifested the leaf first")
+        val gen0 = new java.io.File(root, ".gen-0")
+        JFiles.createDirectories(gen0.toPath)
+        loose.foreach(f => JFiles.move(f.toPath,
+          gen0.toPath.resolve(f.getName), StandardCopyOption.ATOMIC_MOVE))
+        commitManifest(root, pointer, Seq(".gen-0"))
+      }
+    }
     val gens = if (JFiles.exists(pointer)) readPointer(pointer) else Seq.empty
     val nextId = genId.getOrElse(
       gens.map(_.stripPrefix(".gen-").toLong).foldLeft(-1L)(math.max) + 1)
     val next = s".gen-$nextId"
     df.write.mode("overwrite").parquet(new java.io.File(root, next).getPath)
     if (!gens.contains(next))
-      commitPointer(pointer, (gens :+ next).mkString("\n"))
+      commitManifest(root, pointer, gens :+ next)
     nextId
   }
 
@@ -371,6 +426,75 @@ object Warehouse {
   private def readPointer(pointer: java.nio.file.Path): Seq[String] =
     java.nio.file.Files.readString(pointer).trim
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** Commit a new manifest VERSION: write the immutable history file
+    * `_manifest-<v>` (v = 1 + the highest existing version — the
+    * Delta `_delta_log/N.json` analogue, one file per commit), then
+    * swap `_current` to the same content. `_current` stays the single
+    * reader entry point ([[readManifested]] — no history scan on the
+    * hot path); the `_manifest-*` trail is what [[readManifestedAt]]
+    * time-travels through. Returns the committed version id. */
+  private def commitManifest(root: java.io.File,
+                             pointer: java.nio.file.Path,
+                             gens: Seq[String]): Long = {
+    import java.nio.file.{Files => JFiles, StandardOpenOption}
+    val v = manifestVersions(root).lastOption.getOrElse(0L) + 1L
+    val body = gens.mkString("\n")
+    val hist = root.toPath.resolve(s"_manifest-$v")
+    // same durability discipline as the pointer: force the bytes, then
+    // let commitPointer's directory fsync cover the new entry too
+    val ch = java.nio.channels.FileChannel.open(hist,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8")))
+      ch.force(true)
+    } finally ch.close()
+    commitPointer(pointer, body)
+    v
+  }
+
+  /** The committed snapshot versions of a manifested leaf, ascending
+    * (the surviving `_manifest-*` trail — older versions disappear as
+    * [[compactManifested]]'s retention window GCs them). */
+  def snapshots(dir: String): Seq[Long] =
+    manifestVersions(new java.io.File(dir).getAbsoluteFile)
+
+  private def manifestVersions(root: java.io.File): Seq[Long] =
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_manifest-"))
+      .map(_.getName.stripPrefix("_manifest-").toLong)
+      .sorted.toSeq
+
+  /** SNAPSHOT READ (time travel): scan the table exactly as committed
+    * by manifest version `version` — the Iceberg `VERSION AS OF` /
+    * Delta `versionAsOf` analogue for the audit/debug read the CDC and
+    * streaming-ingest paths need. Fails LOUDLY, never silently-
+    * partially: an unknown version (never committed, or its manifest
+    * file already GC'd) is an IllegalArgumentException listing what IS
+    * retained; a version whose manifest survives but whose generation
+    * directories were GC'd (the retention window moved past it between
+    * the list and now) is an IllegalStateException naming the missing
+    * generation. Retention is [[compactManifested]]'s
+    * `retainSnapshots` knob — the local analogue of Iceberg/Delta
+    * snapshot-retention config. */
+  def readManifestedAt(spark: SparkSession, dir: String,
+                       version: Long): DataFrame = {
+    val root = new java.io.File(dir).getAbsoluteFile
+    val hist = root.toPath.resolve(s"_manifest-$version")
+    if (!java.nio.file.Files.exists(hist))
+      throw new IllegalArgumentException(
+        s"readManifestedAt: snapshot $version of $dir is not retained " +
+          s"(available: ${manifestVersions(root).mkString(", ")})")
+    val gens = readPointer(hist)
+    gens.find(g => !new java.io.File(root, g).isDirectory).foreach { g =>
+      throw new IllegalStateException(
+        s"readManifestedAt: snapshot $version of $dir lists $g, which " +
+          "has been garbage-collected (retention window moved past it)")
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(gens.map(g => new java.io.File(root, g).getPath): _*)
+  }
 
   /** Atomic + durable manifest replace: the tmp file's contents are
     * force()d to stable storage BEFORE the ATOMIC_MOVE, and the parent
@@ -420,7 +544,13 @@ object Warehouse {
     import java.nio.file.Paths
     def resolve(): DataFrame = {
       val gens = readPointer(Paths.get(dir, "_current"))
-      spark.read.parquet(gens.map(g => new java.io.File(dir, g).getPath): _*)
+      // mergeSchema: generations may evolve additively (see
+      // appendManifested) — older generations surface the added column
+      // as null. Cost is one footer read per file at planning, paid
+      // only while the manifest lists >1 generation (the compaction
+      // steady state is one).
+      spark.read.option("mergeSchema", "true")
+        .parquet(gens.map(g => new java.io.File(dir, g).getPath): _*)
     }
     try resolve()
     catch { case _: org.apache.spark.sql.AnalysisException => resolve() }
@@ -442,7 +572,8 @@ object Warehouse {
     * leaves are independent, exactly like every table format's
     * partition-level commit). */
   def compactManifestedPartitioned(spark: SparkSession, rootDir: String,
-                                   targetFileBytes: Long = 128L << 20): Map[String, Int] = {
+                                   targetFileBytes: Long = 128L << 20,
+                                   retainSnapshots: Int = 1): Map[String, Int] = {
     val root = new java.io.File(rootDir).getAbsoluteFile
     require(root.isDirectory,
       s"compactManifestedPartitioned: $rootDir is not a directory")
@@ -451,7 +582,8 @@ object Warehouse {
         case "" => "."
         case p => p
       }
-      rel -> compactManifested(spark, leaf.getPath, targetFileBytes)
+      rel -> compactManifested(spark, leaf.getPath, targetFileBytes,
+        retainSnapshots)
     }.toMap
   }
 
@@ -480,10 +612,17 @@ object Warehouse {
     * through its own `_current` (so a compaction in one leaf is
     * invisible to reads of another, and no leaf is ever absent), with
     * the `k=v` partition values re-attached from the directory names
-    * as literal columns — the same values a partition-discovering scan
-    * would surface. Leaf unions are by name: each leaf carries the
-    * same data schema (one writer produced them), and the partition
-    * columns are appended uniformly. */
+    * as literal columns — the same VALUES a partition-discovering scan
+    * would surface (unescaped with Spark's own path-escaping inverse,
+    * so values Spark escaped on write — `%`, `:`, control chars —
+    * round-trip, and a literal `+` stays `+`). One CONTRACT
+    * difference from a discovering scan, by design: re-attached
+    * partition columns are STRING-typed (a discovering scan
+    * type-infers `k=7` as int by default) — the stable-schema choice
+    * for a reader that unions leaves; cast at the call site when a
+    * numeric partition key is wanted. Leaf unions are by name: each
+    * leaf carries the same data schema (one writer produced them), and
+    * the partition columns are appended uniformly. */
   def readManifestedPartitioned(spark: SparkSession, rootDir: String): DataFrame = {
     val root = new java.io.File(rootDir).getAbsoluteFile
     val parts = manifestLeaves(root).map { leaf =>
@@ -491,7 +630,8 @@ object Warehouse {
       val kvs = rel.split('/').toSeq.filter(_.contains('='))
         .map { seg =>
           val Array(k, v) = seg.split("=", 2)
-          k -> java.net.URLDecoder.decode(v, "UTF-8")
+          k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(v)
         }
       kvs.foldLeft(readManifested(spark, leaf.getPath)) {
         case (df, (k, v)) => df.withColumn(k, lit(v))

@@ -411,4 +411,139 @@ class SinkSpec extends SparkSpec {
     assert(overlapping(xdir, "y", 0, 31) >= nFiles - 2,
       "x layout unexpectedly pruned the y slice — control is broken")
   }
+
+  test("snapshot time travel: readManifestedAt survives one commit, fails loudly past the window") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_snap").resolve("tbl").toString
+    W.appendManifested(spark, dir, spark.range(0, 50).toDF("id"))   // v1
+    W.appendManifested(spark, dir, spark.range(100, 150).toDF("id")) // v2
+    assert(W.snapshots(dir) == Seq(1L, 2L))
+    // point-in-time reads: v1 is the first batch alone, v2 the union
+    assert(W.readManifestedAt(spark, dir, 1L).count() == 50)
+    assert(W.readManifestedAt(spark, dir, 2L).count() == 100)
+    // one compaction (v3, default retainSnapshots=1): v2 must STILL be
+    // readable — the pre-commit snapshot is the grace/time-travel
+    // window — while v1 has aged out of it
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+    assert(W.readManifestedAt(spark, dir, 2L)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 50L) ++ (100L until 150L)))
+    val gone = intercept[IllegalArgumentException] {
+      W.readManifestedAt(spark, dir, 1L)
+    }
+    assert(gone.getMessage.contains("not retained"), gone.getMessage)
+    // a second compaction (v4) moves the window past v2 as well
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+    intercept[IllegalArgumentException] { W.readManifestedAt(spark, dir, 2L) }
+    // current read unaffected throughout
+    assert(W.readManifested(spark, dir).count() == 100)
+    // the GC'd-generation guard fails loudly too (a manifest whose
+    // generation directory was removed out-of-band — external cleanup,
+    // or a retention race): never a silent partial read
+    val vLive = W.snapshots(dir).last
+    val gens = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, s"_manifest-$vLive")).trim.split("\n")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir, gens.head))
+    val gced = intercept[IllegalStateException] {
+      W.readManifestedAt(spark, dir, vLive)
+    }
+    assert(gced.getMessage.contains("garbage-collected"), gced.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("retention knob: retainSnapshots widens the time-travel window like Iceberg/Delta") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_retain").resolve("tbl").toString
+    W.appendManifested(spark, dir, spark.range(0, 10).toDF("id"))    // v1
+    W.appendManifested(spark, dir, spark.range(10, 20).toDF("id"))   // v2
+    W.appendManifested(spark, dir, spark.range(20, 30).toDF("id"))   // v3
+    // compact keeping THREE snapshots: every prior version stays
+    // readable at its own point-in-time content
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30,
+      retainSnapshots = 3)                                           // v4
+    assert(W.snapshots(dir) == Seq(1L, 2L, 3L, 4L))
+    assert(W.readManifestedAt(spark, dir, 1L).count() == 10)
+    assert(W.readManifestedAt(spark, dir, 2L).count() == 20)
+    assert(W.readManifestedAt(spark, dir, 3L).count() == 30)
+    assert(W.readManifestedAt(spark, dir, 4L).count() == 30)
+    // tightening back to 1 (v5) collapses the window again
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30)      // v5
+    assert(W.snapshots(dir) == Seq(4L, 5L))
+    intercept[IllegalArgumentException] { W.readManifestedAt(spark, dir, 3L) }
+    assert(W.readManifestedAt(spark, dir, 4L).count() == 30)
+    assert(W.readManifested(spark, dir).count() == 30)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("schema evolution: an added column reads union-with-nulls across generations") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_evolve").resolve("tbl").toString
+    W.appendManifested(spark, dir, spark.range(0, 40).toDF("id"))     // v1
+    W.appendManifested(spark, dir,                                    // v2
+      spark.range(40, 60).toDF("id").withColumn("score", col("id") * 2))
+    val got = W.readManifested(spark, dir)
+    // the add-a-column lake contract: both columns visible, pre-
+    // evolution rows surface the new column as null, no row lost
+    assert(got.columns.sorted.toSeq == Seq("id", "score"))
+    assert(got.count() == 60)
+    assert(got.filter(col("score").isNull).count() == 40)
+    assert(got.filter(col("score") === col("id") * 2).count() == 20)
+    // time travel sees the schema AS OF the snapshot
+    assert(W.readManifestedAt(spark, dir, 1L).columns.toSeq == Seq("id"))
+    // compaction folds the union into one generation, preserving it
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+    val folded = W.readManifested(spark, dir)
+    assert(folded.columns.sorted.toSeq == Seq("id", "score"))
+    assert(folded.filter(col("score").isNull).count() == 40)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("append onto loose parquet adopts it as generation 0 instead of dropping it") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_adopt").resolve("tbl").toString
+    spark.range(0, 30).toDF("id").repartition(1)
+      .write.mode("overwrite").parquet(dir)
+    // sanity: plain leaf, no manifest yet
+    assert(!new java.io.File(dir, "_current").exists())
+    // the ADVICE r11 hole: an append here used to commit a pointer
+    // excluding the loose files — now they become generation 0 first
+    W.appendManifested(spark, dir, spark.range(100, 120).toDF("id"))
+    assert(W.readManifested(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 30L) ++ (100L until 120L)))
+    // a batchId-keyed producer whose batch 0 would collide with the
+    // adopted generation fails loudly instead of overwriting it
+    val dir2 = Files.createTempDirectory("graft_adopt2").resolve("tbl").toString
+    spark.range(0, 5).toDF("id").repartition(1)
+      .write.mode("overwrite").parquet(dir2)
+    val clash = intercept[IllegalArgumentException] {
+      W.appendManifested(spark, dir2, spark.range(5, 9).toDF("id"),
+        genId = Some(0L))
+    }
+    assert(clash.getMessage.contains("generation 0"), clash.getMessage)
+    Seq(dir, dir2).foreach(d => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d).getParentFile))
+  }
+
+  test("partition values with '+' and '%' round-trip through the manifested partitioned read") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_escape").resolve("tbl").toString
+    // 'a+b' writes as the literal dir lang=a+b (Spark leaves '+'
+    // unescaped); 'p%q' escapes to lang=p%25q — the r11 URLDecoder
+    // read turned the former into 'a b'
+    val docs = spark.range(0, 20).toDF("id")
+      .withColumn("lang", when(col("id") % 2 === 0, lit("a+b")).otherwise(lit("p%q")))
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    W.compactManifestedPartitioned(spark, dir, targetFileBytes = 1L << 30)
+    val back = W.readManifestedPartitioned(spark, dir)
+    assert(back.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a+b", "p%q"))
+    assert(back.filter(col("lang") === "a+b").count() == 10)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
 }
