@@ -436,10 +436,9 @@ object Analytics {
       sortCols: Seq[org.apache.spark.sql.Column])(lift: T => S)(
       combine: (S, S) => S)(
       emit: (Option[S], T) => Option[R]): org.apache.spark.sql.Dataset[R] = {
-    val sorted = ds
+    val sorted = eagerCut(ds
       .repartitionByRange(nPart, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .localCheckpoint(true)
+      .sortWithinPartitions(sortCols: _*))
     // pass 1: per-partition merge of the running statistic (RDD lane:
     // the statistic needs no Encoder, only Java serialization for the
     // nPart-row driver hop)
@@ -461,7 +460,7 @@ object Analytics {
     }
     val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
     // pass 2: narrow per-partition scan with the broadcast offset
-    val result = sorted.mapPartitions { it =>
+    val result = eagerCut(sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var run: Option[S] = bc.value.get(pid)
       it.flatMap { r =>
@@ -469,7 +468,7 @@ object Analytics {
         run = Some(run.fold(lift(r))(combine(_, lift(r))))
         out.iterator
       }
-    }.localCheckpoint(true)
+    })
     // deterministic release: the result no longer references them
     org.apache.spark.sql.graftshim.checkpointRdd(sorted)
       .foreach(_.unpersist(blocking = true))

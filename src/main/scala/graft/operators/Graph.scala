@@ -64,7 +64,7 @@ object Graph {
     // cached — unpersisting adj before the action would silently
     // recompute the edge+degree join once per round; localCheckpoint
     // pins the result so both caches can be released leak-free
-    val out = pr.select(col("node"), col("pr")).localCheckpoint(true)
+    val out = eagerCut(pr.select(col("node"), col("pr")))
     prRdd.unpersist(blocking = false)
     adjRdd.unpersist(blocking = false)
     out
@@ -151,8 +151,8 @@ object Graph {
     }
     // pin the (tiny, O(nodes)) result, then release the last round's
     // cache leak-free — the pageRank closing pattern
-    val out = cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .orderBy(col("node")).localCheckpoint(true)
+    val out = eagerCut(cur.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).orderBy(col("node")))
     curRdd.unpersist(blocking = false)
     out
   }

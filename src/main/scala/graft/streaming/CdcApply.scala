@@ -46,7 +46,8 @@ object CdcApply {
     val cur =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir)))
         // materialize BEFORE overwriting the files it was read from
-        batch.sparkSession.read.parquet(stateDir).localCheckpoint(true)
+        graft.operators.eagerCut(
+          batch.sparkSession.read.parquet(stateDir))
       else updates.limit(0)
     val merged = cur.select(col("user_id"), col("s").as("cur_s"))
       .join(updates.select(col("user_id"), col("s").as("new_s")), Seq("user_id"), "full_outer")

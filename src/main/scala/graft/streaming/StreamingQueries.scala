@@ -133,8 +133,8 @@ object StreamingQueries {
       // the scratch parquet — repeated verify/bench runs must not
       // accumulate state dirs in /tmp (the checkpoint dir is already
       // cleaned by runCdcApply itself)
-      val out = CdcApply.runCdcApply(s, d, state)
-        .orderBy(col("user_id")).localCheckpoint(true)
+      val out = graft.operators.eagerCut(
+        CdcApply.runCdcApply(s, d, state).orderBy(col("user_id")))
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
       out
     }),
