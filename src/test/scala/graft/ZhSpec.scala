@@ -99,7 +99,63 @@ class ZhSpec extends SparkSpec {
       "北京大学的图书馆" -> "北京大學的圖書館",
       "😀发型😀" -> "😀髮型😀",                           // emoji surrogate pair
       "𝐀汉字𝐀" -> "𝐀漢字𝐀",                           // math-bold A (U+1D400)
-      "𠀀与发" -> "𠀀與發")                               // CJK ext-B (U+20000)
+      "𠀀与发" -> "𠀀與發",                               // CJK ext-B (U+20000)
+      // r12 growth: every branch class ≥3 rows (VERDICT r11 item 7) —
+      // ICU outputs measured, OpenCC divergences annotated in place
+      "饼干" -> "餅乾",
+      "干活" -> "乾活",                                   // [ICU quirk: work-干
+                                                          //  is 幹 (OpenCC); ICU
+                                                          //  picks 乾]
+      "天干地支" -> "天干地支",                           // 干 inert in stems
+      "发财" -> "發財", "假发" -> "假髮", "发廊" -> "髮廊",
+      "面粉" -> "麵粉", "见面" -> "見面", "面子" -> "面子",
+      "后来" -> "後來", "太后" -> "太后", "后退" -> "後退",
+      "哪里" -> "哪裡", "里程" -> "里程", "故里" -> "故里",
+      "只是" -> "只是", "船只" -> "船隻",
+      "两只猫" -> "兩只貓",                               // [ICU quirk: the 只
+                                                          //  classifier maps in
+                                                          //  一只鸟 (隻) but not
+                                                          //  here — window-local
+                                                          //  context]
+      "钟表" -> "鐘錶", "分钟" -> "分鐘", "钟楼" -> "鐘樓",
+      "复活" -> "復活",
+      "重复" -> "重復",                                   // [ICU quirk: OpenCC
+                                                          //  duplicate-复 is 複]
+      "复盖" -> "復蓋",                                   // [ICU quirk: OpenCC
+                                                          //  cover-复 is 覆]
+      "经历" -> "經歷", "历届" -> "歷屆",
+      "农历" -> "農歷",                                   // [ICU quirk: calendar
+                                                          //  历 is 曆 (it maps
+                                                          //  日历→日曆 above)]
+      "轻松" -> "輕鬆", "松鼠" -> "松鼠",
+      "蓬松" -> "蓬松",                                   // [ICU quirk: fluffy-松
+                                                          //  is 鬆 (OpenCC); cf.
+                                                          //  放松→放鬆 above]
+      "斗争" -> "鬥爭", "漏斗" -> "漏斗", "斗志" -> "鬥志",
+      "长征" -> "長征", "象征" -> "象徵", "征兵" -> "徵兵",
+      "业余" -> "業餘", "余额" -> "餘額", "剩余" -> "剩餘",
+      "云彩" -> "雲彩", "云计算" -> "雲計算",
+      "人云亦云" -> "人云亦云",                           // say-云 stays
+      "峡谷" -> "峽谷", "五谷丰登" -> "五穀豐登", "谷物" -> "穀物",
+      // identity class: chars shared by both scripts pass through
+      "山水田人" -> "山水田人", "日月星辰" -> "日月星辰",
+      "上下左右" -> "上下左右",
+      // punctuation class (full-width digits, CJK brackets, dashes)
+      "《红楼梦》——名著。" -> "《紅樓夢》——名著。",
+      "【注】：见第３页；" -> "【注】：見第３頁；",
+      "省略……、顿号" -> "省略……、頓號",
+      // other-script class: Hangul/Cyrillic/Greek inert, Han converts
+      "한글과漢字" -> "한글과漢字",
+      "Русский язык" -> "Русский язык",
+      "ελληνικά与中文" -> "ελληνικά與中文",
+      // non-BMP class: conversion applies around inert astral chars
+      "🎉庆祝🎉" -> "🎉慶祝🎉",
+      "𝕊𝕡𝕒𝕣𝕜引擎" -> "𝕊𝕡𝕒𝕣𝕜引擎",
+      "𪚥与复杂" -> "𪚥與複雜",
+      // plain one-to-one mappings (no context sensitivity)
+      "卫星导航" -> "衛星導航", "邮电局" -> "郵電局",
+      "购买图书" -> "購買圖書", "铁路车站" -> "鐵路車站",
+      "艺术馆" -> "藝術館")
     val t2sGolden = Seq(
       "乾燥" -> "干燥", "幹部" -> "干部", "頭髮" -> "头发",
       "麵條" -> "面条", "皇后" -> "皇后", "後面" -> "后面",
@@ -119,7 +175,45 @@ class ZhSpec extends SparkSpec {
       "頭等艙" -> "头等舱", "當面" -> "当面", "出發" -> "出发",
       "皇后區" -> "皇后区", "發射" -> "发射",
       "髮型屋" -> "发型屋",                               // 發/髮 both → 发
-      "𠀀與髮" -> "𠀀与发")                               // ext-B inert
+      "𠀀與髮" -> "𠀀与发",                               // ext-B inert
+      // r12 growth — the many-to-one collapses, measured; note the
+      // S2T/T2S asymmetries pinned here ARE the ICU contract: S2T
+      // 干活→乾活 but T2S 幹活→干活 (both 乾/幹 collapse to 干), and
+      // 答复→答復 S2T while T2S leaves 答覆 untouched
+      "餅乾" -> "饼干", "幹活" -> "干活", "天干地支" -> "天干地支",
+      "發財" -> "发财", "假髮" -> "假发", "髮廊" -> "发廊",
+      "麵粉" -> "面粉", "見面" -> "见面", "麵子" -> "面子",
+      "後來" -> "后来", "太后" -> "太后", "後退" -> "后退",
+      "哪裡" -> "哪里", "里程" -> "里程", "故里" -> "故里",
+      "兩隻貓" -> "两只猫", "船隻" -> "船只", "只是" -> "只是",
+      "鐘錶" -> "钟表", "分鐘" -> "分钟", "鐘樓" -> "钟楼",
+      "重複" -> "重复", "復活" -> "复活",
+      "答覆" -> "答覆",                                   // [ICU quirk: OpenCC
+                                                          //  maps 覆→复 here;
+                                                          //  ICU leaves 覆]
+      "覆蓋" -> "覆盖",
+      "經歷" -> "经历", "農曆" -> "农历", "歷屆" -> "历届",
+      "輕鬆" -> "轻松", "松鼠" -> "松鼠", "蓬鬆" -> "蓬松",
+      "鬥爭" -> "斗争", "漏斗" -> "漏斗", "鬥志" -> "斗志",
+      "長征" -> "长征", "象徵" -> "象征", "徵兵" -> "征兵",
+      "業餘" -> "业余", "餘額" -> "余额", "剩餘" -> "剩余",
+      "雲彩" -> "云彩", "人云亦云" -> "人云亦云", "雲計算" -> "云计算",
+      "峽谷" -> "峡谷", "五穀豐登" -> "五谷丰登", "穀物" -> "谷物",
+      "山水田人" -> "山水田人", "日月星辰" -> "日月星辰",
+      "上下左右" -> "上下左右",
+      "《紅樓夢》——名著。" -> "《红楼梦》——名著。",
+      "【注】：見第３頁；" -> "【注】：见第３页；",
+      "省略……、頓號" -> "省略……、顿号",
+      "한글과漢字" -> "한글과汉字",                       // Hangul inert, the
+                                                          // Han part converts
+      "Русский язык" -> "Русский язык",
+      "ελληνικά與中文" -> "ελληνικά与中文",
+      "🎉慶祝🎉" -> "🎉庆祝🎉",
+      "𝕊𝕡𝕒𝕣𝕜引擎" -> "𝕊𝕡𝕒𝕣𝕜引擎",
+      "𪚥與複雜" -> "𪚥与复杂",
+      "衛星導航" -> "卫星导航", "郵電局" -> "邮电局",
+      "購買圖書" -> "购买图书", "鐵路車站" -> "铁路车站",
+      "藝術館" -> "艺术馆")
     for ((in, want) <- s2tGolden)
       assert(Zh.toTraditional(in) == want, s"S2T($in)")
     for ((in, want) <- t2sGolden)
