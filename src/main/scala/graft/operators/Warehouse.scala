@@ -623,8 +623,29 @@ object Warehouse {
     * numeric partition key is wanted. Leaf unions are by name: each
     * leaf carries the same data schema (one writer produced them), and
     * the partition columns are appended uniformly. */
-  def readManifestedPartitioned(spark: SparkSession, rootDir: String): DataFrame = {
-    val root = new java.io.File(rootDir).getAbsoluteFile
+  def readManifestedPartitioned(spark: SparkSession, rootDir: String): DataFrame =
+    unionLeaves(new java.io.File(rootDir).getAbsoluteFile,
+      leaf => readManifested(spark, leaf.getPath))
+
+  /** [[readManifestedAt]] over a partitioned root: every leaf resolves
+    * the SAME manifest version. This is the coordinated-writer
+    * contract: root-level operations ([[compactManifestedPartitioned]],
+    * a partitioned ingest that appends to every leaf per batch) commit
+    * one version per leaf in lockstep, so version numbers align across
+    * leaves; a root whose leaves were committed independently may not
+    * share numbering, and the read then fails loudly on the first leaf
+    * missing the version — never a silently partial table. */
+  def readManifestedPartitionedAt(spark: SparkSession, rootDir: String,
+                                  version: Long): DataFrame =
+    unionLeaves(new java.io.File(rootDir).getAbsoluteFile,
+      leaf => readManifestedAt(spark, leaf.getPath, version))
+
+  /** The shared partitioned-read shape: per-leaf resolve via `read`,
+    * `k=v` partition values re-attached from the directory names (see
+    * [[readManifestedPartitioned]] for the unescaping + string-typing
+    * contract), leaves unioned by name. */
+  private def unionLeaves(root: java.io.File,
+                          read: java.io.File => DataFrame): DataFrame = {
     val parts = manifestLeaves(root).map { leaf =>
       val rel = root.toPath.relativize(leaf.toPath).toString
       val kvs = rel.split('/').toSeq.filter(_.contains('='))
@@ -633,7 +654,7 @@ object Warehouse {
           k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(v)
         }
-      kvs.foldLeft(readManifested(spark, leaf.getPath)) {
+      kvs.foldLeft(read(leaf)) {
         case (df, (k, v)) => df.withColumn(k, lit(v))
       }
     }

@@ -529,6 +529,37 @@ class SinkSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(d).getParentFile))
   }
 
+  test("partitioned snapshot read: lockstep versions time-travel across leaves") {
+    val W = graft.operators.Warehouse
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val dir = Files.createTempDirectory("graft_psnap").resolve("tbl").toString
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    // root-level ops commit one version per leaf in LOCKSTEP: the
+    // compact adopts (v1) then folds (v2) every leaf
+    W.compactManifestedPartitioned(spark, dir, targetFileBytes = 1L << 30)
+    val baseN = docs.count()
+    // a lockstep per-leaf append (v3 everywhere)
+    val leaves = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang=")).sortBy(_.getName)
+    assert(leaves.length >= 2)
+    for (leaf <- leaves)
+      W.appendManifested(spark, leaf.getPath, docs.drop("lang").limit(3))
+    // current == snapshot v3 == base + the appends; v2 == pre-append
+    val nowN = baseN + 3L * leaves.length
+    assert(W.readManifestedPartitioned(spark, dir).count() == nowN)
+    assert(W.readManifestedPartitionedAt(spark, dir, 3L).count() == nowN)
+    assert(W.readManifestedPartitionedAt(spark, dir, 2L).count() == baseN)
+    // partition values re-attach on the snapshot read too
+    assert(W.readManifestedPartitionedAt(spark, dir, 2L)
+      .select(col("lang")).distinct().count() == leaves.length.toLong)
+    // an unknown version fails loudly, never a partial union
+    intercept[IllegalArgumentException] {
+      W.readManifestedPartitionedAt(spark, dir, 99L)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("partition values with '+' and '%' round-trip through the manifested partitioned read") {
     val W = graft.operators.Warehouse
     val dir = Files.createTempDirectory("graft_escape").resolve("tbl").toString
