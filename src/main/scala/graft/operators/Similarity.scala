@@ -859,16 +859,23 @@ object Similarity {
     * generation — generated from the SAME [[hyperplanes]] array as the
     * Spark expression. Ends with `scored(a_id, b_id, cos)`; callers
     * append their threshold filter. Shared by s04 and p02 (Curation). */
-  private[operators] def bandedScoredCtes(nBands: Int = 5, bitsPerBand: Int = 6,
-                                          seed: Long = 42): String = {
-    val nBits = nBands * bitsPerBand
-    val planes = hyperplanes(nBits, 64, seed)
-    val qv = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
-    val sigTerms = planes.zipWithIndex.map { case (p, j) =>
+  /** The CASE-sum mirror of [[graft.functions.HyperplaneSig]] over a
+    * DuckDB `qv` column — generated from the SAME [[hyperplanes]]
+    * array as the Spark expression, so the two engines' signatures
+    * cannot drift. Shared by the s04/p02 banded CTEs and the s02
+    * bucket-join oracle. */
+  private def hyperplaneSigSql(nBits: Int, seed: Long): String =
+    hyperplanes(nBits, 64, seed).zipWithIndex.map { case (p, j) =>
       val pl = p.mkString("[", ",", "]")
       s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> qv[i] * ($pl)[i])) >= 0" +
         s" THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
     }.mkString("\n             + ")
+
+  private[operators] def bandedScoredCtes(nBands: Int = 5, bitsPerBand: Int = 6,
+                                          seed: Long = 42): String = {
+    val nBits = nBands * bitsPerBand
+    val qv = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+    val sigTerms = hyperplaneSigSql(nBits, seed)
     val mask = (1L << bitsPerBand) - 1
     // one hash equi-join per band (UNION dedups candidates) — the OR-of-
     // band-equalities form forces DuckDB into an O(n²) nested loop, and
@@ -1427,7 +1434,87 @@ object Similarity {
       "s04_cosine_dup_pairs" ->
         s"""WITH ${bandedScoredCtes()}
            SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.30
-           ORDER BY a_id, b_id"""
+           ORDER BY a_id, b_id""",
+      // s02 FULL oracle (r12 — was rows-only): DuckDB replays the
+      // complete LSH-bucketed top-k — the 8-bit hyperplane signature
+      // from the SAME plane array as the Spark expression, the bucket
+      // equi-join (queries = vec_id ≡ 0 mod 100), the exact quantized
+      // cosine, and the (cos DESC, neighbor_id) top-5 window. The
+      // bucket JOIN itself now carries a value oracle; s08's
+      // score-integrity pin stays as the O(output) soundness check.
+      "s02_knn_lsh" ->
+        s"""WITH q AS (
+             SELECT vec_id, $qv AS qv FROM embeddings),
+           n AS (
+             SELECT vec_id, qv,
+               sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+             FROM q),
+           sig AS MATERIALIZED (
+             SELECT vec_id, qv, nrm,
+               ${hyperplaneSigSql(8, 42)} AS bucket
+             FROM n),
+           scored AS (
+             SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+                 i -> c.qv[i] * qq.qv[i])) AS DOUBLE) / (c.nrm * qq.nrm) AS cos
+             FROM sig c JOIN sig qq
+               ON c.bucket = qq.bucket AND qq.vec_id % 100 = 0
+                 AND c.vec_id != qq.vec_id),
+           ranked AS (
+             SELECT q_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+             FROM scored)
+           SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
+           ORDER BY q_id, rk""",
+      // s05 FULL oracle (r12 — was rows-only): DuckDB replays BOTH IVF
+      // stages — the coarse quantizer (exact-decimal centroid means,
+      // the s03 arithmetic; query-centroid cosine as the SAME
+      // sequential left fold Spark's aggregate() runs, via
+      // list_reduce — a 0d-seeded fold equals an unseeded one because
+      // 0.0 + x ≡ x; top-nProbe with the c_label tie-break) and the
+      // fine search inside probed lists (the s01/s02 arithmetic).
+      // The probe ROUTING and the bucket join now carry a value
+      // oracle; s09's exactness pin stays as the O(output) check.
+      "s05_knn_ivf" ->
+        s"""WITH q AS (
+             SELECT vec_id, label, $qv AS qv FROM embeddings),
+           n AS (
+             SELECT vec_id, label, qv,
+               sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+             FROM q),
+           cent AS (
+             SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+               CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS mv
+             FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+             GROUP BY label, dim),
+           cvs AS MATERIALIZED (
+             SELECT label AS c_label, list(mv ORDER BY dim) AS cv
+             FROM cent GROUP BY label),
+           probes AS (
+             SELECT qq.vec_id AS q_id, c.c_label,
+               row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+                 (list_reduce(list_transform(range(1, 65),
+                    i -> CAST(qq.qv[i] AS DOUBLE) * c.cv[i]), (a, b) -> a + b)
+                  / (qq.nrm * sqrt(list_reduce(
+                      list_transform(c.cv, x -> x * x), (a, b) -> a + b))))
+                 DESC, c.c_label) AS c_rk
+             FROM n qq CROSS JOIN cvs c
+             WHERE qq.vec_id % 100 = 0),
+           scored AS (
+             SELECT p.q_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+                 i -> c.qv[i] * qq.qv[i])) AS DOUBLE) / (c.nrm * qq.nrm) AS cos
+             FROM probes p
+             JOIN n qq ON qq.vec_id = p.q_id
+             JOIN n c ON c.label = p.c_label AND c.vec_id != p.q_id
+             WHERE p.c_rk <= 2),
+           ranked AS (
+             SELECT q_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+             FROM scored)
+           SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
+           ORDER BY q_id, rk"""
     )
     // persistence must be invisible to results: the saved-index serve
     // path answers to the SAME oracle as the freshly-trained s13
