@@ -449,6 +449,88 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** The ENGINE-REPLAYABLE SimHash BANDING twin (d18): d05's complete
+    * sign-of-bit-sums → 16-bit-band blocking → Hamming-verify pipeline
+    * with the per-token hash replaced by md5, its 64 bits taken as the
+    * 16 hex digits' nibbles — `instr`/`strpos` over the ASCII hex
+    * string plus shifts/masks, arithmetic BOTH engines share exactly
+    * (the d16/d17 trick applied to SimHash). The banding join AND the
+    * `bit_count(xor)` Hamming verify now carry a full value oracle;
+    * the xxhash64 signature ([[simHashFast]], native `SimHashSig`)
+    * stays the production path. Same shapes as [[simHashNearDupPairs]]:
+    * one doc_id shuffle for the 64 bit-sums, band bucket equi-join,
+    * O(candidates) verify. */
+  def simHashBandedPairsMd5(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .withColumn("ds", expr(
+        "transform(sequence(1, 16), j -> instr('0123456789abcdef', substring(h, j, 1)) - 1)"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(expr(s"(element_at(ds, ${i / 4 + 1}) >> ${i % 4}) & 1") === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    // disjoint bit values, so + ≡ OR; the i=63 literal is negative
+    // (two's complement), matching the SQL mirror's generated literal
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigDf = agg.select(col("doc_id"), sig.as("simhash"))
+    val banded = sigDf.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bk"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val a = banded.select(col("band"), col("bk"), col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+    val b = banded.select(col("band"), col("bk"), col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+    a.join(b, Seq("band", "bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** The DuckDB mirror of [[simHashBandedPairsMd5]], generated so the
+    * 64 bit-sum/signature terms cannot drift from the Spark side (the
+    * bandedScoredCtes precedent): same nibble extraction, same ±1
+    * sums, same disjoint-bit-literal signature assembly, same banding
+    * and `bit_count(xor(...))` verify. */
+  private[operators] def simHashMd5OracleSql(maxDist: Int = 3): String = {
+    val sums = (0 until 64).map(i =>
+      s"sum(CASE WHEN (ds[${i / 4 + 1}] >> ${i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n             ")
+    val sigTerms = (0 until 64).map(i =>
+      s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("\n             + ")
+    s"""WITH tok AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         bits AS (
+           SELECT doc_id, list_transform(range(1, 17),
+             j -> strpos('0123456789abcdef',
+               substring(md5(tok), CAST(j AS INTEGER), 1)) - 1) AS ds
+           FROM tok),
+         sums AS (
+           SELECT doc_id,
+             $sums
+           FROM bits GROUP BY doc_id),
+         sig AS MATERIALIZED (
+           SELECT doc_id,
+             $sigTerms AS simhash
+           FROM sums),
+         banded AS (
+           SELECT doc_id, simhash, b AS band, (simhash >> (b * 16)) & 65535 AS bk
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, hamming FROM cand WHERE hamming <= $maxDist
+         ORDER BY a_id, b_id"""
+  }
+
   /** Duplicate clusters: connected components over a near-dup pair
     * graph, as (doc_id, cluster_id = min doc_id in the component) —
     * the step that turns pairwise near-dup evidence into "keep one
@@ -628,6 +710,10 @@ object Dedup {
     // (see minHashBandedPairsMd5 doc)
     "d17_banded_pairs_md5" -> ((s, d) =>
       minHashBandedPairsMd5(t(s, d, "documents"))
+        .orderBy(col("a_id"), col("b_id"))),
+    // the md5 twin of d05's complete band→join→Hamming-verify pipeline
+    "d18_simhash_banded_md5" -> ((s, d) =>
+      simHashBandedPairsMd5(t(s, d, "documents"))
         .orderBy(col("a_id"), col("b_id"))),
     "d15_sorted_neighborhood" -> ((s, d) =>
       sortedNeighborhoodPairs(t(s, d, "documents"))),
@@ -848,6 +934,10 @@ object Dedup {
            JOIN ws wb ON wb.doc_id = b_id)
          SELECT a_id, b_id, jaccard FROM v WHERE jaccard >= 0.5
          ORDER BY a_id, b_id""",
+    // DuckDB replays d05's whole SimHash pipeline over md5 nibbles —
+    // bit-sums, signature assembly, banding, bit_count(xor) verify
+    // (SQL generated beside the kernel so the 64 terms cannot drift)
+    "d18_simhash_banded_md5" -> simHashMd5OracleSql(),
     // both engines compare strings bytewise (UTF8String / memcmp), so
     // the global (sort_key, doc_id) order — and therefore the candidate
     // neighborhoods — are identical

@@ -114,6 +114,33 @@ object TextAnalysis {
         """array_distinct(transform(sequence(1, size(hs) - win + 1),
            j -> array_min(slice(hs, j, win))))""")).as("fp"))
 
+  /** The ENGINE-REPLAYABLE winnow-OVERLAP twin (d19): d06's complete
+    * pipeline — fingerprints per doc, boilerplate df-filter (≤ maxDf),
+    * inverted-index equi-join on fingerprint, shared-count ≥ minShared
+    * gate — over [[winnowFingerprintsMd5]]'s oracle-able selection
+    * (t22's 1-in-4 sampled md5 winnow, per-doc-distinct fingerprints).
+    * With t22 pinning the SELECTION rule, this twin pins the JOIN
+    * algebra downstream of it; the xxhash64 rolling-hash winnow
+    * ([[winnowOverlapPairs]], native `WinnowFingerprint`) stays the
+    * production path. Same shapes: df-agg + semi-join + posting-list
+    * self-join, all bounded by the df cap. */
+  def winnowOverlapPairsMd5(docs: DataFrame, minShared: Int = 3,
+                            maxDf: Int = 20): DataFrame = {
+    val fps = winnowFingerprintsMd5(docs)
+    val rare = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"), "left_semi")
+    val a = kept.select(col("fp"), col("doc_id").as("a_id"))
+    val b = kept.select(col("fp"), col("doc_id").as("b_id"))
+    a.join(b, Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Global top-k word bigrams (count desc, bigram asc tie-break). */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame =
     docs
@@ -719,6 +746,12 @@ object TextAnalysis {
     "d06_winnow_overlap" -> ((s, d) =>
       winnowOverlapPairs(t(s, d, "documents"))
         .orderBy(col("a_id"), col("b_id"))),
+    // the md5 twin of d06's complete fingerprint→df-filter→inverted-
+    // index-join pipeline over t22's sampled md5 winnow (see
+    // winnowOverlapPairsMd5 doc)
+    "d19_winnow_overlap_md5" -> ((s, d) =>
+      winnowOverlapPairsMd5(t(s, d, "documents"))
+        .orderBy(col("a_id"), col("b_id"))),
     // SUBSET PIN for d06: winnowing guarantees every shared fingerprint
     // comes from a shared character 8-gram (modulo 64-bit rolling-hash
     // collisions), so every emitted pair must share at least one 8-gram.
@@ -927,6 +960,28 @@ object TextAnalysis {
              AS fp
            FROM w2)
          SELECT DISTINCT doc_id, fp FROM u ORDER BY doc_id, fp""",
+    // DuckDB replays d06's whole overlap pipeline over t22's sampled
+    // md5 winnow: selection CTEs verbatim from t22, then the df-cap
+    // filter, the inverted-index self-join, and the n_shared gate
+    "d19_winnow_overlap_md5" ->
+      """WITH g AS (
+           SELECT doc_id, list_transform(range(1, len(text) - 8 + 2),
+             i -> md5(substring(text, CAST(i AS INTEGER), 8))) AS hs
+           FROM documents WHERE doc_id % 4 = 0 AND len(text) >= 8),
+         w2 AS (SELECT doc_id, hs, least(16, len(hs)) AS win FROM g),
+         u AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(hs) - win + 2),
+             j -> list_min(hs[CAST(j AS INTEGER):CAST(j + win - 1 AS INTEGER)])))
+             AS fp
+           FROM w2),
+         fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM u),
+         rare AS (
+           SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) <= 20),
+         kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY a_id, b_id HAVING count(*) >= 3
+         ORDER BY a_id, b_id""",
     // the full value oracle the t04 family lacked: DuckDB replays the
     // md5 document digest and the word-3-shingle min over md5 hex
     // digests (ASCII hex, so both engines' string mins agree)
