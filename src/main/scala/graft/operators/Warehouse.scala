@@ -398,16 +398,26 @@ object Warehouse {
     if (!JFiles.exists(pointer)) {
       val loose = Option(root.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val gen0 = new java.io.File(root, ".gen-0")
       if (loose.nonEmpty) {
         require(genId.forall(_ != 0L),
           s"appendManifested: $dir holds pre-existing loose parquet " +
             "files, adopted as generation 0 — a genId=0 append would " +
             "overwrite them; key the producer's batches from a nonzero " +
             "id or compactManifested the leaf first")
-        val gen0 = new java.io.File(root, ".gen-0")
         JFiles.createDirectories(gen0.toPath)
         loose.foreach(f => JFiles.move(f.toPath,
           gen0.toPath.resolve(f.getName), StandardCopyOption.ATOMIC_MOVE))
+        commitManifest(root, pointer, Seq(".gen-0"))
+      } else if (Option(gen0.listFiles()).getOrElse(Array.empty)
+                   .exists(f => f.isFile && f.getName.endsWith(".parquet"))) {
+        // a crash BETWEEN the adoption move and its pointer commit
+        // leaves gen-0 populated with no pointer — without this,
+        // the no-genId append below would number itself 0 and
+        // OVERWRITE the adopted data. Commit the missing pointer
+        // first. (A producer's own stranded genId=0 first batch lands
+        // here too, harmlessly: its retry overwrites generation 0
+        // with identical deterministic content, pointer unchanged.)
         commitManifest(root, pointer, Seq(".gen-0"))
       }
     }

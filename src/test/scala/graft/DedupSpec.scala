@@ -155,4 +155,60 @@ class DedupSpec extends SparkSpec {
       .collect().toSet
     assert(got == naive, s"bounded kernel diverged: ${got.size} vs ${naive.size} pairs")
   }
+
+  test("md5 twins: semantic grounding on a constructed fixture") {
+    // the tri-scale oracles prove BOTH ENGINES AGREE; this grounds the
+    // twins' semantics independently — near-identical docs must pair,
+    // unrelated docs must not, through every twin pipeline
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different content about spark catalyst optimizer internals rules"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    // d17: banded MinHash-md5 — the exact pair AND both near-identical
+    // pairs survive banding + the 0.5-Jaccard verify; nothing pairs
+    // with the unrelated doc 3
+    val mh = Dedup.minHashBandedPairsMd5(fixture)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(mh == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"d17 twin emitted $mh")
+    // d18: banded SimHash-md5 — token-set identity (docs 1 and 4) is
+    // the scheme's guaranteed-recall case: hamming 0, every band
+    // matches. A one-token edit at 14 tokens legitimately flips enough
+    // near-balanced bit-sums to miss all four bands — that selectivity
+    // is the point of banding, so (1,2) is NOT asserted either way.
+    val sh = Dedup.simHashBandedPairsMd5(fixture)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(sh.contains((1L, 4L)) && !sh.exists(p => p._1 == 3L || p._2 == 3L),
+      s"d18 twin emitted $sh")
+    // d16 lanes: doc 1 and 2 share most shingles, so most min-lanes
+    // agree; doc 3 shares none
+    val lanes = Dedup.minHashSignaturesMd5(fixture)
+      .select("doc_id", "seed", "sig").as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val agree12 = (0L until 8L).count(s => lanes(1L)(s) == lanes(2L)(s))
+    val agree13 = (0L until 8L).count(s => lanes(1L)(s) == lanes(3L)(s))
+    assert(agree12 >= 4 && agree13 == 0,
+      s"lane agreement 1~2: $agree12, 1~3: $agree13")
+    // guard contract: k beyond the digest refuses loudly
+    intercept[IllegalArgumentException] {
+      Dedup.minHashSignaturesMd5(fixture, k = 9)
+    }
+  }
+
+  test("twin pipelines plan without cartesian products (scale-shape pin)") {
+    // candidates must meet through equi-joins on band/bucket values —
+    // a CartesianProduct/BroadcastNestedLoop node would be the O(n²)
+    // scale-killer the banding exists to avoid
+    for ((name, df) <- Seq(
+        "d17" -> Dedup.minHashBandedPairsMd5(docs),
+        "d18" -> Dedup.simHashBandedPairsMd5(docs),
+        "d19" -> graft.operators.TextAnalysis.winnowOverlapPairsMd5(docs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a cartesian:\n$plan")
+    }
+  }
 }

@@ -223,6 +223,15 @@ class SinkSpec extends SparkSpec {
           .readString(java.nio.file.Paths.get(dir, "_current")).trim.split("\n")
         pointerGens.foreach(g => assert(new java.io.File(dir, g).isDirectory,
           s"seed=$seed: pointer lists missing generation $g"))
+        // r12 invariant: the newest _manifest-<v> history file always
+        // carries exactly the live pointer's content (the trail is the
+        // pointer's commit log, never behind and never divergent)
+        val vs = graft.operators.Warehouse.snapshots(dir)
+        assert(vs.nonEmpty, s"seed=$seed: no manifest trail")
+        val newest = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(dir, s"_manifest-${vs.last}")).trim.split("\n")
+        assert(newest.toSeq == pointerGens.toSeq,
+          s"seed=$seed: trail head ${newest.toSeq} != pointer ${pointerGens.toSeq}")
         val got = graft.operators.Warehouse.readManifested(spark, dir)
           .collect().map(_.getLong(0)).sorted.toSeq
         assert(got == expectIds(appended),
@@ -525,7 +534,18 @@ class SinkSpec extends SparkSpec {
         genId = Some(0L))
     }
     assert(clash.getMessage.contains("generation 0"), clash.getMessage)
-    Seq(dir, dir2).foreach(d => org.apache.commons.io.FileUtils
+    // crash-window recovery: an adoption that moved the loose files
+    // into .gen-0 but died before its pointer commit must NOT be
+    // overwritten by the next append — it recovers the pointer first
+    val dir3 = Files.createTempDirectory("graft_adopt3").resolve("tbl").toString
+    spark.range(0, 7).toDF("id").repartition(1)
+      .write.mode("overwrite").parquet(new java.io.File(dir3, ".gen-0").getPath)
+    assert(!new java.io.File(dir3, "_current").exists()) // the stranded state
+    W.appendManifested(spark, dir3, spark.range(100, 104).toDF("id"))
+    assert(W.readManifested(spark, dir3)
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 7L) ++ (100L until 104L)))
+    Seq(dir, dir2, dir3).foreach(d => org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(d).getParentFile))
   }
 
