@@ -72,6 +72,38 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("rk"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training (the
+    * in-batch-negatives upgrade every dense-retriever recipe calls for,
+    * e.g. DPR/ANCE): for each query vector, the top-`k` most similar
+    * corpus vectors whose `label` DIFFERS from the query's — the
+    * near-miss impostors that make the strongest training negatives.
+    * Exact integer-quantized cosine (the [[scoredAllPairs]] arithmetic)
+    * with the label disequality as the join predicate, so the label
+    * filter prunes BEFORE scoring rather than discarding ranked rows.
+    * Deterministic (cos desc, neighbor_id) ranking. Scale shape is
+    * s01's: queries broadcast, corpus never shuffles for the score, the
+    * per-query top-k window is the one q_id exchange; label filtering
+    * only shrinks that exchange. At production scale the brute scan
+    * swaps for the IVF shortlist (s05/s14) with the same label guard —
+    * this is the exact baseline the recall of that swap is measured
+    * against (the s01/recallVsExact relationship). */
+  def hardNegatives(emb: DataFrame, k: Int = 5,
+                    queryMod: Int = DefaultQueryMod): DataFrame = {
+    val base = quantized(emb)
+    val queries = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    base
+      .join(broadcast(queries), col("label") =!= col("q_label"))
+      .withColumn("cos", idot("qv", "q_qv").cast("double") / (col("nrm") * col("q_nrm")))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), col("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("neg_label"), col("rk"), col("cos"))
+  }
+
   /** Affine uint8 quantization of the milli-lane vectors — the storage
     * compression step serving-side ANN runs before indexing (4 bytes →
     * 1 byte per dim): per vector, q_i = ((lane − min) · 255) div
@@ -1006,6 +1038,8 @@ object Similarity {
     }),
     "s01_knn_brute" -> ((s, d) =>
       knnBruteForce(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    "s19_hard_negatives" -> ((s, d) =>
+      hardNegatives(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s10_quantize_uint8" -> ((s, d) =>
       quantizeUint8(t(s, d, "embeddings")).orderBy(col("vec_id"))),
     "s11_kmeans_2iter" -> ((s, d) =>
@@ -1373,6 +1407,31 @@ object Similarity {
                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
              FROM scored)
            SELECT q_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
+           ORDER BY q_id, rk""",
+      // s01's scored-pairs arithmetic with the label-disequality join
+      // predicate — the hard-negative mining twin ranks only cross-label
+      // candidates, so the oracle replays the same quantized cosine with
+      // `c.label != qq.label` in place of the self-exclusion (label
+      // disequality subsumes it: a vector never differs from itself)
+      "s19_hard_negatives" ->
+        s"""WITH q AS (
+             SELECT vec_id, label, $qv AS qv FROM embeddings),
+           n AS (
+             SELECT vec_id, label, qv,
+               sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+             FROM q),
+           scored AS (
+             SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+               c.label AS neg_label,
+               CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+                 i -> c.qv[i] * qq.qv[i])) AS DOUBLE) / (c.nrm * qq.nrm) AS cos
+             FROM n c JOIN n qq ON qq.vec_id % 100 = 0 AND c.label != qq.label),
+           ranked AS (
+             SELECT q_id, neighbor_id, neg_label, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+             FROM scored)
+           SELECT q_id, neighbor_id, neg_label, CAST(rk AS BIGINT) AS rk, cos
+           FROM ranked WHERE rk <= 5
            ORDER BY q_id, rk""",
       // both stages replayed: prefix-16 integer MIPS shortlist, then the
       // full-64 re-rank of exactly those survivors

@@ -726,12 +726,83 @@ object TextAnalysis {
       .withColumn("dup_rate_x1e4", expr("(n_dup_grams * 10000) div n_grams"))
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones Okapi weighting) in
+    * EXACT integer arithmetic — the query→document half of the retrieval
+    * surface (s16 is the embedding half): score every corpus document
+    * against a deterministic query workload and keep the top `k` per
+    * query, with both the saturating tf term and the idf computed as
+    * scaled integer divisions so the score is bit-identical on any
+    * engine (the t12/q59 discipline — no `ln`, no float division):
+    *
+    *   tf-term ×1e4 = (22·avgdl·tf·1e4) div (10·avgdl·tf + 3·avgdl + 9·dl)
+    *     — Okapi's tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) at the standard
+    *       k1=1.2, b=0.75, scaled through integer avgdl = TL div N
+    *       (floor-mean quantization, the s11 centroid precedent)
+    *   idf ×1e4 = ((2·(N−df)+1)·1e4) div (2·df+1)
+    *     — the RSJ odds ratio (N−df+0.5)/(df+0.5) kept as a rational
+    *       rather than its log: per-term scores multiply idf·tf-term,
+    *       so rankings keep idf's rare-term dominance (t08's raw-ratio
+    *       rarity argument); score = Σ over query terms, ×1e8 scaled.
+    *
+    * The query workload derives from the corpus itself (so it exists at
+    * every scale factor): each doc_id ≡ 0 mod `queryMod` contributes its
+    * first `qTerms` distinct words, and retrieval excludes the query's
+    * own document (the dedup/decontamination usage). Terms with
+    * df·5 > 4·N (document frequency above 80% of the corpus) are
+    * dropped — the stopword guard that also BOUNDS every posting list
+    * the join touches. (The synthetic fixtures draw from a ~31-word
+    * vocabulary, so the guard must sit above their df floor — at a
+    * web-corpus vocabulary it prunes the same handful of universal
+    * stopwords either way.)
+    *
+    * Scale: the corpus tokenizes once into (doc_id, w, tf) postings;
+    * the query term set (N/queryMod docs × ≤qTerms terms) BROADCASTS, so
+    * the posting side never shuffles for the match (t10's eval-split
+    * shape); the matched postings — Σ capped posting lists, not the
+    * corpus — shuffle once on doc_id for the length join and once on
+    * q_id for the per-query top-k window. Overflow headroom: idf×1e4 ≤
+    * 6.7e3·N, tf-term×1e4 < 2.2e4, qTerms ≤ 8 ⇒ score < 1.2e9·N —
+    * int64-safe beyond 1e9 documents. */
+  def bm25Retrieve(docs: DataFrame, k: Int = 5, queryMod: Int = 50,
+                   qTerms: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col("doc_id"), explode(ws).as("w")).filter(col("w") =!= "")
+    val tf = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
+    val q = docs.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(ws, 1, qTerms))).as("w"))
+      .filter(col("w") =!= "")
+    val qTermsDf = q.join(dfreq, Seq("w")).crossJoin(broadcast(stats))
+      .filter(col("df") * 5 <= col("n_docs") * 4)
+    val scored = tf.join(broadcast(qTermsDf), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("avgdl", expr("tl div n_docs"))
+      .withColumn("idf_x1e4",
+        expr("((2 * (n_docs - df) + 1) * 10000) div (2 * df + 1)"))
+      .withColumn("tfterm_x1e4", expr(
+        "(22 * avgdl * tf * 10000) div (10 * avgdl * tf + 3 * avgdl + 9 * dl)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("idf_x1e4") * col("tfterm_x1e4")).as("score_x1e8"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_x1e8").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("doc_id"), col("score_x1e8"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t16_dup_ngram_rate" -> ((s, d) =>
       dupNgramRate(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t01_token_stats" -> ((s, d) => tokenStats(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t12_token_rarity" -> ((s, d) =>
       tokenRarity(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "t23_bm25_retrieve" -> ((s, d) =>
+      bm25Retrieve(t(s, d, "documents")).orderBy(col("q_id"), col("rk"))),
     "t13_duplicate_spans" -> ((s, d) =>
       duplicateSpans(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "t08_tfidf_topterms" -> ((s, d) =>
@@ -902,6 +973,49 @@ object TextAnalysis {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // the full BM25 pipeline replayed: postings, doc lengths, document
+    // frequencies, the corpus scalars, the sampled query workload, the
+    // df-capped match, and both scaled integer score terms (`div` ≡ `//`
+    // on the nonnegative operands throughout)
+    "t23_bm25_retrieve" ->
+      """WITH tk AS (
+           SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents) WHERE w <> ''),
+         tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                FROM tk GROUP BY doc_id, w),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                FROM tf GROUP BY doc_id),
+         dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY w),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS tl FROM dl),
+         q AS (SELECT DISTINCT d.doc_id AS q_id, u.w
+               FROM documents d,
+                 unnest(list_slice(string_split(d.text, ' '), 1, 8)) AS u(w)
+               WHERE d.doc_id % 50 = 0 AND u.w <> ''),
+         scored AS (
+           SELECT q.q_id, tf.doc_id,
+             CAST(sum(
+               (((2 * (s.n_docs - f.df) + 1) * 10000) // (2 * f.df + 1))
+               * ((22 * (s.tl // s.n_docs) * tf.tf * 10000) //
+                  (10 * (s.tl // s.n_docs) * tf.tf
+                   + 3 * (s.tl // s.n_docs) + 9 * dl.dl))) AS BIGINT)
+               AS score_x1e8
+           FROM q
+           JOIN dfreq f ON f.w = q.w
+           JOIN tf ON tf.w = q.w
+           JOIN dl ON dl.doc_id = tf.doc_id
+           CROSS JOIN stats s
+           WHERE f.df * 5 <= s.n_docs * 4 AND tf.doc_id <> q.q_id
+           GROUP BY q.q_id, tf.doc_id),
+         ranked AS (
+           SELECT q_id, doc_id, score_x1e8,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY score_x1e8 DESC, doc_id) AS rk
+           FROM scored)
+         SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, score_x1e8
+         FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
     "t19_bpe_train" -> bpeTrainOracleSql(3),
     "t20_bpe_encode" -> bpeEncodeOracleSql(3),
     "d13_winnow_subset_pin" ->

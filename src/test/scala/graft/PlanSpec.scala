@@ -247,6 +247,22 @@ class PlanSpec extends SparkSpec {
       s"corpus-size scalar should broadcast:\n$p")
   }
 
+  test("t23: BM25 query workload broadcasts over the postings; no cartesian") {
+    val p = plan("t23_bm25_retrieve")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term match should broadcast, postings never shuffle for it:\n$p")
+    // the 1-row corpus-stats scalar rides a broadcast crossJoin by
+    // construction; a true cartesian over data-sized relations may not
+    assert(!p.contains("CartesianProduct"), s"cartesian crept into BM25:\n$p")
+  }
+
+  test("s19: hard-negative queries broadcast; corpus never shuffles to score") {
+    val p = plan("s19_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ crept in:\n$p")
+  }
+
   test("q36: mode is two-level agg + group-limited rank, never a global sort") {
     val p = plan("q36_mode_per_group")
     assert(p.contains("WindowGroupLimit"), s"rank filter not group-limited:\n$p")

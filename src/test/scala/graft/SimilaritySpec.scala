@@ -295,6 +295,35 @@ class SimilaritySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("hard negatives: all cross-label, ranked exactly as label-filtered brute force") {
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = Similarity.hardNegatives(emb)
+    // 1) every mined negative crosses the label boundary
+    val labels = emb.select(col("vec_id"), col("label"))
+    val crossed = got
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("ql")), Seq("q_id"))
+      .filter(col("neg_label") === col("ql")).count()
+    assert(crossed == 0L, s"$crossed same-label rows leaked into the negatives")
+    // 2) ranking ≡ the independent reference: scoredAllPairs filtered by
+    //    label AFTER scoring, then top-5 — pre-join label pruning must
+    //    not change which candidates win
+    val ref = Similarity.scoredAllPairs(emb, 100)
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("ql")), Seq("q_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        Seq("neighbor_id"))
+      .filter(col("nl") =!= col("ql"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("neighbor_id"), col("rk"))
+    val gotKeys = got.select(col("q_id"), col("neighbor_id"), col("rk"))
+      .as[(Long, Long, Long)].collect().toSet
+    val refKeys = ref.as[(Long, Long, Long)].collect().toSet
+    assert(gotKeys == refKeys, "pre-scoring label prune changed the ranking")
+  }
+
   test("from-index serve plan: broadcasts only — no sort-merge join, no cartesian") {
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val root = java.nio.file.Files.createTempDirectory("graft-idxplan").toString

@@ -59,6 +59,24 @@ class WarehouseSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 1L)))
   }
 
+  test("bm25Retrieve: rare-term saturation ranks, stopword cap, self-exclusion") {
+    // doc 0 is the query workload (0 % 50 == 0); its terms: zebra, quick,
+    // the. "the" is in all 10 docs (df=10 > 80% of N=10) → capped out.
+    // doc 1 is zebra-heavy, doc 2 has one "quick", docs 3-9 share no
+    // uncapped query term → absent. Expect: doc 1 first (rare idf ×
+    // saturating tf beats doc 2's common "quick"), doc 2 second, and
+    // doc 0 itself never retrieved.
+    val docs = (Seq(
+      (0L, "zebra quick the"),
+      (1L, "zebra zebra zebra the x1"),
+      (2L, "quick the x2 x2 x2")) ++
+      (3L to 9L).map(i => (i, s"the filler$i w$i y$i z$i"))).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Retrieve(docs, k = 5)
+      .select($"q_id", $"rk", $"doc_id").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((0L, 1L, 1L), (0L, 2L, 2L)), s"got $got")
+  }
+
   test("temperatureMixture: sqrt-flattened quotas upsample the tail") {
     // 90 "en" docs vs 10 "zh" docs, k=10: proportional would give 9/1;
     // sqrt flattening gives round(10*sqrt(.9))=9, round(10*sqrt(.1))=3
