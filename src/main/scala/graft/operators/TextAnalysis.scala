@@ -765,17 +765,36 @@ object TextAnalysis {
     * int64-safe beyond 1e9 documents. */
   def bm25Retrieve(docs: DataFrame, k: Int = 5, queryMod: Int = 50,
                    qTerms: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tk = docs.select(col("doc_id"), explode(ws).as("w")).filter(col("w") =!= "")
     val tf = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
-    val q = docs.filter(col("doc_id") % queryMod === 0)
+    bm25Score(tf, dl, dfreq, stats,
+      bm25QueryWorkload(docs, queryMod, qTerms), k)
+  }
+
+  /** The corpus-derived query workload t23/t24 score against: each
+    * doc_id ≡ 0 mod `queryMod` contributes its first `qTerms` distinct
+    * non-empty words as (q_id, w) rows. A narrow scan of the sampled
+    * docs only — at any scale this side is N/queryMod docs and
+    * broadcasts. */
+  def bm25QueryWorkload(docs: DataFrame, queryMod: Int = 50,
+                        qTerms: Int = 8): DataFrame =
+    docs.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(slice(ws, 1, qTerms))).as("w"))
       .filter(col("w") =!= "")
-    val qTermsDf = q.join(dfreq, Seq("w")).crossJoin(broadcast(stats))
+
+  /** The shared BM25 scoring tail (see [[bm25Retrieve]] for the score
+    * arithmetic): df-cap the query terms, broadcast them over the
+    * postings, attach doc lengths, sum the per-term products, rank
+    * top-`k` per query. */
+  private def bm25Score(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
+                        stats: DataFrame, queries: DataFrame,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTermsDf = queries.join(dfreq, Seq("w")).crossJoin(broadcast(stats))
       .filter(col("df") * 5 <= col("n_docs") * 4)
     val scored = tf.join(broadcast(qTermsDf), Seq("w"))
       .filter(col("doc_id") =!= col("q_id"))
@@ -795,6 +814,43 @@ object TextAnalysis {
       .select(col("q_id"), col("rk"), col("doc_id"), col("score_x1e8"))
   }
 
+  /** PERSISTED inverted index for BM25 serving — the text-retrieval
+    * lifecycle completing what s13/s15 did for vectors: tokenize and
+    * aggregate the corpus ONCE, persist the four relations BM25 scoring
+    * needs (`postings` (w, doc_id, tf) repartitioned on the term so
+    * each posting list is co-located — the local stand-in for a
+    * term-bucketed table; `doclens` (doc_id, dl); `dfreq` (w, df);
+    * `stats` one (n_docs, tl) row), and serve any query workload from
+    * the files alone ([[bm25RetrieveFromIndex]]) — the corpus text is
+    * never re-tokenized per query batch. At 100 TB the build is the
+    * one full-corpus pass and the serve reads only the probed terms'
+    * posting lists (partition/bucket pruning on `w`). */
+  def buildBm25Index(docs: DataFrame, dir: String): Unit = {
+    val tk = docs.select(col("doc_id"), explode(ws).as("w")).filter(col("w") =!= "")
+    val tf = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    tf.repartition(col("w"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$dir/doclens")
+    tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/dfreq")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Serve BM25 top-`k` from a [[buildBm25Index]] layout: identical
+    * results to [[bm25Retrieve]] on the indexed corpus (same scoring
+    * tail over the same aggregates — pinned by spec), with the corpus
+    * pass replaced by four parquet reads. */
+  def bm25RetrieveFromIndex(spark: SparkSession, indexDir: String,
+                            queries: DataFrame, k: Int = 5): DataFrame =
+    bm25Score(
+      spark.read.parquet(s"$indexDir/postings"),
+      spark.read.parquet(s"$indexDir/doclens"),
+      spark.read.parquet(s"$indexDir/dfreq"),
+      spark.read.parquet(s"$indexDir/stats"),
+      queries, k)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t16_dup_ngram_rate" -> ((s, d) =>
       dupNgramRate(t(s, d, "documents")).orderBy(col("doc_id"))),
@@ -803,6 +859,16 @@ object TextAnalysis {
       tokenRarity(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t23_bm25_retrieve" -> ((s, d) =>
       bm25Retrieve(t(s, d, "documents")).orderBy(col("q_id"), col("rk"))),
+    // persisted-index serve: built at most once per (process, sf) —
+    // the first caller pays the corpus pass, every repeat prices the
+    // steady-state serve (the s13 protocol applied to text); result ≡
+    // t23 by construction, so the same full value oracle gates it
+    "t24_bm25_index_serve" -> ((s, d) =>
+      bm25RetrieveFromIndex(s,
+          Similarity.cachedIndex("bm25", d)(
+            buildBm25Index(t(s, d, "documents"), _)),
+          bm25QueryWorkload(t(s, d, "documents")))
+        .orderBy(col("q_id"), col("rk"))),
     "t13_duplicate_spans" -> ((s, d) =>
       duplicateSpans(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
     "t08_tfidf_topterms" -> ((s, d) =>
@@ -972,13 +1038,14 @@ object TextAnalysis {
        FROM sy ORDER BY doc_id, wi, si"""
   }
 
-  def oracleSql: Map[String, String] = Map(
-    // the full BM25 pipeline replayed: postings, doc lengths, document
-    // frequencies, the corpus scalars, the sampled query workload, the
-    // df-capped match, and both scaled integer score terms (`div` ≡ `//`
-    // on the nonnegative operands throughout)
-    "t23_bm25_retrieve" ->
-      """WITH tk AS (
+  // the full BM25 pipeline replayed: postings, doc lengths, document
+  // frequencies, the corpus scalars, the sampled query workload, the
+  // df-capped match, and both scaled integer score terms (`div` ≡ `//`
+  // on the nonnegative operands throughout). Shared by t23 (in-query)
+  // and t24 (persisted-index serve): the serve path is result-identical
+  // by construction AND by the spec pin, so one oracle gates both.
+  private val Bm25OracleSql: String =
+    """WITH tk AS (
            SELECT doc_id, w FROM (
              SELECT doc_id, unnest(string_split(text, ' ')) AS w
              FROM documents) WHERE w <> ''),
@@ -1015,7 +1082,11 @@ object TextAnalysis {
                PARTITION BY q_id ORDER BY score_x1e8 DESC, doc_id) AS rk
            FROM scored)
          SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, score_x1e8
-         FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+         FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
+
+  def oracleSql: Map[String, String] = Map(
+    "t23_bm25_retrieve" -> Bm25OracleSql,
+    "t24_bm25_index_serve" -> Bm25OracleSql,
     "t19_bpe_train" -> bpeTrainOracleSql(3),
     "t20_bpe_encode" -> bpeEncodeOracleSql(3),
     "d13_winnow_subset_pin" ->

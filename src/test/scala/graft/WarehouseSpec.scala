@@ -77,6 +77,20 @@ class WarehouseSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 1L), (0L, 2L, 2L)), s"got $got")
   }
 
+  test("bm25 persisted-index serve ≡ in-query retrieval, row for row") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    TextAnalysis.buildBm25Index(docs, root)
+    val served = TextAnalysis.bm25RetrieveFromIndex(spark, root,
+        TextAnalysis.bm25QueryWorkload(docs))
+      .orderBy($"q_id", $"rk").collect().toSeq
+    val inQuery = TextAnalysis.bm25Retrieve(docs)
+      .orderBy($"q_id", $"rk").collect().toSeq
+    assert(served.nonEmpty && served == inQuery,
+      s"index serve diverged (${served.size} vs ${inQuery.size} rows)")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("temperatureMixture: sqrt-flattened quotas upsample the tail") {
     // 90 "en" docs vs 10 "zh" docs, k=10: proportional would give 9/1;
     // sqrt flattening gives round(10*sqrt(.9))=9, round(10*sqrt(.1))=3
