@@ -814,6 +814,42 @@ object TextAnalysis {
       .select(col("q_id"), col("rk"), col("doc_id"), col("score_x1e8"))
   }
 
+  /** Bigram-CONDITIONAL surprise score — the statistical-LM quality
+    * filter in its CCNet/KenLM shape (score text by how improbable its
+    * transitions are under a corpus LM), one order up from [[tokenRarity]]:
+    * where t12 prices each token by its MARGINAL corpus frequency, this
+    * prices each bigram by the integer reciprocal of its CONDITIONAL
+    * probability `r = (c1(w1)·1e4) div c2(w1,w2)` (c2 = corpus bigram
+    * count, c1 = count of w1 as a bigram PREFIX — Σ c2 over the bigram
+    * table, never a second corpus pass), so boilerplate transitions
+    * score low and improbable ones high; the doc score is the integer
+    * mean over its bigrams. No `ln`, no float — bit-identical on any
+    * engine, monotone-equivalent to perplexity-based filtering
+    * thresholds. The prefix is recovered from the bigram string
+    * (`substring_index` ≡ `split_part`: tokens are space-split so they
+    * contain none). Scale: one bigram explode, counts shuffle on the
+    * bigram / its prefix (both map-side combined), the per-doc mean on
+    * doc_id — the t12 shape exactly. Headroom: c1 ≤ corpus bigrams
+    * ≈ 1e13 ⇒ r ≤ 1e17; docs of ≤ ~90 bigrams stay under int64 even in
+    * the degenerate all-singleton case (real corpora: r is bounded by
+    * the prefix's follower skew, orders of magnitude lower). */
+  def bigramSurprise(docs: DataFrame): DataFrame = {
+    val bg = docs.withColumn("_ws", ws).filter(size(col("_ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_ws) - 1), i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1)))"))
+        .as("bigram"))
+    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    bg.join(c2, Seq("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"), expr("(c1 * 10000) div c2").as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("surprise_sum"))
+      .withColumn("surprise_x1e4", expr("surprise_sum div n_bigrams"))
+  }
+
   /** PERSISTED inverted index for BM25 serving — the text-retrieval
     * lifecycle completing what s13/s15 did for vectors: tokenize and
     * aggregate the corpus ONCE, persist the four relations BM25 scoring
@@ -871,6 +907,8 @@ object TextAnalysis {
         .orderBy(col("q_id"), col("rk"))),
     "t13_duplicate_spans" -> ((s, d) =>
       duplicateSpans(t(s, d, "documents")).orderBy(col("a_id"), col("b_id"))),
+    "t25_bigram_surprise" -> ((s, d) =>
+      bigramSurprise(t(s, d, "documents")).orderBy(col("doc_id"))),
     "t08_tfidf_topterms" -> ((s, d) =>
       tfIdfTopTerms(t(s, d, "documents")).orderBy(col("doc_id"), col("rk"))),
     // rows-only: a rolling-hash winnow isn't SQL-expressible in DuckDB
@@ -1087,6 +1125,28 @@ object TextAnalysis {
   def oracleSql: Map[String, String] = Map(
     "t23_bm25_retrieve" -> Bm25OracleSql,
     "t24_bm25_index_serve" -> Bm25OracleSql,
+    // conditional-surprise replay: bigram counts, prefix counts summed
+    // from the bigram table (split_part ≡ substring_index on space-free
+    // tokens), integer reciprocal conditionals, integer per-doc mean
+    "t25_bigram_surprise" ->
+      """WITH bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+           WHERE len(ws) >= 2),
+         c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2
+                FROM bg GROUP BY bigram),
+         c1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                  CAST(sum(c2) AS BIGINT) AS c1
+                FROM c2 GROUP BY 1),
+         r AS (SELECT bg.doc_id, (c1.c1 * 10000) // c2.c2 AS r
+               FROM bg
+               JOIN c2 USING (bigram)
+               JOIN c1 ON c1.w1 = split_part(bg.bigram, ' ', 1))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(r) AS BIGINT) AS surprise_sum,
+           CAST(sum(r) // count(*) AS BIGINT) AS surprise_x1e4
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
     "t19_bpe_train" -> bpeTrainOracleSql(3),
     "t20_bpe_encode" -> bpeEncodeOracleSql(3),
     "d13_winnow_subset_pin" ->

@@ -48,13 +48,20 @@ object AnnServeStream {
     * serving deleted data) re-stages on next use, the same
     * invalidation [[Similarity.cachedIndex]] gets for free from its
     * pid scoping. */
-  private def stagedEmbeddings(dir: String): String = {
+  private def stagedEmbeddings(dir: String): String =
+    stagedTable(dir, "embeddings.parquet")
+
+  /** The generic single-file staging move (shared with
+    * [[Bm25ServeStream]]): same contract and staleness guard as the
+    * scaladoc above, parameterized by table file. */
+  private[streaming] def stagedTable(dir: String, fileName: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(dir, "embeddings.parquet")
+    val src = Paths.get(dir, fileName)
     val staged = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_emb_stream", Paths.get(dir).getFileName.toString)
+      s"graft_stage_${fileName.stripSuffix(".parquet")}",
+      Paths.get(dir).getFileName.toString)
     Files.createDirectories(staged)
-    val dst = staged.resolve("embeddings.parquet")
+    val dst = staged.resolve(fileName)
     val fresh = Files.exists(dst) &&
       Files.size(dst) == Files.size(src) &&
       Files.getLastModifiedTime(dst) == Files.getLastModifiedTime(src)

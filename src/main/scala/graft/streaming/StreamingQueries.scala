@@ -57,6 +57,12 @@ object StreamingQueries {
     // manifest; same oracle — compaction invisible to results
     "st23_stream_ann_compact_serve" -> ((s, d) =>
       AnnIngestStream.runCompactedServe(s, d).orderBy(col("q_id"), col("rk"))),
+    // streaming BM25 serving: query docs answered batch by batch
+    // against the persisted inverted index (the text mirror of st21;
+    // stateless per query, so the replay hash-matches the batch
+    // t23/t24 oracle)
+    "st24_stream_bm25_serve" -> ((s, d) =>
+      Bm25ServeStream.runBm25Serve(s, d).orderBy(col("q_id"), col("rk"))),
     // streaming quality monitor: windowed event-type mix + exact-integer
     // TVD numerator vs uniform (the v05 gate, online)
     "st17_stream_mix_drift" -> ((s, d) =>
@@ -227,6 +233,11 @@ object StreamingQueries {
     // single served row — the same s17 oracle pins it at value level
     "st23_stream_ann_compact_serve" ->
       graft.operators.Similarity.oracleSql("s17_index_upsert"),
+    // the streamed BM25 serve answers to the same oracle as the batch
+    // retrieval (t23) and the batch index serve (t24) — micro-batched
+    // query arrival and index persistence both invisible to results
+    "st24_stream_bm25_serve" ->
+      graft.operators.TextAnalysis.oracleSql("t23_bm25_retrieve"),
     // the t17 grid-rebuild oracle over the event-token stream: per-
     // (row, bucket) sums from the frequency table ≡ the streamed grid
     // (addition commutes across micro-batches), estimates = min over

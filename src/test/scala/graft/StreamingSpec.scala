@@ -420,6 +420,48 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
   }
 
+  test("bm25 serve: union over micro-batched query arrival equals the batch answer") {
+    // the st24 invariant made visible (the ann-serve pin applied to
+    // text): force TWO micro-batches of query docs and pin that
+    // per-batch serving against the static inverted index composes to
+    // exactly the batch retrieval
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val root = Files.createTempDirectory("graft-bm25stream").toString
+    graft.operators.TextAnalysis.buildBm25Index(docs, s"$root/idx")
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+    queries.filter(col("doc_id") % 100 === 0)
+      .coalesce(1).write.parquet(s"$root/src/b1")
+    queries.filter(col("doc_id") % 100 =!= 0)
+      .coalesce(1).write.parquet(s"$root/src/b2")
+
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = scoped.read.parquet(s"$root/src/b1").schema
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ckpt = Files.createTempDirectory("graft-bm25stream-ckpt")
+    val q = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/src/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) served.incrementAndGet()
+        graft.operators.TextAnalysis.bm25RetrieveFromIndex(scoped, s"$root/idx",
+            graft.operators.TextAnalysis.bm25QueryWorkload(batch.toDF()))
+          .write.mode("append").parquet(s"$root/out")
+      }
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(served.get() >= 2, s"expected >= 2 non-empty serving batches, got ${served.get()}")
+    val got = scoped.read.parquet(s"$root/out")
+      .orderBy("q_id", "rk").collect().toSeq
+    val want = graft.operators.TextAnalysis.bm25Retrieve(docs)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"streamed bm25 serve diverged from batch (${got.size} vs ${want.size} rows)")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+  }
+
   test("ann ingest: reader racing the manifested commits always sees complete code sets; final serve == batch upsert") {
     import graft.streaming.AnnIngestStream
     val sf = "/root/testdata/sf0.001"
