@@ -104,6 +104,30 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("neg_label"), col("rk"), col("cos"))
   }
 
+  /** Recall@k of the IVF approximate search against the exact brute
+    * force, AS A QUERY — the eval every ANN deployment runs when tuning
+    * nProbe, computed inside the engine instead of a notebook: per
+    * query, how many of [[knnIvf]]'s top-k appear in
+    * [[knnBruteForce]]'s top-k (both deterministic, so recall is a
+    * VALUE, not a statistic — the oracle replays both pipelines and
+    * intersects them in SQL). `n_matched` ∈ [0, k], `recall_x1e4` its
+    * scaled integer ratio. The spec-side `recallVsExact` measurement
+    * (SimilaritySpec) stays the tuning harness; this puts the same
+    * number under the correctness gate. Scale: both sides are the
+    * already-bounded top-k relations (queries × k rows — tiny at any
+    * corpus size); the intersection join is on (q_id, neighbor_id). */
+  def ivfRecall(emb: DataFrame, k: Int = 5,
+                queryMod: Int = DefaultQueryMod): DataFrame = {
+    val brute = knnBruteForce(emb, k, queryMod)
+      .select(col("q_id"), col("neighbor_id"))
+    val ivf = knnIvf(emb, k, queryMod)
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+    brute.join(ivf, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("hit")).as("n_matched"))
+      .withColumn("recall_x1e4", expr(s"(n_matched * 10000) div $k"))
+  }
+
   /** Affine uint8 quantization of the milli-lane vectors — the storage
     * compression step serving-side ANN runs before indexing (4 bytes →
     * 1 byte per dim): per vector, q_i = ((lane − min) · 255) div
@@ -1040,6 +1064,8 @@ object Similarity {
       knnBruteForce(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
     "s19_hard_negatives" -> ((s, d) =>
       hardNegatives(t(s, d, "embeddings")).orderBy(col("q_id"), col("rk"))),
+    "s20_ivf_recall" -> ((s, d) =>
+      ivfRecall(t(s, d, "embeddings")).orderBy(col("q_id"))),
     "s10_quantize_uint8" -> ((s, d) =>
       quantizeUint8(t(s, d, "embeddings")).orderBy(col("vec_id"))),
     "s11_kmeans_2iter" -> ((s, d) =>
@@ -1577,6 +1603,24 @@ object Similarity {
     )
     // persistence must be invisible to results: the saved-index serve
     // path answers to the SAME oracle as the freshly-trained s13
-    base + ("s15_pq_index_roundtrip" -> base("s13_pq_adc_topk"))
+    base + ("s15_pq_index_roundtrip" -> base("s13_pq_adc_topk")) +
+      // recall-as-data: both the exact and the approximate pipeline
+      // replay as derived tables (DuckDB allows WITH inside a
+      // subquery), then intersect — count() over the left-joined hit
+      // column skips non-matches in both engines
+      ("s20_ivf_recall" ->
+        s"""WITH brute AS (
+              SELECT q_id, neighbor_id FROM (${base("s01_knn_brute")})),
+            ivf AS (
+              SELECT q_id, neighbor_id FROM (${base("s05_knn_ivf")})),
+            hits AS (
+              SELECT b.q_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_matched
+              FROM brute b
+              LEFT JOIN ivf i
+                ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id
+              GROUP BY b.q_id)
+            SELECT q_id, n_matched,
+              CAST((n_matched * 10000) // 5 AS BIGINT) AS recall_x1e4
+            FROM hits ORDER BY q_id""")
   }
 }

@@ -324,6 +324,19 @@ class SimilaritySpec extends SparkSpec {
     assert(gotKeys == refKeys, "pre-scoring label prune changed the ranking")
   }
 
+  test("ivfRecall aggregates to exactly the recallVsExact corpus measurement") {
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    // per-query n_matched must sum to the corpus-level hit count the
+    // tuning harness reports — the two recall formulations agree
+    val perQuery = Similarity.ivfRecall(emb)
+      .agg(sum(col("n_matched"))).as[Long].head()
+    val corpus = Similarity.recallVsExact(
+        Similarity.knnIvf(emb), Similarity.knnBruteForce(emb))
+      .select(col("n_hits")).as[Long].head()
+    assert(perQuery == corpus, s"per-query sum $perQuery vs corpus $corpus")
+  }
+
   test("from-index serve plan: broadcasts only — no sort-merge join, no cartesian") {
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val root = java.nio.file.Files.createTempDirectory("graft-idxplan").toString
