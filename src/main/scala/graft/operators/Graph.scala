@@ -157,10 +157,50 @@ object Graph {
     out
   }
 
+  /** Synchronous label-propagation COMMUNITIES (Raghavan et al. 2007),
+    * `rounds` fixed rounds — the community detector crawl/corpus
+    * pipelines run where [[Dedup.duplicateClusters]]' min-label
+    * propagation would be wrong: LPA adopts each node's most FREQUENT
+    * neighbor label (ties → smallest label; vote counts, not minima),
+    * so densely-linked regions converge to one label while bridges
+    * don't drag whole components together. Fully deterministic by the
+    * (count desc, label asc) tie rule + synchronous updates, and the
+    * fixed round count keeps the recurrence unrolled and
+    * engine-replayable — the g01/g03 stance.
+    *
+    * Scale: per round, one shuffle for the neighbor-label vote count
+    * and one map-side-combinable argmax — the vote argmax is a
+    * lexicographic `max(struct(count, −label))`, NOT a per-node window
+    * (no second exchange, no `max_by` tie nondeterminism); lineage cut
+    * per round. Returns (node, lbl). */
+  def labelPropagation(edgesUV: DataFrame, rounds: Int = 3): DataFrame = {
+    val sym = edgesUV.select(col("u").as("src"), col("v").as("dst"))
+      .union(edgesUV.select(col("v").as("src"), col("u").as("dst")))
+    val (adj, adjRdd) = cutLineage(sym)
+    var (lab, labRdd) = cutLineage(
+      adj.select(col("src").as("node")).distinct().withColumn("lbl", col("node")))
+    for (_ <- 1 to rounds) {
+      val votes = adj.join(lab, adj("src") === lab("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val next = votes.groupBy(col("dst").as("node"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+      val (cut, cutRdd) = cutLineage(next)
+      labRdd.unpersist()
+      lab = cut; labRdd = cutRdd
+    }
+    val out = eagerCut(lab.select(col("node"), col("lbl")))
+    labRdd.unpersist(blocking = false)
+    adjRdd.unpersist(blocking = false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> ((s, d) => pageRank(partSupplierEdges(t(s, d, "lineitem")), iters = 5)),
     "g02_triangles" -> ((s, d) => triangleStats(customerGraphEdges(t(s, d, "orders")))),
-    "g03_kcore" -> ((s, d) => kCore(partSupplierEdges(t(s, d, "lineitem"))))
+    "g03_kcore" -> ((s, d) => kCore(partSupplierEdges(t(s, d, "lineitem")))),
+    "g04_label_propagation" -> ((s, d) =>
+      labelPropagation(customerGraphEdges(t(s, d, "orders"))).orderBy(col("node")))
   )
 
   /** The unrolled k-core peel for the g03 oracle: round i keeps nodes
@@ -184,7 +224,31 @@ object Graph {
          |  GROUP BY u.dst)""".stripMargin
     }.mkString(",\n")
 
+  /** The unrolled LPA vote for the g04 oracle: round i counts neighbor
+    * labels from l(i−1) and keeps the (count desc, label asc) winner —
+    * the row_number formulation, value-identical to the kernel's
+    * lexicographic struct-max. */
+  private def lpaRounds(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""v$i AS (SELECT e.dst AS node, l.lbl, count(*) AS c
+         |  FROM und e JOIN l${i - 1} l ON l.node = e.src GROUP BY e.dst, l.lbl),
+         |l$i AS (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (
+         |    PARTITION BY node ORDER BY c DESC, lbl) AS rk FROM v$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+
   def oracleSql: Map[String, String] = Map(
+    "g04_label_propagation" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT least(o_custkey, o_orderkey % 1500) AS u,
+         |    greatest(o_custkey, o_orderkey % 1500) AS v
+         |  FROM orders
+         |  WHERE least(o_custkey, o_orderkey % 1500)
+         |    <> greatest(o_custkey, o_orderkey % 1500)),
+         |und AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+         |${lpaRounds(3)}
+         |SELECT node, lbl FROM l3 ORDER BY node""".stripMargin,
     // id-ordered enumeration (each triangle x<y<z once) — a different
     // algorithm from the degree-ordered Spark kernel, same invariants
     "g02_triangles" ->

@@ -72,6 +72,20 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((0L,3L),(1L,3L),(2L,3L),(3L,3L)))
   }
 
+  test("labelPropagation: two cliques joined by a bridge keep separate communities") {
+    import spark.implicits._
+    // Two K4 cliques {0..3} and {10..13} with one bridge 3–10: frequency
+    // voting converges each clique to its min label, and the single
+    // bridge vote never outvotes 3 clique votes — min-label components
+    // (d07) would collapse this graph to ONE label; LPA must not
+    val c1 = Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L))
+    val c2 = c1.map { case (a, b) => (a + 10L, b + 10L) }
+    val got = Graph.labelPropagation((c1 ++ c2 :+ (3L, 10L)).toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 3L).forall(got(_) == 0L), s"clique 1 not converged: $got")
+    assert((10L to 13L).forall(got(_) == 10L), s"clique 2 leaked across the bridge: $got")
+  }
+
   test("kCore: bench fixture converges within the default rounds (round-4 ≡ round-5)") {
     val edges = Graph.partSupplierEdges(
       graft.sources.Tables(spark, "/root/testdata/sf0.001", "lineitem"))
