@@ -679,6 +679,27 @@ object Dedup {
     "d07_dup_clusters" -> ((s, d) =>
       duplicateClusters(jaccardPairs(t(s, d, "documents")))
         .orderBy(col("doc_id"))),
+    // QUALITY-AWARE representative per near-dup cluster: d08 keeps the
+    // min-id member — the arbitrary-but-deterministic baseline; real
+    // curation keeps the BEST member (Gopher/RefinedWeb drop the lower-
+    // quality twin). Per cluster: the (t03 quality desc, doc_id asc)
+    // argmax, as a lexicographic struct-max aggregate over the
+    // (members ⋈ quality) join — no per-cluster window, one shuffle on
+    // cluster_id. Quality is t03's exact double (integer-ratio IEEE
+    // arithmetic — cross-engine identical), so the recursive-CTE
+    // closure oracle extends with the same quality replay.
+    "d20_quality_representatives" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val members = duplicateClusters(jaccardPairs(docs))
+        .join(TextAnalysis.qualityScore(docs)
+          .select(col("doc_id"), col("quality")), Seq("doc_id"))
+      members.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("m.nid")).as("rep_id"), col("m.quality").as("rep_quality"))
+        .orderBy(col("cluster_id"))
+    }),
     // the dedup END-PRODUCT: the corpus with every non-representative
     // cluster member dropped (survivors = cluster minima + singletons)
     "d08_dedup_corpus" -> ((s, d) => {
@@ -1038,6 +1059,43 @@ object Dedup {
            SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
          SELECT u AS doc_id, min(v) AS cluster_id
          FROM reach GROUP BY u ORDER BY doc_id""",
+    // the d07 closure with the t03 quality formula replayed per member
+    // and the (quality desc, doc_id asc) winner per cluster
+    "d20_quality_representatives" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a_id, b_id
+           FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   list_distinct(string_split(a.text, ' ')) AS a_ws,
+                   list_distinct(string_split(b.text, ' ')) AS b_ws
+                 FROM documents a JOIN documents b
+                 ON substring(a.text, 1, 20) = substring(b.text, 1, 20)
+                   AND a.doc_id < b.doc_id)
+           WHERE CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE)
+             / (len(a_ws) + len(b_ws) - len(list_intersect(a_ws, b_ws))) >= 0.5),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(u, v) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         clusters AS (
+           SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         q AS (
+           SELECT doc_id,
+             (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+               * (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE)
+                   / len(ws)) AS quality
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         ranked AS (
+           SELECT c.cluster_id, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+               ORDER BY q.quality DESC, c.doc_id) AS rk,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+           FROM clusters c JOIN q ON q.doc_id = c.doc_id)
+         SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS rep_id, quality AS rep_quality
+         FROM ranked WHERE rk = 1 ORDER BY cluster_id""",
     "d08_dedup_corpus" ->
       """WITH RECURSIVE pairs AS (
            SELECT a_id, b_id

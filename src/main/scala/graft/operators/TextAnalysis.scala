@@ -767,12 +767,23 @@ object TextAnalysis {
                    qTerms: Int = 8): DataFrame = {
     val tk = docs.select(col("doc_id"), explode(ws).as("w")).filter(col("w") =!= "")
     val tf = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dl = bm25DocLens(docs)
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tl"))
     bm25Score(tf, dl, dfreq, stats,
       bm25QueryWorkload(docs, queryMod, qTerms), k)
   }
+
+  /** Doc lengths for BM25 as a NARROW map over the corpus — `dl` =
+    * non-empty token count per doc, identical to `Σ tf` but without a
+    * second shuffle of the postings onto doc_id; the `dl > 0` guard
+    * makes the doc set exactly "docs with ≥ 1 posting", so `n_docs`/
+    * `tl` match the oracle's postings-derived formulation value for
+    * value. */
+  private def bm25DocLens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(filter(ws, w => w =!= "")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
 
   /** The corpus-derived query workload t23/t24 score against: each
     * doc_id ≡ 0 mod `queryMod` contributes its first `qTerms` distinct
@@ -866,7 +877,7 @@ object TextAnalysis {
     val tf = tk.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     tf.repartition(col("w"))
       .write.mode("overwrite").parquet(s"$dir/postings")
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dl = bm25DocLens(docs)
     dl.write.mode("overwrite").parquet(s"$dir/doclens")
     tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$dir/dfreq")

@@ -197,6 +197,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("quality representatives: the better doc wins the cluster regardless of id order") {
+    import spark.implicits._
+    // two near-dups (shared 20-char block, word-Jaccard 3/5 = 0.6): doc 1
+    // is lower quality (repeated stopwords), doc 2 higher — d08's min-id
+    // rule would keep doc 1; the quality argmax must keep doc 2
+    val blk = "a" * 20
+    val fixture = Seq(
+      (1L, s"$blk b c the the"),
+      (2L, s"$blk b c d")).toDF("doc_id", "text")
+    val members = Dedup.duplicateClusters(Dedup.jaccardPairs(fixture))
+      .join(graft.operators.TextAnalysis.qualityScore(fixture)
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+    val rep = members.groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nid")).as("rep_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(rep == Seq((1L, 2L)), s"expected doc 2 to represent cluster 1, got $rep")
+  }
+
   test("twin pipelines plan without cartesian products (scale-shape pin)") {
     // candidates must meet through equi-joins on band/bucket values —
     // a CartesianProduct/BroadcastNestedLoop node would be the O(n²)
