@@ -90,6 +90,38 @@ object Corpus {
           - expr(s"start_tok div $budget") + 1).as("n_packs_spanned"))
   }
 
+  // ---------------------------------------------------------------- c07
+  /** Balanced training-shard assignment: give each document to one of
+    * `shards` output shards so shard TOKEN totals come out near-equal —
+    * the step that decides whether 1000 trainer workers finish together
+    * or wait on one fat shard. Deterministic greedy-free scheme:
+    * size-descending global order, then SERPENTINE (boustrophedon)
+    * dealing — cycle c hands its S docs out in forward order when c is
+    * even, reversed when odd — so each double-cycle adds a
+    * near-identical total to every shard (plain `g % S` would
+    * systematically starve the high shards of every cycle's big docs).
+    * All integer arithmetic, so the assignment replays exactly in SQL.
+    *
+    * Scale: the global position comes from `zipWithIndex` over
+    * range-sorted partitions (the d15 primitive — a row_number over a
+    * global ORDER BY collapses to one partition, the named
+    * scale-killer); everything after it is a narrow map. */
+  def balancedShards(docs: DataFrame, shards: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("n_tokens").desc, col("doc_id"))
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
+      .as[(Long, Long)]
+    val indexed = sized.rdd.zipWithIndex
+      .map { case ((id, n), g) => (id, n, g) }
+      .toDF("doc_id", "n_tokens", "g")
+    indexed.select(col("doc_id"), col("n_tokens"),
+      expr(s"""CASE WHEN (g div $shards) % 2 = 0 THEN g % $shards
+               ELSE ${shards - 1} - (g % $shards) END""").cast("long").as("shard"))
+  }
+
   // ---------------------------------------------------------------- c04
   /** PII redaction: scrub emails and phone numbers with codegen'd
     * regexp_replace (patterns restricted to the syntax Java regex and
@@ -187,10 +219,27 @@ object Corpus {
     "c03_sequence_packing" -> ((s, d) =>
       sequencePacking(t(s, d, "documents")).orderBy(col("doc_id"))),
     "c04_pii_redact" -> ((s, d) =>
-      piiRedact(t(s, d, "documents")).orderBy(col("doc_id")))
+      piiRedact(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "c07_balanced_shards" -> ((s, d) =>
+      balancedShards(t(s, d, "documents")).orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
+    // row_number replays the size-descending order the zipWithIndex
+    // kernel computes distributively; the serpentine deal is pure
+    // integer arithmetic
+    "c07_balanced_shards" ->
+      """WITH sized AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         g AS (SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS g
+           FROM sized)
+         SELECT doc_id, n_tokens,
+           CAST(CASE WHEN (g // 8) % 2 = 0 THEN g % 8
+                ELSE 7 - (g % 8) END AS BIGINT) AS shard
+         FROM g ORDER BY doc_id""",
     "c06_source_interleave" ->
       s"""WITH s AS (SELECT DISTINCT source FROM documents),
          si AS (SELECT source, row_number() OVER (ORDER BY source) - 1

@@ -107,6 +107,24 @@ class CorpusSpec extends SparkSpec {
     assert(out(0).getAs[String]("redacted_md5") != seededMd5)
   }
 
+  test("balanced shards: serpentine totals tight, doc counts even, assignment total") {
+    val got = Corpus.balancedShards(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == docs.count())
+    val byShard = got.groupBy(_._3)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    // every shard holds n/S ± 1 docs (the deal never skips a shard)
+    val counts = byShard.view.mapValues(_.length).values
+    assert(counts.max - counts.min <= 1, s"doc counts uneven: $byShard")
+    // serpentine on the size-sorted order keeps token totals within one
+    // double-cycle's worth of drift — far tighter than the worst doc;
+    // assert the operational bound: spread ≤ 2 × the largest doc
+    val totals = byShard.view.mapValues(_.map(_._2).sum).values
+    val maxDoc = got.map(_._2).max
+    assert(totals.max - totals.min <= 2 * maxDoc,
+      s"token totals spread ${totals.max - totals.min} vs max doc $maxDoc")
+  }
+
   test("misra-gries: every true heavy hitter survives a skewed stream") {
     import spark.implicits._
     // 900 distinct rare tokens + 2 hot tokens at ~30% and ~15%:
