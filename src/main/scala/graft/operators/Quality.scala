@@ -165,6 +165,30 @@ object Quality {
     // the "new" snapshot is a deterministic mutation of customer:
     // custkey % 11 == 0 gets a balance bump (changed), % 13 == 0 is
     // dropped (removed), and a shifted-id copy of % 17 == 0 is added
+    // TIME-TRAVEL AUDIT under the correctness gate: build (once per
+    // process+sf) a manifested documents table committed in two
+    // batches — even ids, then odd — and read BOTH snapshot versions
+    // through the _manifest trail, reporting the row drift between
+    // them. This is the point-in-time read the CDC/ingest story
+    // promises (Warehouse.readManifestedAt), exercised by the driver's
+    // oracle rather than only by SinkSpec: the oracle recomputes the
+    // expected committed subsets straight from `documents`, so a
+    // snapshot resolving the wrong generation set hash-fails here.
+    "v08_snapshot_rowcount_drift" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifsnap", d) { dir =>
+        val docs = t(s, d, "documents")
+        Warehouse.appendManifested(s, dir,
+          docs.filter(col("doc_id") % 2 === 0))
+        Warehouse.appendManifested(s, dir,
+          docs.filter(col("doc_id") % 2 =!= 0))
+      }
+      val v1 = Warehouse.readManifestedAt(s, root, 1)
+        .agg(count(lit(1)).as("n_rows_v1"))
+      val v2 = Warehouse.readManifestedAt(s, root, 2)
+        .agg(count(lit(1)).as("n_rows_v2"))
+      v1.crossJoin(broadcast(v2))
+        .withColumn("n_added", col("n_rows_v2") - col("n_rows_v1"))
+    }),
     "v06_snapshot_diff" -> ((s, d) => {
       val cust = t(s, d, "customer")
       val nu = cust.filter(col("c_custkey") % 13 =!= 0)
@@ -216,6 +240,16 @@ object Quality {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the committed subsets recomputed straight from the source table:
+    // snapshot 1 = the even-id batch, snapshot 2 = both batches
+    "v08_snapshot_rowcount_drift" ->
+      """SELECT
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rows_v1,
+           CAST(count(*) AS BIGINT) AS n_rows_v2,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_added
+         FROM documents""",
     "v07_key_skew" ->
       """WITH c AS (
            SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),
