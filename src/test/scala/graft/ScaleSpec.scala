@@ -119,6 +119,33 @@ class ScaleSpec extends SparkSpec {
   // df.observe: accumulator-backed metrics collected DURING the normal
   // action — the way a 100 TB job instruments row counts / null rates /
   // quality tallies without a second scan of the input.
+  test("session additions are partitioning-invariant (the 1000-executor determinism class)") {
+    // every kernel added this round must produce identical rows however
+    // the input is partitioned — the property that makes a local[32]
+    // hash-green result meaningful for a 1000-executor cluster
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    import graft.operators.{TextAnalysis => TA, Similarity => S, Graph, Corpus}
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, Boolean)] = Seq(
+      ("t23 bm25", (d: org.apache.spark.sql.DataFrame) => TA.bm25Retrieve(d), true),
+      ("t25 bigram surprise", (d: org.apache.spark.sql.DataFrame) => TA.bigramSurprise(d), true),
+      ("c07 balanced shards", (d: org.apache.spark.sql.DataFrame) => Corpus.balancedShards(d), true),
+      ("g04 lpa", (d: org.apache.spark.sql.DataFrame) =>
+        Graph.labelPropagation(d.selectExpr("doc_id % 37 AS u", "doc_id % 53 AS v")
+          .where("u <> v").distinct()), true),
+      ("s19 hard negatives", (d: org.apache.spark.sql.DataFrame) => S.hardNegatives(d), false),
+      ("s20 ivf recall", (d: org.apache.spark.sql.DataFrame) => S.ivfRecall(d), false))
+    for ((name, fn, isDocs) <- cases) {
+      val base = if (isDocs) docs else emb
+      val a = rows(fn(base))
+      val b = rows(fn(base.repartition(7)))
+      assert(a == b, s"$name changed under repartition(7)")
+      assert(a.nonEmpty, s"$name vacuous")
+    }
+  }
+
   test("observe() collects pipeline metrics without a second scan") {
     val obs = new org.apache.spark.sql.Observation("curation_metrics")
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
