@@ -780,7 +780,7 @@ object TextAnalysis {
     * makes the doc set exactly "docs with ≥ 1 posting", so `n_docs`/
     * `tl` match the oracle's postings-derived formulation value for
     * value. */
-  private def bm25DocLens(docs: DataFrame): DataFrame =
+  private[graft] def bm25DocLens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         size(filter(ws, w => w =!= "")).cast("long").as("dl"))
       .filter(col("dl") > 0)
@@ -801,7 +801,7 @@ object TextAnalysis {
     * arithmetic): df-cap the query terms, broadcast them over the
     * postings, attach doc lengths, sum the per-term products, rank
     * top-`k` per query. */
-  private def bm25Score(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
+  private[graft] def bm25Score(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
                         stats: DataFrame, queries: DataFrame,
                         k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1132,6 +1132,53 @@ object TextAnalysis {
            FROM scored)
          SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, score_x1e8
          FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
+
+  /** The st25 (streaming frozen-stats ingest) oracle: the t23 pipeline
+    * with postings and doc lengths over ALL documents but df and the
+    * corpus scalars computed over the BASE population only
+    * (`doc_id % 3 != 0`) — the frozen-statistics segment-ingestion
+    * contract replayed exactly (a delta-only term has no frozen df row
+    * and drops out of the match in both engines). */
+  private[graft] val Bm25FrozenStatsOracleSql: String =
+    """WITH tk AS (
+         SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents) WHERE w <> ''),
+       tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+              FROM tk GROUP BY doc_id, w),
+       dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              FROM tf GROUP BY doc_id),
+       dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+                 FROM tf WHERE doc_id % 3 <> 0 GROUP BY w),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS tl
+                 FROM dl WHERE doc_id % 3 <> 0),
+       q AS (SELECT DISTINCT d.doc_id AS q_id, u.w
+             FROM documents d,
+               unnest(list_slice(string_split(d.text, ' '), 1, 8)) AS u(w)
+             WHERE d.doc_id % 50 = 0 AND u.w <> ''),
+       scored AS (
+         SELECT q.q_id, tf.doc_id,
+           CAST(sum(
+             (((2 * (s.n_docs - f.df) + 1) * 10000) // (2 * f.df + 1))
+             * ((22 * (s.tl // s.n_docs) * tf.tf * 10000) //
+                (10 * (s.tl // s.n_docs) * tf.tf
+                 + 3 * (s.tl // s.n_docs) + 9 * dl.dl))) AS BIGINT)
+             AS score_x1e8
+         FROM q
+         JOIN dfreq f ON f.w = q.w
+         JOIN tf ON tf.w = q.w
+         JOIN dl ON dl.doc_id = tf.doc_id
+         CROSS JOIN stats s
+         WHERE f.df * 5 <= s.n_docs * 4 AND tf.doc_id <> q.q_id
+         GROUP BY q.q_id, tf.doc_id),
+       ranked AS (
+         SELECT q_id, doc_id, score_x1e8,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY score_x1e8 DESC, doc_id) AS rk
+         FROM scored)
+       SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, score_x1e8
+       FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
 
   def oracleSql: Map[String, String] = Map(
     "t23_bm25_retrieve" -> Bm25OracleSql,

@@ -63,6 +63,13 @@ object StreamingQueries {
     // t23/t24 oracle)
     "st24_stream_bm25_serve" -> ((s, d) =>
       Bm25ServeStream.runBm25Serve(s, d).orderBy(col("q_id"), col("rk"))),
+    // streaming BM25 index ingestion (the text mirror of st22): new
+    // docs tokenize into partial postings, commit as manifest
+    // generations, serve after every commit with FROZEN base df/avgdl
+    // (the segment-ingestion contract); the final serve answers to
+    // the frozen-stats oracle
+    "st25_stream_bm25_ingest" -> ((s, d) =>
+      Bm25IngestStream.runBm25Ingest(s, d).orderBy(col("q_id"), col("rk"))),
     // streaming quality monitor: windowed event-type mix + exact-integer
     // TVD numerator vs uniform (the v05 gate, online)
     "st17_stream_mix_drift" -> ((s, d) =>
@@ -238,6 +245,12 @@ object StreamingQueries {
     // query arrival and index persistence both invisible to results
     "st24_stream_bm25_serve" ->
       graft.operators.TextAnalysis.oracleSql("t23_bm25_retrieve"),
+    // the streamed ingest answers to the frozen-stats t23 variant:
+    // postings/doclens over ALL docs, df + corpus scalars over the
+    // base population only — batching, the manifest protocol, and
+    // stats freezing each provably behave as documented
+    "st25_stream_bm25_ingest" ->
+      graft.operators.TextAnalysis.Bm25FrozenStatsOracleSql,
     // the t17 grid-rebuild oracle over the event-token stream: per-
     // (row, bucket) sums from the frequency table ≡ the streamed grid
     // (addition commutes across micro-batches), estimates = min over
