@@ -143,4 +143,38 @@ object Bm25IngestStream {
       .map(_.getName.stripPrefix("batch=").toLong).max
     scoped.read.parquet(s"$outDir/batch=$last")
   }
+
+  /** st26 — the MAINTENANCE step completing the text lifecycle (st25
+    * ingests, this compacts, st24 serves — the st23 move applied to
+    * the inverted index): fold the streamed-in generation lists of
+    * BOTH grown relations back to one ([[Warehouse.compactManifested]]
+    * — pointer commits, racing readers always resolve a complete
+    * set), then serve the same query population from the manifests
+    * with the same frozen statistics. Same answer (and oracle) as
+    * st25 — compaction must be invisible to results. Self-sufficient:
+    * replays the bounded ingest first if this process hasn't (in the
+    * catalog's alphabetical order st25 just did, so this entry prices
+    * compact + serve — the maintenance cadence cost). */
+  def runCompactedServe(spark: SparkSession, dir: String, k: Int = 5,
+                        queryMod: Int = 50): DataFrame = {
+    val postDir = postingsTableDir(dir)
+    val dlDir = doclensTableDir(dir)
+    if (!new java.io.File(postDir, "_current").exists())
+      runBm25Ingest(spark, dir, k, queryMod)
+    val idx = Similarity.cachedIndex("bm25base", dir)(d =>
+      TextAnalysis.buildBm25Index(
+        graft.sources.Tables(spark, dir, "documents")
+          .filter(col("doc_id") % 3 =!= 0), d))
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    Warehouse.compactManifested(scoped, postDir)
+    Warehouse.compactManifested(scoped, dlDir)
+    TextAnalysis.bm25Score(
+      Warehouse.readManifested(scoped, postDir),
+      Warehouse.readManifested(scoped, dlDir),
+      scoped.read.parquet(s"$idx/dfreq"),
+      scoped.read.parquet(s"$idx/stats"),
+      TextAnalysis.bm25QueryWorkload(
+        graft.sources.Tables(scoped, dir, "documents"), queryMod), k)
+  }
 }

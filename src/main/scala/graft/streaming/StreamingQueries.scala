@@ -70,6 +70,11 @@ object StreamingQueries {
     // the frozen-stats oracle
     "st25_stream_bm25_ingest" -> ((s, d) =>
       Bm25IngestStream.runBm25Ingest(s, d).orderBy(col("q_id"), col("rk"))),
+    // the maintenance step: compact both streamed-in generation lists
+    // to one, serve again with the same frozen stats; same oracle —
+    // compaction invisible to results (the st23 move for text)
+    "st26_stream_bm25_compact_serve" -> ((s, d) =>
+      Bm25IngestStream.runCompactedServe(s, d).orderBy(col("q_id"), col("rk"))),
     // streaming quality monitor: windowed event-type mix + exact-integer
     // TVD numerator vs uniform (the v05 gate, online)
     "st17_stream_mix_drift" -> ((s, d) =>
@@ -250,6 +255,10 @@ object StreamingQueries {
     // base population only — batching, the manifest protocol, and
     // stats freezing each provably behave as documented
     "st25_stream_bm25_ingest" ->
+      graft.operators.TextAnalysis.Bm25FrozenStatsOracleSql,
+    // compaction of the manifested postings/doclens tables must not
+    // change a single served row — the same frozen-stats oracle
+    "st26_stream_bm25_compact_serve" ->
       graft.operators.TextAnalysis.Bm25FrozenStatsOracleSql,
     // the t17 grid-rebuild oracle over the event-token stream: per-
     // (row, bucket) sums from the frequency table ≡ the streamed grid
