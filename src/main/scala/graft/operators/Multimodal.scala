@@ -237,6 +237,71 @@ object Multimodal {
     }
   }
 
+  case class DHashRow(doc_id: Long, dhash: Long)
+
+  /** dHash perceptual signature THROUGH the real codec — the standard
+    * image near-dup primitive (difference hash): bit (r, c) of the
+    * 64-bit signature is the horizontal gradient sign p(r,c) < p(r,c+1)
+    * over an 8×9 top-left window of the decoded raster (out-of-raster
+    * reads are 0, mirroring the encoder's zero padding). Gradient signs
+    * survive brightness/contrast shifts, which is why dHash (not a
+    * byte hash) is what image-dedup pipelines key on. Narrow
+    * mapPartitions with per-partition codec reuse (the m07/m08
+    * discipline); grayscale PNG is lossless, so the decoded samples
+    * equal the payload bytes and the whole signature keeps a closed
+    * byte-arithmetic form the oracle replays. */
+  def dHashSignatures(docs: DataFrame): Dataset[DHashRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    encodePng(docs).mapPartitions { it =>
+      val decode = pngReader()
+      disposeOnExhaust(it.map { r =>
+        val img = decode(r.png)
+        val raster = img.getRaster
+        val h = img.getHeight
+        val w = img.getWidth
+        def p(rr: Int, cc: Int): Int =
+          if (rr < h && cc < w) raster.getSample(cc, rr, 0) else 0
+        var sig = 0L
+        var k = 0
+        while (k < 64) {
+          if (p(k / 8, k % 8) < p(k / 8, k % 8 + 1)) sig |= (1L << k)
+          k += 1
+        }
+        DHashRow(r.doc_id, sig)
+      })(decode.dispose())
+    }
+  }
+
+  /** Image near-dup pairs over the dHash signatures — the d05 SimHash
+    * banding shape verbatim (4 × 16-bit bands block the candidates, a
+    * `bit_count(xor)` Hamming verify gates them), applied to the
+    * multimodal column: perceptual-hash dedup is THE image-dedup
+    * primitive for training corpora (CSAM/near-copy filtering, frame
+    * dedup), and here it carries a FULL value oracle because the
+    * signature's gradient bits replay as byte arithmetic. Scale shape:
+    * candidates meet through the band equi-join (fan-out controlled by
+    * band width), never an all-pairs product. */
+  def dHashNearDupPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sig = dHashSignatures(docs).toDF()
+    val banded = sig.select(col("doc_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"(dhash >> ${b * 16}) & 65535").as("bk"))): _*)).as("bb"))
+      .select(col("doc_id"), col("dhash"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val a = banded.select(col("band"), col("bk"),
+      col("doc_id").as("a_id"), col("dhash").as("a_sig"))
+    val b = banded.select(col("band"), col("bk"),
+      col("doc_id").as("b_id"), col("dhash").as("b_sig"))
+    a.join(b, Seq("band", "bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   case class PatchRow(doc_id: Long, py: Long, px: Long, px_sum: Long,
                       px_min: Long, px_max: Long)
 
@@ -465,10 +530,51 @@ object Multimodal {
     // stream — the first pass of a video-curation pipeline
     "m11_shot_boundaries" -> ((s, d) =>
       shotBoundaries(t(s, d, "documents")).toDF()
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+    // image near-dups: dHash through the real codec, d05's banding
+    // shape for the pair join — full value oracle (gradient bits
+    // replay as byte arithmetic; PNG is lossless)
+    "m12_image_neardups" -> ((s, d) =>
+      dHashNearDupPairs(t(s, d, "documents"))
+        .orderBy(col("a_id"), col("b_id")))
   )
 
+  /** The m12 oracle: the 8×9 window's pixels recomputed from the byte
+    * layout (row-major at the encoder's width — PNG is lossless, so
+    * decoded samples ≡ source bytes, zero beyond length), the 64
+    * gradient bits as integer CASE terms (bit 63's literal is the
+    * two's-complement Long.MinValue, the d18 precedent), then d18's
+    * banding join + `bit_count(xor)` Hamming verify. */
+  private def dHashOracleSql(maxDist: Int = 3): String = {
+    val bits = (0 until 64).map { k =>
+      val r = k / 8; val c = k % 8
+      s"(CASE WHEN q[${r * 9 + c + 1}] < q[${r * 9 + c + 2}] THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n             + ")
+    s"""WITH px AS (
+           SELECT doc_id, list_transform(range(0, 72),
+             k -> CASE WHEN (k // 9) * $ImgWidth + (k % 9) + 1 <= length(text)
+                  THEN ord(substring(text,
+                    CAST((k // 9) * $ImgWidth + (k % 9) + 1 AS INTEGER), 1))
+                  ELSE 0 END) AS q
+           FROM documents),
+         sig AS MATERIALIZED (
+           SELECT doc_id,
+             $bits AS dhash
+           FROM px),
+         banded AS (
+           SELECT doc_id, dhash, b AS band, (dhash >> (b * 16)) & 65535 AS bk
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, hamming FROM cand WHERE hamming <= $maxDist
+         ORDER BY a_id, b_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "m12_image_neardups" -> dHashOracleSql(),
     "m06_training_samples" ->
       """SELECT d.doc_id, d.lang,
            CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,

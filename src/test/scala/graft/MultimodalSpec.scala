@@ -162,6 +162,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got(5L).values.exists(_._2 > 0L))
   }
 
+  test("dHash is invariant under uniform brightness shift; distinct images differ (m12)") {
+    // the property that justifies gradient-sign hashing over byte
+    // hashing: adding a constant to every pixel preserves every strict
+    // comparison, so the shifted image has the IDENTICAL signature —
+    // while an unrelated image does not
+    val base = "the quick brown fox jumps over the lazy dog again and again and again"
+    val shifted = base.map(c => (c + 1).toChar) // every byte +1
+    val other = base.reverse
+    val sigs = Multimodal.dHashSignatures(
+        Seq((1L, base), (2L, shifted), (3L, other)).toDF("doc_id", "text"))
+      .collect().map(r => r.doc_id -> r.dhash).toMap
+    assert(sigs(1L) == sigs(2L), "brightness shift changed the signature")
+    assert(sigs(1L) != sigs(3L), "unrelated image collided")
+    // and the pair join surfaces exactly the shifted twin at distance 0
+    val pairs = Multimodal.dHashNearDupPairs(
+        Seq((1L, base), (2L, shifted), (3L, other)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 0L)), s"got $pairs")
+  }
+
   test("decoded frame-row sums == per-32-byte-span sums, stride honored (m07)") {
     val got = Multimodal.frameRowStats(docsDF).collect()
       .groupBy(_.doc_id).view.mapValues(_.map(r => r.frame_idx -> r.px_sum).toMap).toMap
