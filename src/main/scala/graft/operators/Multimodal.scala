@@ -282,18 +282,26 @@ object Multimodal {
     * signature's gradient bits replay as byte arithmetic. Scale shape:
     * candidates meet through the band equi-join (fan-out controlled by
     * band width), never an all-pairs product. */
-  def dHashNearDupPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sig = dHashSignatures(docs).toDF()
-    val banded = sig.select(col("doc_id"), col("dhash"),
+  def dHashNearDupPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    hammingBandPairs(dHashSignatures(docs).toDF(), "dhash", maxDist)
+
+  /** The shared 64-bit-signature near-dup join (d05's shape): 4 × 16-bit
+    * bands block the candidates, `bit_count(xor)` Hamming-verifies them
+    * — serves both perceptual hashes (m12 image dHash, m13 audio
+    * energy-delta). Candidates meet through the band equi-join, never
+    * an all-pairs product. */
+  private def hammingBandPairs(sig: DataFrame, sigCol: String,
+                               maxDist: Int): DataFrame = {
+    val banded = sig.select(col("doc_id"), col(sigCol).as("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          expr(s"(dhash >> ${b * 16}) & 65535").as("bk"))): _*)).as("bb"))
-      .select(col("doc_id"), col("dhash"),
+          expr(s"($sigCol >> ${b * 16}) & 65535").as("bk"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.bk").as("bk"))
     val a = banded.select(col("band"), col("bk"),
-      col("doc_id").as("a_id"), col("dhash").as("a_sig"))
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
     val b = banded.select(col("band"), col("bk"),
-      col("doc_id").as("b_id"), col("dhash").as("b_sig"))
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
     a.join(b, Seq("band", "bk"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
@@ -301,6 +309,51 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  case class AudioFp(doc_id: Long, afp: Long)
+
+  /** Robust audio fingerprint (Haitsma–Kalker shape, time-normalized):
+    * the payload divides into 65 EQUAL time slices (length
+    * normalization — the move that makes the fingerprint robust to
+    * playback-rate/clip-length differences, exactly why real audio
+    * hashes window over the whole clip), each slice contributes its
+    * DC-removed energy (the m09 arithmetic), and bit k of the 64-bit
+    * fingerprint is the energy-DELTA sign e(k) < e(k+1) — the
+    * sign-of-band-energy-difference construction of the classic robust
+    * audio hash. Payloads shorter than one byte per slice are filtered
+    * (no degenerate empty slices). All-integer byte arithmetic —
+    * engine-exact, full oracle. Narrow map, no codec, no shuffle. */
+  def audioFingerprints(docs: DataFrame, nSlices: Int = 65): Dataset[AudioFp] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asBinary(docs).select(col("doc_id"), col("payload")).as[Payload]
+      .filter(p => p.payload.length >= nSlices)
+      .map { p =>
+        val n = p.payload.length
+        val e = new Array[Long](nSlices)
+        var s = 0
+        while (s < nSlices) {
+          val start = s * n / nSlices
+          val end = (s + 1) * n / nSlices
+          var sum = 0L; var i = start
+          while (i < end) { sum += (p.payload(i) & 0xff); i += 1 }
+          val mu = sum / (end - start)
+          var en = 0L; i = start
+          while (i < end) { val v = (p.payload(i) & 0xff) - mu; en += v * v; i += 1 }
+          e(s) = en
+          s += 1
+        }
+        var sig = 0L; var k = 0
+        while (k < nSlices - 1) { if (e(k) < e(k + 1)) sig |= (1L << k); k += 1 }
+        AudioFp(p.doc_id, sig)
+      }
+  }
+
+  /** Audio near-dup pairs over the energy-delta fingerprints — the m12
+    * banding join applied to the audio column: with m12 this covers
+    * perceptual dedup for BOTH non-text modalities the corpus carries. */
+  def audioNearDupPairs(docs: DataFrame, maxDist: Int = 6): DataFrame =
+    hammingBandPairs(audioFingerprints(docs).toDF(), "afp", maxDist)
 
   case class PatchRow(doc_id: Long, py: Long, px: Long, px_sum: Long,
                       px_min: Long, px_max: Long)
@@ -536,6 +589,11 @@ object Multimodal {
     // replay as byte arithmetic; PNG is lossless)
     "m12_image_neardups" -> ((s, d) =>
       dHashNearDupPairs(t(s, d, "documents"))
+        .orderBy(col("a_id"), col("b_id"))),
+    // audio near-dups: time-normalized energy-delta fingerprint, same
+    // banding join — full value oracle (all-integer byte arithmetic)
+    "m13_audio_neardups" -> ((s, d) =>
+      audioNearDupPairs(t(s, d, "documents"))
         .orderBy(col("a_id"), col("b_id")))
   )
 
@@ -573,8 +631,48 @@ object Multimodal {
          ORDER BY a_id, b_id"""
   }
 
+  /** The m13 oracle: 65 equal byte slices (1-based spans
+    * `(s·n)//65+1 .. ((s+1)·n)//65`), per-slice DC-removed energy (the
+    * m09 arithmetic), the 64 delta-sign bits, then the shared
+    * banding/Hamming join. */
+  private def audioFpOracleSql(maxDist: Int = 6): String = {
+    val bits = (0 until 64).map { k =>
+      s"(CASE WHEN es[${k + 1}] < es[${k + 2}] THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n             + ")
+    s"""WITH c AS (
+           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n, text
+           FROM documents WHERE octet_length(encode(text)) >= 65),
+         sl AS (
+           SELECT doc_id, s,
+             list_transform(range((s * n) // 65 + 1, ((s + 1) * n) // 65 + 1),
+               i -> ord(text[CAST(i AS BIGINT)])) AS v
+           FROM c, (SELECT unnest(range(0, 65)) AS s)),
+         m AS (SELECT doc_id, s, v,
+             CAST(list_sum(v) AS BIGINT) // len(v) AS mu FROM sl),
+         e AS (SELECT doc_id, s,
+             CAST(list_sum(list_transform(v, x -> (x - mu) * (x - mu)))
+               AS BIGINT) AS energy
+           FROM m),
+         el AS (SELECT doc_id, list(energy ORDER BY s) AS es FROM e GROUP BY doc_id),
+         sig AS MATERIALIZED (
+           SELECT doc_id,
+             $bits AS afp
+           FROM el),
+         banded AS (
+           SELECT doc_id, afp, b AS band, (afp >> (b * 16)) & 65535 AS bk
+           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, hamming FROM cand WHERE hamming <= $maxDist
+         ORDER BY a_id, b_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "m12_image_neardups" -> dHashOracleSql(),
+    "m13_audio_neardups" -> audioFpOracleSql(),
     "m06_training_samples" ->
       """SELECT d.doc_id, d.lang,
            CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,

@@ -182,6 +182,21 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 0L)), s"got $pairs")
   }
 
+  test("audio fingerprint survives 2x time stretch; unrelated clip stays far (m13)") {
+    // time normalization is the design claim: a clip played at half
+    // speed (every sample doubled) divides into the SAME 65 relative
+    // slices, so its energy-delta signs barely move — the stretched
+    // twin must pair through the banding join while the reversed clip
+    // (same bytes, different envelope) must not
+    val base = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val stretch = base.flatMap(c => s"$c$c")
+    val other = base.reverse
+    val pairs = Multimodal.audioNearDupPairs(
+        Seq((1L, base), (2L, stretch), (3L, other)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("decoded frame-row sums == per-32-byte-span sums, stride honored (m07)") {
     val got = Multimodal.frameRowStats(docsDF).collect()
       .groupBy(_.doc_id).view.mapValues(_.map(r => r.frame_idx -> r.px_sum).toMap).toMap
