@@ -602,19 +602,29 @@ object Multimodal {
     * decoded samples ≡ source bytes, zero beyond length), the 64
     * gradient bits as integer CASE terms (bit 63's literal is the
     * two's-complement Long.MinValue, the d18 precedent), then d18's
-    * banding join + `bit_count(xor)` Hamming verify. */
+    * banding join + `bit_count(xor)` Hamming verify. BYTE-exact by
+    * construction (r13): pixels index the hex dump of the UTF-8
+    * payload (`hex(encode(text))`, byte b ↦ hex chars 2b+1..2b+2), the
+    * same bytes the kernel's encoder consumed — so a non-ASCII
+    * document would replay identically instead of diverging through
+    * character positions. */
   private def dHashOracleSql(maxDist: Int = 3): String = {
     val bits = (0 until 64).map { k =>
       val r = k / 8; val c = k % 8
       s"(CASE WHEN q[${r * 9 + c + 1}] < q[${r * 9 + c + 2}] THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("\n             + ")
-    s"""WITH px AS (
-           SELECT doc_id, list_transform(range(0, 72),
-             k -> CASE WHEN (k // 9) * $ImgWidth + (k % 9) + 1 <= length(text)
-                  THEN ord(substring(text,
-                    CAST((k // 9) * $ImgWidth + (k % 9) + 1 AS INTEGER), 1))
-                  ELSE 0 END) AS q
+    s"""WITH hx AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
            FROM documents),
+         px AS (
+           SELECT doc_id, list_transform(range(0, 72),
+             k -> CASE WHEN (k // 9) * $ImgWidth + (k % 9) < n
+                  THEN CAST(('0x' || substring(h,
+                    CAST(2 * ((k // 9) * $ImgWidth + (k % 9)) + 1 AS INTEGER),
+                    2)) AS INTEGER)
+                  ELSE 0 END) AS q
+           FROM hx),
          sig AS MATERIALIZED (
            SELECT doc_id,
              $bits AS dhash
@@ -634,18 +644,23 @@ object Multimodal {
   /** The m13 oracle: 65 equal byte slices (1-based spans
     * `(s·n)//65+1 .. ((s+1)·n)//65`), per-slice DC-removed energy (the
     * m09 arithmetic), the 64 delta-sign bits, then the shared
-    * banding/Hamming join. */
+    * banding/Hamming join. BYTE-exact by construction (r13, the m12
+    * fix): slice values index the hex dump of the UTF-8 payload —
+    * count, spans, and values all over the same bytes the kernel
+    * reads, never character positions. */
   private def audioFpOracleSql(maxDist: Int = 6): String = {
     val bits = (0 until 64).map { k =>
       s"(CASE WHEN es[${k + 1}] < es[${k + 2}] THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("\n             + ")
     s"""WITH c AS (
-           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n, text
+           SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
            FROM documents WHERE octet_length(encode(text)) >= 65),
          sl AS (
            SELECT doc_id, s,
              list_transform(range((s * n) // 65 + 1, ((s + 1) * n) // 65 + 1),
-               i -> ord(text[CAST(i AS BIGINT)])) AS v
+               i -> CAST(('0x' || substring(h, CAST(2 * i - 1 AS INTEGER), 2))
+                 AS INTEGER)) AS v
            FROM c, (SELECT unnest(range(0, 65)) AS s)),
          m AS (SELECT doc_id, s, v,
              CAST(list_sum(v) AS BIGINT) // len(v) AS mu FROM sl),

@@ -162,9 +162,6 @@ object Quality {
     // salting/broadcast decision on this column
     "v07_key_skew" -> ((s, d) =>
       keySkewProfile(t(s, d, "events"), "user_id")),
-    // the "new" snapshot is a deterministic mutation of customer:
-    // custkey % 11 == 0 gets a balance bump (changed), % 13 == 0 is
-    // dropped (removed), and a shifted-id copy of % 17 == 0 is added
     // TIME-TRAVEL AUDIT under the correctness gate: build (once per
     // process+sf) a manifested documents table committed in two
     // batches — even ids, then odd — and read BOTH snapshot versions
@@ -189,6 +186,9 @@ object Quality {
       v1.crossJoin(broadcast(v2))
         .withColumn("n_added", col("n_rows_v2") - col("n_rows_v1"))
     }),
+    // the "new" snapshot is a deterministic mutation of customer:
+    // custkey % 11 == 0 gets a balance bump (changed), % 13 == 0 is
+    // dropped (removed), and a shifted-id copy of % 17 == 0 is added
     "v06_snapshot_diff" -> ((s, d) => {
       val cust = t(s, d, "customer")
       val nu = cust.filter(col("c_custkey") % 13 =!= 0)

@@ -840,10 +840,16 @@ object TextAnalysis {
     * (`substring_index` ≡ `split_part`: tokens are space-split so they
     * contain none). Scale: one bigram explode, counts shuffle on the
     * bigram / its prefix (both map-side combined), the per-doc mean on
-    * doc_id — the t12 shape exactly. Headroom: c1 ≤ corpus bigrams
-    * ≈ 1e13 ⇒ r ≤ 1e17; docs of ≤ ~90 bigrams stay under int64 even in
-    * the degenerate all-singleton case (real corpora: r is bounded by
-    * the prefix's follower skew, orders of magnitude lower). */
+    * doc_id — the t12 shape exactly. Headroom: r SATURATES at
+    * RMAX = 1e12 (`least`, mirrored in the oracle), because unclamped
+    * c1 ≤ corpus bigrams ≈ 1e13 would put r at 1e17 and a ~90-bigram
+    * all-singleton doc's sum past int64 — where Spark's long sum wraps
+    * SILENTLY while DuckDB raises. With the cap, overflow needs one
+    * doc of ≥ 9.2e6 bigrams at max surprise (a ~9-million-word
+    * document of corpus-unique transitions — outside any real corpus's
+    * doc envelope), and the clamp is threshold-invariant: quality
+    * cutoffs live at small multiples of 1e4, far below RMAX, so no
+    * filtering decision can depend on the clamped region. */
   def bigramSurprise(docs: DataFrame): DataFrame = {
     val bg = docs.withColumn("_ws", ws).filter(size(col("_ws")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -855,7 +861,8 @@ object TextAnalysis {
     bg.join(c2, Seq("bigram"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .join(c1, Seq("w1"))
-      .select(col("doc_id"), expr("(c1 * 10000) div c2").as("r"))
+      .select(col("doc_id"),
+        expr("least((c1 * 10000) div c2, 1000000000000)").as("r"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("surprise_sum"))
       .withColumn("surprise_x1e4", expr("surprise_sum div n_bigrams"))
@@ -1197,7 +1204,8 @@ object TextAnalysis {
          c1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
                   CAST(sum(c2) AS BIGINT) AS c1
                 FROM c2 GROUP BY 1),
-         r AS (SELECT bg.doc_id, (c1.c1 * 10000) // c2.c2 AS r
+         r AS (SELECT bg.doc_id,
+                 least((c1.c1 * 10000) // c2.c2, 1000000000000) AS r
                FROM bg
                JOIN c2 USING (bigram)
                JOIN c1 ON c1.w1 = split_part(bg.bigram, ' ', 1))
