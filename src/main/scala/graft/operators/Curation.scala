@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
   * (C4/Gopher/RefinedWeb shape):
   *
   *   1. quality floor       — lexical-diversity × stopword score (t03)
+  *                            AND the statistical-LM gate: drop the
+  *                            high-bigram-surprise tail (t25) — the
+  *                            CCNet two-signal shape (heuristic score
+  *                            + LM perplexity proxy)
   *   2. near-dup removal    — Jaccard pairs → connected components →
   *                            drop non-representative members (d07/d08)
   *   3. contamination drop  — remove the held-out eval split AND any
@@ -30,13 +34,26 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  def curate(docs: DataFrame, k: Int = 40, qualityMin: Double = 0.4): DataFrame = {
+  def curate(docs: DataFrame, k: Int = 40, qualityMin: Double = 0.4,
+             surpriseMax: Long = 400000L): DataFrame = {
     // 1. quality floor (strict >; both engines compute bit-identical
     // doubles — t03's hash-equality is the proof — so the comparison
     // can't diverge even exactly at the threshold)
     val q = TextAnalysis.qualityScore(docs)
       .filter(col("quality") > qualityMin).select(col("doc_id"))
+    // ... AND the t25 statistical-LM gate (r13): drop docs whose mean
+    // bigram surprise exceeds `surpriseMax` — the CCNet move of
+    // pairing the heuristic score with an LM signal, in t25's exact
+    // integer form. The LM statistics come from the ORIGINAL corpus
+    // (the frozen-LM contract, like contamination's original eval
+    // split); the default 40e4 sits past the p95 of every fixture
+    // scale, so only the genuinely improbable tail falls. Docs too
+    // short to carry a bigram have no signal and pass (anti-join on
+    // the offenders, not semi-join on the scored).
+    val noisy = TextAnalysis.bigramSurprise(docs)
+      .filter(col("surprise_x1e4") > surpriseMax).select(col("doc_id"))
     val kept1 = docs.join(q, Seq("doc_id"), "left_semi")
+      .join(noisy, Seq("doc_id"), "left_anti")
     // 2. near-dup clusters over the quality survivors; drop members
     // that are not their cluster's representative (minimum doc_id)
     val losers = Dedup.duplicateClusters(Dedup.jaccardPairs(kept1))
@@ -114,7 +131,26 @@ object Curation {
            WHERE (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
              * (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws))
              > 0.4),
-         kept1 AS (SELECT d.doc_id, d.text, d.lang FROM documents d JOIN q USING (doc_id)),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+           FROM ws0 WHERE len(ws) >= 2),
+         bc2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2
+                 FROM bg GROUP BY bigram),
+         bc1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                   CAST(sum(c2) AS BIGINT) AS c1
+                 FROM bc2 GROUP BY 1),
+         noisy AS (
+           SELECT doc_id FROM (
+             SELECT bg.doc_id,
+               least((bc1.c1 * 10000) // bc2.c2, 1000000000000) AS r
+             FROM bg
+             JOIN bc2 USING (bigram)
+             JOIN bc1 ON bc1.w1 = split_part(bg.bigram, ' ', 1))
+           GROUP BY doc_id HAVING sum(r) // count(*) > 400000),
+         kept1 AS (SELECT d.doc_id, d.text, d.lang
+                   FROM documents d JOIN q USING (doc_id)
+                   WHERE d.doc_id NOT IN (SELECT doc_id FROM noisy)),
          pairs AS (
            SELECT a_id, b_id
            FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,

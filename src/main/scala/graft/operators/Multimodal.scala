@@ -355,6 +355,49 @@ object Multimodal {
   def audioNearDupPairs(docs: DataFrame, maxDist: Int = 6): DataFrame =
     hammingBandPairs(audioFingerprints(docs).toDF(), "afp", maxDist)
 
+  /** CORPUS-LEVEL cross-modality duplicate report — the closing query
+    * of a multimodal curation pipeline: the per-modality near-dup
+    * detectors (text Jaccard d03, image dHash m12, audio
+    * fingerprint m13) contribute tagged edge sets over ONE doc-id
+    * space, their union closes transitively (a doc image-similar to
+    * one neighbor and audio-similar to another joins all three in one
+    * cluster — exactly the cross-signal containment a per-modality
+    * report misses), and each cluster reports its size, the SORTED
+    * set of modalities that evidenced it, and the d20 quality-rule
+    * representative ((quality desc, doc_id asc) struct-max — keep the
+    * best member, not the arbitrary min-id).
+    *
+    * Scale shape: nothing new — three banded/blocked pair generators
+    * (each already candidate-bounded), the O(log n)-style min-label
+    * components over their UNION (edge count = sum of the three pair
+    * sets, not a product), one shuffle each for the modality rollup
+    * and the representative argmax. The report is clusters-sized
+    * (≪ corpus). */
+  def crossModalDupReport(docs: DataFrame): DataFrame = {
+    val tagged = Dedup.jaccardPairs(docs)
+      .select(col("a_id"), col("b_id")).withColumn("modality", lit("text"))
+      .unionByName(dHashNearDupPairs(docs)
+        .select(col("a_id"), col("b_id")).withColumn("modality", lit("image")))
+      .unionByName(audioNearDupPairs(docs)
+        .select(col("a_id"), col("b_id")).withColumn("modality", lit("audio")))
+    val clusters = Dedup.duplicateClusters(
+      tagged.select(col("a_id"), col("b_id")).distinct())
+    val modal = tagged
+      .join(clusters.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+      .groupBy(col("cluster_id"))
+      .agg(array_join(sort_array(collect_set(col("modality"))), ",")
+        .as("modalities"))
+    clusters
+      .join(TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+      .join(modal, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("modalities"),
+        (-col("m.nid")).as("rep_id"), col("m.quality").as("rep_quality"))
+  }
+
   case class PatchRow(doc_id: Long, py: Long, px: Long, px_sum: Long,
                       px_min: Long, px_max: Long)
 
@@ -594,7 +637,14 @@ object Multimodal {
     // banding join — full value oracle (all-integer byte arithmetic)
     "m13_audio_neardups" -> ((s, d) =>
       audioNearDupPairs(t(s, d, "documents"))
-        .orderBy(col("a_id"), col("b_id")))
+        .orderBy(col("a_id"), col("b_id"))),
+    // the corpus-level closing query: all three modality dup signals
+    // fused into one transitive cluster report with quality-rule
+    // representatives — full value oracle composed from the d02/m12/
+    // m13/d07/d20 replays
+    "m14_crossmodal_dup_report" -> ((s, d) =>
+      crossModalDupReport(t(s, d, "documents"))
+        .orderBy(col("cluster_id")))
   )
 
   /** The m12 oracle: the 8×9 window's pixels recomputed from the byte
@@ -608,38 +658,46 @@ object Multimodal {
     * same bytes the kernel's encoder consumed — so a non-ASCII
     * document would replay identically instead of diverging through
     * character positions. */
-  private def dHashOracleSql(maxDist: Int = 3): String = {
+  /** The m12 replay as a CTE LIST (names prefixed `i`), so the same
+    * definition serves the m12 oracle and composes — beside the audio
+    * CTEs — into m14's corpus-level report. Ends at `icand`
+    * (a_id, b_id, hamming), unfiltered; the use site applies its
+    * distance bound. */
+  private def dHashCtes: String = {
     val bits = (0 until 64).map { k =>
       val r = k / 8; val c = k % 8
       s"(CASE WHEN q[${r * 9 + c + 1}] < q[${r * 9 + c + 2}] THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("\n             + ")
-    s"""WITH hx AS (
+    s"""ihx AS (
            SELECT doc_id, hex(encode(text)) AS h,
              CAST(octet_length(encode(text)) AS BIGINT) AS n
            FROM documents),
-         px AS (
+         ipx AS (
            SELECT doc_id, list_transform(range(0, 72),
              k -> CASE WHEN (k // 9) * $ImgWidth + (k % 9) < n
                   THEN CAST(('0x' || substring(h,
                     CAST(2 * ((k // 9) * $ImgWidth + (k % 9)) + 1 AS INTEGER),
                     2)) AS INTEGER)
                   ELSE 0 END) AS q
-           FROM hx),
-         sig AS MATERIALIZED (
+           FROM ihx),
+         isig AS MATERIALIZED (
            SELECT doc_id,
              $bits AS dhash
-           FROM px),
-         banded AS (
+           FROM ipx),
+         ibanded AS (
            SELECT doc_id, dhash, b AS band, (dhash >> (b * 16)) & 65535 AS bk
-           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-         cand AS (
+           FROM isig, (SELECT unnest(range(0, 4)) AS b)),
+         icand AS (
            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
              CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-           FROM banded a JOIN banded b
-             ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-         SELECT a_id, b_id, hamming FROM cand WHERE hamming <= $maxDist
-         ORDER BY a_id, b_id"""
+           FROM ibanded a JOIN ibanded b
+             ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)"""
   }
+
+  private def dHashOracleSql(maxDist: Int = 3): String =
+    s"""WITH $dHashCtes
+         SELECT a_id, b_id, hamming FROM icand WHERE hamming <= $maxDist
+         ORDER BY a_id, b_id"""
 
   /** The m13 oracle: 65 equal byte slices (1-based spans
     * `(s·n)//65+1 .. ((s+1)·n)//65`), per-slice DC-removed energy (the
@@ -648,46 +706,108 @@ object Multimodal {
     * fix): slice values index the hex dump of the UTF-8 payload —
     * count, spans, and values all over the same bytes the kernel
     * reads, never character positions. */
-  private def audioFpOracleSql(maxDist: Int = 6): String = {
+  /** The m13 replay as a CTE LIST (names prefixed `a`) — the m12
+    * convention, for the same composition into m14. Ends at `acand`
+    * (a_id, b_id, hamming), unfiltered. */
+  private def audioFpCtes: String = {
     val bits = (0 until 64).map { k =>
       s"(CASE WHEN es[${k + 1}] < es[${k + 2}] THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("\n             + ")
-    s"""WITH c AS (
+    s"""ac AS (
            SELECT doc_id, hex(encode(text)) AS h,
              CAST(octet_length(encode(text)) AS BIGINT) AS n
            FROM documents WHERE octet_length(encode(text)) >= 65),
-         sl AS (
+         asl AS (
            SELECT doc_id, s,
              list_transform(range((s * n) // 65 + 1, ((s + 1) * n) // 65 + 1),
                i -> CAST(('0x' || substring(h, CAST(2 * i - 1 AS INTEGER), 2))
                  AS INTEGER)) AS v
-           FROM c, (SELECT unnest(range(0, 65)) AS s)),
-         m AS (SELECT doc_id, s, v,
-             CAST(list_sum(v) AS BIGINT) // len(v) AS mu FROM sl),
-         e AS (SELECT doc_id, s,
+           FROM ac, (SELECT unnest(range(0, 65)) AS s)),
+         am AS (SELECT doc_id, s, v,
+             CAST(list_sum(v) AS BIGINT) // len(v) AS mu FROM asl),
+         ae AS (SELECT doc_id, s,
              CAST(list_sum(list_transform(v, x -> (x - mu) * (x - mu)))
                AS BIGINT) AS energy
-           FROM m),
-         el AS (SELECT doc_id, list(energy ORDER BY s) AS es FROM e GROUP BY doc_id),
-         sig AS MATERIALIZED (
+           FROM am),
+         ael AS (SELECT doc_id, list(energy ORDER BY s) AS es FROM ae GROUP BY doc_id),
+         asig AS MATERIALIZED (
            SELECT doc_id,
              $bits AS afp
-           FROM el),
-         banded AS (
+           FROM ael),
+         abanded AS (
            SELECT doc_id, afp, b AS band, (afp >> (b * 16)) & 65535 AS bk
-           FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-         cand AS (
+           FROM asig, (SELECT unnest(range(0, 4)) AS b)),
+         acand AS (
            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
              CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
-           FROM banded a JOIN banded b
-             ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-         SELECT a_id, b_id, hamming FROM cand WHERE hamming <= $maxDist
-         ORDER BY a_id, b_id"""
+           FROM abanded a JOIN abanded b
+             ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)"""
   }
+
+  private def audioFpOracleSql(maxDist: Int = 6): String =
+    s"""WITH $audioFpCtes
+         SELECT a_id, b_id, hamming FROM acand WHERE hamming <= $maxDist
+         ORDER BY a_id, b_id"""
+
+  /** The m14 oracle: the three modality pair replays (text Jaccard —
+    * the d03/d07 oracle; image `icand` ≤ 3; audio `acand` ≤ 6)
+    * tagged and unioned, the d07 recursive-reach closure over their
+    * union, the d20 quality rule for the representative, and the
+    * per-cluster sorted-distinct modality list. Every fragment is an
+    * already-green oracle's text — the composition is the only new
+    * claim. */
+  private def crossModalOracleSql: String =
+    s"""WITH RECURSIVE $dHashCtes,
+         $audioFpCtes,
+         tagged AS (
+           SELECT a_id, b_id, 'text' AS modality
+           FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   list_distinct(string_split(a.text, ' ')) AS a_ws,
+                   list_distinct(string_split(b.text, ' ')) AS b_ws
+                 FROM documents a JOIN documents b
+                 ON substring(a.text, 1, 20) = substring(b.text, 1, 20)
+                   AND a.doc_id < b.doc_id)
+           WHERE CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE)
+             / (len(a_ws) + len(b_ws) - len(list_intersect(a_ws, b_ws))) >= 0.5
+           UNION ALL
+           SELECT a_id, b_id, 'image' FROM icand WHERE hamming <= 3
+           UNION ALL
+           SELECT a_id, b_id, 'audio' FROM acand WHERE hamming <= 6),
+         edges AS (
+           SELECT a_id AS u, b_id AS v FROM tagged
+           UNION SELECT b_id, a_id FROM tagged),
+         reach(u, v) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         clusters AS (
+           SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         q AS (
+           SELECT doc_id,
+             (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+               * (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE)
+                   / len(ws)) AS quality
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         modal AS (
+           SELECT c.cluster_id,
+             array_to_string(list_sort(list(DISTINCT t.modality)), ',') AS modalities
+           FROM tagged t JOIN clusters c ON c.doc_id = t.a_id
+           GROUP BY c.cluster_id),
+         ranked AS (
+           SELECT c.cluster_id, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+               ORDER BY q.quality DESC, c.doc_id) AS rk,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+           FROM clusters c JOIN q USING (doc_id))
+         SELECT r.cluster_id, CAST(r.n_members AS BIGINT) AS n_members,
+           m.modalities, r.doc_id AS rep_id, r.quality AS rep_quality
+         FROM ranked r JOIN modal m USING (cluster_id)
+         WHERE r.rk = 1 ORDER BY cluster_id"""
 
   def oracleSql: Map[String, String] = Map(
     "m12_image_neardups" -> dHashOracleSql(),
     "m13_audio_neardups" -> audioFpOracleSql(),
+    "m14_crossmodal_dup_report" -> crossModalOracleSql,
     "m06_training_samples" ->
       """SELECT d.doc_id, d.lang,
            CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,

@@ -129,14 +129,40 @@ object Warehouse {
     * isolation unit); targetFileBytes ≈ 128 MB matches the scan split
     * size so one task reads one file. Content is pinned unchanged by
     * SinkSpec's count + order-free fingerprint. */
+  // ------------------------------------------------------ filesystem seam
+  // All table IO below runs through org.apache.hadoop.fs via
+  // ManifestIo (r13): the SAME commit code serves file:, hdfs:, and
+  // object-store schemes, with per-store semantics documented once at
+  // the seam. The session's hadoopConfiguration carries connector
+  // conf exactly as it does for Spark's own reads/writes.
+  private def hconf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  private type HPath = org.apache.hadoop.fs.Path
+  private type HFs = org.apache.hadoop.fs.FileSystem
+
+  /** In-process per-table writer lock (the `cachedIndex` pattern,
+    * applied to table commits — r13): serializes
+    * append/compact/vacuum on the same table within this JVM, so
+    * local[*] multi-writer interleavings are mechanically safe
+    * (SinkSpec races two appenders). Cross-PROCESS writers are caught
+    * by the version CAS in [[commitManifest]] — the first committer
+    * wins, the loser throws — see [[appendManifested]]. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withTableLock[T](root: HPath)(body: => T): T =
+    tableLocks.computeIfAbsent(root.toString, _ => new Object)
+      .synchronized(body)
+
   /** The swap-staging siblings for a leaf directory: DOT-PREFIXED, so
     * Spark's file/partition discovery (which skips `.`/`_` names) never
     * sees a non-`k=v` directory inside a partitioned root while a leaf
     * is mid-compaction. */
-  private def stagingPaths(root: java.io.File): (String, String) = {
-    val parent = Option(root.getParentFile).map(_.getPath).getOrElse(".")
-    (s"$parent/.${root.getName}.compact_tmp",
-      s"$parent/.${root.getName}.compact_old")
+  private def stagingPaths(root: HPath): (HPath, HPath) = {
+    val parent = root.getParent
+    (new HPath(parent, s".${root.getName}.compact_tmp"),
+      new HPath(parent, s".${root.getName}.compact_old"))
   }
 
   /** Recover a directory stranded by a crash between [[compact]]'s two
@@ -145,55 +171,58 @@ object Warehouse {
     * [[compactPartitioned]] walk both skip — so it MUST be moved back
     * before anything else reads or compacts the tree. Returns true if a
     * restore happened. */
-  private def restoreIfStranded(target: java.io.File): Boolean = {
-    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+  private def restoreIfStranded(fs: HFs, target: HPath): Boolean = {
     val (_, old) = stagingPaths(target)
-    if (!target.exists() && new java.io.File(old).isDirectory) {
-      JFiles.move(Paths.get(old), target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    if (!ManifestIo.exists(fs, target) && ManifestIo.isDirectory(fs, old)) {
+      ManifestIo.rename(fs, old, target)
       true
     } else false
   }
 
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L << 20): Int = {
-    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
-    val root = new java.io.File(dir).getAbsoluteFile // normalizes "tbl/"
+    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     val (tmp, old) = stagingPaths(root)
     // self-heal a crash BETWEEN the two renames of a prior run: the data
     // sits only under the hidden old path — restore it (loudly visible
     // in the fact that compact proceeds rather than throwing)
-    restoreIfStranded(root)
-    val shards = Option(root.listFiles()).getOrElse(
+    restoreIfStranded(fs, root)
+    if (!ManifestIo.isDirectory(fs, root))
       throw new IllegalArgumentException(
         s"compact: $dir is not a readable directory " +
-          s"(a crashed swap leaves the data under $old)"))
+          s"(a crashed swap leaves the data under $old)")
+    val shards = ManifestIo.list(fs, root)
     // LEAF directories only: called on a partitioned root, the top-level
     // *.parquet glob would size bytes = 0 → one giant output file, while
     // spark.read.parquet recursed into every partition — and the swap
     // would flatten the partition columns out of the layout. Fail loud
     // and point at the per-leaf entry point instead.
-    shards.find(f => f.isDirectory &&
-        !f.getName.startsWith(".") && !f.getName.startsWith("_")).foreach { sub =>
+    shards.find(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_")).foreach { sub =>
       throw new IllegalArgumentException(
-        s"compact: $dir contains subdirectory ${sub.getName} — it is a " +
+        s"compact: $dir contains subdirectory ${sub.getPath.getName} — it is a " +
           "partitioned root, not a leaf; use compactPartitioned")
     }
     val bytes = shards
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.length()).sum
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     // self-heal leftovers from a crashed prior run: mode(overwrite)
-    // clears tmp, but a stale old dir would fail the first rename with
-    // ENOTEMPTY — and that failure must be LOUD, not a silent leak
-    if (new java.io.File(old).exists() &&
-        !org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old)))
-      throw new IllegalStateException(s"compact: cannot clear stale $old")
-    spark.read.parquet(root.getPath).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    JFiles.move(root.toPath, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    JFiles.move(Paths.get(tmp), root.toPath, StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(old))
-    root.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    // clears tmp, but a stale old dir would fail the first rename —
+    // and that failure must be LOUD, not a silent leak
+    if (ManifestIo.exists(fs, old)) {
+      ManifestIo.delete(fs, old)
+      if (ManifestIo.exists(fs, old))
+        throw new IllegalStateException(s"compact: cannot clear stale $old")
+    }
+    spark.read.parquet(root.toString).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    ManifestIo.rename(fs, root, old)
+    ManifestIo.rename(fs, tmp, root)
+    ManifestIo.delete(fs, old)
+    ManifestIo.list(fs, root)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
   }
 
   /** Per-leaf compaction over a partitioned root: walk the `k=v`
@@ -220,34 +249,24 @@ object Warehouse {
     * has a complete resolvable generation. */
   def compactPartitioned(spark: SparkSession, rootDir: String,
                          targetFileBytes: Long = 128L << 20): Map[String, Int] = {
-    val root = new java.io.File(rootDir).getAbsoluteFile
-    require(root.isDirectory, s"compactPartitioned: $rootDir is not a directory")
-    def leaves(d: java.io.File): Seq[java.io.File] = {
-      // FIRST restore any child stranded mid-swap by a crashed prior
-      // run — its data hides under a dot-prefixed .child.compact_old
-      // this walk (and every Spark reader) would otherwise skip,
-      // silently dropping the partition from the result
-      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith(".") &&
-          f.getName.endsWith(".compact_old"))
-        .foreach { o =>
-          val target = new java.io.File(d,
-            o.getName.stripPrefix(".").stripSuffix(".compact_old"))
-          restoreIfStranded(target)
-        }
-      val sub = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory &&
-          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      if (sub.isEmpty) Seq(d) else sub.toSeq.sortBy(_.getName).flatMap(leaves)
-    }
-    leaves(root).map { leaf =>
-      val rel = root.toPath.relativize(leaf.toPath).toString match {
-        case "" => "."
-        case p => p
-      }
-      rel -> compact(spark, leaf.getPath, targetFileBytes)
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    require(ManifestIo.isDirectory(fs, root),
+      s"compactPartitioned: $rootDir is not a directory")
+    // the walk is [[manifestLeaves]] — the same recursion (including
+    // the stranded-.compact_old restore) serves both the two-rename
+    // and the manifested partitioned schemes
+    manifestLeaves(fs, root).map { leaf =>
+      relPath(root, leaf) -> compact(spark, leaf.toString, targetFileBytes)
     }.toMap
   }
+
+  /** Root-relative leaf path for the partitioned-compaction report
+    * maps (`.` for the root itself). */
+  private def relPath(root: HPath, leaf: HPath): String =
+    root.toUri.relativize(leaf.toUri).getPath.stripSuffix("/") match {
+      case "" => "."
+      case p => p
+    }
 
   // ---------------------------------------------- manifested compaction
   /** Manifest-pointer commit — the table-format move (Delta/Iceberg
@@ -257,12 +276,14 @@ object Warehouse {
     * `_current` manifest file holds the live generation list — one
     * name in the compaction steady state, several while streaming
     * appends ([[appendManifested]]) accumulate. A commit
-    * writes the new generation in full, then atomically replaces
-    * `_current` (tmp-write + ATOMIC_MOVE with REPLACE_EXISTING — a
-    * reader sees the old pointer or the new, never a missing or partial
-    * one). [[readManifested]] resolves the pointer per read, so at
-    * every instant of a compaction there is a complete generation to
-    * read — no absence window, by construction.
+    * writes the new generation in full, claims its `_manifest-v`
+    * history file by create-exclusive (the version CAS — see
+    * [[commitManifest]]), then atomically replaces `_current`
+    * ([[ManifestIo.replace]] — a reader sees the old pointer or the
+    * new, never a missing or partial one). [[readManifested]]
+    * resolves the pointer per read, so at every instant of a
+    * compaction there is a complete generation to read — no absence
+    * window, by construction.
     *
     * GC retains the last `retainSnapshots` committed manifests (and
     * every generation they reference) and deletes older ones — at the
@@ -271,49 +292,56 @@ object Warehouse {
     * compaction cycle of grace (transient cost ≤ 2× the leaf). The
     * same window bounds [[readManifestedAt]] time travel: raise
     * `retainSnapshots` to keep more history, exactly Iceberg/Delta's
-    * count-bounded snapshot retention. Single-writer per leaf, like
-    * every table format. */
+    * count-bounded snapshot retention. ONE logical writer per leaf,
+    * like every table format — but violations are now caught, not
+    * silent: in-process writers serialize on the per-table lock, and
+    * a cross-process compaction whose pointer read was overtaken
+    * fails its CAS loudly (the stale fold becomes [[vacuum]] food)
+    * rather than burying the interleaved append. */
   def compactManifested(spark: SparkSession, dir: String,
                         targetFileBytes: Long = 128L << 20,
                         retainSnapshots: Int = 1): Int = {
     require(retainSnapshots >= 0,
       s"retainSnapshots must be >= 0, got $retainSnapshots")
-    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
-    val root = new java.io.File(dir).getAbsoluteFile
+    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
+    withTableLock(root) {
     // LEAF directories only (the compact() convention): a partitioned
     // root's k=v children each get their OWN manifest — adoption here
     // would create an empty generation beside them and readers through
     // the pointer would see an empty table. Fail loud, point at the
     // per-leaf entry point. (.gen-* dirs are dot-prefixed, so a
     // manifested leaf itself still walks as a leaf.)
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .find(f => f.isDirectory && !f.getName.startsWith(".") &&
-        !f.getName.startsWith("_")).foreach { sub =>
+    ManifestIo.list(fs, root)
+      .find(st => st.isDirectory && !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_")).foreach { sub =>
         throw new IllegalArgumentException(
-          s"compactManifested: $dir contains subdirectory ${sub.getName} — " +
+          s"compactManifested: $dir contains subdirectory ${sub.getPath.getName} — " +
             "it is a partitioned root, not a leaf; use compactManifestedPartitioned")
       }
-    val pointer = Paths.get(root.getPath, "_current")
+    val pointer = new HPath(root, "_current")
     // adopt a plain leaf on first contact: its loose parquet files
     // become generation 0 (one-time migration — run it before any
     // concurrent reader exists, like any format conversion)
-    if (!JFiles.exists(pointer)) {
-      val gen0 = new java.io.File(root, ".gen-0")
-      JFiles.createDirectories(gen0.toPath)
-      Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .foreach(f => JFiles.move(f.toPath,
-          gen0.toPath.resolve(f.getName), StandardCopyOption.ATOMIC_MOVE))
-      commitManifest(root, pointer, Seq(".gen-0"))
+    if (!ManifestIo.exists(fs, pointer)) {
+      val gen0 = new HPath(root, ".gen-0")
+      fs.mkdirs(gen0)
+      ManifestIo.list(fs, root)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .foreach(st => ManifestIo.rename(fs, st.getPath,
+          new HPath(gen0, st.getPath.getName)))
+      commitManifest(fs, root, pointer, Seq(".gen-0"),
+        manifestVersions(fs, root).lastOption.getOrElse(0L))
     }
     // the manifest may list SEVERAL generations (streaming appends via
-    // appendManifested) — compaction folds them all into one
-    val cur = readPointer(pointer)
+    // appendManifested) — compaction folds them all into one. The
+    // pointer and trail head are read at the SAME point (under the
+    // in-process lock); `expected` anchors the version CAS at commit.
+    val cur = readPointer(fs, pointer)
+    val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
     val curIds = cur.map(_.stripPrefix(".gen-").toLong)
-    val bytes = cur.map(g => Option(new java.io.File(root, g).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.length()).sum).sum
+    val bytes = cur.map(g => ManifestIo.list(fs, new HPath(root, g))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val nextId = curIds.max + 1
     val next = s".gen-$nextId"
@@ -322,10 +350,14 @@ object Warehouse {
     // the fold must carry an evolved (add-a-column) union forward, not
     // silently truncate it to the first generation's schema.
     spark.read.option("mergeSchema", "true")
-      .parquet(cur.map(g => new java.io.File(root, g).getPath): _*)
+      .parquet(cur.map(g => new HPath(root, g).toString): _*)
       .repartition(nFiles)
-      .write.mode("overwrite").parquet(new java.io.File(root, next).getPath)
-    val v = commitManifest(root, pointer, Seq(next))
+      .write.mode("overwrite").parquet(new HPath(root, next).toString)
+    // CAS commit: if a cross-process writer advanced the trail since
+    // `expected` was read, this THROWS (the fold is stale — it misses
+    // that writer's generation) and the folded directory is left as
+    // an orphan for [[vacuum]]; the caller re-runs the compaction.
+    val v = commitManifest(fs, root, pointer, Seq(next), expected)
     // SNAPSHOT RETENTION: the last `retainSnapshots` committed
     // manifests before this one stay readable — their files and the
     // generations they reference survive this GC — which is both the
@@ -336,19 +368,20 @@ object Warehouse {
     // files and the generations only expired manifests reference — is
     // deleted.
     val keepGens: Set[String] =
-      (manifestVersions(root).filter(_ >= v - retainSnapshots)
-        .flatMap(x => readPointer(root.toPath.resolve(s"_manifest-$x"))) ++
+      (manifestVersions(fs, root).filter(_ >= v - retainSnapshots)
+        .flatMap(x => readPointer(fs, new HPath(root, s"_manifest-$x"))) ++
         (if (retainSnapshots >= 1) cur else Seq.empty) :+ next).toSet
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".gen-") &&
-        !keepGens.contains(f.getName))
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("_manifest-") &&
-        f.getName.stripPrefix("_manifest-").toLong < v - retainSnapshots)
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
-    new java.io.File(root, next).listFiles()
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    ManifestIo.list(fs, root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".gen-") &&
+        !keepGens.contains(st.getPath.getName))
+      .foreach(st => ManifestIo.delete(fs, st.getPath))
+    ManifestIo.list(fs, root)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_manifest-") &&
+        st.getPath.getName.stripPrefix("_manifest-").toLong < v - retainSnapshots)
+      .foreach(st => ManifestIo.delete(fs, st.getPath))
+    ManifestIo.list(fs, new HPath(root, next))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
   }
 
   /** Manifest-pointer APPEND — the streaming-ingest commit: `df`
@@ -382,6 +415,24 @@ object Warehouse {
     * generation 0 fails loudly instead of overwriting the adopted
     * data.
     *
+    * MULTI-WRITER safety (r13): within one JVM, appenders to the same
+    * table serialize through the per-table lock — two interleaved
+    * in-process appenders both land, in some order, with no lost
+    * generation. ACROSS processes the commit is guarded by the
+    * version CAS ([[commitManifest]]: `_manifest-v` is claimed by
+    * create-exclusive): a writer whose `expected` version was
+    * overtaken gets ConcurrentModificationException at commit and
+    * RETRIES here (bounded) — re-reading the pointer, renumbering its
+    * generation, rewriting, recommitting — so a committed generation
+    * can never be silently dropped from the pointer. The one hazard
+    * the CAS cannot close is two UNNUMBERED cross-process appenders
+    * racing the same generation NAME before either commits (their
+    * data writes can interleave); producers that may race across
+    * processes key their batches with `genId` (disjoint deterministic
+    * content — the streaming contract above) or coordinate
+    * externally, exactly as with every table format's conditional-PUT
+    * commit.
+    *
     * Schema may EVOLVE additively across generations (a later batch
     * adds a column): [[readManifested]]/[[readManifestedAt]] merge
     * parquet schemas across the scanned generations, so rows from
@@ -391,26 +442,27 @@ object Warehouse {
     * incompatible types loudly). */
   def appendManifested(spark: SparkSession, dir: String, df: DataFrame,
                        genId: Option[Long] = None): Long = {
-    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
-    val root = new java.io.File(dir).getAbsoluteFile
-    JFiles.createDirectories(root.toPath)
-    val pointer = Paths.get(root.getPath, "_current")
-    if (!JFiles.exists(pointer)) {
-      val loose = Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      val gen0 = new java.io.File(root, ".gen-0")
+    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
+    withTableLock(root) {
+    fs.mkdirs(root)
+    val pointer = new HPath(root, "_current")
+    if (!ManifestIo.exists(fs, pointer)) {
+      val loose = ManifestIo.list(fs, root)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val gen0 = new HPath(root, ".gen-0")
       if (loose.nonEmpty) {
         require(genId.forall(_ != 0L),
           s"appendManifested: $dir holds pre-existing loose parquet " +
             "files, adopted as generation 0 — a genId=0 append would " +
             "overwrite them; key the producer's batches from a nonzero " +
             "id or compactManifested the leaf first")
-        JFiles.createDirectories(gen0.toPath)
-        loose.foreach(f => JFiles.move(f.toPath,
-          gen0.toPath.resolve(f.getName), StandardCopyOption.ATOMIC_MOVE))
-        commitManifest(root, pointer, Seq(".gen-0"))
-      } else if (Option(gen0.listFiles()).getOrElse(Array.empty)
-                   .exists(f => f.isFile && f.getName.endsWith(".parquet"))) {
+        fs.mkdirs(gen0)
+        loose.foreach(st => ManifestIo.rename(fs, st.getPath,
+          new HPath(gen0, st.getPath.getName)))
+        commitManifest(fs, root, pointer, Seq(".gen-0"),
+          manifestVersions(fs, root).lastOption.getOrElse(0L))
+      } else if (ManifestIo.list(fs, gen0)
+                   .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))) {
         // a crash BETWEEN the adoption move and its pointer commit
         // leaves gen-0 populated with no pointer — without this,
         // the no-genId append below would number itself 0 and
@@ -418,62 +470,99 @@ object Warehouse {
         // first. (A producer's own stranded genId=0 first batch lands
         // here too, harmlessly: its retry overwrites generation 0
         // with identical deterministic content, pointer unchanged.)
-        commitManifest(root, pointer, Seq(".gen-0"))
+        commitManifest(fs, root, pointer, Seq(".gen-0"),
+          manifestVersions(fs, root).lastOption.getOrElse(0L))
       }
     }
-    val gens = if (JFiles.exists(pointer)) readPointer(pointer) else Seq.empty
-    val nextId = genId.getOrElse(
-      gens.map(_.stripPrefix(".gen-").toLong).foldLeft(-1L)(math.max) + 1)
-    val next = s".gen-$nextId"
-    df.write.mode("overwrite").parquet(new java.io.File(root, next).getPath)
-    if (!gens.contains(next))
-      commitManifest(root, pointer, gens :+ next)
-    nextId
+    // optimistic-CAS commit loop: in-process writers never collide
+    // (the lock serializes them); a cross-process writer that overtook
+    // this one surfaces as ConcurrentModificationException from the
+    // version CAS, and the retry re-reads the pointer — renumbering an
+    // unnumbered generation past the winner's — and rewrites. Bounded:
+    // persistent loss means a writer storm the deployment should be
+    // coordinating explicitly, and the loop failing loudly beats
+    // spinning.
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val gens =
+        if (ManifestIo.exists(fs, pointer)) readPointer(fs, pointer)
+        else Seq.empty
+      val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
+      val nextId = genId.getOrElse(
+        gens.map(_.stripPrefix(".gen-").toLong).foldLeft(-1L)(math.max) + 1)
+      val next = s".gen-$nextId"
+      df.write.mode("overwrite").parquet(new HPath(root, next).toString)
+      if (gens.contains(next)) committed = nextId // idempotent re-fire
+      else {
+        try {
+          commitManifest(fs, root, pointer, gens :+ next, expected)
+          committed = nextId
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt >= 5) throw e
+        }
+      }
+    }
+    committed
+    }
   }
 
   /** The manifest's generation list (newline-separated; single-line
     * pointers — the compaction steady state — are a 1-element list). */
-  private def readPointer(pointer: java.nio.file.Path): Seq[String] =
-    java.nio.file.Files.readString(pointer).trim
+  private def readPointer(fs: HFs, pointer: HPath): Seq[String] =
+    ManifestIo.readString(fs, pointer).trim
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
 
-  /** Commit a new manifest VERSION: write the immutable history file
-    * `_manifest-<v>` (v = 1 + the highest existing version — the
-    * Delta `_delta_log/N.json` analogue, one file per commit), then
-    * swap `_current` to the same content. `_current` stays the single
-    * reader entry point ([[readManifested]] — no history scan on the
-    * hot path); the `_manifest-*` trail is what [[readManifestedAt]]
-    * time-travels through. Returns the committed version id. */
-  private def commitManifest(root: java.io.File,
-                             pointer: java.nio.file.Path,
-                             gens: Seq[String]): Long = {
-    import java.nio.file.{Files => JFiles, StandardOpenOption}
-    val v = manifestVersions(root).lastOption.getOrElse(0L) + 1L
+  /** Commit manifest VERSION `expectedVersion + 1`: claim the
+    * immutable history file `_manifest-<v>` by CREATE-EXCLUSIVE (the
+    * Delta `_delta_log/N.json` analogue — one file per commit, and
+    * put-if-absent on its name IS the concurrency control: r13), then
+    * swap `_current` to the same content. A writer whose
+    * `expectedVersion` was overtaken — another process committed
+    * since it read the pointer — fails the claim and gets
+    * ConcurrentModificationException BEFORE anything becomes visible:
+    * a committed generation can never be silently dropped by a stale
+    * writer's pointer swap. `_current` stays the single reader entry
+    * point ([[readManifested]] — no history scan on the hot path);
+    * the `_manifest-*` trail is what [[readManifestedAt]]
+    * time-travels through. A crash between the claim and the pointer
+    * swap strands `_manifest-<v>` as an uncommitted trailer —
+    * [[vacuum]] removes it; the next writer (anchored on the POINTER,
+    * and claiming max-trail-version + 1) simply commits past it.
+    * Returns the committed version id. */
+  private[graft] def commitManifest(fs: HFs, root: HPath, pointer: HPath,
+                             gens: Seq[String], expectedVersion: Long): Long = {
+    val v = expectedVersion + 1
     val body = gens.mkString("\n")
-    val hist = root.toPath.resolve(s"_manifest-$v")
-    // same durability discipline as the pointer: force the bytes, then
-    // let commitPointer's directory fsync cover the new entry too
-    val ch = java.nio.channels.FileChannel.open(hist,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-      StandardOpenOption.TRUNCATE_EXISTING)
-    try {
-      ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8")))
-      ch.force(true)
-    } finally ch.close()
-    commitPointer(pointer, body)
+    if (!ManifestIo.putIfAbsent(fs, new HPath(root, s"_manifest-$v"), body))
+      throw new java.util.ConcurrentModificationException(
+        s"commit of $root at version $v lost the race: another writer " +
+          "committed after this writer read the pointer (version CAS " +
+          "on the _manifest trail) — re-read and retry, or key batches " +
+          "by genId / coordinate writers")
+    ManifestIo.replace(fs, pointer, body)
     v
   }
 
   /** The committed snapshot versions of a manifested leaf, ascending
     * (the surviving `_manifest-*` trail — older versions disappear as
-    * [[compactManifested]]'s retention window GCs them). */
-  def snapshots(dir: String): Seq[Long] =
-    manifestVersions(new java.io.File(dir).getAbsoluteFile)
+    * [[compactManifested]]'s retention window GCs them). Resolves the
+    * filesystem through the active session's Hadoop conf when one
+    * exists (connector conf applies), else the default. */
+  def snapshots(dir: String): Seq[Long] = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val (fs, root) = ManifestIo.resolve(dir, conf)
+    manifestVersions(fs, root)
+  }
 
-  private def manifestVersions(root: java.io.File): Seq[Long] =
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("_manifest-"))
-      .map(_.getName.stripPrefix("_manifest-").toLong)
+  private def manifestVersions(fs: HFs, root: HPath): Seq[Long] =
+    ManifestIo.list(fs, root)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_manifest-"))
+      .map(_.getPath.getName.stripPrefix("_manifest-").toLong)
       .sorted.toSeq
 
   /** SNAPSHOT READ (time travel): scan the table exactly as committed
@@ -490,55 +579,32 @@ object Warehouse {
     * snapshot-retention config. */
   def readManifestedAt(spark: SparkSession, dir: String,
                        version: Long): DataFrame = {
-    val root = new java.io.File(dir).getAbsoluteFile
-    val hist = root.toPath.resolve(s"_manifest-$version")
-    if (!java.nio.file.Files.exists(hist))
+    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
+    val hist = new HPath(root, s"_manifest-$version")
+    if (!ManifestIo.exists(fs, hist))
       throw new IllegalArgumentException(
         s"readManifestedAt: snapshot $version of $dir is not retained " +
-          s"(available: ${manifestVersions(root).mkString(", ")})")
-    val gens = readPointer(hist)
-    gens.find(g => !new java.io.File(root, g).isDirectory).foreach { g =>
+          s"(available: ${manifestVersions(fs, root).mkString(", ")})")
+    val gens = readPointer(fs, hist)
+    gens.find(g => !ManifestIo.isDirectory(fs, new HPath(root, g))).foreach { g =>
       throw new IllegalStateException(
         s"readManifestedAt: snapshot $version of $dir lists $g, which " +
           "has been garbage-collected (retention window moved past it)")
     }
     spark.read.option("mergeSchema", "true")
-      .parquet(gens.map(g => new java.io.File(root, g).getPath): _*)
+      .parquet(gens.map(g => new HPath(root, g).toString): _*)
   }
 
-  /** Atomic + durable manifest replace: the tmp file's contents are
-    * force()d to stable storage BEFORE the ATOMIC_MOVE, and the parent
-    * directory is fsynced AFTER it, so a power loss cannot surface a
-    * pointer whose own bytes (or whose rename) were still
-    * buffered. Scope of the claim: this makes the POINTER commit
-    * durable; the generation's DATA files are written by Spark's
-    * parquet committer, whose durability is the filesystem/object
-    * store's contract (as with any Spark write) — a deployment that
-    * needs data-file fsync puts the table on a filesystem that gives
-    * it (or an object store, where PUT is durable on ack). Reader-
-    * visibility atomicity needs none of this: a reader sees the old
-    * pointer or the new, never a partial one, fsync or not. */
-  private def commitPointer(pointer: java.nio.file.Path, gen: String): Unit = {
-    import java.nio.file.{Files => JFiles, StandardCopyOption, StandardOpenOption}
-    val tmp = pointer.resolveSibling("._current.tmp")
-    val ch = java.nio.channels.FileChannel.open(tmp,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-      StandardOpenOption.TRUNCATE_EXISTING)
-    try {
-      ch.write(java.nio.ByteBuffer.wrap(gen.getBytes("UTF-8")))
-      ch.force(true)
-    } finally ch.close()
-    JFiles.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // fsync the directory so the rename itself survives power loss
-    // (the Lucene pattern: open the dir read-only and force; best-
-    // effort where the platform refuses directory fds)
-    try {
-      val dch = java.nio.channels.FileChannel.open(pointer.getParent,
-        StandardOpenOption.READ)
-      try dch.force(true) finally dch.close()
-    } catch { case _: java.io.IOException => }
-  }
+  // The pointer swap itself — synced tmp write, atomic rename, parent
+  // sync — lives at [[ManifestIo.replace]], with the per-scheme
+  // semantics (POSIX rename on file:, delete+rename fallback on HDFS,
+  // conditional-PUT note for object stores) documented there. Scope
+  // of the durability claim is unchanged from the java.nio era: the
+  // POINTER commit is durable where the store can make it so; the
+  // generation's DATA files are written by Spark's parquet committer,
+  // whose durability is the filesystem/object store's contract.
+  // Reader-visibility atomicity needs none of this: a reader sees the
+  // old pointer or the new, never a partial one.
 
   /** Read a [[compactManifested]] leaf through its manifest: resolve
     * `_current`, scan that generation. `spark.read.parquet` lists the
@@ -551,19 +617,19 @@ object Warehouse {
     * here — run such actions through [[withManifested]], which retries
     * that class too. */
   def readManifested(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.Paths
-    def resolve(): DataFrame = {
-      val gens = readPointer(Paths.get(dir, "_current"))
+    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
+    def resolveDf(): DataFrame = {
+      val gens = readPointer(fs, new HPath(root, "_current"))
       // mergeSchema: generations may evolve additively (see
       // appendManifested) — older generations surface the added column
       // as null. Cost is one footer read per file at planning, paid
       // only while the manifest lists >1 generation (the compaction
       // steady state is one).
       spark.read.option("mergeSchema", "true")
-        .parquet(gens.map(g => new java.io.File(dir, g).getPath): _*)
+        .parquet(gens.map(g => new HPath(root, g).toString): _*)
     }
-    try resolve()
-    catch { case _: org.apache.spark.sql.AnalysisException => resolve() }
+    try resolveDf()
+    catch { case _: org.apache.spark.sql.AnalysisException => resolveDf() }
   }
 
   /** [[compactManifested]] over a partitioned root: walk the `k=v`
@@ -584,16 +650,12 @@ object Warehouse {
   def compactManifestedPartitioned(spark: SparkSession, rootDir: String,
                                    targetFileBytes: Long = 128L << 20,
                                    retainSnapshots: Int = 1): Map[String, Int] = {
-    val root = new java.io.File(rootDir).getAbsoluteFile
-    require(root.isDirectory,
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    require(ManifestIo.isDirectory(fs, root),
       s"compactManifestedPartitioned: $rootDir is not a directory")
-    manifestLeaves(root).map { leaf =>
-      val rel = root.toPath.relativize(leaf.toPath).toString match {
-        case "" => "."
-        case p => p
-      }
-      rel -> compactManifested(spark, leaf.getPath, targetFileBytes,
-        retainSnapshots)
+    manifestLeaves(fs, root).map { leaf =>
+      relPath(root, leaf) -> compactManifested(spark, leaf.toString,
+        targetFileBytes, retainSnapshots)
     }.toMap
   }
 
@@ -603,19 +665,22 @@ object Warehouse {
     * [[compactPartitioned]] self-heal — a tree migrating to manifests
     * may carry that debris). A manifested leaf's `.gen-*`/`_current`
     * entries are dot/underscore-prefixed, so it walks as a leaf. */
-  private def manifestLeaves(d: java.io.File): Seq[java.io.File] = {
-    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(".") &&
-        f.getName.endsWith(".compact_old"))
+  private def manifestLeaves(fs: HFs, d: HPath): Seq[HPath] = {
+    ManifestIo.list(fs, d)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.endsWith(".compact_old"))
       .foreach { o =>
-        val target = new java.io.File(d,
-          o.getName.stripPrefix(".").stripSuffix(".compact_old"))
-        restoreIfStranded(target)
+        val target = new HPath(d,
+          o.getPath.getName.stripPrefix(".").stripSuffix(".compact_old"))
+        restoreIfStranded(fs, target)
       }
-    val sub = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory &&
-        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-    if (sub.isEmpty) Seq(d) else sub.toSeq.sortBy(_.getName).flatMap(manifestLeaves)
+    val sub = ManifestIo.list(fs, d)
+      .filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+    if (sub.isEmpty) Seq(d)
+    else sub.toSeq.sortBy(_.getPath.getName)
+      .flatMap(st => manifestLeaves(fs, st.getPath))
   }
 
   /** Read a [[compactManifestedPartitioned]] tree: every leaf resolves
@@ -633,9 +698,10 @@ object Warehouse {
     * numeric partition key is wanted. Leaf unions are by name: each
     * leaf carries the same data schema (one writer produced them), and
     * the partition columns are appended uniformly. */
-  def readManifestedPartitioned(spark: SparkSession, rootDir: String): DataFrame =
-    unionLeaves(new java.io.File(rootDir).getAbsoluteFile,
-      leaf => readManifested(spark, leaf.getPath))
+  def readManifestedPartitioned(spark: SparkSession, rootDir: String): DataFrame = {
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    unionLeaves(fs, root, leaf => readManifested(spark, leaf.toString))
+  }
 
   /** [[readManifestedAt]] over a partitioned root: every leaf resolves
     * the SAME manifest version. This is the coordinated-writer
@@ -646,18 +712,19 @@ object Warehouse {
     * share numbering, and the read then fails loudly on the first leaf
     * missing the version — never a silently partial table. */
   def readManifestedPartitionedAt(spark: SparkSession, rootDir: String,
-                                  version: Long): DataFrame =
-    unionLeaves(new java.io.File(rootDir).getAbsoluteFile,
-      leaf => readManifestedAt(spark, leaf.getPath, version))
+                                  version: Long): DataFrame = {
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    unionLeaves(fs, root, leaf => readManifestedAt(spark, leaf.toString, version))
+  }
 
   /** The shared partitioned-read shape: per-leaf resolve via `read`,
     * `k=v` partition values re-attached from the directory names (see
     * [[readManifestedPartitioned]] for the unescaping + string-typing
     * contract), leaves unioned by name. */
-  private def unionLeaves(root: java.io.File,
-                          read: java.io.File => DataFrame): DataFrame = {
-    val parts = manifestLeaves(root).map { leaf =>
-      val rel = root.toPath.relativize(leaf.toPath).toString
+  private def unionLeaves(fs: HFs, root: HPath,
+                          read: HPath => DataFrame): DataFrame = {
+    val parts = manifestLeaves(fs, root).map { leaf =>
+      val rel = root.toUri.relativize(leaf.toUri).getPath.stripSuffix("/")
       val kvs = rel.split('/').toSeq.filter(_.contains('='))
         .map { seg =>
           val Array(k, v) = seg.split("=", 2)
@@ -699,6 +766,75 @@ object Warehouse {
         (e.getCause ne e) && missingFile(e.getCause, depth + 1))
     try attempt
     catch { case e: Throwable if missingFile(e) => attempt }
+  }
+
+  /** What [[vacuum]] removed from a manifested leaf. */
+  case class VacuumReport(removedGenerations: Seq[String],
+                          removedManifests: Seq[Long],
+                          removedPointerTmp: Boolean)
+
+  /** GC the debris an ABORTED commit strands in a manifested leaf —
+    * the maintenance op (Delta VACUUM / Iceberg remove-orphan-files)
+    * that the retention GC inside [[compactManifested]] cannot cover,
+    * because that GC only walks REFERENCED generations. Three debris
+    * classes, each from a specific crash window:
+    *
+    *  - '''orphan generation directories''' — a crash after the
+    *    generation's data write but before its manifest commit
+    *    (append or compaction fold), or a compaction whose CAS lost;
+    *    referenced by no retained manifest and not by `_current`.
+    *  - '''uncommitted manifest trailers''' — a crash between the
+    *    `_manifest-v` claim and the `_current` swap: versions ABOVE
+    *    the committed head (the highest version whose content equals
+    *    `_current`'s). Removing them keeps [[readManifestedAt]]'s
+    *    contract honest — only snapshots a reader could ever have
+    *    resolved remain in the trail.
+    *  - '''pointer tmp''' — `._current.tmp` from a crash inside the
+    *    swap itself.
+    *
+    * The RETENTION window is honored by construction: liveness is
+    * anchored on the surviving `_manifest-*` trail ∪ `_current`, so
+    * every generation any retained snapshot references stays readable
+    * via [[readManifestedAt]] afterwards. Conservative by design: a
+    * pointer matching NO manifest (a legacy or hand-edited leaf)
+    * anchors every manifest as live and vacuums only truly
+    * unreferenced generations; a leaf with no `_current` at all is
+    * left untouched (nothing committed to anchor liveness — e.g. a
+    * crash mid-adoption, which the next append self-heals). Runs
+    * under the per-table lock; at 100 TB this is the same listing +
+    * bounded-delete pass per leaf, embarrassingly parallel across
+    * leaves. */
+  def vacuum(spark: SparkSession, dir: String): VacuumReport = {
+    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
+    withTableLock(root) {
+      val pointer = new HPath(root, "_current")
+      if (!ManifestIo.exists(fs, pointer)) VacuumReport(Nil, Nil, false)
+      else {
+        val cur = readPointer(fs, pointer)
+        val curBody = cur.mkString("\n")
+        val versions = manifestVersions(fs, root)
+        val bodies = versions
+          .map(v => v -> readPointer(fs, new HPath(root, s"_manifest-$v")))
+          .toMap
+        val head = versions.filter(v => bodies(v).mkString("\n") == curBody)
+          .lastOption
+        val crashed = head.map(h => versions.filter(_ > h)).getOrElse(Seq.empty)
+        val referenced: Set[String] =
+          (versions.filterNot(crashed.contains).flatMap(bodies) ++ cur).toSet
+        val orphans = ManifestIo.list(fs, root)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(".gen-") &&
+            !referenced.contains(st.getPath.getName))
+          .map(_.getPath).toSeq
+        orphans.foreach(p => ManifestIo.delete(fs, p))
+        crashed.foreach(v =>
+          ManifestIo.delete(fs, new HPath(root, s"_manifest-$v")))
+        val tmp = new HPath(root, "._current.tmp")
+        val hadTmp = ManifestIo.exists(fs, tmp)
+        if (hadTmp) ManifestIo.delete(fs, tmp)
+        VacuumReport(orphans.map(_.getName).sorted, crashed, hadTmp)
+      }
+    }
   }
 
   /** The ONE interchange-roundtrip kernel behind q53/q69/q71: the same

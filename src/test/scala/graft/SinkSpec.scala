@@ -597,4 +597,104 @@ class SinkSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
   }
+
+  test("multi-writer: interleaved appenders all land; a stale commit fails loudly, never silently") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_mw").resolve("tbl").toString
+    // (a) IN-PROCESS interleaving: two appender threads race 4 commits
+    // each on one table — the per-table lock serializes them, so every
+    // generation lands (8 generations, 200 rows, no lost update)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try {
+          for (i <- 0 until 4)
+            W.appendManifested(spark,  dir,
+              spark.range(t * 1000 + i * 100, t * 1000 + i * 100 + 25).toDF("id"))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"appender threads failed: ${errs.asScala.toList}")
+    assert(W.readManifested(spark, dir).count() == 200L,
+      "a concurrent append was silently lost")
+    // the trail head always equals the pointer (the r12 invariant,
+    // preserved under concurrency)
+    val (fs, root) = graft.operators.ManifestIo.resolve(
+      dir, spark.sparkContext.hadoopConfiguration)
+    val P = new org.apache.hadoop.fs.Path(_: org.apache.hadoop.fs.Path, _: String)
+    val vMax = W.snapshots(dir).max
+    assert(vMax == 8L, s"expected 8 committed versions, got $vMax")
+    assert(graft.operators.ManifestIo.readString(fs, P(root, s"_manifest-$vMax"))
+      == graft.operators.ManifestIo.readString(fs, P(root, "_current")))
+
+    // (b) CROSS-PROCESS CAS: a writer that read the pointer at version
+    // v, then was overtaken (simulated: another committer claimed
+    // v+1), must fail its commit LOUDLY — the version file is
+    // create-exclusive, so the stale writer cannot swap the pointer
+    // over the winner's generation list
+    val curGens = graft.operators.ManifestIo.readString(fs, P(root, "_current"))
+    intercept[java.util.ConcurrentModificationException] {
+      W.commitManifest(fs, root, P(root, "_current"),
+        Seq(".gen-99"), expectedVersion = vMax - 1) // stale: vMax exists
+    }
+    // nothing moved: pointer and trail untouched by the refused commit
+    assert(graft.operators.ManifestIo.readString(fs, P(root, "_current")) == curGens)
+    assert(W.snapshots(dir).max == vMax)
+    // and the CAS primitive itself: second claim of the same version
+    // file reports the loss (first claim wins)
+    assert(!graft.operators.ManifestIo.putIfAbsent(fs,
+      P(root, s"_manifest-$vMax"), "anything"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("vacuum: aborted-commit debris is GC'd; the table and retained snapshots read unchanged") {
+    val W = graft.operators.Warehouse
+    val IO = graft.operators.ManifestIo
+    val dir = Files.createTempDirectory("graft_vac").resolve("tbl").toString
+    W.appendManifested(spark, dir, spark.range(0, 50).toDF("id"))   // v1
+    W.appendManifested(spark, dir, spark.range(100, 150).toDF("id")) // v2
+    val beforeN = W.readManifested(spark, dir).count()
+    val (fs, root) = IO.resolve(dir, spark.sparkContext.hadoopConfiguration)
+    val P = new org.apache.hadoop.fs.Path(_: org.apache.hadoop.fs.Path, _: String)
+
+    // simulate THREE crash windows:
+    // (1) crash after a generation's data write, before its commit
+    //     (an append that died, or a compaction fold whose CAS lost)
+    spark.range(900, 950).toDF("id").write.parquet(P(root, ".gen-9").toString)
+    // (2) crash between the _manifest-v claim and the _current swap:
+    //     an uncommitted trailer referencing an in-flight generation
+    spark.range(950, 999).toDF("id").write.parquet(P(root, ".gen-7").toString)
+    assert(IO.putIfAbsent(fs, P(root, "_manifest-3"), ".gen-0\n.gen-1\n.gen-7"))
+    // (3) crash inside the pointer swap itself
+    assert(IO.putIfAbsent(fs, P(root, "._current.tmp"), "junk"))
+
+    // the damage is real before vacuum: the trail advertises v3,
+    // which no reader could ever have resolved through _current
+    assert(W.snapshots(dir) == Seq(1L, 2L, 3L))
+
+    val report = W.vacuum(spark, dir)
+    assert(report.removedGenerations == Seq(".gen-7", ".gen-9"), report)
+    assert(report.removedManifests == Seq(3L), report)
+    assert(report.removedPointerTmp, report)
+
+    // table content unchanged; both RETAINED snapshots still resolve
+    assert(W.readManifested(spark, dir).count() == beforeN)
+    assert(W.snapshots(dir) == Seq(1L, 2L))
+    assert(W.readManifestedAt(spark, dir, 1L).count() == 50)
+    assert(W.readManifestedAt(spark, dir, 2L).count() == 100)
+    // idempotent: a second vacuum finds nothing
+    val again = W.vacuum(spark, dir)
+    assert(again.removedGenerations.isEmpty && again.removedManifests.isEmpty
+      && !again.removedPointerTmp, again)
+    // and a leaf with nothing committed is left untouched
+    val empty = Files.createTempDirectory("graft_vac2").resolve("t2").toString
+    assert(W.vacuum(spark, empty) ==
+      W.VacuumReport(Nil, Nil, removedPointerTmp = false))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(empty).getParentFile)
+  }
 }
