@@ -374,12 +374,17 @@ object Multimodal {
     * and the representative argmax. The report is clusters-sized
     * (≪ corpus). */
   def crossModalDupReport(docs: DataFrame): DataFrame = {
-    val tagged = Dedup.jaccardPairs(docs)
+    // eagerCut: the tagged pair set feeds BOTH the component closure
+    // and the modality rollup — without the barrier each branch would
+    // re-run all three pair generators (the dHash branch re-decodes
+    // the whole corpus through the codec). Pairs-sized (≪ corpus),
+    // blocks reclaimed when the result is dereferenced.
+    val tagged = eagerCut(Dedup.jaccardPairs(docs)
       .select(col("a_id"), col("b_id")).withColumn("modality", lit("text"))
       .unionByName(dHashNearDupPairs(docs)
         .select(col("a_id"), col("b_id")).withColumn("modality", lit("image")))
       .unionByName(audioNearDupPairs(docs)
-        .select(col("a_id"), col("b_id")).withColumn("modality", lit("audio")))
+        .select(col("a_id"), col("b_id")).withColumn("modality", lit("audio"))))
     val clusters = Dedup.duplicateClusters(
       tagged.select(col("a_id"), col("b_id")).distinct())
     val modal = tagged

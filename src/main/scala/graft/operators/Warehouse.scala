@@ -804,6 +804,23 @@ object Warehouse {
     * under the per-table lock; at 100 TB this is the same listing +
     * bounded-delete pass per leaf, embarrassingly parallel across
     * leaves. */
+  /** [[vacuum]] over a partitioned root: the [[manifestLeaves]] walk,
+    * one vacuum per leaf (each under its own table lock — leaves are
+    * independent, exactly like their commits). Returns root-relative
+    * leaf path → report, reporting only leaves where anything was
+    * removed. */
+  def vacuumPartitioned(spark: SparkSession, rootDir: String): Map[String, VacuumReport] = {
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    require(ManifestIo.isDirectory(fs, root),
+      s"vacuumPartitioned: $rootDir is not a directory")
+    manifestLeaves(fs, root).map { leaf =>
+      relPath(root, leaf) -> vacuum(spark, leaf.toString)
+    }.filter { case (_, r) =>
+      r.removedGenerations.nonEmpty || r.removedManifests.nonEmpty ||
+        r.removedPointerTmp
+    }.toMap
+  }
+
   def vacuum(spark: SparkSession, dir: String): VacuumReport = {
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     withTableLock(root) {

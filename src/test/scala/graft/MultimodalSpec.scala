@@ -197,6 +197,66 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("cross-modal report: image and audio edges fuse one cluster; modality tags and d20 rep (m14)") {
+    // the semantic m14 pins: (1) TRANSITIVITY across modalities — A
+    // pairs with B only as images (shared 8×9 dHash window: A extends
+    // B with a divergent tail past byte 233), B pairs with C only as
+    // audio (the m13 time-stretch twin) — yet all three land in ONE
+    // cluster whose modality set is exactly {audio, image}; (2) a
+    // pure-text cluster tags "text"; (3) an unrelated doc never
+    // appears; (4) the representative follows the d20 rule
+    // ((quality desc, doc_id asc) argmax), not min-id.
+    val base = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    // tail: many distinct words (text Jaccard vs base < 0.5) with a
+    // loud on/off energy envelope (audio distance vs base stays far)
+    val tail = (0 until 24).map(i =>
+      if (i % 2 == 0) "z" * 12 else s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> (base + " " + tail),          // A: image-twin of B, nothing else
+      2L -> base,                         // B
+      3L -> base.flatMap(c => s"$c$c"),   // C: audio-twin of B (2x stretch)
+      4L -> "completely unrelated payload with its own words entirely",
+      5L -> (base + " alpha"),            // E: text near-dup of F
+      6L -> (base + " beta")              // F
+    ).toDF("doc_id", "text")
+    val rep = Multimodal.crossModalDupReport(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    // expected clusters: {1,2,3} via image+audio … except E/F ALSO
+    // text-pair with A and B (same 20-char prefix, Jaccard vs base is
+    // high since they add one word) — compute the expected partition
+    // from the kernel's own pair sets to keep the fixture honest
+    val textPairs = graft.operators.Dedup.jaccardPairs(docs)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // E/F extend base by ONE word: Jaccard = 9/10 ≥ 0.5 vs base, so
+    // text edges fold 2,5,6 together (and A stays sub-threshold:
+    // its 12 tail words push it below 0.5)
+    assert(textPairs == Set((2L, 5L), (2L, 6L), (5L, 6L)), s"text: $textPairs")
+    val imgPairs = Multimodal.dHashNearDupPairs(docs)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(imgPairs.contains((1L, 2L)) && !imgPairs.exists(p =>
+        p._1 == 3L || p._2 == 3L), s"image: $imgPairs")
+    val audPairs = Multimodal.audioNearDupPairs(docs)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(audPairs.contains((2L, 3L)) && !audPairs.contains((1L, 2L)),
+      s"audio: $audPairs")
+    // everything except doc 4 is one component; modalities = all three
+    assert(rep.length == 1, s"got ${rep.toSeq}")
+    val (cid, n, mods, repId) = rep.head
+    assert(cid == 1L && n == 5L, s"got ${rep.toSeq}")
+    assert(mods.split(",").toSet.subsetOf(Set("audio", "image", "text"))
+      && mods.contains("image") && mods.contains("audio") && mods.contains("text"),
+      s"modalities: $mods")
+    // d20 rule: the (quality desc, doc_id asc) argmax over the members
+    val quality = graft.operators.TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expectedRep = Seq(1L, 2L, 3L, 5L, 6L)
+      .maxBy(id => (quality(id), -id))
+    assert(repId == expectedRep,
+      s"rep $repId != d20 argmax $expectedRep (quality: $quality)")
+  }
+
   test("decoded frame-row sums == per-32-byte-span sums, stride honored (m07)") {
     val got = Multimodal.frameRowStats(docsDF).collect()
       .groupBy(_.doc_id).view.mapValues(_.map(r => r.frame_idx -> r.px_sum).toMap).toMap

@@ -649,6 +649,39 @@ class SinkSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("multi-writer: an appender racing a compactor loses nothing") {
+    // mixed op types are the harder in-process race: append and
+    // compact both read-modify-write the pointer, so unserialized
+    // they could bury each other's commit. The per-table lock makes
+    // every interleaving equivalent to SOME sequential order — all
+    // appended rows must survive however the compactions land.
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_mw2").resolve("tbl").toString
+    W.appendManifested(spark, dir, spark.range(0, 10).toDF("id"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val app = new Thread(() => {
+      try {
+        for (i <- 1 to 5)
+          W.appendManifested(spark, dir,
+            spark.range(i * 100, i * 100 + 10).toDF("id"))
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val comp = new Thread(() => {
+      try {
+        for (_ <- 1 to 3)
+          W.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    app.start(); comp.start(); app.join(); comp.join()
+    assert(errs.isEmpty, s"racing writers failed: ${errs.asScala.toList}")
+    val back = W.readManifested(spark, dir)
+    assert(back.count() == 60L, "an append was buried by a compaction")
+    assert(back.agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 10).sum + (1 to 5).map(i => (0L until 10).map(_ + i * 100).sum).sum)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("vacuum: aborted-commit debris is GC'd; the table and retained snapshots read unchanged") {
     val W = graft.operators.Warehouse
     val IO = graft.operators.ManifestIo
@@ -692,6 +725,21 @@ class SinkSpec extends SparkSpec {
     val empty = Files.createTempDirectory("graft_vac2").resolve("t2").toString
     assert(W.vacuum(spark, empty) ==
       W.VacuumReport(Nil, Nil, removedPointerTmp = false))
+    // partitioned root: per-leaf vacuum, only dirty leaves reported
+    val proot = Files.createTempDirectory("graft_vac3").resolve("tbl").toString
+    spark.range(0, 20).toDF("id")
+      .withColumn("lang", when(col("id") % 2 === 0, lit("en")).otherwise(lit("de")))
+      .write.partitionBy("lang").mode("overwrite").parquet(proot)
+    W.compactManifestedPartitioned(spark, proot, targetFileBytes = 1L << 30)
+    spark.range(0, 5).toDF("id")
+      .write.parquet(P(IO.resolve(s"$proot/lang=en",
+        spark.sparkContext.hadoopConfiguration)._2, ".gen-9").toString)
+    val preport = W.vacuumPartitioned(spark, proot)
+    assert(preport == Map("lang=en" -> W.VacuumReport(Seq(".gen-9"), Nil,
+      removedPointerTmp = false)), preport)
+    assert(W.readManifestedPartitioned(spark, proot).count() == 20L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(proot).getParentFile)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
     org.apache.commons.io.FileUtils.deleteQuietly(
