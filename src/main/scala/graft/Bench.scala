@@ -76,13 +76,16 @@ object Bench {
     // host-drag episodes each landed on a contiguous span of the fixed
     // alphabetical order, so the same (st/t) families absorbed the
     // inflation every time — family and drag-window were perfectly
-    // correlated. A deterministic permutation (round-stable seed, so
-    // reruns within a round are comparable) decorrelates them: a drag
-    // window now hits a random query subset. REPORTING order (summary
-    // line, detail-file keys) stays alphabetical for round-over-round
-    // diffing; each detail entry records its executed position as
-    // "pos" so any drag window is locatable in the artifact.
-    val orderSeed = 12L
+    // correlated. A deterministic permutation (round-stable seed —
+    // bumped each round, so reruns within a round are comparable but
+    // no query keeps its position ACROSS rounds) decorrelates them: a
+    // drag window now hits a random query subset, and a shared-build
+    // cold cost rotates its first-toucher per round. REPORTING order
+    // (summary line, detail-file keys) stays alphabetical for
+    // round-over-round diffing; each detail entry records its
+    // executed position as "pos" so any drag window is locatable in
+    // the artifact.
+    val orderSeed = 13L
     val ordered = new scala.util.Random(orderSeed)
       .shuffle(selected.toSeq.sortBy(_._1))
     val results = ordered.zipWithIndex.map { case ((name, fn), pos) =>

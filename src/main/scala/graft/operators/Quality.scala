@@ -189,6 +189,28 @@ object Quality {
     // the "new" snapshot is a deterministic mutation of customer:
     // custkey % 11 == 0 gets a balance bump (changed), % 13 == 0 is
     // dropped (removed), and a shifted-id copy of % 17 == 0 is added
+    // ROW-LEVEL DELETE under the correctness gate: build (once per
+    // process+sf) a manifested documents table, tombstone doc_id % 7
+    // == 0 (a merge-on-read delete — O(delete set) commit, no data
+    // rewrite), then read through the manifest and profile what
+    // survives per language. The oracle recomputes the expectation
+    // straight from `documents`, so a read path that under- or
+    // over-applies the tombstone (wrong ordering, wrong key, lost
+    // generation) hash-fails here — Warehouse.deleteManifested's
+    // driver-gated twin to v08's time travel.
+    "v09_delete_survivors" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifdelete", d) { dir =>
+        val docs = t(s, d, "documents")
+        Warehouse.appendManifested(s, dir, docs)
+        Warehouse.deleteManifested(s, dir,
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      }
+      Warehouse.readManifested(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
     "v06_snapshot_diff" -> ((s, d) => {
       val cust = t(s, d, "customer")
       val nu = cust.filter(col("c_custkey") % 13 =!= 0)
@@ -250,6 +272,13 @@ object Quality {
            CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
              AS n_added
          FROM documents""",
+    // the survivors recomputed straight from the source table: every
+    // doc except the tombstoned residue class
+    "v09_delete_survivors" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents WHERE doc_id % 7 <> 0
+         GROUP BY lang ORDER BY lang""",
     "v07_key_skew" ->
       """WITH c AS (
            SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),

@@ -338,19 +338,20 @@ object Warehouse {
     // in-process lock); `expected` anchors the version CAS at commit.
     val cur = readPointer(fs, pointer)
     val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
-    val curIds = cur.map(_.stripPrefix(".gen-").toLong)
     val bytes = cur.map(g => ManifestIo.list(fs, new HPath(root, g))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val nextId = curIds.max + 1
+    val nextId = cur.map(entryId).max + 1
     val next = s".gen-$nextId"
     // the new generation is invisible until the pointer flips, so it
-    // can be written in place — no staging rename needed. mergeSchema:
-    // the fold must carry an evolved (add-a-column) union forward, not
-    // silently truncate it to the first generation's schema.
-    spark.read.option("mergeSchema", "true")
-      .parquet(cur.map(g => new HPath(root, g).toString): _*)
+    // can be written in place — no staging rename needed. The fold
+    // reads through [[scanGens]]: schema evolution carries forward
+    // (mergeSchema / union-by-name), and any `.del-` tombstones are
+    // APPLIED AND RETIRED — the folded generation is the merge-on-read
+    // state materialized, so compaction is also the delete-compaction
+    // (Iceberg's rewrite-data-files with delete-file cleanup).
+    scanGens(spark, root, cur)
       .repartition(nFiles)
       .write.mode("overwrite").parquet(new HPath(root, next).toString)
     // CAS commit: if a cross-process writer advanced the trail since
@@ -372,7 +373,9 @@ object Warehouse {
         .flatMap(x => readPointer(fs, new HPath(root, s"_manifest-$x"))) ++
         (if (retainSnapshots >= 1) cur else Seq.empty) :+ next).toSet
     ManifestIo.list(fs, root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".gen-") &&
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith(".gen-") ||
+          st.getPath.getName.startsWith(".del-")) &&
         !keepGens.contains(st.getPath.getName))
       .foreach(st => ManifestIo.delete(fs, st.getPath))
     ManifestIo.list(fs, root)
@@ -490,7 +493,7 @@ object Warehouse {
         else Seq.empty
       val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
       val nextId = genId.getOrElse(
-        gens.map(_.stripPrefix(".gen-").toLong).foldLeft(-1L)(math.max) + 1)
+        gens.map(entryId).foldLeft(-1L)(math.max) + 1)
       val next = s".gen-$nextId"
       df.write.mode("overwrite").parquet(new HPath(root, next).toString)
       if (gens.contains(next)) committed = nextId // idempotent re-fire
@@ -510,10 +513,99 @@ object Warehouse {
   }
 
   /** The manifest's generation list (newline-separated; single-line
-    * pointers — the compaction steady state — are a 1-element list). */
+    * pointers — the compaction steady state — are a 1-element list).
+    * Entries are data generations (`.gen-<id>`) or tombstone
+    * generations (`.del-<id>`, [[deleteManifested]]); both draw ids
+    * from ONE sequence, because the id ORDER is the merge-on-read
+    * semantics (a tombstone suppresses only earlier generations). */
   private def readPointer(fs: HFs, pointer: HPath): Seq[String] =
     ManifestIo.readString(fs, pointer).trim
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** The shared id sequence under `.gen-<id>` / `.del-<id>` names. */
+  private def entryId(name: String): Long =
+    name.substring(name.lastIndexOf('-') + 1).toLong
+
+  /** Scan a committed generation list: the union of the data
+    * generations with any `.del-` tombstones applied in ID ORDER — a
+    * tombstoned key disappears from every generation committed BEFORE
+    * the tombstone and SURVIVES in any committed after (re-insert
+    * semantics: delete then append genuinely resurrects the key),
+    * exactly the merge-on-read contract of Delta deletion vectors /
+    * Iceberg equality deletes, keyed rather than positional.
+    *
+    * Fast path: no tombstones in the list (the steady state —
+    * compaction retires them) reads as ONE multi-path mergeSchema
+    * scan, unchanged from pre-delete rounds. With tombstones, each
+    * generation is read tagged with its id (union-by-name with
+    * null-fill — the same additive-evolution semantics mergeSchema
+    * gives) and the suppression is one left_anti join against the
+    * tombstone keys with the `tid > gid` ordering predicate; the
+    * tombstone side is delete-sized (small), so at scale this is a
+    * broadcast anti join over the scan, not a second shuffle. */
+  private def scanGens(spark: SparkSession, root: HPath,
+                       gens: Seq[String]): DataFrame = {
+    val (dels, datas) = gens.partition(_.startsWith(".del-"))
+    if (dels.isEmpty)
+      spark.read.option("mergeSchema", "true")
+        .parquet(datas.map(g => new HPath(root, g).toString): _*)
+    else {
+      val data = datas.map { g =>
+        spark.read.parquet(new HPath(root, g).toString)
+          .withColumn("_gid", lit(entryId(g)))
+      }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+      // every tombstone carries ONE column whose NAME is the table's
+      // key column ([[deleteManifested]] enforces it at write time)
+      val keyCols = dels.map(g =>
+        spark.read.parquet(new HPath(root, g).toString).columns.toSeq).distinct
+      require(keyCols.size == 1 && keyCols.head.size == 1,
+        s"scanGens: tombstones disagree on the key column: $keyCols")
+      val key = keyCols.head.head
+      val tomb = dels.map { g =>
+        spark.read.parquet(new HPath(root, g).toString)
+          .select(col(key).as("_tkey")).withColumn("_tid", lit(entryId(g)))
+      }.reduceLeft(_.unionByName(_))
+      data.join(broadcast(tomb),
+          data(key) === tomb("_tkey") && tomb("_tid") > data("_gid"),
+          "left_anti")
+        .drop("_gid")
+    }
+  }
+
+  /** ROW-LEVEL DELETE as a tombstone commit — the merge-on-read
+    * delete (Delta deletion vectors / Iceberg equality-delete files,
+    * keyed): `keys` (exactly one column, named the table's key
+    * column) becomes an immutable `.del-<id>` generation and the
+    * pointer swaps to the old list plus the tombstone — one O(delete
+    * set) write and one pointer commit, NEVER a rewrite of the data
+    * (the delete-a-few-rows-from-100 TB operation). Readers apply it
+    * ordered (see [[scanGens]]): earlier generations lose the keys,
+    * a LATER append legitimately re-inserts them. Compaction
+    * materializes the suppression and retires the tombstone; GC,
+    * retention, time travel ([[readManifestedAt]] resolves a
+    * pre-delete snapshot WITH its rows — deletion is versioned like
+    * any commit), vacuum, and the multi-writer CAS all treat `.del-`
+    * entries as ordinary generations. Returns the tombstone's id. */
+  def deleteManifested(spark: SparkSession, dir: String,
+                       keys: DataFrame): Long = {
+    require(keys.columns.length == 1,
+      s"deleteManifested: keys must be exactly the key column, got " +
+        keys.columns.mkString(", "))
+    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
+    withTableLock(root) {
+      val pointer = new HPath(root, "_current")
+      require(ManifestIo.exists(fs, pointer),
+        s"deleteManifested: $dir has no committed table")
+      val gens = readPointer(fs, pointer)
+      val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
+      val nextId = gens.map(entryId).foldLeft(-1L)(math.max) + 1
+      val next = s".del-$nextId"
+      keys.distinct().write.mode("overwrite")
+        .parquet(new HPath(root, next).toString)
+      commitManifest(fs, root, pointer, gens :+ next, expected)
+      nextId
+    }
+  }
 
   /** Commit manifest VERSION `expectedVersion + 1`: claim the
     * immutable history file `_manifest-<v>` by CREATE-EXCLUSIVE (the
@@ -591,8 +683,10 @@ object Warehouse {
         s"readManifestedAt: snapshot $version of $dir lists $g, which " +
           "has been garbage-collected (retention window moved past it)")
     }
-    spark.read.option("mergeSchema", "true")
-      .parquet(gens.map(g => new HPath(root, g).toString): _*)
+    // scanGens: a snapshot taken BEFORE a delete reads with its rows;
+    // one taken after applies the tombstone — deletes are versioned
+    // like any commit
+    scanGens(spark, root, gens)
   }
 
   // The pointer swap itself — synced tmp write, atomic rename, parent
@@ -620,13 +714,13 @@ object Warehouse {
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     def resolveDf(): DataFrame = {
       val gens = readPointer(fs, new HPath(root, "_current"))
-      // mergeSchema: generations may evolve additively (see
-      // appendManifested) — older generations surface the added column
-      // as null. Cost is one footer read per file at planning, paid
-      // only while the manifest lists >1 generation (the compaction
-      // steady state is one).
-      spark.read.option("mergeSchema", "true")
-        .parquet(gens.map(g => new HPath(root, g).toString): _*)
+      // scanGens: additive schema evolution carries (mergeSchema /
+      // union-by-name null-fill — cost is one footer read per file at
+      // planning, paid only while the manifest lists >1 generation),
+      // and `.del-` tombstones apply in id order (merge-on-read; the
+      // tombstone-free steady state is the same single multi-path
+      // scan as always).
+      scanGens(spark, root, gens)
     }
     try resolveDf()
     catch { case _: org.apache.spark.sql.AnalysisException => resolveDf() }
@@ -840,7 +934,8 @@ object Warehouse {
           (versions.filterNot(crashed.contains).flatMap(bodies) ++ cur).toSet
         val orphans = ManifestIo.list(fs, root)
           .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith(".gen-") &&
+            (st.getPath.getName.startsWith(".gen-") ||
+              st.getPath.getName.startsWith(".del-")) &&
             !referenced.contains(st.getPath.getName))
           .map(_.getPath).toSeq
         orphans.foreach(p => ManifestIo.delete(fs, p))

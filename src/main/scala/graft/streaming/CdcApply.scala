@@ -80,4 +80,74 @@ object CdcApply {
     }
     readState(scoped, stateDir)
   }
+
+  // -------------------------------------------- manifested state table
+  /** The SAME CDC merge loop onto a TRANSACTIONAL manifested table —
+    * the upgrade [[applyBatch]]'s scaladoc promises ("at 100 TB the
+    * rewrite is a table-format commit rather than a parquet dir
+    * swap"): per batch, the event-time-LWW merge for the BATCH'S keys
+    * reads through the manifest, the superseded rows retire via a
+    * tombstone commit (`deleteManifested` — O(batch keys), never a
+    * state rewrite) and the merged rows append as a new generation —
+    * two CAS-guarded pointer commits per batch, each crash-safe, with
+    * a periodic `compactManifested` folding the generation/tombstone
+    * trail back to one (the delete-compaction under a live stream).
+    *
+    * The merge register is the same associative+commutative
+    * max-struct, so the final table equals the batch answer under ANY
+    * micro-batch partitioning — st11's invariance, now with
+    * transactional state. A re-fired batch is CONTENT-idempotent:
+    * `greatest(s, s) = s`, so the retry tombstones and re-appends
+    * byte-identical rows (it spends two more generations, folded by
+    * the next compaction — the same trade st22/st25 document).
+    * The merged rows are eagerCut BEFORE the tombstone commit: the
+    * merge read the very generations the delete supersedes. */
+  def applyBatchManifested(batch: DataFrame, tableDir: String): Unit = {
+    val spark = batch.sparkSession
+    val W = graft.operators.Warehouse
+    val updates = lastPerKey(batch)
+    val cur =
+      if (W.snapshots(tableDir).nonEmpty)
+        W.readManifested(spark, tableDir)
+          .join(updates.select(col("user_id")), Seq("user_id"), "left_semi")
+      else updates.limit(0)
+    val merged = graft.operators.eagerCut(
+      cur.select(col("user_id"), col("s").as("cur_s"))
+        .join(updates.select(col("user_id"), col("s").as("new_s")),
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"), greatest(col("cur_s"), col("new_s")).as("s")))
+    if (W.snapshots(tableDir).nonEmpty)
+      W.deleteManifested(spark, tableDir, merged.select(col("user_id")))
+    W.appendManifested(spark, tableDir, merged)
+  }
+
+  def runCdcApplyManifested(spark: SparkSession, dir: String,
+                            tableDir: String): DataFrame = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcm_ckpt")
+    try {
+      val q = EventStreams.readEventStream(scoped, dir).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          applyBatchManifested(batch.toDF(), tableDir)
+          // periodic maintenance under the live stream: fold the
+          // accumulated generation+tombstone trail back to one
+          if (batchId % 4 == 3) {
+            graft.operators.Warehouse.compactManifested(
+              batch.sparkSession, tableDir, targetFileBytes = 1L << 30)
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    }
+    graft.operators.Warehouse.readManifested(scoped, tableDir)
+      .select(col("user_id"), col("s.ts_us").as("ts_us"),
+        col("s.event_id").as("event_id"),
+        col("s.event_type").as("event_type"), col("s.value_q").as("value_q"))
+  }
 }

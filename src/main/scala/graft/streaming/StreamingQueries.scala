@@ -156,6 +156,19 @@ object StreamingQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
       out
     }),
+    // the st11 CDC loop onto the TRANSACTIONAL manifested table (r13):
+    // per batch a tombstone retires the superseded keys and the merged
+    // rows append — two CAS-guarded commits, periodic delete-compaction
+    // under the live stream; same event-time-LWW oracle as st11 (the
+    // state-table mechanism must be invisible in the result)
+    "st27_stream_cdc_manifested" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_st27")
+      val table = root.resolve("table").toString
+      val out = graft.operators.eagerCut(
+        CdcApply.runCdcApplyManifested(s, d, table).orderBy(col("user_id")))
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      out
+    }),
     // Spark 4 transformWithState (state v2): ValueState running profile
     // on the RocksDB store, update mode; final profile per key must
     // equal the batch aggregate
@@ -229,6 +242,21 @@ object StreamingQueries {
          WHERE a.session_seq < l.last_seq
             OR ((a.session_end_us + 1800000000 + 999) // 1000) < wm.wm_ms
          ORDER BY a.user_id, a.session_seq"""
+
+  /** Event-time last-writer-wins per user — the CDC state contract
+    * shared by st11 (dir-swap state) and st27 (manifested state): ONE
+    * oracle text, so the two mechanisms can never drift apart. */
+  private val CdcLwwOracleSql =
+    """WITH ev AS (
+         SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us, event_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS value_q
+         FROM events),
+       r AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rk
+         FROM ev)
+       SELECT user_id, ts_us, event_id, event_type, value_q
+       FROM r WHERE rk = 1 ORDER BY user_id"""
 
   def oracleSql: Map[String, String] = Map(
     // the streamed serve answers to the SAME oracle as the batch ADC
@@ -321,17 +349,11 @@ object StreamingQueries {
          SELECT user_id, CAST(len(seq) AS BIGINT) AS n_done,
            list_reduce(seq, (s, x) -> (85 * s + 15 * x) // 100) AS ewma_q
          FROM agg ORDER BY user_id""",
-    "st11_cdc_apply" ->
-      """WITH ev AS (
-           SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us, event_id, event_type,
-             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS value_q
-           FROM events),
-         r AS (
-           SELECT *, row_number() OVER (
-             PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rk
-           FROM ev)
-         SELECT user_id, ts_us, event_id, event_type, value_q
-         FROM r WHERE rk = 1 ORDER BY user_id""",
+    "st11_cdc_apply" -> CdcLwwOracleSql,
+    // identical oracle to st11 BY DESIGN: the manifested state table
+    // (tombstone+append commits, mid-stream compaction) must produce
+    // the same event-time-LWW answer as the dir-swap state table
+    "st27_stream_cdc_manifested" -> CdcLwwOracleSql,
     "st10_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_q

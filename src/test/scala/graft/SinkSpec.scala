@@ -682,6 +682,63 @@ class SinkSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("row-level deletes: tombstone commit, ordered re-insert, versioned time travel, compaction retires") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_del").resolve("tbl").toString
+    W.appendManifested(spark, dir, spark.range(0, 50).toDF("id"))    // v1: .gen-0
+    W.appendManifested(spark, dir, spark.range(50, 100).toDF("id"))  // v2: .gen-1
+    // the delete is O(delete set): a tombstone generation + a pointer
+    // swap, never a data rewrite
+    W.deleteManifested(spark, dir,
+      spark.range(0, 100).toDF("id").filter(col("id") % 2 === 0))    // v3: .del-2
+    assert(W.readManifested(spark, dir).count() == 50L)
+    assert(W.readManifested(spark, dir)
+      .agg(min(col("id"))).head.getLong(0) == 1L)
+    // ORDERED semantics: an append AFTER the tombstone re-inserts —
+    // ids 0..9 come back (their even members included), joining the
+    // odd survivors from the earlier generations
+    W.appendManifested(spark, dir, spark.range(0, 10).toDF("id"))    // v4: .gen-3
+    assert(W.readManifested(spark, dir).count() == 60L)
+    assert(W.readManifested(spark, dir)
+      .filter(col("id") === 0).count() == 1L, "re-insert was suppressed")
+    // deletes are VERSIONED: the pre-delete snapshot still has its
+    // rows, the post-delete snapshot applies the tombstone
+    assert(W.readManifestedAt(spark, dir, 2L).count() == 100L)
+    assert(W.readManifestedAt(spark, dir, 3L).count() == 50L)
+    // compaction materializes the suppression and RETIRES the
+    // tombstone from the CURRENT manifest — but retention keeps the
+    // prior snapshot readable, tombstone included (deletes GC like
+    // any generation: with the window, not before it)
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30)      // v5
+    assert(W.readManifested(spark, dir).count() == 60L)
+    assert(!java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_current")).contains(".del-"))
+    assert(W.readManifestedAt(spark, dir, 4L).count() == 60L)
+    // the second compaction moves the window past it: tombstone dir GC'd
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30)      // v6
+    assert(W.readManifested(spark, dir).count() == 60L)
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!left.exists(_.startsWith(".del-")), s"tombstone survived: $left")
+    // a second delete against the compacted table works the same —
+    // key-based: it removes EVERY row carrying the key (ids 1 and 3
+    // exist twice after the re-insert, so 4 keys remove 6 rows)
+    W.deleteManifested(spark, dir, spark.range(0, 4).toDF("id"))
+    assert(W.readManifested(spark, dir).count() == 54L)
+    // delete against nothing fails loudly; a multi-column key is refused
+    val empty = Files.createTempDirectory("graft_del2").resolve("t2").toString
+    intercept[IllegalArgumentException] {
+      W.deleteManifested(spark, empty, spark.range(0, 1).toDF("id"))
+    }
+    intercept[IllegalArgumentException] {
+      W.deleteManifested(spark, dir,
+        spark.range(0, 1).toDF("id").withColumn("x", lit(1)))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(empty).getParentFile)
+  }
+
   test("vacuum: aborted-commit debris is GC'd; the table and retained snapshots read unchanged") {
     val W = graft.operators.Warehouse
     val IO = graft.operators.ManifestIo
