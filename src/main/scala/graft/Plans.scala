@@ -43,6 +43,8 @@ object Plans {
       // facts stream through the map-side anti join and only surviving
       // keys reach the exchange (post-partial-agg) either way
       "v02_ref_integrity" -> "orphan scan: broadcast anti join map-side; only distinct keys reach the exchange",
+      "m14_crossmodal_dup_report" -> "three banded pair sets, one eagerCut, components over their union - never a product",
+      "v09_delete_survivors" -> "tombstone apply is a broadcast left_anti over the scan; corpus never shuffles for a delete",
       "s16_retrieve_rerank" -> "two-stage ANN serve: broadcast shortlist meets the corpus; exact rerank never shuffles it",
       "v07_key_skew" -> "skew profile: map-side key counts; global top-N is a TakeOrdered, not a sort",
       // the plan shows PASS 2 only (the narrow offset scan); pass 1 —

@@ -292,6 +292,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"unexpected shuffle count $exchanges:\n$p")
   }
 
+  test("tombstone read: the delete anti join BROADCASTS the tombstone side, never an SMJ") {
+    // the scanGens contract at 100 TB: the data side is the corpus and
+    // must not shuffle for the suppression — the delete-sized tombstone
+    // union ships to it as a broadcast left_anti
+    val W = graft.operators.Warehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft_plandel")
+      .resolve("tbl").toString
+    W.appendManifested(spark, dir, spark.range(0, 1000).toDF("id"))
+    W.deleteManifested(spark, dir, spark.range(0, 10).toDF("id"))
+    val p = W.readManifested(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstone apply is not a broadcast anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a delete:\n$p")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("merge-then-extract fires in the applied-enrichment projection") {
     import graft.operators.ZhEnrich
     import graft.sources.OsmFixture
