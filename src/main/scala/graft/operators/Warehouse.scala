@@ -598,6 +598,16 @@ object Warehouse {
         s"deleteManifested: $dir has no committed table")
       val gens = readPointer(fs, pointer)
       val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
+      // refuse an unknown key column AT COMMIT TIME (footer-only schema
+      // probe of one data generation) — otherwise the mistake would
+      // surface later, as a reader's resolution error
+      val key = keys.columns.head
+      gens.find(!_.startsWith(".del-")).foreach { g =>
+        val cols = spark.read.parquet(new HPath(root, g).toString).columns
+        require(cols.contains(key),
+          s"deleteManifested: $dir has no column '$key' " +
+            s"(columns: ${cols.mkString(", ")})")
+      }
       val nextId = gens.map(entryId).foldLeft(-1L)(math.max) + 1
       val next = s".del-$nextId"
       keys.distinct().write.mode("overwrite")
@@ -860,6 +870,35 @@ object Warehouse {
         (e.getCause ne e) && missingFile(e.getCause, depth + 1))
     try attempt
     catch { case e: Throwable if missingFile(e) => attempt }
+  }
+
+  /** DESCRIBE HISTORY for a manifested leaf — the Delta `DESCRIBE
+    * HISTORY` / Iceberg snapshots-table analogue: one row per RETAINED
+    * manifest version (ascending), with the committed entry list, the
+    * generation/tombstone split, and whether this version is the
+    * current pointer. Table metadata is manifest-sized by design, so
+    * this is a driver-side listing materialized as a local DataFrame —
+    * the audit/debug companion to [[readManifestedAt]] (its `version`
+    * column is exactly what that call accepts). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
+    val pointer = new HPath(root, "_current")
+    val cur =
+      if (ManifestIo.exists(fs, pointer)) readPointer(fs, pointer)
+      else Seq.empty
+    val rows = manifestVersions(fs, root).map { v =>
+      val gens = readPointer(fs, new HPath(root, s"_manifest-$v"))
+      org.apache.spark.sql.Row(v,
+        gens.mkString(","),
+        gens.count(!_.startsWith(".del-")).toLong,
+        gens.count(_.startsWith(".del-")).toLong,
+        gens == cur)
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "version BIGINT, entries STRING, n_data_gens BIGINT, " +
+          "n_tombstones BIGINT, is_current BOOLEAN"))
   }
 
   /** What [[vacuum]] removed from a manifested leaf. */

@@ -724,6 +724,17 @@ class SinkSpec extends SparkSpec {
     // exist twice after the re-insert, so 4 keys remove 6 rows)
     W.deleteManifested(spark, dir, spark.range(0, 4).toDF("id"))
     assert(W.readManifested(spark, dir).count() == 54L)
+    // DESCRIBE HISTORY: retained versions ascending, the tombstone
+    // split visible, exactly one current row matching the pointer,
+    // and every listed version resolvable by readManifestedAt
+    val hist = W.history(spark, dir).orderBy(col("version")).collect()
+    assert(hist.map(_.getLong(0)).toSeq == W.snapshots(dir))
+    assert(hist.count(_.getBoolean(4)) == 1)
+    val curRow = hist.find(_.getBoolean(4)).get
+    assert(curRow.getLong(0) == hist.last.getLong(0))
+    assert(curRow.getLong(3) == 1L, s"current should carry 1 tombstone: $curRow")
+    hist.map(_.getLong(0)).foreach(v =>
+      W.readManifestedAt(spark, dir, v).count())
     // delete against nothing fails loudly; a multi-column key is refused
     val empty = Files.createTempDirectory("graft_del2").resolve("t2").toString
     intercept[IllegalArgumentException] {
@@ -732,6 +743,10 @@ class SinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       W.deleteManifested(spark, dir,
         spark.range(0, 1).toDF("id").withColumn("x", lit(1)))
+    }
+    // ... and an unknown key column is refused AT COMMIT, not at read
+    intercept[IllegalArgumentException] {
+      W.deleteManifested(spark, dir, spark.range(0, 1).toDF("nope"))
     }
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)

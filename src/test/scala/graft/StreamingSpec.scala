@@ -542,4 +542,37 @@ class StreamingSpec extends SparkSpec {
     assert(finalState(Seq(odd, even)) == oneShot)
     assert(finalState(Seq(even, odd)) == oneShot)
   }
+
+  test("CDC onto the manifested table: same final state as the dir-swap loop, any batch split") {
+    // the r13 state-table upgrade must be INVISIBLE in the result:
+    // tombstone+append commits (and a mid-sequence compaction) land on
+    // exactly the rows the st11 dir-swap loop produces
+    import graft.streaming.CdcApply
+    val W = graft.operators.Warehouse
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    def finalState(parts: Seq[org.apache.spark.sql.DataFrame]): Seq[Row] = {
+      val dir = Files.createTempDirectory("graft_cdcm_spec").resolve("t").toString
+      parts.zipWithIndex.foreach { case (p, i) =>
+        CdcApply.applyBatchManifested(p, dir)
+        // a compaction BETWEEN batches must not change the state
+        if (i == 0 && parts.length > 1)
+          W.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+      }
+      W.readManifested(spark, dir)
+        .select(col("user_id"), col("s.ts_us"), col("s.event_id"),
+          col("s.event_type"), col("s.value_q"))
+        .orderBy("user_id").collect().toSeq
+    }
+    def dirSwap(parts: Seq[org.apache.spark.sql.DataFrame]): Seq[Row] = {
+      val dir = Files.createTempDirectory("graft_cdcm_ref").resolve("st").toString
+      parts.foreach(CdcApply.applyBatch(_, dir))
+      CdcApply.readState(spark, dir).orderBy("user_id").collect().toSeq
+    }
+    val want = dirSwap(Seq(events))
+    val odd = events.filter(col("event_id") % 2 === 1)
+    val even = events.filter(col("event_id") % 2 === 0)
+    assert(finalState(Seq(events)) == want)
+    assert(finalState(Seq(odd, even)) == want)
+    assert(finalState(Seq(even, odd)) == want)
+  }
 }
