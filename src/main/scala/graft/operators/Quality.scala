@@ -211,6 +211,26 @@ object Quality {
           sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang"))
     }),
+    // MERGE-INTO under the correctness gate: append documents, then
+    // upsert a mutated slice (doc_id % 5 == 0 re-tagged lang='xx') as
+    // ONE atomic tombstone+generation commit, and profile the merged
+    // table per language. The oracle recomputes the expectation from
+    // `documents` with a CASE — replace-matched/insert-new semantics,
+    // the scanGens ordering, and the atomic commit all hash-gated.
+    "v10_upsert_survivors" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifupsert", d) { dir =>
+        val docs = t(s, d, "documents")
+        Warehouse.appendManifested(s, dir,
+          docs.select(col("doc_id"), col("lang")))
+        Warehouse.upsertManifested(s, dir,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), lit("xx").as("lang")), "doc_id")
+      }
+      Warehouse.readManifested(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
     "v06_snapshot_diff" -> ((s, d) => {
       val cust = t(s, d, "customer")
       val nu = cust.filter(col("c_custkey") % 13 =!= 0)
@@ -272,6 +292,14 @@ object Quality {
            CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
              AS n_added
          FROM documents""",
+    // the merged table recomputed from the source: matched keys carry
+    // the upserted lang, everything else its original
+    "v10_upsert_survivors" ->
+      """SELECT CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         GROUP BY 1 ORDER BY lang""",
     // the survivors recomputed straight from the source table: every
     // doc except the tombstoned residue class
     "v09_delete_survivors" ->

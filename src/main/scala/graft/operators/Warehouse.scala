@@ -872,6 +872,50 @@ object Warehouse {
     catch { case e: Throwable if missingFile(e) => attempt }
   }
 
+  /** MERGE INTO the manifested table — the batch upsert (`WHEN
+    * MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *`, the most-used
+    * lakehouse write): every source row REPLACES the target rows
+    * carrying its key, or inserts if none exist. ONE atomic commit:
+    * the key tombstone (`.del-<v>`) and the source data (`.gen-<v+1>`)
+    * are staged invisibly and enter the manifest in a single pointer
+    * swap — a reader sees the table before the merge or after it,
+    * never the deleted-but-not-yet-inserted middle (which a
+    * delete-then-append pair would expose between its two commits).
+    * The tombstone's LOWER id suppresses only the pre-merge
+    * generations; the new data generation rides above it — the
+    * [[scanGens]] ordering doing the MERGE semantics. O(source +
+    * delete set) written, never a data rewrite; compaction later
+    * materializes and retires, like any tombstone. Returns the
+    * committed manifest version. */
+  def upsertManifested(spark: SparkSession, dir: String,
+                       source: DataFrame, keyCol: String): Long = {
+    require(source.columns.contains(keyCol),
+      s"upsertManifested: source has no column '$keyCol' " +
+        s"(columns: ${source.columns.mkString(", ")})")
+    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
+    withTableLock(root) {
+      val pointer = new HPath(root, "_current")
+      require(ManifestIo.exists(fs, pointer),
+        s"upsertManifested: $dir has no committed table " +
+          "(appendManifested creates one)")
+      val gens = readPointer(fs, pointer)
+      val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
+      gens.find(!_.startsWith(".del-")).foreach { g =>
+        val cols = spark.read.parquet(new HPath(root, g).toString).columns
+        require(cols.contains(keyCol),
+          s"upsertManifested: $dir has no column '$keyCol' " +
+            s"(columns: ${cols.mkString(", ")})")
+      }
+      val base = gens.map(entryId).foldLeft(-1L)(math.max) + 1
+      val del = s".del-$base"
+      val gen = s".gen-${base + 1}"
+      source.select(col(keyCol)).distinct().write.mode("overwrite")
+        .parquet(new HPath(root, del).toString)
+      source.write.mode("overwrite").parquet(new HPath(root, gen).toString)
+      commitManifest(fs, root, pointer, gens :+ del :+ gen, expected)
+    }
+  }
+
   /** DESCRIBE HISTORY for a manifested leaf — the Delta `DESCRIBE
     * HISTORY` / Iceberg snapshots-table analogue: one row per RETAINED
     * manifest version (ascending), with the committed entry list, the

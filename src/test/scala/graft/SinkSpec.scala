@@ -754,6 +754,48 @@ class SinkSpec extends SparkSpec {
       new java.io.File(empty).getParentFile)
   }
 
+  test("upsertManifested: MERGE INTO as one atomic commit — replace matched, insert new") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_ups").resolve("tbl").toString
+    W.appendManifested(spark, dir,
+      spark.range(0, 10).toDF("id").withColumn("v", lit("old")))   // v1
+    // source: updates 7..9, inserts 10..12
+    W.upsertManifested(spark, dir,
+      spark.range(7, 13).toDF("id").withColumn("v", lit("new")), "id") // v2
+    val back = W.readManifested(spark, dir)
+    assert(back.count() == 13L)
+    assert(back.filter(col("v") === "new").count() == 6L)
+    assert(back.filter(col("id") === 8 && col("v") === "old").count() == 0L,
+      "matched row was not replaced")
+    assert(back.filter(col("id") === 3 && col("v") === "old").count() == 1L)
+    // ATOMICITY in the artifact: the merge is ONE manifest version
+    // carrying both the tombstone and the data generation
+    val hist = W.history(spark, dir).orderBy(col("version")).collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val merged = hist.last
+    assert(merged.getLong(3) == 1L && merged.getLong(2) == 2L,
+      s"merge version should list 1 tombstone + 2 data gens: $merged")
+    // time travel: the pre-merge snapshot still reads all-old
+    assert(W.readManifestedAt(spark, dir, 1L)
+      .filter(col("v") === "new").count() == 0L)
+    // a second identical upsert is content-idempotent
+    W.upsertManifested(spark, dir,
+      spark.range(7, 13).toDF("id").withColumn("v", lit("new")), "id")
+    assert(W.readManifested(spark, dir).count() == 13L)
+    // unknown key refused at commit; fresh table refused loudly
+    intercept[IllegalArgumentException] {
+      W.upsertManifested(spark, dir, spark.range(0, 1).toDF("id"), "nope")
+    }
+    val empty = Files.createTempDirectory("graft_ups2").resolve("t2").toString
+    intercept[IllegalArgumentException] {
+      W.upsertManifested(spark, empty, spark.range(0, 1).toDF("id"), "id")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(empty).getParentFile)
+  }
+
   test("vacuum: aborted-commit debris is GC'd; the table and retained snapshots read unchanged") {
     val W = graft.operators.Warehouse
     val IO = graft.operators.ManifestIo
