@@ -585,7 +585,10 @@ object Warehouse {
     * retention, time travel ([[readManifestedAt]] resolves a
     * pre-delete snapshot WITH its rows — deletion is versioned like
     * any commit), vacuum, and the multi-writer CAS all treat `.del-`
-    * entries as ordinary generations. Returns the tombstone's id. */
+    * entries as ordinary generations. NULL keys never match (SQL
+    * equality — the Iceberg equality-delete contract): a null-keyed
+    * row cannot be tombstoned; route such rows through compaction
+    * with a filter instead. Returns the tombstone's id. */
   def deleteManifested(spark: SparkSession, dir: String,
                        keys: DataFrame): Long = {
     require(keys.columns.length == 1,
