@@ -398,7 +398,9 @@ object Multimodal {
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
-      .join(modal, Seq("cluster_id"))
+      // the modality rollup is clusters-sized — broadcast it onto the
+      // representative aggregate rather than shuffling both tiny sides
+      .join(broadcast(modal), Seq("cluster_id"))
       .select(col("cluster_id"), col("n_members"), col("modalities"),
         (-col("m.nid")).as("rep_id"), col("m.quality").as("rep_quality"))
   }
