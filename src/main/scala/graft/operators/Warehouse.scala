@@ -300,9 +300,12 @@ object Warehouse {
     * rather than burying the interleaved append. */
   def compactManifested(spark: SparkSession, dir: String,
                         targetFileBytes: Long = 128L << 20,
-                        retainSnapshots: Int = 1): Int = {
+                        retainSnapshots: Int = 1,
+                        retainFor: Option[java.time.Duration] = None): Int = {
     require(retainSnapshots >= 0,
       s"retainSnapshots must be >= 0, got $retainSnapshots")
+    require(retainFor.forall(!_.isNegative),
+      s"retainFor must be >= 0, got $retainFor")
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     withTableLock(root) {
     // LEAF directories only (the compact() convention): a partitioned
@@ -359,18 +362,28 @@ object Warehouse {
     // that writer's generation) and the folded directory is left as
     // an orphan for [[vacuum]]; the caller re-runs the compaction.
     val v = commitManifest(fs, root, pointer, Seq(next), expected)
-    // SNAPSHOT RETENTION: the last `retainSnapshots` committed
-    // manifests before this one stay readable — their files and the
-    // generations they reference survive this GC — which is both the
-    // reader grace window (default 1 = the previous contract: the
-    // entire pre-commit manifest survives one compaction cycle) and
-    // the [[readManifestedAt]] time-travel window, the local analogue
-    // of Iceberg/Delta snapshot retention. Everything older — manifest
-    // files and the generations only expired manifests reference — is
-    // deleted.
+    // SNAPSHOT RETENTION: a manifest version survives this GC if it is
+    // within the COUNT window (the last `retainSnapshots` before this
+    // commit) OR within the TIME window (`retainFor`, anchored on the
+    // manifest file's commit mtime — on an object store that is the
+    // PUT instant, exactly what Delta's log-cleanup clock uses). The
+    // count knob is the reader grace window (default 1 = the previous
+    // contract: the entire pre-commit manifest survives one compaction
+    // cycle); the time knob is the operator-facing "keep 7 days"
+    // retention real deployments configure — they compose as a union,
+    // like Iceberg's min-snapshots-to-keep + max-snapshot-age pair.
+    // Everything outside both windows — manifest files and the
+    // generations only expired manifests reference — is deleted.
+    val timeCutoff = retainFor.map(d => System.currentTimeMillis() - d.toMillis)
+    def inTimeWindow(x: Long): Boolean = timeCutoff.exists { c =>
+      try fs.getFileStatus(new HPath(root, s"_manifest-$x"))
+        .getModificationTime >= c
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    val kept = manifestVersions(fs, root)
+      .filter(x => x >= v - retainSnapshots || inTimeWindow(x))
     val keepGens: Set[String] =
-      (manifestVersions(fs, root).filter(_ >= v - retainSnapshots)
-        .flatMap(x => readPointer(fs, new HPath(root, s"_manifest-$x"))) ++
+      (kept.flatMap(x => readPointer(fs, new HPath(root, s"_manifest-$x"))) ++
         (if (retainSnapshots >= 1) cur else Seq.empty) :+ next).toSet
     ManifestIo.list(fs, root)
       .filter(st => st.isDirectory &&
@@ -380,7 +393,7 @@ object Warehouse {
       .foreach(st => ManifestIo.delete(fs, st.getPath))
     ManifestIo.list(fs, root)
       .filter(st => st.isFile && st.getPath.getName.startsWith("_manifest-") &&
-        st.getPath.getName.stripPrefix("_manifest-").toLong < v - retainSnapshots)
+        !kept.contains(st.getPath.getName.stripPrefix("_manifest-").toLong))
       .foreach(st => ManifestIo.delete(fs, st.getPath))
     ManifestIo.list(fs, new HPath(root, next))
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -546,6 +559,11 @@ object Warehouse {
   private def scanGens(spark: SparkSession, root: HPath,
                        gens: Seq[String]): DataFrame = {
     val (dels, datas) = gens.partition(_.startsWith(".del-"))
+    // not producible by current writers (every commit path lists at
+    // least one data generation), but a hand-edited or future-writer
+    // manifest must fail loudly here, not as reduceLeft-on-empty
+    require(datas.nonEmpty,
+      s"scanGens: manifest lists only tombstones: ${gens.mkString(", ")}")
     if (dels.isEmpty)
       spark.read.option("mergeSchema", "true")
         .parquet(datas.map(g => new HPath(root, g).toString): _*)
@@ -735,8 +753,18 @@ object Warehouse {
       // scan as always).
       scanGens(spark, root, gens)
     }
+    // one retry covers BOTH stale-resolve shapes: a GC'd generation
+    // surfaces as AnalysisException from the eager listing, and a
+    // pointer mid-replace on a scheme whose rename refuses an existing
+    // destination (the HDFS delete+rename fallback — see
+    // [[ManifestIo.replace]]) surfaces as FileNotFoundException from
+    // the `_current` open itself. Direct callers (CdcApply, Quality)
+    // get the documented one-retry contract without withManifested.
     try resolveDf()
-    catch { case _: org.apache.spark.sql.AnalysisException => resolveDf() }
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => resolveDf()
+      case _: java.io.FileNotFoundException => resolveDf()
+    }
   }
 
   /** [[compactManifested]] over a partitioned root: walk the `k=v`
@@ -756,13 +784,14 @@ object Warehouse {
     * partition-level commit). */
   def compactManifestedPartitioned(spark: SparkSession, rootDir: String,
                                    targetFileBytes: Long = 128L << 20,
-                                   retainSnapshots: Int = 1): Map[String, Int] = {
+                                   retainSnapshots: Int = 1,
+                                   retainFor: Option[java.time.Duration] = None): Map[String, Int] = {
     val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
     require(ManifestIo.isDirectory(fs, root),
       s"compactManifestedPartitioned: $rootDir is not a directory")
     manifestLeaves(fs, root).map { leaf =>
       relPath(root, leaf) -> compactManifested(spark, leaf.toString,
-        targetFileBytes, retainSnapshots)
+        targetFileBytes, retainSnapshots, retainFor)
     }.toMap
   }
 
@@ -935,17 +964,22 @@ object Warehouse {
       if (ManifestIo.exists(fs, pointer)) readPointer(fs, pointer)
       else Seq.empty
     val rows = manifestVersions(fs, root).map { v =>
-      val gens = readPointer(fs, new HPath(root, s"_manifest-$v"))
+      val mf = new HPath(root, s"_manifest-$v")
+      val gens = readPointer(fs, mf)
+      // commit_ts = the manifest file's mtime: the create-exclusive
+      // claim instant locally/HDFS, the PUT instant on an object store
+      // — the same clock retainFor and the vacuum grace run on
       org.apache.spark.sql.Row(v,
         gens.mkString(","),
         gens.count(!_.startsWith(".del-")).toLong,
         gens.count(_.startsWith(".del-")).toLong,
-        gens == cur)
+        gens == cur,
+        new java.sql.Timestamp(fs.getFileStatus(mf).getModificationTime))
     }
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
         "version BIGINT, entries STRING, n_data_gens BIGINT, " +
-          "n_tombstones BIGINT, is_current BOOLEAN"))
+          "n_tombstones BIGINT, is_current BOOLEAN, commit_ts TIMESTAMP"))
   }
 
   /** What [[vacuum]] removed from a manifested leaf. */
@@ -983,30 +1017,55 @@ object Warehouse {
     * crash mid-adoption, which the next append self-heals). Runs
     * under the per-table lock; at 100 TB this is the same listing +
     * bounded-delete pass per leaf, embarrassingly parallel across
-    * leaves. */
+    * leaves.
+    *
+    * CROSS-PROCESS writers (r14): crash debris and a live foreign
+    * writer mid-commit are indistinguishable by layout alone — every
+    * append/compaction has a window where its generation is written
+    * (or its `_manifest-v` trailer claimed) but the pointer not yet
+    * swapped, and vacuuming that writer's files would break its
+    * in-flight commit. The AGE GRACE closes it, the Delta VACUUM /
+    * Iceberg remove-orphan-files convention: only debris whose
+    * modification time is older than `graceMs` (default 1 h) is
+    * deleted — a live writer's files are by construction younger than
+    * its commit window, while true crash debris only ages. Pass
+    * `graceMs = 0` only when no concurrent cross-process writer can
+    * exist (single-writer maintenance windows, tests). The in-process
+    * lock already serializes same-JVM writers regardless. */
+  val DefaultVacuumGraceMs: Long = 60L * 60 * 1000
+
   /** [[vacuum]] over a partitioned root: the [[manifestLeaves]] walk,
     * one vacuum per leaf (each under its own table lock — leaves are
     * independent, exactly like their commits). Returns root-relative
     * leaf path → report, reporting only leaves where anything was
     * removed. */
-  def vacuumPartitioned(spark: SparkSession, rootDir: String): Map[String, VacuumReport] = {
+  def vacuumPartitioned(spark: SparkSession, rootDir: String,
+                        graceMs: Long = DefaultVacuumGraceMs): Map[String, VacuumReport] = {
     val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
     require(ManifestIo.isDirectory(fs, root),
       s"vacuumPartitioned: $rootDir is not a directory")
     manifestLeaves(fs, root).map { leaf =>
-      relPath(root, leaf) -> vacuum(spark, leaf.toString)
+      relPath(root, leaf) -> vacuum(spark, leaf.toString, graceMs)
     }.filter { case (_, r) =>
       r.removedGenerations.nonEmpty || r.removedManifests.nonEmpty ||
         r.removedPointerTmp
     }.toMap
   }
 
-  def vacuum(spark: SparkSession, dir: String): VacuumReport = {
+  def vacuum(spark: SparkSession, dir: String,
+             graceMs: Long = DefaultVacuumGraceMs): VacuumReport = {
+    require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     withTableLock(root) {
       val pointer = new HPath(root, "_current")
       if (!ManifestIo.exists(fs, pointer)) VacuumReport(Nil, Nil, false)
       else {
+        // the grace clock: anything modified at/after this instant may
+        // be a live cross-process writer's in-flight commit — skip it
+        val cutoff = System.currentTimeMillis() - graceMs
+        def aged(p: HPath): Boolean =
+          try fs.getFileStatus(p).getModificationTime < cutoff
+          catch { case _: java.io.FileNotFoundException => false }
         val cur = readPointer(fs, pointer)
         val curBody = cur.mkString("\n")
         val versions = manifestVersions(fs, root)
@@ -1016,19 +1075,24 @@ object Warehouse {
         val head = versions.filter(v => bodies(v).mkString("\n") == curBody)
           .lastOption
         val crashed = head.map(h => versions.filter(_ > h)).getOrElse(Seq.empty)
+          .filter(v => aged(new HPath(root, s"_manifest-$v")))
+        // liveness anchors on every NON-vacuumed manifest: a young
+        // trailer (possibly a live writer about to swap the pointer)
+        // keeps both itself and the generations it references safe
         val referenced: Set[String] =
           (versions.filterNot(crashed.contains).flatMap(bodies) ++ cur).toSet
         val orphans = ManifestIo.list(fs, root)
           .filter(st => st.isDirectory &&
             (st.getPath.getName.startsWith(".gen-") ||
               st.getPath.getName.startsWith(".del-")) &&
-            !referenced.contains(st.getPath.getName))
+            !referenced.contains(st.getPath.getName) &&
+            st.getModificationTime < cutoff)
           .map(_.getPath).toSeq
         orphans.foreach(p => ManifestIo.delete(fs, p))
         crashed.foreach(v =>
           ManifestIo.delete(fs, new HPath(root, s"_manifest-$v")))
         val tmp = new HPath(root, "._current.tmp")
-        val hadTmp = ManifestIo.exists(fs, tmp)
+        val hadTmp = ManifestIo.exists(fs, tmp) && aged(tmp)
         if (hadTmp) ManifestIo.delete(fs, tmp)
         VacuumReport(orphans.map(_.getName).sorted, crashed, hadTmp)
       }

@@ -86,22 +86,30 @@ object CdcApply {
     * the upgrade [[applyBatch]]'s scaladoc promises ("at 100 TB the
     * rewrite is a table-format commit rather than a parquet dir
     * swap"): per batch, the event-time-LWW merge for the BATCH'S keys
-    * reads through the manifest, the superseded rows retire via a
-    * tombstone commit (`deleteManifested` — O(batch keys), never a
-    * state rewrite) and the merged rows append as a new generation —
-    * two CAS-guarded pointer commits per batch, each crash-safe, with
-    * a periodic `compactManifested` folding the generation/tombstone
-    * trail back to one (the delete-compaction under a live stream).
+    * reads through the manifest, then the superseded rows retire and
+    * the merged rows land via `upsertManifested` — the key tombstone
+    * and the data generation enter the manifest in ONE CAS-guarded
+    * pointer swap (O(batch keys) written, never a state rewrite). One
+    * commit per batch means (a) no reader ever sees the
+    * deleted-but-not-reinserted middle a delete+append pair exposes
+    * between its two commits, and (b) a crash leaves the table at a
+    * batch BOUNDARY — the pre-batch state in full or the post-batch
+    * state in full — so a foreachBatch replay from a durable
+    * checkpoint re-reads complete pre-batch LWW state and re-merges
+    * against it. A periodic `compactManifested` folds the
+    * generation/tombstone trail back to one (the delete-compaction
+    * under a live stream).
     *
     * The merge register is the same associative+commutative
     * max-struct, so the final table equals the batch answer under ANY
     * micro-batch partitioning — st11's invariance, now with
     * transactional state. A re-fired batch is CONTENT-idempotent:
     * `greatest(s, s) = s`, so the retry tombstones and re-appends
-    * byte-identical rows (it spends two more generations, folded by
-    * the next compaction — the same trade st22/st25 document).
-    * The merged rows are eagerCut BEFORE the tombstone commit: the
-    * merge read the very generations the delete supersedes. */
+    * byte-identical rows in one more version, folded by the next
+    * compaction — the same trade st22/st25 document. The merged rows
+    * are eagerCut before the commit: the upsert consumes them twice
+    * (key tombstone + data generation), and cutting runs the merge
+    * join once instead of twice. */
   def applyBatchManifested(batch: DataFrame, tableDir: String): Unit = {
     val spark = batch.sparkSession
     val W = graft.operators.Warehouse
@@ -117,8 +125,10 @@ object CdcApply {
           Seq("user_id"), "full_outer")
         .select(col("user_id"), greatest(col("cur_s"), col("new_s")).as("s")))
     if (W.snapshots(tableDir).nonEmpty)
-      W.deleteManifested(spark, tableDir, merged.select(col("user_id")))
-    W.appendManifested(spark, tableDir, merged)
+      W.upsertManifested(spark, tableDir, merged, "user_id")
+    else
+      W.appendManifested(spark, tableDir, merged)
+    ()
   }
 
   def runCdcApplyManifested(spark: SparkSession, dir: String,

@@ -487,6 +487,47 @@ class SinkSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("time-based retention: retainFor keeps snapshots by age, composing with the count knob") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_tret").resolve("tbl").toString
+    def ageManifest(v: Long, ageMs: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(dir, s"_manifest-$v"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    W.appendManifested(spark, dir, spark.range(0, 10).toDF("id"))    // v1
+    W.appendManifested(spark, dir, spark.range(10, 20).toDF("id"))   // v2
+    W.appendManifested(spark, dir, spark.range(20, 30).toDF("id"))   // v3
+    // WIDEN by time: count knob alone (retainSnapshots=0) would keep
+    // only the new commit, but every prior manifest is younger than
+    // the 1 h window — all stay time-travelable
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30,
+      retainSnapshots = 0,
+      retainFor = Some(java.time.Duration.ofHours(1)))               // v4
+    assert(W.snapshots(dir) == Seq(1L, 2L, 3L, 4L))
+    assert(W.readManifestedAt(spark, dir, 1L).count() == 10)
+    assert(W.readManifestedAt(spark, dir, 3L).count() == 30)
+    // TIGHTEN by time: age v1..v3 past the window (simulated commit
+    // mtimes 2 h back — the clock retention runs on); the count knob
+    // (1) still keeps v4 even though nothing is young but v5
+    (1L to 3L).foreach(ageManifest(_, 2L * 3600 * 1000))
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30,
+      retainSnapshots = 1,
+      retainFor = Some(java.time.Duration.ofHours(1)))               // v5
+    assert(W.snapshots(dir) == Seq(4L, 5L))
+    intercept[IllegalArgumentException] { W.readManifestedAt(spark, dir, 3L) }
+    assert(W.readManifestedAt(spark, dir, 4L).count() == 30)
+    assert(W.readManifested(spark, dir).count() == 30)
+    // history exposes the commit timestamp (the retention clock):
+    // commit_ts non-null and ascending with version on live commits
+    val hist = W.history(spark, dir).orderBy(col("version")).collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(4L, 5L))
+    val ts = hist.map(_.getTimestamp(5))
+    assert(ts.forall(_ != null) && !ts(0).after(ts(1)), ts.mkString(", "))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("schema evolution: an added column reads union-with-nulls across generations") {
     val W = graft.operators.Warehouse
     val dir = Files.createTempDirectory("graft_evolve").resolve("tbl").toString
@@ -821,7 +862,20 @@ class SinkSpec extends SparkSpec {
     // which no reader could ever have resolved through _current
     assert(W.snapshots(dir) == Seq(1L, 2L, 3L))
 
-    val report = W.vacuum(spark, dir)
+    // AGE GRACE (r14): under the default grace window this just-written
+    // debris is indistinguishable from a LIVE cross-process writer
+    // mid-commit (generation written / trailer claimed, pointer not yet
+    // swapped) — vacuum must leave every byte of it alone
+    val graced = W.vacuum(spark, dir)
+    assert(graced == W.VacuumReport(Nil, Nil, removedPointerTmp = false),
+      s"default grace vacuumed a possibly-live writer's commit: $graced")
+    assert(W.snapshots(dir) == Seq(1L, 2L, 3L))
+    assert(IO.isDirectory(fs, P(root, ".gen-9")) &&
+      IO.isDirectory(fs, P(root, ".gen-7")))
+
+    // graceMs = 0: the caller asserts no concurrent cross-process
+    // writer exists, so the same debris is GC'd in full
+    val report = W.vacuum(spark, dir, graceMs = 0L)
     assert(report.removedGenerations == Seq(".gen-7", ".gen-9"), report)
     assert(report.removedManifests == Seq(3L), report)
     assert(report.removedPointerTmp, report)
@@ -832,12 +886,12 @@ class SinkSpec extends SparkSpec {
     assert(W.readManifestedAt(spark, dir, 1L).count() == 50)
     assert(W.readManifestedAt(spark, dir, 2L).count() == 100)
     // idempotent: a second vacuum finds nothing
-    val again = W.vacuum(spark, dir)
+    val again = W.vacuum(spark, dir, graceMs = 0L)
     assert(again.removedGenerations.isEmpty && again.removedManifests.isEmpty
       && !again.removedPointerTmp, again)
     // and a leaf with nothing committed is left untouched
     val empty = Files.createTempDirectory("graft_vac2").resolve("t2").toString
-    assert(W.vacuum(spark, empty) ==
+    assert(W.vacuum(spark, empty, graceMs = 0L) ==
       W.VacuumReport(Nil, Nil, removedPointerTmp = false))
     // partitioned root: per-leaf vacuum, only dirty leaves reported
     val proot = Files.createTempDirectory("graft_vac3").resolve("tbl").toString
@@ -848,7 +902,7 @@ class SinkSpec extends SparkSpec {
     spark.range(0, 5).toDF("id")
       .write.parquet(P(IO.resolve(s"$proot/lang=en",
         spark.sparkContext.hadoopConfiguration)._2, ".gen-9").toString)
-    val preport = W.vacuumPartitioned(spark, proot)
+    val preport = W.vacuumPartitioned(spark, proot, graceMs = 0L)
     assert(preport == Map("lang=en" -> W.VacuumReport(Seq(".gen-9"), Nil,
       removedPointerTmp = false)), preport)
     assert(W.readManifestedPartitioned(spark, proot).count() == 20L)

@@ -545,7 +545,7 @@ class StreamingSpec extends SparkSpec {
 
   test("CDC onto the manifested table: same final state as the dir-swap loop, any batch split") {
     // the r13 state-table upgrade must be INVISIBLE in the result:
-    // tombstone+append commits (and a mid-sequence compaction) land on
+    // atomic MERGE commits (and a mid-sequence compaction) land on
     // exactly the rows the st11 dir-swap loop produces
     import graft.streaming.CdcApply
     val W = graft.operators.Warehouse
@@ -553,7 +553,14 @@ class StreamingSpec extends SparkSpec {
     def finalState(parts: Seq[org.apache.spark.sql.DataFrame]): Seq[Row] = {
       val dir = Files.createTempDirectory("graft_cdcm_spec").resolve("t").toString
       parts.zipWithIndex.foreach { case (p, i) =>
+        val vBefore = W.snapshots(dir).lastOption.getOrElse(0L)
         CdcApply.applyBatchManifested(p, dir)
+        // ATOMICITY pin (r14): each batch is exactly ONE manifest
+        // version — the v10 single-pointer-swap artifact, now under
+        // the stream. A delete+append pair would commit two and
+        // expose the deleted-but-not-reinserted middle between them.
+        assert(W.snapshots(dir).last == vBefore + 1,
+          s"batch $i committed ${W.snapshots(dir).last - vBefore} versions, want 1")
         // a compaction BETWEEN batches must not change the state
         if (i == 0 && parts.length > 1)
           W.compactManifested(spark, dir, targetFileBytes = 1L << 30)
