@@ -231,6 +231,42 @@ object Quality {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang"))
     }),
+    // PARTITIONED ROW-LEVEL OPS under the correctness gate: build
+    // (once per process+sf) a lang-partitioned manifested documents
+    // table (adoption per leaf), tombstone doc_id % 7 == 0 ACROSS
+    // leaves (one tombstone commit per leaf, lockstep), then MERGE a
+    // mutated doc_id % 5 == 0 slice routed by lang (identity
+    // partitioning; leaves without matching rows commit the empty
+    // slice — the lockstep contract), and profile the union read per
+    // language. The oracle recomputes the expectation straight from
+    // `documents`: merge-after-delete re-insert ordering, per-leaf
+    // tombstone application, empty-slice commits, and the partition-
+    // value re-attach are all hash-gated — the v09/v10 semantics, now
+    // walking a partitioned root (Warehouse.deleteManifestedPartitioned
+    // / upsertManifestedPartitioned).
+    "v11_partitioned_merge_survivors" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifpmerge", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+        Warehouse.compactManifestedPartitioned(s, dir)
+        Warehouse.deleteManifestedPartitioned(s, dir,
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+        Warehouse.upsertManifestedPartitioned(s, dir,
+          docs.filter(col("doc_id") % 5 === 0)
+            // type-stable sentinel: *0-1 keeps n_chars' exact integral
+            // type, so the slice never retypes the column across
+            // generations (parquet schema merge refuses retyping)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") * 0 - 1).as("n_chars")), "doc_id")
+        ()
+      }
+      Warehouse.readManifestedPartitioned(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     "v06_snapshot_diff" -> ((s, d) => {
       val cust = t(s, d, "customer")
       val nu = cust.filter(col("c_custkey") % 13 =!= 0)
@@ -300,6 +336,18 @@ object Quality {
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM documents
          GROUP BY 1 ORDER BY lang""",
+    // the partitioned-merge outcome recomputed from the source: a doc
+    // survives unless tombstoned-and-not-re-inserted (%7 kills, %5
+    // re-inserts after), and a re-inserted/updated doc carries the
+    // sentinel n_chars
+    "v11_partitioned_merge_survivors" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(CASE WHEN doc_id % 5 = 0 THEN -1 ELSE n_chars END)
+             AS BIGINT) AS sum_chars
+         FROM documents
+         WHERE doc_id % 7 <> 0 OR doc_id % 5 = 0
+         GROUP BY lang ORDER BY lang""",
     // the survivors recomputed straight from the source table: every
     // doc except the tombstoned residue class
     "v09_delete_survivors" ->

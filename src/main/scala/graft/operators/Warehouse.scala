@@ -860,19 +860,24 @@ object Warehouse {
   private def unionLeaves(fs: HFs, root: HPath,
                           read: HPath => DataFrame): DataFrame = {
     val parts = manifestLeaves(fs, root).map { leaf =>
-      val rel = root.toUri.relativize(leaf.toUri).getPath.stripSuffix("/")
-      val kvs = rel.split('/').toSeq.filter(_.contains('='))
-        .map { seg =>
-          val Array(k, v) = seg.split("=", 2)
-          k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(v)
-        }
-      kvs.foldLeft(read(leaf)) {
+      leafKvs(root, leaf).foldLeft(read(leaf)) {
         case (df, (k, v)) => df.withColumn(k, lit(v))
       }
     }
     parts.reduceLeft(_.unionByName(_))
   }
+
+  /** The `k=v` partition (column, value) pairs a leaf's root-relative
+    * path carries, unescaped with Spark's own path-escaping inverse
+    * (the [[readManifestedPartitioned]] contract: values are STRINGs). */
+  private def leafKvs(root: HPath, leaf: HPath): Seq[(String, String)] =
+    root.toUri.relativize(leaf.toUri).getPath.stripSuffix("/")
+      .split('/').toSeq.filter(_.contains('='))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(v)
+      }
 
   /** Run `action` against the current generation with the FULL retry:
     * resolve-time staleness (AnalysisException, already covered inside
@@ -980,6 +985,119 @@ object Warehouse {
       org.apache.spark.sql.types.StructType.fromDDL(
         "version BIGINT, entries STRING, n_data_gens BIGINT, " +
           "n_tombstones BIGINT, is_current BOOLEAN, commit_ts TIMESTAMP"))
+  }
+
+  // ------------------------------------- partitioned row-level ops (r14)
+  // The row-level commits above are leaf-scoped; a 100 TB table is a
+  // PARTITIONED root, and "delete these keys" must not require hand-
+  // iterating leaves (which would also break the lockstep-version
+  // numbering readManifestedPartitionedAt's coordinated-writer rule
+  // depends on). Each op below is the [[manifestLeaves]] walk with
+  // EXACTLY ONE commit per leaf — lockstep preserved by construction —
+  // and each leaf's commit is the same CAS-guarded atomic pointer swap
+  // as its leaf-scoped form. At 100 TB the per-leaf commits are
+  // embarrassingly parallel (no two leaves share state), exactly like
+  // compactManifestedPartitioned's walk.
+
+  /** [[deleteManifested]] over a partitioned root: ONE tombstone
+    * commit per leaf, all carrying the same key set — a key lives in
+    * whichever leaf its row was routed to, so the tombstone must reach
+    * every leaf (the delete set is O(keys) per leaf, never a data
+    * rewrite; a leaf holding none of the keys commits a tombstone that
+    * suppresses nothing, which keeps the version numbering lockstep).
+    * The delete set is materialized ONCE (eager cut) and re-written
+    * per leaf, not re-computed. Returns root-relative leaf path → the
+    * leaf's committed tombstone id. */
+  def deleteManifestedPartitioned(spark: SparkSession, rootDir: String,
+                                  keys: DataFrame): Map[String, Long] = {
+    require(keys.columns.length == 1,
+      s"deleteManifestedPartitioned: keys must be exactly the key " +
+        s"column, got ${keys.columns.mkString(", ")}")
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    require(ManifestIo.isDirectory(fs, root),
+      s"deleteManifestedPartitioned: $rootDir is not a directory")
+    val cut = eagerCut(keys.distinct())
+    manifestLeaves(fs, root).map { leaf =>
+      relPath(root, leaf) -> deleteManifested(spark, leaf.toString, cut)
+    }.toMap
+  }
+
+  /** [[upsertManifested]] over a partitioned root — MERGE INTO the
+    * partitioned table: `source` carries the partition column(s) (the
+    * `k=v` names of the leaf directories) plus the leaf schema; rows
+    * route to their leaf by partition value (string-compared — the
+    * [[readManifestedPartitioned]] typing contract) and each leaf gets
+    * one atomic tombstone+generation commit for its slice. EVERY leaf
+    * commits, including those with an empty slice — one version per
+    * leaf, lockstep preserved (an empty upsert is an empty tombstone +
+    * an empty generation: a few KB of footer, the price of keeping
+    * [[readManifestedPartitionedAt]] resolvable at every version).
+    *
+    * Two loud refusals, both at commit time: a source partition value
+    * with NO existing leaf (a new partition needs its own adoption/
+    * append and would start its version numbering at 1, off-lockstep —
+    * route new partitions through a partitioned write + adoption
+    * first), and a missing key/partition column. One documented
+    * non-contract: a key whose PARTITION VALUE changed is an insert
+    * into the new leaf only — the old leaf's copy survives, because
+    * the tombstone for a slice carries only that slice's keys (the
+    * identity-partitioning contract of every partitioned table format;
+    * migrate keys with [[deleteManifestedPartitioned]] + upsert).
+    * Returns root-relative leaf path → the leaf's committed version. */
+  def upsertManifestedPartitioned(spark: SparkSession, rootDir: String,
+                                  source: DataFrame, keyCol: String): Map[String, Long] = {
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    require(ManifestIo.isDirectory(fs, root),
+      s"upsertManifestedPartitioned: $rootDir is not a directory")
+    val leaves = manifestLeaves(fs, root).map(l => l -> leafKvs(root, l))
+    val colSets = leaves.map(_._2.map(_._1)).distinct
+    require(colSets.size == 1,
+      s"upsertManifestedPartitioned: leaves disagree on partition " +
+        s"columns: $colSets")
+    val pcols = colSets.head
+    require(pcols.nonEmpty,
+      s"upsertManifestedPartitioned: $rootDir has no k=v leaves — " +
+        "it is a plain leaf; use upsertManifested")
+    (pcols :+ keyCol).foreach(c => require(source.columns.contains(c),
+      s"upsertManifestedPartitioned: source has no column '$c' " +
+        s"(columns: ${source.columns.mkString(", ")})"))
+    // one materialization of the source; every leaf's two writes
+    // (tombstone keys + data) filter the cut, not the original plan
+    val cut = eagerCut(source)
+    // routing check: the distinct partition combos are leaf-count-
+    // bounded (the same cardinality as the walk itself), so this
+    // collect is as bounded as listing the directories was
+    val known: Set[Seq[String]] = leaves.map(_._2.map(_._2)).toSet
+    val combos = cut.select(pcols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => pcols.indices.map(i => r.getString(i)).toSeq)
+    val unknown = combos.filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"upsertManifestedPartitioned: source rows route to non-existent " +
+        s"leaves ${unknown.map(c => pcols.zip(c).map { case (k, v) => s"$k=$v" }
+          .mkString("/")).mkString(", ")} — create the partition first " +
+        "(partitioned write + adoption), then upsert")
+    leaves.map { case (leaf, kvs) =>
+      val slice = kvs.foldLeft(cut) { case (df, (k, v)) =>
+        df.filter(col(k).cast("string") === lit(v))
+      }.drop(pcols: _*)
+      relPath(root, leaf) -> upsertManifested(spark, leaf.toString, slice, keyCol)
+    }.toMap
+  }
+
+  /** [[history]] over a partitioned root: the per-leaf DESCRIBE
+    * HISTORY rows with the root-relative leaf path prepended — the
+    * audit view of the lockstep contract (a coordinated-writer root
+    * shows every version present in every leaf; a drifted root shows
+    * exactly where the numbering diverged). */
+  def historyPartitioned(spark: SparkSession, rootDir: String): DataFrame = {
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    require(ManifestIo.isDirectory(fs, root),
+      s"historyPartitioned: $rootDir is not a directory")
+    manifestLeaves(fs, root).map { leaf =>
+      history(spark, leaf.toString)
+        .select(lit(relPath(root, leaf)).as("leaf"), col("*"))
+    }.reduceLeft(_.unionByName(_))
   }
 
   /** What [[vacuum]] removed from a manifested leaf. */

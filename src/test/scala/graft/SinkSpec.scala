@@ -837,6 +837,160 @@ class SinkSpec extends SparkSpec {
       new java.io.File(empty).getParentFile)
   }
 
+  test("hdfs-contract scheme: pointer swaps walk the delete+rename fallback; CAS holds; content identical") {
+    // ManifestIo.scala documents per-scheme commit semantics in prose;
+    // this runs them: a FileSystem whose rename REFUSES an existing
+    // destination file (the HDFS contract) forces every pointer swap
+    // after the first through replace's delete+rename fallback, and
+    // putIfAbsent's CAS through the generic create(overwrite=false)
+    // branch instead of the local O_EXCL fast path.
+    val W = graft.operators.Warehouse
+    val IO = graft.operators.ManifestIo
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.hdfslike.impl", classOf[HdfsLikeFileSystem].getName)
+    val local = Files.createTempDirectory("graft_faultfs")
+    val dir = s"hdfslike://$local/tbl"
+    val (fs, root) = IO.resolve(dir, conf)
+    val P = new org.apache.hadoop.fs.Path(_: org.apache.hadoop.fs.Path, _: String)
+    assert(fs.isInstanceOf[HdfsLikeFileSystem], fs.getClass.getName)
+
+    // the injected contract itself: rename onto an existing FILE is
+    // refused; onto an existing DIRECTORY it moves the source inside
+    // (what Spark's committer needs)
+    fs.mkdirs(root)
+    IO.putIfAbsent(fs, P(root, "a"), "a"); IO.putIfAbsent(fs, P(root, "b"), "b")
+    assert(!fs.rename(P(root, "a"), P(root, "b")), "existing-file dst must refuse")
+    assert(IO.readString(fs, P(root, "b")) == "b")
+
+    // full lifecycle on the scheme: append, append, fold, delete —
+    // four pointer swaps, three onto an existing _current (each forced
+    // through the fallback), every commit CAS-guarded
+    val before = HdfsLikeFileSystem.refusedRenames.get()
+    W.appendManifested(spark, dir, spark.range(0, 50).toDF("id"))     // v1
+    W.appendManifested(spark, dir, spark.range(50, 100).toDF("id"))   // v2
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30)       // v3
+    W.deleteManifested(spark, dir,
+      spark.range(0, 100).toDF("id").filter(col("id") % 2 === 0))     // v4
+    assert(HdfsLikeFileSystem.refusedRenames.get() - before >= 3,
+      "the fallback never ran — the fast path silently covered for it")
+    assert(W.readManifested(spark, dir).count() == 50L)
+    assert(W.readManifested(spark, dir).agg(min(col("id"))).head.getLong(0) == 1L)
+    assert(W.snapshots(dir) == Seq(2L, 3L, 4L)) // v1 GC'd by the fold's retention
+    // trail head == pointer (the protocol invariant, now on a scheme
+    // with no atomic-overwrite rename)
+    assert(IO.readString(fs, P(root, s"_manifest-4")) ==
+      IO.readString(fs, P(root, "_current")))
+
+    // the CAS primitive through the non-O_EXCL branch: first claim of
+    // a fresh version wins, second claim of the SAME version loses
+    assert(IO.putIfAbsent(fs, P(root, "_claim-x"), "w1"))
+    assert(!IO.putIfAbsent(fs, P(root, "_claim-x"), "w2"))
+    assert(IO.readString(fs, P(root, "_claim-x")) == "w1")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
+  }
+
+  test("hdfs-contract scheme: a reader at the fallback's pointer-absent instant retries through") {
+    // replace's fallback has a documented instant where _current does
+    // not exist; a reader resolving exactly then gets
+    // FileNotFoundException from the pointer open and must recover via
+    // readManifested's one-retry (the r14 widening — AnalysisException
+    // alone missed this shape). The one-shot open fault is the
+    // deterministic stand-in: first open of _current throws, the
+    // retry's open (the writer's rename has landed) succeeds.
+    val W = graft.operators.Warehouse
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.hdfslike.impl", classOf[HdfsLikeFileSystem].getName)
+    val local = Files.createTempDirectory("graft_faultfs2")
+    val dir = s"hdfslike://$local/tbl"
+    W.appendManifested(spark, dir, spark.range(0, 30).toDF("id"))
+    HdfsLikeFileSystem.failNextOpenOf.set("_current")
+    // direct readManifested — the CdcApply/Quality call shape, no
+    // withManifested wrapper in the way
+    assert(W.readManifested(spark, dir).count() == 30L)
+    assert(HdfsLikeFileSystem.failNextOpenOf.get() == null, "fault not consumed")
+    org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
+  }
+
+  test("partitioned row-level ops: delete/upsert walk every leaf in lockstep; time travel per version") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_prow").resolve("tbl").toString
+    // three leaves; fr never touched by the merge source — its empty
+    // slice must STILL commit, or the lockstep numbering drifts
+    val docs = spark.range(0, 42).toDF("id")
+      .withColumn("lang",
+        when(col("id") >= 40, lit("fr"))
+          .when(col("id") % 2 === 0, lit("en")).otherwise(lit("de")))
+      .withColumn("v", lit("old"))
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    // adoption (v1) + fold (v2) in every leaf
+    W.compactManifestedPartitioned(spark, dir, targetFileBytes = 1L << 30)
+    val leaves = Set("lang=de", "lang=en", "lang=fr")
+
+    // DELETE keys spanning leaves (ids 0..9 live in en AND de): one
+    // tombstone commit per leaf, same key set everywhere — v3 lockstep
+    val delRep = W.deleteManifestedPartitioned(spark, dir,
+      spark.range(0, 10).toDF("id"))
+    assert(delRep.keySet == leaves, delRep.toString)
+    assert(W.readManifestedPartitioned(spark, dir).count() == 32L)
+
+    // MERGE: re-insert 0..3 (post-delete), update 10..14, insert
+    // 100..103 — routed by lang; fr gets the empty slice. v4 lockstep.
+    val src = (spark.range(0, 4) union spark.range(10, 15) union
+        spark.range(100, 104)).toDF("id")
+      .withColumn("lang",
+        when(col("id") % 2 === 0, lit("en")).otherwise(lit("de")))
+      .withColumn("v", lit("new"))
+    val upsRep = W.upsertManifestedPartitioned(spark, dir, src, "id")
+    assert(upsRep.keySet == leaves && upsRep.values.toSet == Set(4L),
+      upsRep.toString)
+    val back = W.readManifestedPartitioned(spark, dir)
+    assert(back.count() == 40L)
+    assert(back.filter(col("v") === "new").count() == 13L)
+    assert(back.filter(col("id") === 0).count() == 1L, "re-insert suppressed")
+    assert(back.filter(col("id") === 4).count() == 0L, "delete not applied")
+    assert(back.filter(col("id") === 10 && col("v") === "old").count() == 0L,
+      "matched row not replaced")
+    assert(back.filter(col("lang") === "fr").count() == 2L)
+
+    // TIME TRAVEL per version, across every leaf (the lockstep payoff):
+    // v2 = pre-delete, v3 = post-delete pre-merge, v4 = post-merge
+    assert(W.readManifestedPartitionedAt(spark, dir, 2L).count() == 42L)
+    assert(W.readManifestedPartitionedAt(spark, dir, 3L).count() == 32L)
+    assert(W.readManifestedPartitionedAt(spark, dir, 4L).count() == 40L)
+
+    // historyPartitioned: every leaf shows the same version trail with
+    // exactly one current row at v4 — the lockstep audit view
+    val hist = W.historyPartitioned(spark, dir).collect()
+    assert(hist.map(_.getString(0)).toSet == leaves)
+    leaves.foreach { l =>
+      val rows = hist.filter(_.getString(0) == l)
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+        s"$l trail: ${rows.map(_.getLong(1)).toSeq}")
+      assert(rows.count(_.getBoolean(5)) == 1 &&
+        rows.find(_.getBoolean(5)).get.getLong(1) == 4L, s"$l current row")
+    }
+
+    // refusals: a source row routing to a non-existent leaf, and the
+    // partitioned ops on a plain leaf
+    val toFr = intercept[IllegalArgumentException] {
+      W.upsertManifestedPartitioned(spark, dir,
+        src.withColumn("lang", lit("xx")), "id")
+    }
+    assert(toFr.getMessage.contains("lang=xx"), toFr.getMessage)
+    val plain = Files.createTempDirectory("graft_prow2").resolve("t2").toString
+    W.appendManifested(spark, plain, spark.range(0, 5).toDF("id"))
+    val notPart = intercept[IllegalArgumentException] {
+      W.upsertManifestedPartitioned(spark, plain,
+        spark.range(0, 1).toDF("id").withColumn("v", lit("x")), "id")
+    }
+    assert(notPart.getMessage.contains("plain leaf"), notPart.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(plain).getParentFile)
+  }
+
   test("vacuum: aborted-commit debris is GC'd; the table and retained snapshots read unchanged") {
     val W = graft.operators.Warehouse
     val IO = graft.operators.ManifestIo
