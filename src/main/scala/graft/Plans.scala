@@ -45,6 +45,7 @@ object Plans {
       "v02_ref_integrity" -> "orphan scan: broadcast anti join map-side; only distinct keys reach the exchange",
       "m14_crossmodal_dup_report" -> "three banded pair sets, one eagerCut, components over their union - never a product",
       "v09_delete_survivors" -> "tombstone apply is a broadcast left_anti over the scan; corpus never shuffles for a delete",
+      "v11_partitioned_merge_survivors" -> "partitioned merge-on-read: per-leaf broadcast-anti tombstone apply unioned by name; one agg shuffle, never a data rewrite",
       "s16_retrieve_rerank" -> "two-stage ANN serve: broadcast shortlist meets the corpus; exact rerank never shuffles it",
       "v07_key_skew" -> "skew profile: map-side key counts; global top-N is a TakeOrdered, not a sort",
       // the plan shows PASS 2 only (the narrow offset scan); pass 1 —

@@ -581,5 +581,13 @@ class StreamingSpec extends SparkSpec {
     assert(finalState(Seq(events)) == want)
     assert(finalState(Seq(odd, even)) == want)
     assert(finalState(Seq(even, odd)) == want)
+    // CHECKPOINT-REPLAY idempotence (r14): a foreachBatch re-fired
+    // after a crash re-applies its batch against the committed
+    // post-batch state. With the atomic one-commit merge the retry
+    // re-reads COMPLETE state (never a tombstoned middle), so
+    // greatest(s, s) = s re-appends byte-identical rows — the replayed
+    // sequence must land on exactly the non-replayed table
+    assert(finalState(Seq(odd, even, even)) == want,
+      "a replayed batch changed the table content")
   }
 }
