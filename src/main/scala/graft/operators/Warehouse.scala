@@ -339,7 +339,10 @@ object Warehouse {
     // appendManifested) — compaction folds them all into one. The
     // pointer and trail head are read at the SAME point (under the
     // in-process lock); `expected` anchors the version CAS at commit.
+    // Txn markers carry through the fold — maintenance must never
+    // reset a writer's exactly-once state.
     val cur = readPointer(fs, pointer)
+    val curTxns = readTxns(fs, pointer)
     val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
     val bytes = cur.map(g => ManifestIo.list(fs, new HPath(root, g))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -361,7 +364,7 @@ object Warehouse {
     // `expected` was read, this THROWS (the fold is stale — it misses
     // that writer's generation) and the folded directory is left as
     // an orphan for [[vacuum]]; the caller re-runs the compaction.
-    val v = commitManifest(fs, root, pointer, Seq(next), expected)
+    val v = commitManifest(fs, root, pointer, Seq(next), expected, curTxns)
     // SNAPSHOT RETENTION: a manifest version survives this GC if it is
     // within the COUNT window (the last `retainSnapshots` before this
     // commit) OR within the TIME window (`retainFor`, anchored on the
@@ -501,9 +504,10 @@ object Warehouse {
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
-      val gens =
-        if (ManifestIo.exists(fs, pointer)) readPointer(fs, pointer)
-        else Seq.empty
+      val (gens, txns) =
+        if (ManifestIo.exists(fs, pointer))
+          (readPointer(fs, pointer), readTxns(fs, pointer))
+        else (Seq.empty[String], Map.empty[String, Long])
       val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
       val nextId = genId.getOrElse(
         gens.map(entryId).foldLeft(-1L)(math.max) + 1)
@@ -512,7 +516,7 @@ object Warehouse {
       if (gens.contains(next)) committed = nextId // idempotent re-fire
       else {
         try {
-          commitManifest(fs, root, pointer, gens :+ next, expected)
+          commitManifest(fs, root, pointer, gens :+ next, expected, txns)
           committed = nextId
         } catch {
           case e: java.util.ConcurrentModificationException =>
@@ -530,10 +534,39 @@ object Warehouse {
     * Entries are data generations (`.gen-<id>`) or tombstone
     * generations (`.del-<id>`, [[deleteManifested]]); both draw ids
     * from ONE sequence, because the id ORDER is the merge-on-read
-    * semantics (a tombstone suppresses only earlier generations). */
+    * semantics (a tombstone suppresses only earlier generations).
+    * `#`-prefixed lines are METADATA, not generations — today the
+    * `#txn:<appId>:<version>` markers of [[upsertManifested]]'s
+    * exactly-once contract — and are filtered here so every
+    * generation-walking reader (scan, GC, vacuum, history) is
+    * oblivious to them. */
   private def readPointer(fs: HFs, pointer: HPath): Seq[String] =
     ManifestIo.readString(fs, pointer).trim
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .filterNot(_.startsWith("#"))
+
+  /** The `#txn:<appId>:<version>` markers of a committed manifest —
+    * one entry per writer application, highest version applied (the
+    * Delta `txnAppId`/`txnVersion` idempotent-writes state). Carried
+    * forward by EVERY commit path (append, delete, upsert, compaction
+    * fold), so the marker survives maintenance exactly like the data:
+    * the manifest is a full snapshot, and the txn state is part of it. */
+  private def readTxns(fs: HFs, pointer: HPath): Map[String, Long] =
+    ManifestIo.readString(fs, pointer).trim
+      .split("\n").toSeq.map(_.trim)
+      .filter(_.startsWith("#txn:"))
+      .map { l =>
+        val rest = l.stripPrefix("#txn:")
+        val i = rest.lastIndexOf(':')
+        rest.substring(0, i) -> rest.substring(i + 1).toLong
+      }.toMap
+
+  /** Serialize a manifest body: generation list, then the txn markers
+    * (app-sorted — deterministic bytes, so trail-head == pointer stays
+    * a byte-equality invariant). */
+  private def manifestBody(gens: Seq[String], txns: Map[String, Long]): String =
+    (gens ++ txns.toSeq.sortBy(_._1).map { case (a, v) => s"#txn:$a:$v" })
+      .mkString("\n")
 
   /** The shared id sequence under `.gen-<id>` / `.del-<id>` names. */
   private def entryId(name: String): Long =
@@ -633,7 +666,8 @@ object Warehouse {
       val next = s".del-$nextId"
       keys.distinct().write.mode("overwrite")
         .parquet(new HPath(root, next).toString)
-      commitManifest(fs, root, pointer, gens :+ next, expected)
+      commitManifest(fs, root, pointer, gens :+ next, expected,
+        readTxns(fs, pointer))
       nextId
     }
   }
@@ -656,9 +690,10 @@ object Warehouse {
     * and claiming max-trail-version + 1) simply commits past it.
     * Returns the committed version id. */
   private[graft] def commitManifest(fs: HFs, root: HPath, pointer: HPath,
-                             gens: Seq[String], expectedVersion: Long): Long = {
+                             gens: Seq[String], expectedVersion: Long,
+                             txns: Map[String, Long] = Map.empty): Long = {
     val v = expectedVersion + 1
-    val body = gens.mkString("\n")
+    val body = manifestBody(gens, txns)
     if (!ManifestIo.putIfAbsent(fs, new HPath(root, s"_manifest-$v"), body))
       throw new java.util.ConcurrentModificationException(
         s"commit of $root at version $v lost the race: another writer " +
@@ -923,12 +958,30 @@ object Warehouse {
     * [[scanGens]] ordering doing the MERGE semantics. O(source +
     * delete set) written, never a data rewrite; compaction later
     * materializes and retires, like any tombstone. Returns the
-    * committed manifest version. */
+    * committed manifest version.
+    *
+    * EXACTLY-ONCE for retrying producers (r14 — the Delta
+    * `txnAppId`/`txnVersion` idempotent-writes contract): pass
+    * `txn = Some((appId, version))` with a version that is
+    * MONOTONICALLY INCREASING per application (a foreachBatch
+    * producer passes its checkpoint-tracked batchId). The committed
+    * manifest then carries a `#txn:<appId>:<version>` marker — part
+    * of the snapshot, so every commit path (append, delete,
+    * compaction fold) carries it forward — and a replayed call whose
+    * version is ≤ the recorded one returns the CURRENT head version
+    * as a true NO-OP: no tombstone, no generation, no pointer swap.
+    * Without `txn` a replay is still content-idempotent (re-merging
+    * produces byte-identical rows) but spends one more version —
+    * the pre-r14 contract. Markers are per-app: two producers with
+    * different appIds never suppress each other. */
   def upsertManifested(spark: SparkSession, dir: String,
-                       source: DataFrame, keyCol: String): Long = {
+                       source: DataFrame, keyCol: String,
+                       txn: Option[(String, Long)] = None): Long = {
     require(source.columns.contains(keyCol),
       s"upsertManifested: source has no column '$keyCol' " +
         s"(columns: ${source.columns.mkString(", ")})")
+    require(txn.forall(t => !t._1.contains("\n") && !t._1.contains(":")),
+      s"upsertManifested: txn appId must not contain ':' or newline: $txn")
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     withTableLock(root) {
       val pointer = new HPath(root, "_current")
@@ -936,20 +989,30 @@ object Warehouse {
         s"upsertManifested: $dir has no committed table " +
           "(appendManifested creates one)")
       val gens = readPointer(fs, pointer)
+      val txns = readTxns(fs, pointer)
       val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
-      gens.find(!_.startsWith(".del-")).foreach { g =>
-        val cols = spark.read.parquet(new HPath(root, g).toString).columns
-        require(cols.contains(keyCol),
-          s"upsertManifested: $dir has no column '$keyCol' " +
-            s"(columns: ${cols.mkString(", ")})")
+      // the exactly-once gate: this (appId, version) already applied —
+      // a foreachBatch replay after a crash — so the whole call is a
+      // no-op; the caller observes the same post-state it would have
+      val alreadyApplied =
+        txn.exists { case (app, ver) => txns.get(app).exists(_ >= ver) }
+      if (alreadyApplied) expected
+      else {
+        gens.find(!_.startsWith(".del-")).foreach { g =>
+          val cols = spark.read.parquet(new HPath(root, g).toString).columns
+          require(cols.contains(keyCol),
+            s"upsertManifested: $dir has no column '$keyCol' " +
+              s"(columns: ${cols.mkString(", ")})")
+        }
+        val base = gens.map(entryId).foldLeft(-1L)(math.max) + 1
+        val del = s".del-$base"
+        val gen = s".gen-${base + 1}"
+        source.select(col(keyCol)).distinct().write.mode("overwrite")
+          .parquet(new HPath(root, del).toString)
+        source.write.mode("overwrite").parquet(new HPath(root, gen).toString)
+        commitManifest(fs, root, pointer, gens :+ del :+ gen, expected,
+          txn.fold(txns) { case (app, ver) => txns + (app -> ver) })
       }
-      val base = gens.map(entryId).foldLeft(-1L)(math.max) + 1
-      val del = s".del-$base"
-      val gen = s".gen-${base + 1}"
-      source.select(col(keyCol)).distinct().write.mode("overwrite")
-        .parquet(new HPath(root, del).toString)
-      source.write.mode("overwrite").parquet(new HPath(root, gen).toString)
-      commitManifest(fs, root, pointer, gens :+ del :+ gen, expected)
     }
   }
 
@@ -1043,9 +1106,17 @@ object Warehouse {
     * the tombstone for a slice carries only that slice's keys (the
     * identity-partitioning contract of every partitioned table format;
     * migrate keys with [[deleteManifestedPartitioned]] + upsert).
-    * Returns root-relative leaf path → the leaf's committed version. */
+    * Returns root-relative leaf path → the leaf's committed version.
+    *
+    * With `txn` (the [[upsertManifested]] exactly-once contract,
+    * applied per leaf) a partitioned merge is also RESUMABLE: a crash
+    * after some leaves committed leaves the root off-lockstep, and the
+    * replay no-ops exactly the leaves that already carry the marker
+    * while applying the rest — converging the root back to lockstep
+    * instead of double-applying the committed leaves. */
   def upsertManifestedPartitioned(spark: SparkSession, rootDir: String,
-                                  source: DataFrame, keyCol: String): Map[String, Long] = {
+                                  source: DataFrame, keyCol: String,
+                                  txn: Option[(String, Long)] = None): Map[String, Long] = {
     val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
     require(ManifestIo.isDirectory(fs, root),
       s"upsertManifestedPartitioned: $rootDir is not a directory")
@@ -1081,7 +1152,8 @@ object Warehouse {
       val slice = kvs.foldLeft(cut) { case (df, (k, v)) =>
         df.filter(col(k).cast("string") === lit(v))
       }.drop(pcols: _*)
-      relPath(root, leaf) -> upsertManifested(spark, leaf.toString, slice, keyCol)
+      relPath(root, leaf) -> upsertManifested(spark, leaf.toString, slice,
+        keyCol, txn)
     }.toMap
   }
 

@@ -103,14 +103,21 @@ object CdcApply {
     * The merge register is the same associative+commutative
     * max-struct, so the final table equals the batch answer under ANY
     * micro-batch partitioning — st11's invariance, now with
-    * transactional state. A re-fired batch is CONTENT-idempotent:
-    * `greatest(s, s) = s`, so the retry tombstones and re-appends
-    * byte-identical rows in one more version, folded by the next
-    * compaction — the same trade st22/st25 document. The merged rows
-    * are eagerCut before the commit: the upsert consumes them twice
-    * (key tombstone + data generation), and cutting runs the merge
-    * join once instead of twice. */
-  def applyBatchManifested(batch: DataFrame, tableDir: String): Unit = {
+    * transactional state. Replay semantics are layered: with
+    * `txnVersion` (the streaming loop passes its checkpoint-tracked
+    * batchId) a re-fired batch is an exactly-once NO-OP — the table's
+    * `#txn` marker records the highest applied batch and the upsert
+    * skips, no extra version spent; without it a re-fired batch is
+    * still CONTENT-idempotent (`greatest(s, s) = s` re-merges
+    * byte-identical rows) at the cost of one more version, folded by
+    * the next compaction. The merged rows are eagerCut before the
+    * commit: the upsert consumes them twice (key tombstone + data
+    * generation), and cutting runs the merge join once instead of
+    * twice. */
+  private[graft] val CdcTxnApp = "graft.cdc"
+
+  def applyBatchManifested(batch: DataFrame, tableDir: String,
+                           txnVersion: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val W = graft.operators.Warehouse
     val updates = lastPerKey(batch)
@@ -125,7 +132,8 @@ object CdcApply {
           Seq("user_id"), "full_outer")
         .select(col("user_id"), greatest(col("cur_s"), col("new_s")).as("s")))
     if (W.snapshots(tableDir).nonEmpty)
-      W.upsertManifested(spark, tableDir, merged, "user_id")
+      W.upsertManifested(spark, tableDir, merged, "user_id",
+        txnVersion.map(v => CdcTxnApp -> v))
     else
       W.appendManifested(spark, tableDir, merged)
     ()
@@ -141,7 +149,9 @@ object CdcApply {
       val q = EventStreams.readEventStream(scoped, dir).writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                          batchId: Long) =>
-          applyBatchManifested(batch.toDF(), tableDir)
+          // batchId is the checkpoint-tracked txn version: a replayed
+          // batch after a restart no-ops instead of re-committing
+          applyBatchManifested(batch.toDF(), tableDir, Some(batchId))
           // periodic maintenance under the live stream: fold the
           // accumulated generation+tombstone trail back to one
           if (batchId % 4 == 3) {

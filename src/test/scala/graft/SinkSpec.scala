@@ -991,6 +991,83 @@ class SinkSpec extends SparkSpec {
       new java.io.File(plain).getParentFile)
   }
 
+  test("exactly-once upserts: a txn-versioned replay is a true no-op; markers survive maintenance") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_txn").resolve("tbl").toString
+    def src(ids: Range, v: String) =
+      spark.range(ids.start, ids.end).toDF("id").withColumn("v", lit(v))
+    W.appendManifested(spark, dir, src(0 until 10, "old"))             // v1
+    // first apply records the marker
+    assert(W.upsertManifested(spark, dir, src(8 until 12, "a"),
+      "id", Some("app" -> 1L)) == 2L)                                  // v2
+    assert(W.readManifested(spark, dir).count() == 12L)
+    // REPLAY with the same (app, version): a true no-op — returns the
+    // current head, commits nothing, and even divergent replay content
+    // (abnormal, but proves the gate is the MARKER) leaves no trace
+    assert(W.upsertManifested(spark, dir, src(8 until 12, "XXX"),
+      "id", Some("app" -> 1L)) == 2L)
+    assert(W.snapshots(dir) == Seq(1L, 2L))
+    assert(W.readManifested(spark, dir).filter(col("v") === "XXX").count() == 0L)
+    // the next batch (higher version) applies normally
+    assert(W.upsertManifested(spark, dir, src(0 until 2, "b"),
+      "id", Some("app" -> 2L)) == 3L)                                  // v3
+    // the marker is part of the snapshot: compaction fold, append and
+    // delete all carry it forward — maintenance never resets
+    // exactly-once state
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30)        // v4
+    W.appendManifested(spark, dir, src(100 until 102, "c"))            // v5
+    W.deleteManifested(spark, dir, spark.range(100, 101).toDF("id"))   // v6
+    assert(W.readManifested(spark, dir).count() == 13L)
+    assert(W.upsertManifested(spark, dir, src(0 until 2, "ZZZ"),
+      "id", Some("app" -> 2L)) == 6L, "marker lost through maintenance")
+    assert(W.snapshots(dir) == Seq(3L, 4L, 5L, 6L))
+    assert(W.readManifested(spark, dir).filter(col("v") === "ZZZ").count() == 0L)
+    // markers are per-app: another producer is not suppressed
+    assert(W.upsertManifested(spark, dir, src(2 until 4, "d"),
+      "id", Some("other" -> 1L)) == 7L)
+    assert(W.readManifested(spark, dir).filter(col("v") === "d").count() == 2L)
+    // an un-txn'd upsert still composes (the pre-r14 contract)
+    assert(W.upsertManifested(spark, dir, src(4 until 5, "e"), "id") == 8L)
+    // a ':' in the appId would corrupt the marker line — refused
+    intercept[IllegalArgumentException] {
+      W.upsertManifested(spark, dir, src(0 until 1, "x"), "id",
+        Some("a:b" -> 1L))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("partitioned merge resumability: per-leaf txn markers converge a crashed merge to lockstep") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_txnp").resolve("tbl").toString
+    val docs = spark.range(0, 20).toDF("id")
+      .withColumn("lang", when(col("id") % 2 === 0, lit("en")).otherwise(lit("de")))
+      .withColumn("v", lit("old"))
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    W.compactManifestedPartitioned(spark, dir, targetFileBytes = 1L << 30)
+    // the merge source, routed to both leaves
+    val src = spark.range(0, 6).toDF("id")
+      .withColumn("lang", when(col("id") % 2 === 0, lit("en")).otherwise(lit("de")))
+      .withColumn("v", lit("new"))
+    // simulate the crash window: the merge committed the en leaf (with
+    // its txn marker) and died before de — the root is OFF-lockstep
+    W.upsertManifested(spark, s"$dir/lang=en",
+      src.filter(col("lang") === "en").drop("lang"), "id", Some("job" -> 7L))
+    // the REPLAY of the whole partitioned merge: en no-ops on its
+    // marker, de applies — the root converges back to lockstep with
+    // the en slice applied exactly once
+    val rep = W.upsertManifestedPartitioned(spark, dir, src, "id",
+      Some("job" -> 7L))
+    assert(rep == Map("lang=en" -> 3L, "lang=de" -> 3L), rep.toString)
+    val back = W.readManifestedPartitioned(spark, dir)
+    assert(back.count() == 20L)
+    assert(back.filter(col("v") === "new").count() == 6L)
+    // lockstep restored: the post-merge version resolves across leaves
+    assert(W.readManifestedPartitionedAt(spark, dir, 3L).count() == 20L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("vacuum: aborted-commit debris is GC'd; the table and retained snapshots read unchanged") {
     val W = graft.operators.Warehouse
     val IO = graft.operators.ManifestIo

@@ -589,5 +589,19 @@ class StreamingSpec extends SparkSpec {
     // sequence must land on exactly the non-replayed table
     assert(finalState(Seq(odd, even, even)) == want,
       "a replayed batch changed the table content")
+    // EXACTLY-ONCE (r14): with txn versions (the streaming loop passes
+    // its checkpoint-tracked batchId) the replay is a true NO-OP — not
+    // just content-idempotent: the version count is unchanged, so a
+    // restart storm can never bloat the manifest trail
+    val xdir = Files.createTempDirectory("graft_cdcx_spec").resolve("t").toString
+    CdcApply.applyBatchManifested(odd, xdir, Some(0L))
+    CdcApply.applyBatchManifested(even, xdir, Some(1L))
+    val vs = W.snapshots(xdir)
+    CdcApply.applyBatchManifested(even, xdir, Some(1L)) // the replay
+    assert(W.snapshots(xdir) == vs, "a replayed txn batch committed a version")
+    assert(W.readManifested(spark, xdir)
+      .select(col("user_id"), col("s.ts_us"), col("s.event_id"),
+        col("s.event_type"), col("s.value_q"))
+      .orderBy("user_id").collect().toSeq == want)
   }
 }
