@@ -139,6 +139,90 @@ object CdcApply {
     ()
   }
 
+  // ------------------------------- sharded (partitioned) state table
+  /** The CDC LWW loop onto a SHARDED manifested root — the layout a
+    * 100 TB keyed state table actually ships with: the table is
+    * hash-sharded on the key into `shard=<k>` leaves, so per-leaf
+    * commits, compactions and scans stay bounded and embarrassingly
+    * parallel, while the lockstep version numbering keeps the ROOT
+    * one time-travelable table. Per batch: the same associative LWW
+    * merge for the batch's keys, then
+    * `upsertManifestedPartitioned` routes the merged rows to their
+    * shard by the DETERMINISTIC shard function (`pmod(user_id,
+    * nShards)` — a key's shard never changes, satisfying the
+    * identity-partitioning contract) and commits EVERY leaf in
+    * lockstep under the batchId txn marker: a replayed batch no-ops
+    * per leaf, and a crash mid-merge (some shards committed, some
+    * not) converges back to lockstep on the replay — the resumability
+    * `upsertManifestedPartitioned` pins. The first batch bootstraps
+    * all `nShards` leaves explicitly (appendManifested per shard,
+    * empty shards included), because partitionBy would skip empty
+    * shards and leave later batches routing to a missing leaf. */
+  def applyBatchManifestedPartitioned(batch: DataFrame, rootDir: String,
+                                      nShards: Int,
+                                      txnVersion: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val W = graft.operators.Warehouse
+    val updates = lastPerKey(batch)
+    val bootstrapped = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(rootDir, "shard=0", "_current"))
+    val cur =
+      if (bootstrapped)
+        W.readManifestedPartitioned(spark, rootDir).drop("shard")
+          .join(updates.select(col("user_id")), Seq("user_id"), "left_semi")
+      else updates.limit(0)
+    val merged = graft.operators.eagerCut(
+      cur.select(col("user_id"), col("s").as("cur_s"))
+        .join(updates.select(col("user_id"), col("s").as("new_s")),
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"), greatest(col("cur_s"), col("new_s")).as("s"))
+        .withColumn("shard", pmod(col("user_id"), lit(nShards))))
+    if (bootstrapped)
+      W.upsertManifestedPartitioned(spark, rootDir, merged, "user_id",
+        txnVersion.map(v => CdcTxnApp -> v))
+    else
+      // bootstrap: one v1 commit per shard, empty shards included —
+      // every leaf must exist (and share version numbering) before
+      // the first routed merge
+      (0 until nShards).foreach { k =>
+        W.appendManifested(spark, s"$rootDir/shard=$k",
+          merged.filter(col("shard") === k).drop("shard"))
+      }
+    ()
+  }
+
+  def runCdcApplyManifestedPartitioned(spark: SparkSession, dir: String,
+                                       rootDir: String,
+                                       nShards: Int = 4): DataFrame = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcp_ckpt")
+    try {
+      val q = EventStreams.readEventStream(scoped, dir).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+          applyBatchManifestedPartitioned(batch.toDF(), rootDir, nShards,
+            Some(batchId))
+          // per-leaf maintenance under the live stream — each shard
+          // folds independently (embarrassingly parallel at scale)
+          if (batchId % 4 == 3) {
+            graft.operators.Warehouse.compactManifestedPartitioned(
+              batch.sparkSession, rootDir, targetFileBytes = 1L << 30)
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    }
+    graft.operators.Warehouse.readManifestedPartitioned(scoped, rootDir)
+      .select(col("user_id"), col("s.ts_us").as("ts_us"),
+        col("s.event_id").as("event_id"),
+        col("s.event_type").as("event_type"), col("s.value_q").as("value_q"))
+  }
+
   def runCdcApplyManifested(spark: SparkSession, dir: String,
                             tableDir: String): DataFrame = {
     val scoped = spark.newSession()

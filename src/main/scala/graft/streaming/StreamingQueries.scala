@@ -169,6 +169,21 @@ object StreamingQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
       out
     }),
+    // the CDC loop onto a SHARDED manifested root (r14): state
+    // hash-sharded into shard=<k> leaves, per-batch lockstep
+    // upsertManifestedPartitioned commits under the batchId txn
+    // marker, per-leaf delete-compaction under the live stream; SAME
+    // event-time-LWW oracle as st11/st27 — the third state mechanism
+    // under one oracle text, so none of them can drift
+    "st28_stream_cdc_sharded" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_st28")
+      val table = root.resolve("table").toString
+      val out = graft.operators.eagerCut(
+        CdcApply.runCdcApplyManifestedPartitioned(s, d, table)
+          .orderBy(col("user_id")))
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      out
+    }),
     // Spark 4 transformWithState (state v2): ValueState running profile
     // on the RocksDB store, update mode; final profile per key must
     // equal the batch aggregate
@@ -244,8 +259,9 @@ object StreamingQueries {
          ORDER BY a.user_id, a.session_seq"""
 
   /** Event-time last-writer-wins per user — the CDC state contract
-    * shared by st11 (dir-swap state) and st27 (manifested state): ONE
-    * oracle text, so the two mechanisms can never drift apart. */
+    * shared by st11 (dir-swap state), st27 (manifested state) and
+    * st28 (sharded manifested state): ONE oracle text, so the three
+    * mechanisms can never drift apart. */
   private val CdcLwwOracleSql =
     """WITH ev AS (
          SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us, event_id, event_type,
@@ -354,6 +370,7 @@ object StreamingQueries {
     // (tombstone+append commits, mid-stream compaction) must produce
     // the same event-time-LWW answer as the dir-swap state table
     "st27_stream_cdc_manifested" -> CdcLwwOracleSql,
+    "st28_stream_cdc_sharded" -> CdcLwwOracleSql,
     "st10_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_q

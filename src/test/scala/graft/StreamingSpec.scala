@@ -604,4 +604,46 @@ class StreamingSpec extends SparkSpec {
         col("s.event_type"), col("s.value_q"))
       .orderBy("user_id").collect().toSeq == want)
   }
+
+  test("CDC onto the SHARDED manifested root: same final state, lockstep leaves, exactly-once replay") {
+    // the third state mechanism under the one LWW contract: state
+    // hash-sharded into shard=<k> leaves, every batch one lockstep
+    // upsertManifestedPartitioned commit under the batchId txn marker
+    import graft.streaming.CdcApply
+    val W = graft.operators.Warehouse
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    val want = {
+      val dir = Files.createTempDirectory("graft_cdcs_ref").resolve("st").toString
+      CdcApply.applyBatch(events, dir)
+      CdcApply.readState(spark, dir).orderBy("user_id").collect().toSeq
+    }
+    val odd = events.filter(col("event_id") % 2 === 1)
+    val even = events.filter(col("event_id") % 2 === 0)
+    val root = Files.createTempDirectory("graft_cdcs_spec").resolve("t").toString
+    CdcApply.applyBatchManifestedPartitioned(odd, root, nShards = 4, Some(0L))
+    CdcApply.applyBatchManifestedPartitioned(even, root, nShards = 4, Some(1L))
+    def flat() = W.readManifestedPartitioned(spark, root)
+      .select(col("user_id"), col("s.ts_us"), col("s.event_id"),
+        col("s.event_type"), col("s.value_q"))
+      .orderBy("user_id").collect().toSeq
+    assert(flat() == want, "sharded state diverged from the LWW contract")
+    // all 4 shards exist (empty ones bootstrapped too) and sit at the
+    // SAME version — the lockstep contract under the stream
+    val leaves = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName)
+    assert(leaves.sorted.toSeq == (0 until 4).map(k => s"shard=$k"))
+    val versions = leaves.map(l => W.snapshots(s"$root/$l").last).toSet
+    assert(versions.size == 1, s"leaves off lockstep: $versions")
+    // a replayed batch no-ops in EVERY shard: no version anywhere moves
+    CdcApply.applyBatchManifestedPartitioned(even, root, nShards = 4, Some(1L))
+    assert(leaves.map(l => W.snapshots(s"$root/$l").last).toSet == versions,
+      "a replayed sharded batch committed somewhere")
+    assert(flat() == want)
+    // per-version time travel across the root still resolves (lockstep
+    // payoff): v1 = bootstrap (odd batch only)
+    assert(W.readManifestedPartitionedAt(spark, root, 1L).count() ==
+      odd.select(col("user_id")).distinct().count())
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
 }
