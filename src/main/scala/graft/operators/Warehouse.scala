@@ -639,36 +639,49 @@ object Warehouse {
     * entries as ordinary generations. NULL keys never match (SQL
     * equality — the Iceberg equality-delete contract): a null-keyed
     * row cannot be tombstoned; route such rows through compaction
-    * with a filter instead. Returns the tombstone's id. */
+    * with a filter instead. Returns the tombstone's id, or -1 when
+    * `txn` marks the call as an already-applied replay (the
+    * [[upsertManifested]] exactly-once contract, same marker
+    * namespace — a delete and an upsert from one producer share its
+    * monotone version sequence). */
   def deleteManifested(spark: SparkSession, dir: String,
-                       keys: DataFrame): Long = {
+                       keys: DataFrame,
+                       txn: Option[(String, Long)] = None): Long = {
     require(keys.columns.length == 1,
       s"deleteManifested: keys must be exactly the key column, got " +
         keys.columns.mkString(", "))
+    require(txn.forall(t => !t._1.contains("\n") && !t._1.contains(":")),
+      s"deleteManifested: txn appId must not contain ':' or newline: $txn")
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     withTableLock(root) {
       val pointer = new HPath(root, "_current")
       require(ManifestIo.exists(fs, pointer),
         s"deleteManifested: $dir has no committed table")
       val gens = readPointer(fs, pointer)
+      val txns = readTxns(fs, pointer)
       val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
-      // refuse an unknown key column AT COMMIT TIME (footer-only schema
-      // probe of one data generation) — otherwise the mistake would
-      // surface later, as a reader's resolution error
-      val key = keys.columns.head
-      gens.find(!_.startsWith(".del-")).foreach { g =>
-        val cols = spark.read.parquet(new HPath(root, g).toString).columns
-        require(cols.contains(key),
-          s"deleteManifested: $dir has no column '$key' " +
-            s"(columns: ${cols.mkString(", ")})")
+      val alreadyApplied =
+        txn.exists { case (app, ver) => txns.get(app).exists(_ >= ver) }
+      if (alreadyApplied) -1L
+      else {
+        // refuse an unknown key column AT COMMIT TIME (footer-only schema
+        // probe of one data generation) — otherwise the mistake would
+        // surface later, as a reader's resolution error
+        val key = keys.columns.head
+        gens.find(!_.startsWith(".del-")).foreach { g =>
+          val cols = spark.read.parquet(new HPath(root, g).toString).columns
+          require(cols.contains(key),
+            s"deleteManifested: $dir has no column '$key' " +
+              s"(columns: ${cols.mkString(", ")})")
+        }
+        val nextId = gens.map(entryId).foldLeft(-1L)(math.max) + 1
+        val next = s".del-$nextId"
+        keys.distinct().write.mode("overwrite")
+          .parquet(new HPath(root, next).toString)
+        commitManifest(fs, root, pointer, gens :+ next, expected,
+          txn.fold(txns) { case (app, ver) => txns + (app -> ver) })
+        nextId
       }
-      val nextId = gens.map(entryId).foldLeft(-1L)(math.max) + 1
-      val next = s".del-$nextId"
-      keys.distinct().write.mode("overwrite")
-        .parquet(new HPath(root, next).toString)
-      commitManifest(fs, root, pointer, gens :+ next, expected,
-        readTxns(fs, pointer))
-      nextId
     }
   }
 
@@ -1070,9 +1083,15 @@ object Warehouse {
     * suppresses nothing, which keeps the version numbering lockstep).
     * The delete set is materialized ONCE (eager cut) and re-written
     * per leaf, not re-computed. Returns root-relative leaf path → the
-    * leaf's committed tombstone id. */
+    * leaf's committed tombstone id (-1 = replay no-op on that leaf).
+    * With `txn` (per-leaf markers, the [[upsertManifestedPartitioned]]
+    * contract) a crashed partitioned delete is RESUMABLE: the replay
+    * no-ops the leaves that already committed and tombstones the
+    * rest, converging the root back to lockstep instead of
+    * double-tombstoning. */
   def deleteManifestedPartitioned(spark: SparkSession, rootDir: String,
-                                  keys: DataFrame): Map[String, Long] = {
+                                  keys: DataFrame,
+                                  txn: Option[(String, Long)] = None): Map[String, Long] = {
     require(keys.columns.length == 1,
       s"deleteManifestedPartitioned: keys must be exactly the key " +
         s"column, got ${keys.columns.mkString(", ")}")
@@ -1081,7 +1100,7 @@ object Warehouse {
       s"deleteManifestedPartitioned: $rootDir is not a directory")
     val cut = eagerCut(keys.distinct())
     manifestLeaves(fs, root).map { leaf =>
-      relPath(root, leaf) -> deleteManifested(spark, leaf.toString, cut)
+      relPath(root, leaf) -> deleteManifested(spark, leaf.toString, cut, txn)
     }.toMap
   }
 

@@ -1064,6 +1064,18 @@ class SinkSpec extends SparkSpec {
     assert(back.filter(col("v") === "new").count() == 6L)
     // lockstep restored: the post-merge version resolves across leaves
     assert(W.readManifestedPartitionedAt(spark, dir, 3L).count() == 20L)
+
+    // the DELETE path has the same crash window and the same cure: a
+    // partitioned delete that committed en (marker recorded) and died
+    // replays to a no-op there (-1) and a tombstone in de — lockstep
+    // again, keys tombstoned exactly once
+    assert(W.deleteManifested(spark, s"$dir/lang=en",
+      spark.range(0, 4).toDF("id"), Some("job" -> 8L)) >= 0)
+    val drep = W.deleteManifestedPartitioned(spark, dir,
+      spark.range(0, 4).toDF("id"), Some("job" -> 8L))
+    assert(drep("lang=en") == -1L && drep("lang=de") >= 0, drep.toString)
+    assert(W.readManifestedPartitioned(spark, dir).count() == 16L)
+    assert(W.readManifestedPartitionedAt(spark, dir, 4L).count() == 16L)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
   }
