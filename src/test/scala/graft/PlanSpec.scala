@@ -309,6 +309,41 @@ class PlanSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("partitioned manifested read: a partition filter prunes whole leaves out of the plan") {
+    // readManifestedPartitioned attaches partition values as LITERAL
+    // columns per leaf, so a predicate on the partition column folds to
+    // FALSE in every non-matching union branch and Catalyst eliminates
+    // that branch's scan entirely (PruneFilters + PropagateEmptyRelation)
+    // — directory-level partition pruning at 100 TB, measured on the
+    // scan's own numFiles metric, not inferred from prose
+    val W = graft.operators.Warehouse
+    val dir = java.nio.file.Files.createTempDirectory("graft_planprune")
+      .resolve("tbl").toString
+    spark.range(0, 300).toDF("id")
+      .withColumn("lang",
+        when(col("id") % 3 === 0, lit("en"))
+          .when(col("id") % 3 === 1, lit("de")).otherwise(lit("fr")))
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    W.compactManifestedPartitioned(spark, dir, targetFileBytes = 1L << 30)
+    val probe = W.readManifestedPartitioned(spark, dir)
+      .filter(col("lang") === "en")
+    // execute through the Dataset's OWN QueryExecution (count() plans a
+    // separate execution and would leave these metrics untouched)
+    assert(probe.collect().length == 100)
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1,
+      s"expected 1 surviving leaf scan, got ${scans.length}:\n" +
+        probe.queryExecution.executedPlan)
+    val enFiles = new java.io.File(s"$dir/lang=en/.gen-1").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(scans.head.metrics("numFiles").value == enFiles.toLong,
+      "the surviving scan read more than the matching leaf")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("merge-then-extract fires in the applied-enrichment projection") {
     import graft.operators.ZhEnrich
     import graft.sources.OsmFixture
