@@ -1049,18 +1049,23 @@ object Warehouse {
       val gens = readPointer(fs, mf)
       // commit_ts = the manifest file's mtime: the create-exclusive
       // claim instant locally/HDFS, the PUT instant on an object store
-      // — the same clock retainFor and the vacuum grace run on
+      // — the same clock retainFor and the vacuum grace run on.
+      // txns = the exactly-once markers AS OF this version (app:ver,
+      // app-sorted) — the debugging surface for "which batch applied".
       org.apache.spark.sql.Row(v,
         gens.mkString(","),
         gens.count(!_.startsWith(".del-")).toLong,
         gens.count(_.startsWith(".del-")).toLong,
         gens == cur,
-        new java.sql.Timestamp(fs.getFileStatus(mf).getModificationTime))
+        new java.sql.Timestamp(fs.getFileStatus(mf).getModificationTime),
+        readTxns(fs, mf).toSeq.sortBy(_._1)
+          .map { case (a, x) => s"$a:$x" }.mkString(","))
     }
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
         "version BIGINT, entries STRING, n_data_gens BIGINT, " +
-          "n_tombstones BIGINT, is_current BOOLEAN, commit_ts TIMESTAMP"))
+          "n_tombstones BIGINT, is_current BOOLEAN, commit_ts TIMESTAMP, " +
+          "txns STRING"))
   }
 
   // ------------------------------------- partitioned row-level ops (r14)

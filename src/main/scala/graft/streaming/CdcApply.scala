@@ -167,10 +167,25 @@ object CdcApply {
     val bootstrapped = java.nio.file.Files.exists(
       java.nio.file.Paths.get(rootDir, "shard=0", "_current"))
     val cur =
-      if (bootstrapped)
-        W.readManifestedPartitioned(spark, rootDir).drop("shard")
+      if (bootstrapped) {
+        // SHARD-PRUNED state read: only the shards the batch's keys
+        // route to are scanned — the partition values ride the
+        // partitioned read as literals, so the isin predicate folds to
+        // false in every untouched shard's union branch and Catalyst
+        // eliminates those scans entirely (the PlanSpec-pinned leaf
+        // pruning). At 4 shards this is cosmetic; at the thousands of
+        // shards a 100 TB state table carries, it is the difference
+        // between per-batch IO proportional to the BATCH's key spread
+        // and a full state scan every batch. The shard set is
+        // nShards-bounded, computed from the (already small) reduced
+        // batch.
+        val batchShards = updates
+          .select(pmod(col("user_id"), lit(nShards)).cast("string").as("k"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        W.readManifestedPartitioned(spark, rootDir)
+          .filter(col("shard").isin(batchShards: _*)).drop("shard")
           .join(updates.select(col("user_id")), Seq("user_id"), "left_semi")
-      else updates.limit(0)
+      } else updates.limit(0)
     val merged = graft.operators.eagerCut(
       cur.select(col("user_id"), col("s").as("cur_s"))
         .join(updates.select(col("user_id"), col("s").as("new_s")),

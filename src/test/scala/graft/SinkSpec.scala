@@ -1028,6 +1028,10 @@ class SinkSpec extends SparkSpec {
     assert(W.readManifested(spark, dir).filter(col("v") === "d").count() == 2L)
     // an un-txn'd upsert still composes (the pre-r14 contract)
     assert(W.upsertManifested(spark, dir, src(4 until 5, "e"), "id") == 8L)
+    // DESCRIBE HISTORY exposes the marker state per version — both
+    // apps visible at the head, still carried by the un-txn'd commit
+    val h = W.history(spark, dir).orderBy(col("version")).collect()
+    assert(h.last.getString(6) == "app:2,other:1", h.last.toString)
     // a ':' in the appId would corrupt the marker line — refused
     intercept[IllegalArgumentException] {
       W.upsertManifested(spark, dir, src(0 until 1, "x"), "id",
