@@ -324,8 +324,11 @@ object Warehouse {
     val pointer = new HPath(root, "_current")
     // adopt a plain leaf on first contact: its loose parquet files
     // become generation 0 (one-time migration — run it before any
-    // concurrent reader exists, like any format conversion)
-    if (!ManifestIo.exists(fs, pointer)) {
+    // concurrent reader exists, like any format conversion). Adoption
+    // keys off the HEAD, not the pointer file: a leaf whose pointer is
+    // absent but whose trail is not is a crashed pointer swap, and
+    // re-adopting it would drop every post-gen-0 generation.
+    if (headBody(fs, root).isEmpty) {
       val gen0 = new HPath(root, ".gen-0")
       fs.mkdirs(gen0)
       ManifestIo.list(fs, root)
@@ -341,8 +344,9 @@ object Warehouse {
     // in-process lock); `expected` anchors the version CAS at commit.
     // Txn markers carry through the fold — maintenance must never
     // reset a writer's exactly-once state.
-    val cur = readPointer(fs, pointer)
-    val curTxns = readTxns(fs, pointer)
+    val head = headBody(fs, root).get
+    val cur = parseGens(head)
+    val curTxns = parseTxns(head)
     val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
     val bytes = cur.map(g => ManifestIo.list(fs, new HPath(root, g))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -377,6 +381,14 @@ object Warehouse {
     // like Iceberg's min-snapshots-to-keep + max-snapshot-age pair.
     // Everything outside both windows — manifest files and the
     // generations only expired manifests reference — is deleted.
+    // CLOCK-SKEW caveat (shared with the vacuum grace — the same
+    // caveat Delta documents for its log-cleanup clock): the cutoff
+    // compares THIS writer's wall clock against STORAGE mtimes; skew
+    // between the writer host and the store (or between two writers)
+    // eats into the window symmetrically. Size retainFor/graceMs with
+    // the deployment's worst-case skew as padding — the 1 h default
+    // grace is the only thing protecting a live cross-process
+    // writer's in-flight commit.
     val timeCutoff = retainFor.map(d => System.currentTimeMillis() - d.toMillis)
     def inTimeWindow(x: Long): Boolean = timeCutoff.exists { c =>
       try fs.getFileStatus(new HPath(root, s"_manifest-$x"))
@@ -465,7 +477,10 @@ object Warehouse {
     withTableLock(root) {
     fs.mkdirs(root)
     val pointer = new HPath(root, "_current")
-    if (!ManifestIo.exists(fs, pointer)) {
+    // first-contact adoption keys off the HEAD: a pointer-less leaf
+    // with a live `_manifest-*` trail is a crashed pointer swap (see
+    // [[headBody]]) — it must resolve forward, never re-adopt
+    if (headBody(fs, root).isEmpty) {
       val loose = ManifestIo.list(fs, root)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       val gen0 = new HPath(root, ".gen-0")
@@ -504,10 +519,10 @@ object Warehouse {
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
-      val (gens, txns) =
-        if (ManifestIo.exists(fs, pointer))
-          (readPointer(fs, pointer), readTxns(fs, pointer))
-        else (Seq.empty[String], Map.empty[String, Long])
+      val (gens, txns) = headBody(fs, root) match {
+        case Some(b) => (parseGens(b), parseTxns(b))
+        case None => (Seq.empty[String], Map.empty[String, Long])
+      }
       val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
       val nextId = genId.getOrElse(
         gens.map(entryId).foldLeft(-1L)(math.max) + 1)
@@ -541,9 +556,42 @@ object Warehouse {
     * generation-walking reader (scan, GC, vacuum, history) is
     * oblivious to them. */
   private def readPointer(fs: HFs, pointer: HPath): Seq[String] =
-    ManifestIo.readString(fs, pointer).trim
-      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    parseGens(ManifestIo.readString(fs, pointer))
+
+  private def parseGens(body: String): Seq[String] =
+    body.trim.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
       .filterNot(_.startsWith("#"))
+
+  private def parseTxns(body: String): Map[String, Long] =
+    body.trim.split("\n").toSeq.map(_.trim)
+      .filter(_.startsWith("#txn:"))
+      .map { l =>
+        val rest = l.stripPrefix("#txn:")
+        val i = rest.lastIndexOf(':')
+        rest.substring(0, i) -> rest.substring(i + 1).toLong
+      }.toMap
+
+  /** The committed HEAD body of a leaf: `_current` when present; when
+    * the pointer is ABSENT but the `_manifest-*` trail is not — the
+    * crash window inside a non-atomic pointer replace (the HDFS
+    * delete+rename fallback, an object store's copy+delete rename) —
+    * ROLL FORWARD to the trail head. The claimed version's data files
+    * and its `_manifest-v` are both durable before the swap starts, so
+    * the head trailer is a complete committed snapshot; resolving it
+    * is the in-doubt-transaction roll-forward. The alternative was a
+    * silent catastrophe: a writer that treated the pointer-less leaf
+    * as fresh re-adopted `.gen-0` ALONE and committed a pointer that
+    * dropped every later generation (r15 fix — every pointer consumer
+    * below resolves through here). None = nothing committed at all.
+    * The next commit's [[ManifestIo.replace]] heals the pointer. */
+  private def headBody(fs: HFs, root: HPath): Option[String] = {
+    val direct =
+      try Some(ManifestIo.readString(fs, new HPath(root, "_current")))
+      catch { case _: java.io.FileNotFoundException => None }
+    direct.orElse(manifestVersions(fs, root).lastOption.map { v =>
+      ManifestIo.readString(fs, new HPath(root, s"_manifest-$v"))
+    })
+  }
 
   /** The `#txn:<appId>:<version>` markers of a committed manifest —
     * one entry per writer application, highest version applied (the
@@ -552,14 +600,7 @@ object Warehouse {
     * fold), so the marker survives maintenance exactly like the data:
     * the manifest is a full snapshot, and the txn state is part of it. */
   private def readTxns(fs: HFs, pointer: HPath): Map[String, Long] =
-    ManifestIo.readString(fs, pointer).trim
-      .split("\n").toSeq.map(_.trim)
-      .filter(_.startsWith("#txn:"))
-      .map { l =>
-        val rest = l.stripPrefix("#txn:")
-        val i = rest.lastIndexOf(':')
-        rest.substring(0, i) -> rest.substring(i + 1).toLong
-      }.toMap
+    parseTxns(ManifestIo.readString(fs, pointer))
 
   /** Serialize a manifest body: generation list, then the txn markers
     * (app-sorted — deterministic bytes, so trail-head == pointer stays
@@ -655,10 +696,10 @@ object Warehouse {
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     withTableLock(root) {
       val pointer = new HPath(root, "_current")
-      require(ManifestIo.exists(fs, pointer),
-        s"deleteManifested: $dir has no committed table")
-      val gens = readPointer(fs, pointer)
-      val txns = readTxns(fs, pointer)
+      val head = headBody(fs, root).getOrElse(throw new IllegalArgumentException(
+        s"deleteManifested: $dir has no committed table"))
+      val gens = parseGens(head)
+      val txns = parseTxns(head)
       val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
       val alreadyApplied =
         txn.exists { case (app, ver) => txns.get(app).exists(_ >= ver) }
@@ -792,7 +833,9 @@ object Warehouse {
   def readManifested(spark: SparkSession, dir: String): DataFrame = {
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     def resolveDf(): DataFrame = {
-      val gens = readPointer(fs, new HPath(root, "_current"))
+      val gens = parseGens(headBody(fs, root).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"readManifested: $dir has no committed table")))
       // scanGens: additive schema evolution carries (mergeSchema /
       // union-by-name null-fill — cost is one footer read per file at
       // planning, paid only while the manifest lists >1 generation),
@@ -998,11 +1041,11 @@ object Warehouse {
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     withTableLock(root) {
       val pointer = new HPath(root, "_current")
-      require(ManifestIo.exists(fs, pointer),
+      val head = headBody(fs, root).getOrElse(throw new IllegalArgumentException(
         s"upsertManifested: $dir has no committed table " +
-          "(appendManifested creates one)")
-      val gens = readPointer(fs, pointer)
-      val txns = readTxns(fs, pointer)
+          "(appendManifested creates one)"))
+      val gens = parseGens(head)
+      val txns = parseTxns(head)
       val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
       // the exactly-once gate: this (appId, version) already applied —
       // a foreachBatch replay after a crash — so the whole call is a
@@ -1040,26 +1083,29 @@ object Warehouse {
   def history(spark: SparkSession, dir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
-    val pointer = new HPath(root, "_current")
-    val cur =
-      if (ManifestIo.exists(fs, pointer)) readPointer(fs, pointer)
-      else Seq.empty
-    val rows = manifestVersions(fs, root).map { v =>
+    val cur = headBody(fs, root).map(parseGens).getOrElse(Seq.empty)
+    // a concurrent compaction may GC a manifest between the listing
+    // and the per-version reads — skip versions that vanish mid-walk
+    // (the same FNFE tolerance inTimeWindow/aged use) instead of
+    // letting DESCRIBE HISTORY throw on an expired version
+    val rows = manifestVersions(fs, root).flatMap { v =>
       val mf = new HPath(root, s"_manifest-$v")
-      val gens = readPointer(fs, mf)
       // commit_ts = the manifest file's mtime: the create-exclusive
       // claim instant locally/HDFS, the PUT instant on an object store
       // — the same clock retainFor and the vacuum grace run on.
       // txns = the exactly-once markers AS OF this version (app:ver,
       // app-sorted) — the debugging surface for "which batch applied".
-      org.apache.spark.sql.Row(v,
-        gens.mkString(","),
-        gens.count(!_.startsWith(".del-")).toLong,
-        gens.count(_.startsWith(".del-")).toLong,
-        gens == cur,
-        new java.sql.Timestamp(fs.getFileStatus(mf).getModificationTime),
-        readTxns(fs, mf).toSeq.sortBy(_._1)
-          .map { case (a, x) => s"$a:$x" }.mkString(","))
+      try {
+        val gens = readPointer(fs, mf)
+        Some(org.apache.spark.sql.Row(v,
+          gens.mkString(","),
+          gens.count(!_.startsWith(".del-")).toLong,
+          gens.count(_.startsWith(".del-")).toLong,
+          gens == cur,
+          new java.sql.Timestamp(fs.getFileStatus(mf).getModificationTime),
+          readTxns(fs, mf).toSeq.sortBy(_._1)
+            .map { case (a, x) => s"$a:$x" }.mkString(",")))
+      } catch { case _: java.io.FileNotFoundException => None }
     }
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
@@ -1245,7 +1291,10 @@ object Warehouse {
     * its commit window, while true crash debris only ages. Pass
     * `graceMs = 0` only when no concurrent cross-process writer can
     * exist (single-writer maintenance windows, tests). The in-process
-    * lock already serializes same-JVM writers regardless. */
+    * lock already serializes same-JVM writers regardless. The grace
+    * compares this host's wall clock against storage mtimes — pad it
+    * by the deployment's worst-case clock skew (the Delta VACUUM
+    * clock caveat; see the retention note in [[compactManifested]]). */
   val DefaultVacuumGraceMs: Long = 60L * 60 * 1000
 
   /** [[vacuum]] over a partitioned root: the [[manifestLeaves]] walk,
@@ -1271,16 +1320,16 @@ object Warehouse {
     require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     withTableLock(root) {
-      val pointer = new HPath(root, "_current")
-      if (!ManifestIo.exists(fs, pointer)) VacuumReport(Nil, Nil, false)
-      else {
+      headBody(fs, root) match {
+      case None => VacuumReport(Nil, Nil, false)
+      case Some(liveHead) =>
         // the grace clock: anything modified at/after this instant may
         // be a live cross-process writer's in-flight commit — skip it
         val cutoff = System.currentTimeMillis() - graceMs
         def aged(p: HPath): Boolean =
           try fs.getFileStatus(p).getModificationTime < cutoff
           catch { case _: java.io.FileNotFoundException => false }
-        val cur = readPointer(fs, pointer)
+        val cur = parseGens(liveHead)
         val curBody = cur.mkString("\n")
         val versions = manifestVersions(fs, root)
         val bodies = versions

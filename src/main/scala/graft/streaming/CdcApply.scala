@@ -154,55 +154,71 @@ object CdcApply {
     * lockstep under the batchId txn marker: a replayed batch no-ops
     * per leaf, and a crash mid-merge (some shards committed, some
     * not) converges back to lockstep on the replay — the resumability
-    * `upsertManifestedPartitioned` pins. The first batch bootstraps
-    * all `nShards` leaves explicitly (appendManifested per shard,
-    * empty shards included), because partitionBy would skip empty
-    * shards and leave later batches routing to a missing leaf. */
+    * `upsertManifestedPartitioned` pins. Before the first merge, every
+    * missing `shard=<k>` leaf is bootstrapped EMPTY (appendManifested
+    * with genId 0 — idempotent: a crash mid-bootstrap replays by
+    * creating only the still-missing leaves, and a raced creator's
+    * retry is a no-op rewrite), so ALL nShards leaves exist and share
+    * version numbering before any routed merge; the merge itself —
+    * including batch 0 — then always goes through the marker-gated
+    * upsert path, closing the two r14 holes: bootstrap detection ran
+    * on the LOCAL filesystem (always-false on hdfs://s3a:// roots —
+    * every batch re-appended, silently corrupting LWW state), and a
+    * crash mid-bootstrap was unrecoverable (replay saw shard=0
+    * committed, took the upsert path, and died on the missing
+    * leaves). Leaf existence resolves through the same Hadoop FS seam
+    * as every other Warehouse path. */
   def applyBatchManifestedPartitioned(batch: DataFrame, rootDir: String,
                                       nShards: Int,
                                       txnVersion: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val W = graft.operators.Warehouse
+    type HPath = org.apache.hadoop.fs.Path
     val updates = lastPerKey(batch)
-    val bootstrapped = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(rootDir, "shard=0", "_current"))
-    val cur =
-      if (bootstrapped) {
-        // SHARD-PRUNED state read: only the shards the batch's keys
-        // route to are scanned — the partition values ride the
-        // partitioned read as literals, so the isin predicate folds to
-        // false in every untouched shard's union branch and Catalyst
-        // eliminates those scans entirely (the PlanSpec-pinned leaf
-        // pruning). At 4 shards this is cosmetic; at the thousands of
-        // shards a 100 TB state table carries, it is the difference
-        // between per-batch IO proportional to the BATCH's key spread
-        // and a full state scan every batch. The shard set is
-        // nShards-bounded, computed from the (already small) reduced
-        // batch.
-        val batchShards = updates
-          .select(pmod(col("user_id"), lit(nShards)).cast("string").as("k"))
-          .distinct().collect().map(_.getString(0)).toSeq
-        W.readManifestedPartitioned(spark, rootDir)
-          .filter(col("shard").isin(batchShards: _*)).drop("shard")
-          .join(updates.select(col("user_id")), Seq("user_id"), "left_semi")
-      } else updates.limit(0)
+    val (fs, root) = graft.operators.ManifestIo.resolve(rootDir,
+      spark.sparkContext.hadoopConfiguration)
+    val missing = (0 until nShards).filterNot { k =>
+      graft.operators.ManifestIo.exists(fs,
+        new HPath(new HPath(root, s"shard=$k"), "_current"))
+    }
+    // empty v1 bootstrap per missing leaf: a few KB of parquet footer
+    // each, once per table lifetime — the price of a root whose leaves
+    // are all present and lockstep-numbered from the first version.
+    // repartition(1): limit(0) alone has zero partitions and would
+    // write NO part file — the generation must carry the schema.
+    if (missing.nonEmpty) {
+      val empty = updates.limit(0).repartition(1)
+      missing.foreach { k =>
+        W.appendManifested(spark, s"$rootDir/shard=$k", empty,
+          genId = Some(0L))
+        ()
+      }
+    }
+    // SHARD-PRUNED state read: only the shards the batch's keys
+    // route to are scanned — the partition values ride the
+    // partitioned read as literals, so the isin predicate folds to
+    // false in every untouched shard's union branch and Catalyst
+    // eliminates those scans entirely (the PlanSpec-pinned leaf
+    // pruning). At 4 shards this is cosmetic; at the thousands of
+    // shards a 100 TB state table carries, it is the difference
+    // between per-batch IO proportional to the BATCH's key spread
+    // and a full state scan every batch. The shard set is
+    // nShards-bounded, computed from the (already small) reduced
+    // batch.
+    val batchShards = updates
+      .select(pmod(col("user_id"), lit(nShards)).cast("string").as("k"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val cur = W.readManifestedPartitioned(spark, rootDir)
+      .filter(col("shard").isin(batchShards: _*)).drop("shard")
+      .join(updates.select(col("user_id")), Seq("user_id"), "left_semi")
     val merged = graft.operators.eagerCut(
       cur.select(col("user_id"), col("s").as("cur_s"))
         .join(updates.select(col("user_id"), col("s").as("new_s")),
           Seq("user_id"), "full_outer")
         .select(col("user_id"), greatest(col("cur_s"), col("new_s")).as("s"))
         .withColumn("shard", pmod(col("user_id"), lit(nShards))))
-    if (bootstrapped)
-      W.upsertManifestedPartitioned(spark, rootDir, merged, "user_id",
-        txnVersion.map(v => CdcTxnApp -> v))
-    else
-      // bootstrap: one v1 commit per shard, empty shards included —
-      // every leaf must exist (and share version numbering) before
-      // the first routed merge
-      (0 until nShards).foreach { k =>
-        W.appendManifested(spark, s"$rootDir/shard=$k",
-          merged.filter(col("shard") === k).drop("shard"))
-      }
+    W.upsertManifestedPartitioned(spark, rootDir, merged, "user_id",
+      txnVersion.map(v => CdcTxnApp -> v))
     ()
   }
 

@@ -640,10 +640,62 @@ class StreamingSpec extends SparkSpec {
       "a replayed sharded batch committed somewhere")
     assert(flat() == want)
     // per-version time travel across the root still resolves (lockstep
-    // payoff): v1 = bootstrap (odd batch only)
-    assert(W.readManifestedPartitionedAt(spark, root, 1L).count() ==
+    // payoff): v1 = the empty bootstrap, v2 = the odd batch's merge
+    assert(W.readManifestedPartitionedAt(spark, root, 1L).count() == 0L)
+    assert(W.readManifestedPartitionedAt(spark, root, 2L).count() ==
       odd.select(col("user_id")).distinct().count())
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(root).getParentFile)
+  }
+
+  test("sharded CDC bootstrap: crash mid-bootstrap replays idempotently; remote-scheme roots detect state") {
+    import graft.streaming.CdcApply
+    val W = graft.operators.Warehouse
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    val want = {
+      val dir = Files.createTempDirectory("graft_cdcb_ref").resolve("st").toString
+      CdcApply.applyBatch(events, dir)
+      CdcApply.readState(spark, dir).orderBy("user_id").collect().toSeq
+    }
+    val odd = events.filter(col("event_id") % 2 === 1)
+    val even = events.filter(col("event_id") % 2 === 0)
+
+    // (1) crash mid-bootstrap: only shard=0 was created before the
+    // process died (simulated by hand-bootstrapping one leaf). The
+    // replay must create exactly the missing leaves and route batch 0
+    // through the marker-gated upsert — r14 took the upsert path on
+    // shard=0-exists and died on the missing leaves.
+    val root = Files.createTempDirectory("graft_cdcb_spec").resolve("t").toString
+    W.appendManifested(spark, s"$root/shard=0",
+      odd.limit(0).select(col("user_id"),
+        org.apache.spark.sql.functions.struct(
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type"), lit(0L).as("value_q")).as("s"))
+        .repartition(1), genId = Some(0L))
+    CdcApply.applyBatchManifestedPartitioned(odd, root, nShards = 4, Some(0L))
+    CdcApply.applyBatchManifestedPartitioned(even, root, nShards = 4, Some(1L))
+    def flat(r: String) = W.readManifestedPartitioned(spark, r)
+      .select(col("user_id"), col("s.ts_us"), col("s.event_id"),
+        col("s.event_type"), col("s.value_q"))
+      .orderBy("user_id").collect().toSeq
+    assert(flat(root) == want, "crash-mid-bootstrap replay diverged")
+    val versions = (0 until 4).map(k => W.snapshots(s"$root/shard=$k").last).toSet
+    assert(versions.size == 1, s"leaves off lockstep after replay: $versions")
+
+    // (2) the r14 bootstrap probe ran java.nio on the LOCAL fs — on any
+    // non-local scheme it was always false, so EVERY batch re-appended
+    // (duplicate keys, no tombstones). On the hdfslike scheme the fixed
+    // probe resolves through the Hadoop FS: batch 2 must SEE batch 1's
+    // state and merge, not append beside it.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.hdfslike.impl", classOf[HdfsLikeFileSystem].getName)
+    val local = Files.createTempDirectory("graft_cdcb_remote")
+    val rroot = s"hdfslike://$local/t"
+    CdcApply.applyBatchManifestedPartitioned(odd, rroot, nShards = 4, Some(0L))
+    CdcApply.applyBatchManifestedPartitioned(even, rroot, nShards = 4, Some(1L))
+    assert(flat(rroot) == want, "remote-scheme root re-bootstrapped per batch")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
   }
 }
