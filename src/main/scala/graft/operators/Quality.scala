@@ -267,6 +267,43 @@ object Quality {
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))
     }),
+    // DATA-SKIPPING READ under the correctness gate: build (once per
+    // process+sf) a manifested documents table as four range-disjoint
+    // generations (the time-ordered ingest layout), run the row-level
+    // lifecycle over it (tombstone %7, merge %5 — stats must survive
+    // BOTH commit paths), fold it with clusterBy so the compacted
+    // files stay range-clustered, then answer a doc_id RANGE read
+    // through Warehouse.readManifestedRange — the manifest min/max
+    // pruned scan. The oracle recomputes the expectation straight from
+    // `documents` with the same scale-proportional bounds (scalar
+    // subqueries), so a pruning bug that drops or double-reads a file
+    // hash-fails here; the numFiles skipping itself is SinkSpec-pinned.
+    "v12_skipping_range_read" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifskip", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        (0 until 4).foreach { q =>
+          Warehouse.appendManifested(s, dir,
+            docs.filter(col("doc_id") >= q * n / 4 &&
+              col("doc_id") < (q + 1) * n / 4))
+        }
+        Warehouse.deleteManifested(s, dir,
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+        Warehouse.upsertManifested(s, dir,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") * 0 - 1).as("n_chars")), "doc_id")
+        Warehouse.compactManifested(s, dir, clusterBy = Some("doc_id"))
+        ()
+      }
+      val mx = t(s, d, "documents").agg(max(col("doc_id"))).head.getLong(0)
+      Warehouse.readManifestedRange(s, root, "doc_id", mx / 8, mx / 4)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     "v06_snapshot_diff" -> ((s, d) => {
       val cust = t(s, d, "customer")
       val nu = cust.filter(col("c_custkey") % 13 =!= 0)
@@ -347,6 +384,19 @@ object Quality {
              AS BIGINT) AS sum_chars
          FROM documents
          WHERE doc_id % 7 <> 0 OR doc_id % 5 = 0
+         GROUP BY lang ORDER BY lang""",
+    // the pruned range read recomputed from the source: v11's
+    // merge-after-delete survivor rule restricted to the same
+    // scale-proportional [max/8, max/4] window the Spark side derives
+    "v12_skipping_range_read" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(CASE WHEN doc_id % 5 = 0 THEN -1 ELSE n_chars END)
+             AS BIGINT) AS sum_chars
+         FROM documents
+         WHERE (doc_id % 7 <> 0 OR doc_id % 5 = 0)
+           AND doc_id BETWEEN (SELECT max(doc_id) // 8 FROM documents)
+                          AND (SELECT max(doc_id) // 4 FROM documents)
          GROUP BY lang ORDER BY lang""",
     // the survivors recomputed straight from the source table: every
     // doc except the tombstoned residue class

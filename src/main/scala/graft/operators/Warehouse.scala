@@ -301,7 +301,8 @@ object Warehouse {
   def compactManifested(spark: SparkSession, dir: String,
                         targetFileBytes: Long = 128L << 20,
                         retainSnapshots: Int = 1,
-                        retainFor: Option[java.time.Duration] = None): Int = {
+                        retainFor: Option[java.time.Duration] = None,
+                        clusterBy: Option[String] = None): Int = {
     require(retainSnapshots >= 0,
       s"retainSnapshots must be >= 0, got $retainSnapshots")
     require(retainFor.forall(!_.isNegative),
@@ -336,7 +337,8 @@ object Warehouse {
         .foreach(st => ManifestIo.rename(fs, st.getPath,
           new HPath(gen0, st.getPath.getName)))
       commitManifest(fs, root, pointer, Seq(".gen-0"),
-        manifestVersions(fs, root).lastOption.getOrElse(0L))
+        manifestVersions(fs, root).lastOption.getOrElse(0L),
+        stats = collectStats(fs, hconf(spark), root, ".gen-0"))
     }
     // the manifest may list SEVERAL generations (streaming appends via
     // appendManifested) — compaction folds them all into one. The
@@ -361,14 +363,24 @@ object Warehouse {
     // APPLIED AND RETIRED — the folded generation is the merge-on-read
     // state materialized, so compaction is also the delete-compaction
     // (Iceberg's rewrite-data-files with delete-file cleanup).
-    scanGens(spark, root, cur)
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(new HPath(root, next).toString)
+    // `clusterBy` range-partitions + sorts the fold on a column (the
+    // OPTIMIZE/sort-compaction move): each output file then covers a
+    // narrow value range, which is what makes the `#stats:` min/max
+    // skipping effective AFTER a fold — a plain hash repartition
+    // spreads every value range across every file and no per-file
+    // range can exclude anything.
+    val folded = scanGens(spark, root, cur)
+    (clusterBy match {
+      case Some(c) => folded.repartitionByRange(nFiles, col(c))
+        .sortWithinPartitions(col(c))
+      case None => folded.repartition(nFiles)
+    }).write.mode("overwrite").parquet(new HPath(root, next).toString)
     // CAS commit: if a cross-process writer advanced the trail since
     // `expected` was read, this THROWS (the fold is stale — it misses
     // that writer's generation) and the folded directory is left as
     // an orphan for [[vacuum]]; the caller re-runs the compaction.
-    val v = commitManifest(fs, root, pointer, Seq(next), expected, curTxns)
+    val v = commitManifest(fs, root, pointer, Seq(next), expected, curTxns,
+      collectStats(fs, hconf(spark), root, next))
     // SNAPSHOT RETENTION: a manifest version survives this GC if it is
     // within the COUNT window (the last `retainSnapshots` before this
     // commit) OR within the TIME window (`retainFor`, anchored on the
@@ -494,7 +506,8 @@ object Warehouse {
         loose.foreach(st => ManifestIo.rename(fs, st.getPath,
           new HPath(gen0, st.getPath.getName)))
         commitManifest(fs, root, pointer, Seq(".gen-0"),
-          manifestVersions(fs, root).lastOption.getOrElse(0L))
+          manifestVersions(fs, root).lastOption.getOrElse(0L),
+          stats = collectStats(fs, hconf(spark), root, ".gen-0"))
       } else if (ManifestIo.list(fs, gen0)
                    .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))) {
         // a crash BETWEEN the adoption move and its pointer commit
@@ -505,7 +518,8 @@ object Warehouse {
         // here too, harmlessly: its retry overwrites generation 0
         // with identical deterministic content, pointer unchanged.)
         commitManifest(fs, root, pointer, Seq(".gen-0"),
-          manifestVersions(fs, root).lastOption.getOrElse(0L))
+          manifestVersions(fs, root).lastOption.getOrElse(0L),
+          stats = collectStats(fs, hconf(spark), root, ".gen-0"))
       }
     }
     // optimistic-CAS commit loop: in-process writers never collide
@@ -519,9 +533,9 @@ object Warehouse {
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
-      val (gens, txns) = headBody(fs, root) match {
-        case Some(b) => (parseGens(b), parseTxns(b))
-        case None => (Seq.empty[String], Map.empty[String, Long])
+      val (gens, txns, carried) = headBody(fs, root) match {
+        case Some(b) => (parseGens(b), parseTxns(b), parseStats(b))
+        case None => (Seq.empty[String], Map.empty[String, Long], Seq.empty[String])
       }
       val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
       val nextId = genId.getOrElse(
@@ -531,7 +545,8 @@ object Warehouse {
       if (gens.contains(next)) committed = nextId // idempotent re-fire
       else {
         try {
-          commitManifest(fs, root, pointer, gens :+ next, expected, txns)
+          commitManifest(fs, root, pointer, gens :+ next, expected, txns,
+            statsForGens(carried, gens) ++ collectStats(fs, hconf(spark), root, next))
           committed = nextId
         } catch {
           case e: java.util.ConcurrentModificationException =>
@@ -602,12 +617,163 @@ object Warehouse {
   private def readTxns(fs: HFs, pointer: HPath): Map[String, Long] =
     parseTxns(ManifestIo.readString(fs, pointer))
 
-  /** Serialize a manifest body: generation list, then the txn markers
-    * (app-sorted — deterministic bytes, so trail-head == pointer stays
-    * a byte-equality invariant). */
-  private def manifestBody(gens: Seq[String], txns: Map[String, Long]): String =
-    (gens ++ txns.toSeq.sortBy(_._1).map { case (a, v) => s"#txn:$a:$v" })
+  /** Serialize a manifest body: generation list, then the `#stats:`
+    * file-skipping lines (sorted), then the txn markers (app-sorted) —
+    * deterministic bytes, so trail-head == pointer stays a
+    * byte-equality invariant. */
+  private def manifestBody(gens: Seq[String], txns: Map[String, Long],
+                           stats: Seq[String] = Seq.empty): String =
+    (gens ++ stats.sorted ++
+      txns.toSeq.sortBy(_._1).map { case (a, v) => s"#txn:$a:$v" })
       .mkString("\n")
+
+  // ------------------------------------------------- data skipping (r15)
+  // Per-FILE min/max statistics ride the manifest as `#stats:` metadata
+  // lines (the same mechanism as the `#txn:` markers — part of the
+  // snapshot, carried by every commit path), the Delta add-file-stats /
+  // Iceberg manifest-metrics analogue: a point/range predicate on a
+  // clustered column opens only the files whose range intersects it,
+  // instead of every file of every live generation — the one 100 TB
+  // read-path feature partition pruning alone cannot give (a keyed
+  // point-read against an unpartitioned 100 TB leaf).
+  //
+  // Line format (one per file × column):
+  //   #stats:<entry>/<file>:<col>:l:<min>:<max>       signed integral
+  //   #stats:<entry>/<file>:<col>:d:<min>:<max>       double/float
+  //   #stats:<entry>/<file>:<col>:s:<b64min>:<b64max> UTF-8 string
+  // Readers that lack a line for (file, column) keep the file —
+  // conservative by construction, so legacy manifests, unsupported
+  // types and all-null chunks never mis-prune.
+
+  /** Columns per file that get stats lines — the Delta
+    * dataSkippingNumIndexedCols analogue; bounds manifest growth to
+    * O(files × 16) lines. */
+  private val MaxStatsCols = 16
+
+  /** Footer-walk one committed generation directory and emit its
+    * `#stats:` lines: per file, per top-level atomic column (capped at
+    * [[MaxStatsCols]], schema order), the min/max across that file's
+    * row groups — read from the parquet column-chunk statistics the
+    * writer already stored, so collection is one footer read per NEW
+    * file per commit (the same footers a mergeSchema planning pass
+    * reads; carried-forward generations re-use their existing lines as
+    * text, never re-read). Skipped (conservatively, no line): nested
+    * columns, non-string binary, unsupported physical types, chunks
+    * with absent/empty stats, all-null files, NaN-tainted double
+    * stats, and column names that would break the line syntax. String
+    * min/max are base64 of the UTF-8 bytes; their order is unsigned
+    * byte-wise — exactly UTF8String's comparison, so pruning agrees
+    * with the engine's own `>=`. */
+  private def collectStats(fs: HFs, conf: org.apache.hadoop.conf.Configuration,
+                           root: HPath, entry: String): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding
+    val dir = new HPath(root, entry)
+    val files = ManifestIo.list(fs, dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    files.toSeq.flatMap { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        val md = reader.getFooter
+        val blocks = md.getBlocks.asScala.toSeq
+        md.getFileMetaData.getSchema.getFields.asScala.toSeq
+          .filter(_.isPrimitive).take(MaxStatsCols)
+          .flatMap { f =>
+            val name = f.getName
+            val chunks = blocks.flatMap(_.getColumns.asScala.filter(c =>
+              c.getPath.size() == 1 && c.getPath.toDotString == name))
+            val stats = chunks.map(_.getStatistics)
+            if (name.contains(":") || name.contains("/") || name.contains("\n") ||
+                stats.isEmpty ||
+                stats.exists(s => s == null || s.isEmpty || !s.hasNonNullValue))
+              None
+            else {
+              val prefix = s"#stats:$entry/${st.getPath.getName}:$name"
+              f.asPrimitiveType().getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+                  // DATE/TIMESTAMP logical types ride the same signed
+                  // integral order (days / micros)
+                  val mn = stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min
+                  val mx = stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max
+                  Some(s"$prefix:l:$mn:$mx")
+                case PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT =>
+                  val mn = stats.map(_.genericGetMin.asInstanceOf[Number].doubleValue).min
+                  val mx = stats.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max
+                  // NaN-initialized stats (first value NaN) are
+                  // untrustworthy bounds — skip, keep the file
+                  if (mn.isNaN || mx.isNaN) None else Some(s"$prefix:d:$mn:$mx")
+                case PrimitiveTypeName.BINARY
+                    if f.asPrimitiveType().getLogicalTypeAnnotation ==
+                      LogicalTypeAnnotation.stringType() =>
+                  val byBytes = Ordering.comparatorToOrdering(
+                    java.util.Comparator.comparing(
+                      (b: Array[Byte]) => b,
+                      (a: Array[Byte], b: Array[Byte]) =>
+                        java.util.Arrays.compareUnsigned(a, b)))
+                  val mn = stats.map(_.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes).min(byBytes)
+                  val mx = stats.map(_.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes).max(byBytes)
+                  Some(s"$prefix:s:${enc.encodeToString(mn)}:${enc.encodeToString(mx)}")
+                case _ => None
+              }
+            }
+          }
+      } finally reader.close()
+    }
+  }
+
+  /** The `#stats:` lines of a manifest body. */
+  private def parseStats(body: String): Seq[String] =
+    body.trim.split("\n").toSeq.map(_.trim).filter(_.startsWith("#stats:"))
+
+  /** Carry-forward filter: the stats lines whose entry survives into
+    * the next commit's generation list (dropped generations take their
+    * lines with them; retained ones keep theirs as text — no re-read). */
+  private def statsForGens(lines: Seq[String], gens: Seq[String]): Seq[String] = {
+    val keep = gens.toSet
+    lines.filter(l => keep.contains(l.stripPrefix("#stats:").takeWhile(_ != '/')))
+  }
+
+  /** Does the recorded [min, max] intersect the query's [lower, upper]?
+    * Bound-type / kind mismatches keep the file (conservative). */
+  private def statsOverlap(kind: String, mn: String, mx: String,
+                           lower: Any, upper: Any): Boolean = {
+    def asLong(v: Any): Option[Long] = v match {
+      case n: Byte => Some(n.toLong); case n: Short => Some(n.toLong)
+      case n: Int => Some(n.toLong); case n: Long => Some(n)
+      case _ => None
+    }
+    def asDouble(v: Any): Option[Double] = v match {
+      case n: Float => Some(n.toDouble); case n: Double => Some(n)
+      case other => asLong(other).map(_.toDouble)
+    }
+    kind match {
+      case "l" => (asLong(lower), asLong(upper)) match {
+        case (Some(lo), Some(hi)) => !(hi < mn.toLong || lo > mx.toLong)
+        case _ => true
+      }
+      case "d" => (asDouble(lower), asDouble(upper)) match {
+        case (Some(lo), Some(hi)) => !(hi < mn.toDouble || lo > mx.toDouble)
+        case _ => true
+      }
+      case "s" => (lower, upper) match {
+        case (lo: String, hi: String) =>
+          val dec = java.util.Base64.getUrlDecoder
+          val mnB = dec.decode(mn)
+          val mxB = dec.decode(mx)
+          !(java.util.Arrays.compareUnsigned(hi.getBytes("UTF-8"), mnB) < 0 ||
+            java.util.Arrays.compareUnsigned(lo.getBytes("UTF-8"), mxB) > 0)
+        case _ => true
+      }
+      case _ => true
+    }
+  }
 
   /** The shared id sequence under `.gen-<id>` / `.del-<id>` names. */
   private def entryId(name: String): Long =
@@ -646,21 +812,101 @@ object Warehouse {
         spark.read.parquet(new HPath(root, g).toString)
           .withColumn("_gid", lit(entryId(g)))
       }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
-      // every tombstone carries ONE column whose NAME is the table's
-      // key column ([[deleteManifested]] enforces it at write time)
-      val keyCols = dels.map(g =>
-        spark.read.parquet(new HPath(root, g).toString).columns.toSeq).distinct
-      require(keyCols.size == 1 && keyCols.head.size == 1,
-        s"scanGens: tombstones disagree on the key column: $keyCols")
-      val key = keyCols.head.head
-      val tomb = dels.map { g =>
-        spark.read.parquet(new HPath(root, g).toString)
-          .select(col(key).as("_tkey")).withColumn("_tid", lit(entryId(g)))
-      }.reduceLeft(_.unionByName(_))
-      data.join(broadcast(tomb),
-          data(key) === tomb("_tkey") && tomb("_tid") > data("_gid"),
-          "left_anti")
-        .drop("_gid")
+      applyTombstones(spark, root, dels, data)
+    }
+  }
+
+  /** Apply `.del-` tombstones to `_gid`-tagged data rows — the shared
+    * merge-on-read suppression of [[scanGens]] and the pruned
+    * [[readManifestedRange]] path: one left_anti join against the
+    * (delete-sized, broadcast) tombstone keys with the `tid > gid`
+    * ordering predicate. Every tombstone carries ONE column whose NAME
+    * is the table's key column ([[deleteManifested]] enforces it at
+    * write time). */
+  private def applyTombstones(spark: SparkSession, root: HPath,
+                              dels: Seq[String], data: DataFrame): DataFrame = {
+    val keyCols = dels.map(g =>
+      spark.read.parquet(new HPath(root, g).toString).columns.toSeq).distinct
+    require(keyCols.size == 1 && keyCols.head.size == 1,
+      s"scanGens: tombstones disagree on the key column: $keyCols")
+    val key = keyCols.head.head
+    val tomb = dels.map { g =>
+      spark.read.parquet(new HPath(root, g).toString)
+        .select(col(key).as("_tkey")).withColumn("_tid", lit(entryId(g)))
+    }.reduceLeft(_.unionByName(_))
+    data.join(broadcast(tomb),
+        data(key) === tomb("_tkey") && tomb("_tid") > data("_gid"),
+        "left_anti")
+      .drop("_gid")
+  }
+
+  /** DATA-SKIPPING READ: [[readManifested]] restricted to `lower <=
+    * column <= upper`, opening ONLY the files whose manifest-recorded
+    * min/max range intersects the predicate (plus any file with no
+    * recorded stats — conservative). Semantically identical to
+    * `readManifested(...).filter(col >= lower && col <= upper)` — the
+    * predicate is re-applied on the surviving files, so skipping can
+    * only cut IO, never change the answer. The 100 TB shape: a keyed
+    * point-read (`lower == upper`) against a table whose layout is
+    * clustered on `column` (time-ordered ingest, or a
+    * [[compactManifested]] fold with `clusterBy`) opens O(trail
+    * depth) files instead of all of them. Bounds: integral, double or
+    * string, matching the column's type (a mismatched bound reads
+    * everything, still correct). Tombstones are always read in full —
+    * they are delete-sized — and apply exactly as in [[scanGens]]. */
+  def readManifestedRange(spark: SparkSession, dir: String, column: String,
+                          lower: Any, upper: Any): DataFrame = {
+    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
+    def resolveDf(): DataFrame = {
+      val body = headBody(fs, root).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"readManifestedRange: $dir has no committed table"))
+      val gens = parseGens(body)
+      val ranges: Map[(String, String), (String, String, String)] =
+        parseStats(body).flatMap { l =>
+          // #stats:<entry>/<file>:<col>:<kind>:<min>:<max>
+          l.stripPrefix("#stats:").split(":", 5) match {
+            case Array(entryFile, c, kind, mn, mx) if c == column =>
+              val slash = entryFile.indexOf('/')
+              Some((entryFile.take(slash), entryFile.drop(slash + 1)) ->
+                (kind, mn, mx))
+            case _ => None
+          }
+        }.toMap
+      val (dels, datas) = gens.partition(_.startsWith(".del-"))
+      require(datas.nonEmpty,
+        s"readManifestedRange: manifest lists only tombstones: $gens")
+      val selected: Seq[(String, Seq[HPath])] = datas.map { g =>
+        val files = ManifestIo.list(fs, new HPath(root, g))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).toSeq
+        g -> files.filter(f => ranges.get((g, f.getName)) match {
+          case Some((kind, mn, mx)) => statsOverlap(kind, mn, mx, lower, upper)
+          case None => true
+        })
+      }
+      val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
+      val live = selected.filter(_._2.nonEmpty)
+      if (live.isEmpty)
+        // every file excluded — plan the ordinary scan only for its
+        // schema; the predicate returns zero rows through it
+        scanGens(spark, root, gens).filter(pred)
+      else if (dels.isEmpty)
+        spark.read.option("mergeSchema", "true")
+          .parquet(live.flatMap(_._2).map(_.toString): _*)
+          .filter(pred)
+      else {
+        val data = live.map { case (g, fl) =>
+          spark.read.parquet(fl.map(_.toString): _*)
+            .withColumn("_gid", lit(entryId(g)))
+        }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+        applyTombstones(spark, root, dels, data).filter(pred)
+      }
+    }
+    try resolveDf()
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => resolveDf()
+      case _: java.io.FileNotFoundException => resolveDf()
     }
   }
 
@@ -719,8 +965,11 @@ object Warehouse {
         val next = s".del-$nextId"
         keys.distinct().write.mode("overwrite")
           .parquet(new HPath(root, next).toString)
+        // tombstones carry no stats of their own (they are read in
+        // full — delete-sized); the data generations' lines carry
         commitManifest(fs, root, pointer, gens :+ next, expected,
-          txn.fold(txns) { case (app, ver) => txns + (app -> ver) })
+          txn.fold(txns) { case (app, ver) => txns + (app -> ver) },
+          statsForGens(parseStats(head), gens))
         nextId
       }
     }
@@ -745,9 +994,10 @@ object Warehouse {
     * Returns the committed version id. */
   private[graft] def commitManifest(fs: HFs, root: HPath, pointer: HPath,
                              gens: Seq[String], expectedVersion: Long,
-                             txns: Map[String, Long] = Map.empty): Long = {
+                             txns: Map[String, Long] = Map.empty,
+                             stats: Seq[String] = Seq.empty): Long = {
     val v = expectedVersion + 1
-    val body = manifestBody(gens, txns)
+    val body = manifestBody(gens, txns, stats)
     if (!ManifestIo.putIfAbsent(fs, new HPath(root, s"_manifest-$v"), body))
       throw new java.util.ConcurrentModificationException(
         s"commit of $root at version $v lost the race: another writer " +
@@ -876,13 +1126,14 @@ object Warehouse {
   def compactManifestedPartitioned(spark: SparkSession, rootDir: String,
                                    targetFileBytes: Long = 128L << 20,
                                    retainSnapshots: Int = 1,
-                                   retainFor: Option[java.time.Duration] = None): Map[String, Int] = {
+                                   retainFor: Option[java.time.Duration] = None,
+                                   clusterBy: Option[String] = None): Map[String, Int] = {
     val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
     require(ManifestIo.isDirectory(fs, root),
       s"compactManifestedPartitioned: $rootDir is not a directory")
     manifestLeaves(fs, root).map { leaf =>
       relPath(root, leaf) -> compactManifested(spark, leaf.toString,
-        targetFileBytes, retainSnapshots, retainFor)
+        targetFileBytes, retainSnapshots, retainFor, clusterBy)
     }.toMap
   }
 
@@ -1067,7 +1318,9 @@ object Warehouse {
           .parquet(new HPath(root, del).toString)
         source.write.mode("overwrite").parquet(new HPath(root, gen).toString)
         commitManifest(fs, root, pointer, gens :+ del :+ gen, expected,
-          txn.fold(txns) { case (app, ver) => txns + (app -> ver) })
+          txn.fold(txns) { case (app, ver) => txns + (app -> ver) },
+          statsForGens(parseStats(head), gens) ++
+            collectStats(fs, hconf(spark), root, gen))
       }
     }
   }

@@ -215,12 +215,16 @@ class SinkSpec extends SparkSpec {
         } else {
           graft.operators.Warehouse.compactManifested(spark, dir,
             targetFileBytes = 1L << 30)
+          // generation lines only — `#stats:`/`#txn:` lines are
+          // manifest METADATA, not directories (the format contract)
           val listed = java.nio.file.Files
             .readString(java.nio.file.Paths.get(dir, "_current")).trim.split("\n")
+            .filterNot(_.startsWith("#"))
           assert(listed.length == 1, s"seed=$seed: compact left ${listed.toSeq}")
         }
         val pointerGens = java.nio.file.Files
           .readString(java.nio.file.Paths.get(dir, "_current")).trim.split("\n")
+          .filterNot(_.startsWith("#"))
         pointerGens.foreach(g => assert(new java.io.File(dir, g).isDirectory,
           s"seed=$seed: pointer lists missing generation $g"))
         // r12 invariant: the newest _manifest-<v> history file always
@@ -230,6 +234,7 @@ class SinkSpec extends SparkSpec {
         assert(vs.nonEmpty, s"seed=$seed: no manifest trail")
         val newest = java.nio.file.Files.readString(
           java.nio.file.Paths.get(dir, s"_manifest-${vs.last}")).trim.split("\n")
+          .filterNot(_.startsWith("#"))
         assert(newest.toSeq == pointerGens.toSeq,
           s"seed=$seed: trail head ${newest.toSeq} != pointer ${pointerGens.toSeq}")
         val got = graft.operators.Warehouse.readManifested(spark, dir)
@@ -1159,5 +1164,89 @@ class SinkSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(empty).getParentFile)
+  }
+
+  test("manifest data skipping: point/range reads open only the files whose min/max admit them") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_skip").resolve("tbl").toString
+    // four range-disjoint generations — the layout a time-ordered
+    // ingest produces (each spark.range split is itself range-ordered,
+    // so every FILE covers a narrow id slice)
+    for (q <- 0 until 4)
+      W.appendManifested(spark, dir,
+        spark.range(q * 100L, q * 100L + 100L).toDF("id")
+          .withColumn("tag", format_string("k%03d", col("id"))))
+    def full() = W.readManifested(spark, dir)
+    val totalFiles = full().inputFiles.length
+    assert(totalFiles >= 4, s"want multiple files, got $totalFiles")
+
+    // (a) long point read: exactly one row, and the scan opened only a
+    // sliver of the table (the SinkSpec numFiles pin of the r15 brief)
+    val pt = W.readManifestedRange(spark, dir, "id", 250L, 250L)
+    assert(pt.collect().map(_.getLong(0)).toSeq == Seq(250L))
+    assert(pt.inputFiles.length < totalFiles,
+      s"point read opened ${pt.inputFiles.length} of $totalFiles files")
+    assert(pt.inputFiles.length <= math.max(1, totalFiles / 4),
+      s"point read opened ${pt.inputFiles.length} of $totalFiles files")
+
+    // (b) range read across a generation boundary ≡ full-scan filter
+    val rg = W.readManifestedRange(spark, dir, "id", 150L, 250L)
+    assert(rg.collect().map(_.getLong(0)).sorted.toSeq == (150L to 250L),
+      "range read diverged from the filter semantics")
+    assert(rg.inputFiles.length < totalFiles)
+
+    // (c) string-typed column skipping (unsigned-byte order = UTF8String)
+    val st = W.readManifestedRange(spark, dir, "tag", "k250", "k250")
+    assert(st.collect().map(_.getString(1)).toSeq == Seq("k250"))
+    assert(st.inputFiles.length < totalFiles)
+
+    // (d) zero-match range: empty result, schema intact
+    val none = W.readManifestedRange(spark, dir, "id", 10000L, 10001L)
+    assert(none.count() == 0L && none.columns.toSeq == Seq("id", "tag"))
+
+    // (e) stats survive DELETE and MERGE commits (the carry-forward
+    // contract): after both, the point read still prunes — a commit
+    // path that dropped the lines would silently read everything
+    W.deleteManifested(spark, dir,
+      spark.range(0, 400).toDF("id").filter(col("id") % 7 === 0))
+    W.upsertManifested(spark, dir,
+      spark.range(0, 10).toDF("id")
+        .withColumn("tag", format_string("u%03d", col("id"))), "id")
+    val pt2 = W.readManifestedRange(spark, dir, "id", 250L, 250L)
+    assert(pt2.collect().map(_.getLong(0)).toSeq == Seq(250L))
+    assert(pt2.inputFiles.length < totalFiles,
+      "stats lines were lost across delete/upsert commits")
+    // tombstone + merge semantics ride the pruned path too
+    assert(W.readManifestedRange(spark, dir, "id", 0L, 30L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+      (0L to 30L).filter(i => i % 7 != 0 || i < 10)
+        .map(i => (i, if (i < 10) f"u$i%03d" else f"k$i%03d")))
+
+    // (f) clusterBy compaction: the fold re-clusters on id, fresh
+    // per-file stats admit pruning on the FOLDED files (a plain hash
+    // repartition would spread every range across every file)
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 12,
+      clusterBy = Some("id"))
+    val totalAfter = full().inputFiles.length
+    assert(totalAfter >= 4, s"fold produced $totalAfter files — widen the pin")
+    val pt3 = W.readManifestedRange(spark, dir, "id", 250L, 250L)
+    assert(pt3.collect().map(_.getLong(0)).toSeq == Seq(250L))
+    assert(pt3.inputFiles.length < totalAfter,
+      s"post-fold point read opened ${pt3.inputFiles.length} of $totalAfter")
+
+    // (g) legacy manifests (no #stats lines, the r14 format) read
+    // everything but stay CORRECT — the conservative contract
+    Seq("_current", s"_manifest-${W.snapshots(dir).last}").foreach { f =>
+      val p = java.nio.file.Paths.get(dir, f)
+      val stripped = java.nio.file.Files.readString(p).split("\n")
+        .filterNot(_.startsWith("#stats:")).mkString("\n")
+      java.nio.file.Files.writeString(p, stripped)
+    }
+    val legacy = W.readManifestedRange(spark, dir, "id", 250L, 250L)
+    assert(legacy.collect().map(_.getLong(0)).toSeq == Seq(250L))
+    assert(legacy.inputFiles.length == totalAfter,
+      "a stats-less manifest must keep every file")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
   }
 }
