@@ -1131,7 +1131,13 @@ object Warehouse {
     val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
     require(ManifestIo.isDirectory(fs, root),
       s"compactManifestedPartitioned: $rootDir is not a directory")
-    manifestLeaves(fs, root).map { leaf =>
+    val leaves = manifestLeaves(fs, root)
+    // compaction has no txn identity: a crashed run leaves its claim
+    // until the vacuum grace passes (or an operator removes it) —
+    // the documented availability price of mechanical lockstep
+    claimRootTransition(fs, root, leaves, None,
+      "compactManifestedPartitioned")
+    leaves.map { leaf =>
       relPath(root, leaf) -> compactManifested(spark, leaf.toString,
         targetFileBytes, retainSnapshots, retainFor, clusterBy)
     }.toMap
@@ -1367,6 +1373,75 @@ object Warehouse {
           "txns STRING"))
   }
 
+  // ------------------------------ root-level transition claim (r15)
+  /** Make the partitioned-root LOCKSTEP MECHANICAL under concurrent
+    * cross-process writers: every root-level op (partitioned upsert /
+    * delete / compaction) is one TRANSITION `T → T+1` of every leaf,
+    * and the transition is claimed by create-exclusive on
+    * `_root-claim-(T+1)` at the root — the same CAS primitive as the
+    * per-leaf `_manifest-v` trail, one level up. Until r14 this safety
+    * was the documented coordinated-writer contract only: two
+    * concurrent root ops could interleave their per-leaf commits (each
+    * leaf CAS individually fine) and silently break the lockstep
+    * numbering [[readManifestedPartitionedAt]] depends on. Outcomes:
+    *
+    *  - lockstep leaves (all at T): claim T+1, or — if another writer
+    *    holds it — throw ConcurrentModificationException BEFORE any
+    *    leaf commit, so racing root ops serialize as one of the
+    *    serial orders, never an interleaving. A claim already carrying
+    *    OUR (appId, version) is our own replay — resume, no re-claim.
+    *  - mid-transition (leaves spanning T, T+1): resumable ONLY by the
+    *    txn owning `_root-claim-(T+1)` (the crashed partitioned merge
+    *    converging back to lockstep); anything else refuses loudly.
+    *  - drift beyond one version: refuse — a leaf-level writer broke
+    *    the contract; that now surfaces instead of compounding.
+    *
+    * A txn whose marker is already on EVERY leaf is a completed
+    * replay: no claim is written (the per-leaf calls no-op), so a
+    * re-fired batch never strands a claim for a transition that will
+    * not happen. Completed claims (≤ the min leaf head) and aged
+    * orphan claims are GC'd by [[vacuumPartitioned]] — a crashed
+    * NO-txn root op blocks further root ops only until the vacuum
+    * grace passes, the same liveness story as leaf debris. */
+  private def claimRootTransition(fs: HFs, root: HPath, leaves: Seq[HPath],
+                                  txn: Option[(String, Long)],
+                                  op: String): Unit = {
+    val heads = leaves.map(l => manifestVersions(fs, l).lastOption.getOrElse(0L))
+    val vMin = heads.min
+    val vMax = heads.max
+    val mine = txn.map { case (a, v) => s"$a:$v" }
+    val fullReplay = txn.exists { case (app, ver) =>
+      leaves.forall(l => headBody(fs, l).exists(b =>
+        parseTxns(b).get(app).exists(_ >= ver)))
+    }
+    if (fullReplay) ()
+    else if (vMax == vMin) {
+      val claim = new HPath(root, s"_root-claim-${vMin + 1}")
+      if (!ManifestIo.putIfAbsent(fs, claim, mine.getOrElse("-"))) {
+        val owner = ManifestIo.readString(fs, claim)
+        if (!mine.contains(owner))
+          throw new java.util.ConcurrentModificationException(
+            s"$op: transition to version ${vMin + 1} of $root is claimed " +
+              s"by '$owner' — a concurrent root-level writer; retry after " +
+              "it completes (vacuumPartitioned GCs an aged crashed claim)")
+      }
+    } else if (vMax == vMin + 1) {
+      val claim = new HPath(root, s"_root-claim-$vMax")
+      val owner =
+        try Some(ManifestIo.readString(fs, claim))
+        catch { case _: java.io.FileNotFoundException => None }
+      if (!(mine.isDefined && owner == mine))
+        throw new IllegalStateException(
+          s"$op: $root is mid-transition to version $vMax (leaves span " +
+            s"$vMin..$vMax; claim ${owner.getOrElse("missing")}) — only " +
+            "the owning txn may resume it")
+    } else
+      throw new IllegalStateException(
+        s"$op: leaves of $root drifted off lockstep (versions " +
+          s"$vMin..$vMax) — a leaf-level writer broke the " +
+          "coordinated-writer contract")
+  }
+
   // ------------------------------------- partitioned row-level ops (r14)
   // The row-level commits above are leaf-scoped; a 100 TB table is a
   // PARTITIONED root, and "delete these keys" must not require hand-
@@ -1403,7 +1478,9 @@ object Warehouse {
     require(ManifestIo.isDirectory(fs, root),
       s"deleteManifestedPartitioned: $rootDir is not a directory")
     val cut = eagerCut(keys.distinct())
-    manifestLeaves(fs, root).map { leaf =>
+    val leaves = manifestLeaves(fs, root)
+    claimRootTransition(fs, root, leaves, txn, "deleteManifestedPartitioned")
+    leaves.map { leaf =>
       relPath(root, leaf) -> deleteManifested(spark, leaf.toString, cut, txn)
     }.toMap
   }
@@ -1471,6 +1548,8 @@ object Warehouse {
         s"leaves ${unknown.map(c => pcols.zip(c).map { case (k, v) => s"$k=$v" }
           .mkString("/")).mkString(", ")} — create the partition first " +
         "(partitioned write + adoption), then upsert")
+    claimRootTransition(fs, root, leaves.map(_._1), txn,
+      "upsertManifestedPartitioned")
     leaves.map { case (leaf, kvs) =>
       val slice = kvs.foldLeft(cut) { case (df, (k, v)) =>
         df.filter(col(k).cast("string") === lit(v))
@@ -1554,18 +1633,38 @@ object Warehouse {
     * one vacuum per leaf (each under its own table lock — leaves are
     * independent, exactly like their commits). Returns root-relative
     * leaf path → report, reporting only leaves where anything was
-    * removed. */
+    * removed. Also GCs the `_root-claim-*` transition files of
+    * [[claimRootTransition]]: claims at/below the MIN leaf head are
+    * completed transitions (safe immediately — the resume path only
+    * ever consults a claim above it), and aged claims above it are
+    * crashed root ops (the same age-grace argument as leaf debris;
+    * removing one un-blocks the next root op). Reported under the
+    * `"."` key with the claim versions in `removedManifests`. */
   def vacuumPartitioned(spark: SparkSession, rootDir: String,
                         graceMs: Long = DefaultVacuumGraceMs): Map[String, VacuumReport] = {
     val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
     require(ManifestIo.isDirectory(fs, root),
       s"vacuumPartitioned: $rootDir is not a directory")
-    manifestLeaves(fs, root).map { leaf =>
+    val leaves = manifestLeaves(fs, root)
+    val leafReports = leaves.map { leaf =>
       relPath(root, leaf) -> vacuum(spark, leaf.toString, graceMs)
     }.filter { case (_, r) =>
       r.removedGenerations.nonEmpty || r.removedManifests.nonEmpty ||
         r.removedPointerTmp
     }.toMap
+    val heads = leaves.map(l => manifestVersions(fs, l).lastOption.getOrElse(0L))
+    val minHead = if (heads.isEmpty) 0L else heads.min
+    val cutoff = System.currentTimeMillis() - graceMs
+    val claims = ManifestIo.list(fs, root)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_root-claim-"))
+      .filter { st =>
+        val v = st.getPath.getName.stripPrefix("_root-claim-").toLong
+        v <= minHead || st.getModificationTime < cutoff
+      }.map(_.getPath).toSeq
+    claims.foreach(p => ManifestIo.delete(fs, p))
+    if (claims.isEmpty) leafReports
+    else leafReports + ("." -> VacuumReport(Nil,
+      claims.map(_.getName.stripPrefix("_root-claim-").toLong).sorted, false))
   }
 
   def vacuum(spark: SparkSession, dir: String,

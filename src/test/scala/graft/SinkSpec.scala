@@ -1155,8 +1155,11 @@ class SinkSpec extends SparkSpec {
       .write.parquet(P(IO.resolve(s"$proot/lang=en",
         spark.sparkContext.hadoopConfiguration)._2, ".gen-9").toString)
     val preport = W.vacuumPartitioned(spark, proot, graceMs = 0L)
-    assert(preport == Map("lang=en" -> W.VacuumReport(Seq(".gen-9"), Nil,
-      removedPointerTmp = false)), preport)
+    // "." = the root-claim GC: the adoption compact's completed
+    // transition claim (r15) is collected alongside the leaf debris
+    assert(preport == Map(
+      "lang=en" -> W.VacuumReport(Seq(".gen-9"), Nil, removedPointerTmp = false),
+      "." -> W.VacuumReport(Nil, Seq(1L), removedPointerTmp = false)), preport)
     assert(W.readManifestedPartitioned(spark, proot).count() == 20L)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(proot).getParentFile)
@@ -1248,5 +1251,89 @@ class SinkSpec extends SparkSpec {
       "a stats-less manifest must keep every file")
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
+  }
+
+  test("root-level claim: concurrent partitioned root ops serialize as one of the two serial orders, or refuse loudly") {
+    val W = graft.operators.Warehouse
+    val root = Files.createTempDirectory("graft_rclaim").resolve("t").toString
+    spark.range(0, 40).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .withColumn("v", lit("base"))
+      .write.partitionBy("p").mode("overwrite").parquet(root)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    def src(tag: String) = spark.range(0, 40).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .withColumn("v", lit(tag))
+    def valueSet() = W.readManifestedPartitioned(spark, root)
+      .select(col("v")).distinct().collect().map(_.getString(0)).toSet
+
+    // (1) the RACE: two writers (same JVM — the per-LEAF locks do NOT
+    // serialize root ops; only the claim does) race the same
+    // transition. Exactly one claims it; the loser throws
+    // ConcurrentModificationException BEFORE touching any leaf.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val wins = new java.util.concurrent.atomic.AtomicInteger()
+    val threads = Seq("A", "B").map { tag =>
+      new Thread(() =>
+        try {
+          W.upsertManifestedPartitioned(spark, root, src(tag), "id",
+            Some((s"app$tag", 1L)))
+          wins.incrementAndGet(); ()
+        } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1, s"wins=${wins.get()}, errs=$errs")
+    assert(errs.size == 1 &&
+      errs.peek().isInstanceOf[java.util.ConcurrentModificationException],
+      s"loser must fail the claim CAS: $errs")
+    // the table is exactly ONE writer's serial result — never a blend
+    val after1 = valueSet()
+    assert(after1 == Set("A") || after1 == Set("B"), after1)
+    val lockstep1 = (0 to 1).map(k => W.snapshots(s"$root/p=$k").last).toSet
+    assert(lockstep1.size == 1, s"leaves off lockstep: $lockstep1")
+
+    // the loser retries and lands as the SECOND serial order
+    val loser = if (after1 == Set("A")) "B" else "A"
+    W.upsertManifestedPartitioned(spark, root, src(loser), "id",
+      Some((s"app$loser", 1L)))
+    assert(valueSet() == Set(loser))
+
+    // (2) REPLAY of a completed txn: no new claim, no version movement
+    val vs = (0 to 1).map(k => W.snapshots(s"$root/p=$k").last).toSet
+    W.upsertManifestedPartitioned(spark, root, src(loser), "id",
+      Some((s"app$loser", 1L)))
+    assert((0 to 1).map(k => W.snapshots(s"$root/p=$k").last).toSet == vs,
+      "a completed replay moved a version")
+
+    // (3) a FOREIGN crashed claim blocks every root op loudly…
+    val (fs, rp) = graft.operators.ManifestIo.resolve(root,
+      spark.sparkContext.hadoopConfiguration)
+    val head = W.snapshots(s"$root/p=0").last
+    assert(graft.operators.ManifestIo.putIfAbsent(fs,
+      new org.apache.hadoop.fs.Path(rp, s"_root-claim-${head + 1}"), "ghost:9"))
+    intercept[java.util.ConcurrentModificationException] {
+      W.upsertManifestedPartitioned(spark, root, src("C"), "id")
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    }
+    // …until vacuumPartitioned GCs it past the grace (0 here), which
+    // un-blocks the next op
+    val rep = W.vacuumPartitioned(spark, root, graceMs = 0L)
+    assert(rep.get(".").exists(_.removedManifests.contains(head + 1)), rep)
+    W.upsertManifestedPartitioned(spark, root, src("C"), "id",
+      Some(("appC", 1L)))
+    assert(valueSet() == Set("C"))
+
+    // (4) MID-TRANSITION: a leaf-level writer bumps one leaf — root ops
+    // refuse rather than compound the drift (claim missing / foreign)
+    W.upsertManifested(spark, s"$root/p=0",
+      spark.range(0, 3).toDF("id").withColumn("v", lit("rogue")), "id")
+    intercept[IllegalStateException] {
+      W.deleteManifestedPartitioned(spark, root,
+        spark.range(0, 3).toDF("id"))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
   }
 }
