@@ -1336,4 +1336,70 @@ class SinkSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(root).getParentFile)
   }
+
+  test("object-store contract: full lifecycle over copy+delete renames; both crash windows resolve forward, never losing a generation") {
+    val W = graft.operators.Warehouse
+    val IO = graft.operators.ManifestIo
+    val P = new org.apache.hadoop.fs.Path(_: org.apache.hadoop.fs.Path, _: String)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.objstore.impl", classOf[ObjectStoreLikeFileSystem].getName)
+    val local = Files.createTempDirectory("graft_objstore")
+    val dir = s"objstore://$local/tbl"
+    val (fs, root) = IO.resolve(dir, conf)
+    assert(fs.isInstanceOf[ObjectStoreLikeFileSystem], fs.getClass.getName)
+
+    // full lifecycle on the scheme — every pointer swap after the
+    // first walks the refuse → delete → COPY+delete fallback
+    val refusedBefore = ObjectStoreLikeFileSystem.refusedRenames.get()
+    W.appendManifested(spark, dir, spark.range(0, 50).toDF("id"))    // v1
+    W.appendManifested(spark, dir, spark.range(50, 100).toDF("id"))  // v2
+    W.upsertManifested(spark, dir,
+      spark.range(0, 10).toDF("id"), "id")                           // v3
+    W.deleteManifested(spark, dir,
+      spark.range(0, 100).toDF("id").filter(col("id") % 2 === 0))    // v4
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30)      // v5
+    assert(ObjectStoreLikeFileSystem.refusedRenames.get() - refusedBefore >= 4,
+      "the copy+delete fallback never ran")
+    assert(W.readManifested(spark, dir).count() == 50L)
+    assert(W.history(spark, dir).filter(col("is_current")).count() == 1L)
+    assert(W.readManifestedAt(spark, dir, 5L).count() == 50L)
+
+    // CRASH WINDOW A — between delete(_current) and the copy: the
+    // pointer is ABSENT, the claimed _manifest-v6 is the truth. The
+    // reader must roll FORWARD to the trail head, and the next append
+    // must commit PAST it — r14 re-adopted .gen-0 alone here and
+    // silently dropped every later generation.
+    ObjectStoreLikeFileSystem.crashAfterDeleteOf.set("_current")
+    intercept[ObjectStoreLikeFileSystem.InjectedCrashException] {
+      W.appendManifested(spark, dir, spark.range(100, 110).toDF("id")) // v6
+    }
+    assert(ObjectStoreLikeFileSystem.crashAfterDeleteOf.get() == null,
+      "fault not consumed")
+    assert(!IO.exists(fs, P(root, "_current")), "window A needs an absent pointer")
+    assert(W.readManifested(spark, dir).count() == 60L,
+      "reader did not roll forward to the trail head")
+    W.appendManifested(spark, dir, spark.range(110, 120).toDF("id"))  // v7
+    assert(IO.exists(fs, P(root, "_current")), "commit did not heal the pointer")
+    assert(W.readManifested(spark, dir).count() == 70L,
+      "a generation was lost across the pointer-absent window")
+    assert(W.snapshots(dir).takeRight(2) == Seq(6L, 7L))
+
+    // CRASH WINDOW B — after the copy, before the source delete: the
+    // destination materialized atomically, so the commit COMPLETED
+    // from every reader's view; only ._current.tmp is stranded, and
+    // vacuum collects it past the grace.
+    ObjectStoreLikeFileSystem.crashAfterCopyOf.set("_current")
+    intercept[ObjectStoreLikeFileSystem.InjectedCrashException] {
+      W.appendManifested(spark, dir, spark.range(120, 130).toDF("id")) // v8
+    }
+    assert(W.readManifested(spark, dir).count() == 80L,
+      "window B's commit must be complete — the copy landed")
+    assert(IO.exists(fs, P(root, "._current.tmp")), "window B strands the tmp")
+    val rep = W.vacuum(spark, dir, graceMs = 0L)
+    assert(rep.removedPointerTmp && rep.removedManifests.isEmpty, rep)
+    // and the table keeps committing normally afterwards
+    W.appendManifested(spark, dir, spark.range(130, 140).toDF("id"))  // v9
+    assert(W.readManifested(spark, dir).count() == 90L)
+    org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
+  }
 }
