@@ -259,16 +259,22 @@ object CdcApply {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    runManifestedCdcStream(scoped, dir, tableDir)
+    flatState(graft.operators.Warehouse.readManifested(scoped, tableDir))
+  }
+
+  /** The manifested CDC micro-batch loop shared by st27 and st29:
+    * per batch one marker-gated atomic upsert (batchId = the
+    * checkpoint-tracked txn version, so a replayed batch no-ops),
+    * periodic delete-compaction under the live stream. */
+  private def runManifestedCdcStream(scoped: SparkSession, dir: String,
+                                     tableDir: String): Unit = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcm_ckpt")
     try {
       val q = EventStreams.readEventStream(scoped, dir).writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                          batchId: Long) =>
-          // batchId is the checkpoint-tracked txn version: a replayed
-          // batch after a restart no-ops instead of re-committing
           applyBatchManifested(batch.toDF(), tableDir, Some(batchId))
-          // periodic maintenance under the live stream: fold the
-          // accumulated generation+tombstone trail back to one
           if (batchId % 4 == 3) {
             graft.operators.Warehouse.compactManifested(
               batch.sparkSession, tableDir, targetFileBytes = 1L << 30)
@@ -280,9 +286,84 @@ object CdcApply {
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
     }
-    graft.operators.Warehouse.readManifested(scoped, tableDir)
-      .select(col("user_id"), col("s.ts_us").as("ts_us"),
-        col("s.event_id").as("event_id"),
-        col("s.event_type").as("event_type"), col("s.value_q").as("value_q"))
+  }
+
+  private def flatState(state: DataFrame): DataFrame =
+    state.select(col("user_id"), col("s.ts_us").as("ts_us"),
+      col("s.event_id").as("event_id"),
+      col("s.event_type").as("event_type"), col("s.value_q").as("value_q"))
+
+  // ----------------------------------------- CDC DELETE events (r15)
+  // Real CDC feeds carry DELETES, not only upserts. The partition-
+  // invariance contract forces a TWO-PHASE design:
+  //
+  //  1. DURING the stream a delete is just a row: the event-time-LWW
+  //     register keeps it as a MARKER (its event_type names it).
+  //     Routing delete-winners straight to the tombstone side per
+  //     batch would be wrong under reordering — an out-of-order
+  //     EARLIER upsert arriving in a LATER batch (file sources list
+  //     nondeterministically, backfills interleave) would find no
+  //     state and resurrect the deleted key, breaking the
+  //     any-batch-partitioning oracle st11/st27/st28 pin. With the
+  //     marker kept, that late upsert loses the max-struct merge; a
+  //     LATER-ts re-upsert legitimately overwrites the marker — the
+  //     delete-then-reinsert contract.
+  //  2. Markers RETIRE to the tombstone side once SEALED — once no
+  //     event with a smaller timestamp can still arrive (the
+  //     watermark horizon; end-of-stream seals everything):
+  //     [[retireDeleteMarkers]] tombstones their keys via ONE
+  //     O(markers) `deleteManifested` commit and the next compaction
+  //     physically drops the rows — state SHRINKS on delete, the
+  //     Kafka delete.retention.ms / Delta CDF tombstone-retention
+  //     shape. Retiring an unsealed marker re-exposes its key to late
+  //     upserts: the horizon is the caller-owned retention knob,
+  //     exactly as in every log-compacted store.
+
+  /** The keyed view with delete markers hidden — what a consumer of
+    * the CDC state table reads while markers are still retained. */
+  def readLiveState(spark: SparkSession, tableDir: String,
+                    deleteTypes: Set[String]): DataFrame =
+    flatState(graft.operators.Warehouse.readManifested(spark, tableDir)
+      .filter(!col("s.event_type").isin(deleteTypes.toSeq: _*)))
+
+  /** Tombstone every key whose current LWW winner is a delete marker
+    * sealed below `sealedBeforeUs` (None = all markers — the
+    * end-of-stream / full-retention-horizon case). One merge-on-read
+    * commit, O(markers) written; a following compaction materializes
+    * the shrink. Returns the number of keys retired. */
+  def retireDeleteMarkers(spark: SparkSession, tableDir: String,
+                          deleteTypes: Set[String],
+                          sealedBeforeUs: Option[Long] = None): Long = {
+    val markers = graft.operators.eagerCut(
+      graft.operators.Warehouse.readManifested(spark, tableDir)
+        .filter(col("s.event_type").isin(deleteTypes.toSeq: _*))
+        .filter(sealedBeforeUs.map(h => col("s.ts_us") < h).getOrElse(lit(true)))
+        .select(col("user_id")))
+    val n = markers.count()
+    if (n > 0) {
+      graft.operators.Warehouse.deleteManifested(spark, tableDir, markers)
+      ()
+    }
+    n
+  }
+
+  /** The st27 loop over a feed whose `deleteTypes` events are CDC
+    * DELETES: markers ride the stream (phase 1), retire at
+    * end-of-stream (phase 2 — everything sealed), and the final
+    * compaction materializes the shrink. The returned state is read
+    * UNFILTERED: if retirement under- or over-deleted, the value
+    * oracle hash-fails — physically-removed markers are part of the
+    * contract, not a view trick. */
+  def runCdcApplyManifestedDeletes(spark: SparkSession, dir: String,
+                                   tableDir: String,
+                                   deleteTypes: Set[String]): DataFrame = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    runManifestedCdcStream(scoped, dir, tableDir)
+    retireDeleteMarkers(scoped, tableDir, deleteTypes)
+    graft.operators.Warehouse.compactManifested(scoped, tableDir,
+      targetFileBytes = 1L << 30)
+    flatState(graft.operators.Warehouse.readManifested(scoped, tableDir))
   }
 }

@@ -184,6 +184,22 @@ object StreamingQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
       out
     }),
+    // the CDC loop over a feed carrying DELETES (r15): 'error' events
+    // are the delete op; markers ride the stream (LWW keeps the
+    // any-batch-partitioning invariance — a per-batch tombstone route
+    // would let an out-of-order earlier upsert resurrect the key),
+    // retire to the tombstone side at the sealed horizon, and the
+    // final state is read UNFILTERED — physical removal is the
+    // contract the oracle hashes
+    "st29_stream_cdc_deletes" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_st29")
+      val table = root.resolve("table").toString
+      val out = graft.operators.eagerCut(
+        CdcApply.runCdcApplyManifestedDeletes(s, d, table, Set("error"))
+          .orderBy(col("user_id")))
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      out
+    }),
     // Spark 4 transformWithState (state v2): ValueState running profile
     // on the RocksDB store, update mode; final profile per key must
     // equal the batch aggregate
@@ -366,6 +382,20 @@ object StreamingQueries {
            list_reduce(seq, (s, x) -> (85 * s + 15 * x) // 100) AS ewma_q
          FROM agg ORDER BY user_id""",
     "st11_cdc_apply" -> CdcLwwOracleSql,
+    // the LWW oracle restricted to keys whose winner is NOT a delete:
+    // delete-wins keys vanish (retired markers), a later-ts re-upsert
+    // re-inserts — the delete extension of the shared CDC contract
+    "st29_stream_cdc_deletes" ->
+      """WITH ev AS (
+           SELECT user_id, (epoch_ns(ts) // 1000) AS ts_us, event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS value_q
+           FROM events),
+         r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rk
+           FROM ev)
+         SELECT user_id, ts_us, event_id, event_type, value_q
+         FROM r WHERE rk = 1 AND event_type <> 'error' ORDER BY user_id""",
     // identical oracle to st11 BY DESIGN: the manifested state table
     // (tombstone+append commits, mid-stream compaction) must produce
     // the same event-time-LWW answer as the dir-swap state table

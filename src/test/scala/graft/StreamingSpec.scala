@@ -698,4 +698,56 @@ class StreamingSpec extends SparkSpec {
       new java.io.File(root).getParentFile)
     org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
   }
+
+  test("CDC deletes: markers beat out-of-order upserts, later re-upserts re-insert, retirement physically shrinks state") {
+    import graft.streaming.CdcApply
+    val W = graft.operators.Warehouse
+    val sp = spark; import sp.implicits._
+    def batch(rows: (Long, Long, Long, String, Double)*) =
+      rows.toSeq.toDF("event_id", "tus", "user_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+    def live(dir: String) = CdcApply.readLiveState(spark, dir, Set("error"))
+      .select("user_id").as[Long].collect().toSet
+    val dir = Files.createTempDirectory("graft_cdcdel").resolve("t").toString
+
+    // batch 0: DELETE k1@10 (an 'error' event), upsert k2@10
+    CdcApply.applyBatchManifested(
+      batch((100L, 10L, 1L, "error", 0.0), (101L, 10L, 2L, "view", 1.0)),
+      dir, Some(0L))
+    assert(live(dir) == Set(2L), "marker visible in the live view")
+    // batch 1 — OUT OF ORDER: an EARLIER-ts upsert of k1 arrives in a
+    // LATER batch. A per-batch tombstone route would have dropped the
+    // delete from state and resurrected the key; the retained marker
+    // wins the max-struct merge instead.
+    CdcApply.applyBatchManifested(batch((99L, 5L, 1L, "view", 2.0)),
+      dir, Some(1L))
+    assert(live(dir) == Set(2L),
+      "out-of-order earlier-ts upsert resurrected a deleted key")
+    // batch 2: a LATER-ts re-upsert genuinely re-inserts k1
+    CdcApply.applyBatchManifested(batch((102L, 20L, 1L, "purchase", 3.0)),
+      dir, Some(2L))
+    assert(live(dir) == Set(1L, 2L))
+    // batch 3: DELETE k2@30 — its marker is now the winner
+    CdcApply.applyBatchManifested(batch((103L, 30L, 2L, "error", 0.0)),
+      dir, Some(3L))
+    assert(live(dir) == Set(1L))
+    assert(W.readManifested(spark, dir).count() == 2L,
+      "the unsealed marker must stay IN state (retention)")
+
+    // retirement honors the sealed horizon: the k2 marker (ts 30) is
+    // not sealed below 25 — nothing retires
+    assert(CdcApply.retireDeleteMarkers(spark, dir, Set("error"), Some(25L)) == 0L)
+    assert(W.readManifested(spark, dir).count() == 2L)
+    // full horizon: the marker retires to the tombstone side; the
+    // compaction materializes the shrink — state is PHYSICALLY smaller
+    assert(CdcApply.retireDeleteMarkers(spark, dir, Set("error")) == 1L)
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+    val finalRows = W.readManifested(spark, dir)
+      .select(col("user_id"), col("s.event_id").as("eid"))
+      .as[(Long, Long)].collect().toSet
+    assert(finalRows == Set((1L, 102L)),
+      s"unfiltered state after retirement: $finalRows")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
 }
