@@ -808,11 +808,40 @@ object Warehouse {
       spark.read.option("mergeSchema", "true")
         .parquet(datas.map(g => new HPath(root, g).toString): _*)
     else {
-      val data = datas.map { g =>
-        spark.read.parquet(new HPath(root, g).toString)
-          .withColumn("_gid", lit(entryId(g)))
+      val tagged = datas.map(g =>
+        g -> spark.read.parquet(new HPath(root, g).toString))
+      requireAdditiveOnly(tagged)
+      val data = tagged.map { case (g, df) =>
+        df.withColumn("_gid", lit(entryId(g)))
       }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
       applyTombstones(spark, root, dels, data)
+    }
+  }
+
+  /** Refuse a RETYPED column across generations on the union-by-name
+    * (tombstoned) scan path — explicitly, before the union. Without
+    * this the union's type coercion could silently CAST a retyped
+    * column (e.g. a string column re-committed as bigint widens the
+    * old strings, exploding on unparseable rows only — or worse, NOT
+    * exploding); the mergeSchema fast path already refuses such merges
+    * at the parquet layer, and both paths must hold the same contract:
+    * additive evolution only, drop/retype is a loud error. */
+  private def requireAdditiveOnly(gens: Seq[(String, DataFrame)]): Unit = {
+    val seen = scala.collection.mutable.LinkedHashMap[
+      String, (String, org.apache.spark.sql.types.DataType)]()
+    gens.foreach { case (g, df) =>
+      df.schema.foreach { f =>
+        seen.get(f.name) match {
+          case Some((g0, t0)) if t0 != f.dataType =>
+            throw new IllegalArgumentException(
+              s"scanGens: column '${f.name}' is retyped across " +
+                s"generations ($g0: $t0 vs $g: ${f.dataType}) — schema " +
+                "evolution is additive only; retyping/dropping is not " +
+                "supported")
+          case None => seen(f.name) = (g, f.dataType)
+          case _ =>
+        }
+      }
     }
   }
 
@@ -896,9 +925,12 @@ object Warehouse {
           .parquet(live.flatMap(_._2).map(_.toString): _*)
           .filter(pred)
       else {
-        val data = live.map { case (g, fl) =>
-          spark.read.parquet(fl.map(_.toString): _*)
-            .withColumn("_gid", lit(entryId(g)))
+        val tagged = live.map { case (g, fl) =>
+          g -> spark.read.parquet(fl.map(_.toString): _*)
+        }
+        requireAdditiveOnly(tagged)
+        val data = tagged.map { case (g, df) =>
+          df.withColumn("_gid", lit(entryId(g)))
         }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
         applyTombstones(spark, root, dels, data).filter(pred)
       }

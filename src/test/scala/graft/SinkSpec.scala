@@ -1058,8 +1058,14 @@ class SinkSpec extends SparkSpec {
     val src = spark.range(0, 6).toDF("id")
       .withColumn("lang", when(col("id") % 2 === 0, lit("en")).otherwise(lit("de")))
       .withColumn("v", lit("new"))
-    // simulate the crash window: the merge committed the en leaf (with
-    // its txn marker) and died before de — the root is OFF-lockstep
+    // simulate the crash window as an r15 root op leaves it: the merge
+    // CLAIMED the root transition, committed the en leaf (with its txn
+    // marker) and died before de — the root is OFF-lockstep with the
+    // claim on disk
+    val (cfs, crp) = graft.operators.ManifestIo.resolve(dir,
+      spark.sparkContext.hadoopConfiguration)
+    assert(graft.operators.ManifestIo.putIfAbsent(cfs,
+      new org.apache.hadoop.fs.Path(crp, "_root-claim-3"), "job:7"))
     W.upsertManifested(spark, s"$dir/lang=en",
       src.filter(col("lang") === "en").drop("lang"), "id", Some("job" -> 7L))
     // the REPLAY of the whole partitioned merge: en no-ops on its
@@ -1075,9 +1081,11 @@ class SinkSpec extends SparkSpec {
     assert(W.readManifestedPartitionedAt(spark, dir, 3L).count() == 20L)
 
     // the DELETE path has the same crash window and the same cure: a
-    // partitioned delete that committed en (marker recorded) and died
-    // replays to a no-op there (-1) and a tombstone in de — lockstep
-    // again, keys tombstoned exactly once
+    // partitioned delete that claimed the transition, committed en
+    // (marker recorded) and died replays to a no-op there (-1) and a
+    // tombstone in de — lockstep again, keys tombstoned exactly once
+    assert(graft.operators.ManifestIo.putIfAbsent(cfs,
+      new org.apache.hadoop.fs.Path(crp, "_root-claim-4"), "job:8"))
     assert(W.deleteManifested(spark, s"$dir/lang=en",
       spark.range(0, 4).toDF("id"), Some("job" -> 8L)) >= 0)
     val drep = W.deleteManifestedPartitioned(spark, dir,
@@ -1401,5 +1409,71 @@ class SinkSpec extends SparkSpec {
     W.appendManifested(spark, dir, spark.range(130, 140).toDF("id"))  // v9
     assert(W.readManifested(spark, dir).count() == 90L)
     org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
+  }
+
+  test("additive schema evolution: a MERGE with a NEW column null-fills older generations, survives folds and partitioned roots; retype refuses loudly") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_evolve").resolve("tbl").toString
+    W.appendManifested(spark, dir,
+      spark.range(0, 20).toDF("id").withColumn("v", lit("a")))
+    // MERGE whose source carries an extra (new) column — the add-a-
+    // column lake contract through the ROW-LEVEL path (the r12 pin
+    // covered read/fold only)
+    W.upsertManifested(spark, dir,
+      spark.range(0, 5).toDF("id").withColumn("v", lit("b"))
+        .withColumn("score", col("id") * 10), "id")
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.select("id", "v", "score").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+      assert(rows == (0L until 20L).map(i =>
+        if (i < 5) (i, "b", i * 10) else (i, "a", -1L)).toSeq, rows.take(8))
+    }
+    check(W.readManifested(spark, dir))
+    // the skipping read unions-with-nulls identically
+    check(W.readManifestedRange(spark, dir, "id", 0L, 19L))
+    // the fold MATERIALIZES the evolved schema; reads stay identical
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+    check(W.readManifested(spark, dir))
+
+    // the same evolution through the PARTITIONED row-level path:
+    // every leaf's slice (empty ones included) carries the new column
+    val proot = Files.createTempDirectory("graft_evolvep").resolve("t").toString
+    spark.range(0, 40).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string")).withColumn("v", lit("a"))
+      .write.partitionBy("p").mode("overwrite").parquet(proot)
+    W.compactManifestedPartitioned(spark, proot, targetFileBytes = 1L << 30)
+    W.upsertManifestedPartitioned(spark, proot,
+      spark.range(0, 6).toDF("id")
+        .withColumn("p", (col("id") % 2).cast("string"))
+        .withColumn("v", lit("b")).withColumn("score", col("id") * 10), "id")
+    def pcheck(): Unit = {
+      val rows = W.readManifestedPartitioned(spark, proot)
+        .select("id", "v", "score").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+      assert(rows == (0L until 40L).map(i =>
+        if (i < 6) (i, "b", i * 10) else (i, "a", -1L)).toSeq, rows.take(8))
+    }
+    pcheck()
+    // per-leaf folds keep the evolved union
+    W.compactManifestedPartitioned(spark, proot, targetFileBytes = 1L << 30)
+    pcheck()
+
+    // RETYPING an existing column stays a loud refusal, never a silent
+    // coercion: the commit may land (the footer probe checks the key
+    // only), but no read resolves the table half-retyped — the union
+    // path refuses BEFORE type coercion could quietly cast (values
+    // that happen to parse would otherwise widen silently)
+    W.upsertManifested(spark, dir,
+      spark.range(0, 3).toDF("id").withColumn("v", lit(9L)), "id")
+    val boom = intercept[IllegalArgumentException] {
+      W.readManifested(spark, dir).collect()
+    }
+    assert(boom.getMessage.contains("retyped"), boom.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(proot).getParentFile)
   }
 }

@@ -513,15 +513,16 @@ class StreamingSpec extends SparkSpec {
     // maintenance (st23): the manifest lists one generation per commit
     // (base seed + 2 batches); compaction folds it to ONE and changes
     // nothing the serve returns
-    val gensBefore = java.nio.file.Files
+    // generation lines only — `#stats:`/`#txn:` lines are manifest
+    // METADATA, not generations (the format contract)
+    def gensListed() = java.nio.file.Files
       .readString(java.nio.file.Paths.get(codesDir, "_current"))
-      .trim.split("\n").length
+      .trim.split("\n").count(!_.startsWith("#"))
+    val gensBefore = gensListed()
     assert(gensBefore == 3, s"expected 3 listed generations, got $gensBefore")
     val compacted = AnnIngestStream.runCompactedServe(spark, sf)
       .orderBy("q_id", "rk").collect().toSeq
-    val gensAfter = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(codesDir, "_current"))
-      .trim.split("\n").length
+    val gensAfter = gensListed()
     assert(gensAfter == 1, s"compaction should leave one listed generation, got $gensAfter")
     assert(compacted == want, "compaction changed served results")
   }
