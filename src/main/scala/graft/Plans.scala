@@ -46,6 +46,10 @@ object Plans {
       "m14_crossmodal_dup_report" -> "three banded pair sets, one eagerCut, components over their union - never a product",
       "v09_delete_survivors" -> "tombstone apply is a broadcast left_anti over the scan; corpus never shuffles for a delete",
       "v11_partitioned_merge_survivors" -> "partitioned merge-on-read: per-leaf broadcast-anti tombstone apply unioned by name; one agg shuffle, never a data rewrite",
+      // the InMemoryFileIndex location line lists the SURVIVING file
+      // subset — manifest min/max skipping happens before the plan, so
+      // the scan node itself is file-pruned (SinkSpec pins numFiles)
+      "v12_skipping_range_read" -> "manifest min/max data skipping: the scan is planned over only the files whose recorded range admits the predicate; tombstones broadcast-anti on top",
       "s16_retrieve_rerank" -> "two-stage ANN serve: broadcast shortlist meets the corpus; exact rerank never shuffles it",
       "v07_key_skew" -> "skew profile: map-side key counts; global top-N is a TakeOrdered, not a sort",
       // the plan shows PASS 2 only (the narrow offset scan); pass 1 —

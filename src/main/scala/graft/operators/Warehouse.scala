@@ -1582,14 +1582,118 @@ object Warehouse {
         "(partitioned write + adoption), then upsert")
     claimRootTransition(fs, root, leaves.map(_._1), txn,
       "upsertManifestedPartitioned")
-    leaves.map { case (leaf, kvs) =>
-      val slice = kvs.foldLeft(cut) { case (df, (k, v)) =>
-        df.filter(col(k).cast("string") === lit(v))
-      }.drop(pcols: _*)
-      relPath(root, leaf) -> upsertManifested(spark, leaf.toString, slice,
-        keyCol, txn)
+    // commit-time key probe, once per ROOT (leaves share one schema —
+    // the uniform-writer contract): refuse an unknown key column here,
+    // not per leaf and not later as a reader's resolution error
+    leaves.headOption.foreach { case (leaf, _) =>
+      parseGens(headBody(fs, leaf).getOrElse(""))
+        .find(!_.startsWith(".del-")).foreach { g =>
+          val cols = spark.read.parquet(new HPath(leaf, g).toString).columns
+          require(cols.contains(keyCol),
+            s"upsertManifestedPartitioned: $rootDir has no column " +
+              s"'$keyCol' (columns: ${cols.mkString(", ")})")
+        }
+    }
+    // STAGE ONCE, MOVE PER LEAF (r15): two partitionBy jobs write
+    // every leaf's data slice and tombstone key set under a root-local
+    // dot-prefixed staging dir (invisible to discovery and the leaf
+    // walk), plus two 1-file template jobs carrying the slice schemas
+    // for leaves whose slice is EMPTY (partitionBy skips empty
+    // combos, but lockstep requires every leaf to commit). Each leaf
+    // commit is then two renames + one CAS'd pointer swap — per-merge
+    // Spark jobs are O(1), not O(2·leaves), which is the difference
+    // between a micro-batch and a job-scheduler stampede at the
+    // thousands of shards a 100 TB state table carries. A crash
+    // mid-walk strands only the staging dir (aged `.upsert-stage-*`
+    // is vacuumPartitioned food) and off-lockstep leaves that the txn
+    // replay converges exactly as before.
+    val stage = new HPath(root,
+      s".upsert-stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    val dataStage = new HPath(stage, "data")
+    val keyStage = new HPath(stage, "keys")
+    cut.write.partitionBy(pcols: _*).mode("overwrite")
+      .parquet(dataStage.toString)
+    cut.select((pcols :+ keyCol).map(c => col(c)): _*).distinct()
+      .write.partitionBy(pcols: _*).mode("overwrite")
+      .parquet(keyStage.toString)
+    val dataTmpl = new HPath(stage, "data-tmpl")
+    cut.drop(pcols: _*).limit(0).repartition(1)
+      .write.parquet(dataTmpl.toString)
+    val keyTmpl = new HPath(stage, "keys-tmpl")
+    cut.select(col(keyCol)).limit(0).repartition(1)
+      .write.parquet(keyTmpl.toString)
+    def templatePart(tmpl: HPath): HPath = ManifestIo.list(fs, tmpl)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .head.getPath
+    def staged(stageRoot: HPath, kvs: Seq[(String, String)],
+               tmpl: HPath, tag: String, i: Int): HPath = {
+      val p = kvs.foldLeft(stageRoot) { case (acc, (k, v)) =>
+        new HPath(acc, s"$k=${org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(v)}")
+      }
+      if (ManifestIo.isDirectory(fs, p)) p
+      else {
+        // empty slice: a schema-bearing copy of the template
+        val d = new HPath(stage, s"empty-$tag-$i")
+        fs.mkdirs(d)
+        val part = templatePart(tmpl)
+        org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+          new HPath(d, part.getName), false, hconf(spark))
+        d
+      }
+    }
+    val out = leaves.zipWithIndex.map { case ((leaf, kvs), i) =>
+      relPath(root, leaf) -> upsertManifestedStagedMove(spark, fs, leaf,
+        staged(keyStage, kvs, keyTmpl, "del", i),
+        staged(dataStage, kvs, dataTmpl, "gen", i), keyCol, txn)
     }.toMap
+    ManifestIo.delete(fs, stage)
+    out
   }
+
+  /** [[upsertManifested]] from PRE-STAGED directories — the
+    * write-once path under [[upsertManifestedPartitioned]]: the
+    * staged tombstone-key and data-slice dirs are MOVED into the leaf
+    * as `.del-v` / `.gen-(v+1)` (two renames, zero Spark jobs) and
+    * committed atomically under the same txn gate, key probe, stats
+    * collection and carry as the rewrite form. Orphan dirs under the
+    * same target names (a crashed prior attempt — `base` is
+    * head-derived, so a replay recomputes the same ids) are cleared
+    * before the move, never silently merged into. */
+  private def upsertManifestedStagedMove(spark: SparkSession, fs: HFs,
+      leaf: HPath, stagedDel: HPath, stagedGen: HPath, keyCol: String,
+      txn: Option[(String, Long)]): Long =
+    withTableLock(leaf) {
+      val pointer = new HPath(leaf, "_current")
+      val head = headBody(fs, leaf).getOrElse(
+        throw new IllegalArgumentException(
+          s"upsertManifestedPartitioned: $leaf has no committed table"))
+      val gens = parseGens(head)
+      val txns = parseTxns(head)
+      val expected = manifestVersions(fs, leaf).lastOption.getOrElse(0L)
+      val alreadyApplied =
+        txn.exists { case (app, ver) => txns.get(app).exists(_ >= ver) }
+      if (alreadyApplied) expected
+      else {
+        // key-column presence is probed ONCE per root (the leaves of
+        // one partitioned table share a writer and a schema) — a
+        // per-leaf footer probe would re-plan a scan per leaf per
+        // batch, O(leaves) driver work for one fact
+        val base = gens.map(entryId).foldLeft(-1L)(math.max) + 1
+        val del = s".del-$base"
+        val gen = s".gen-${base + 1}"
+        Seq(del, gen).foreach { d =>
+          val p = new HPath(leaf, d)
+          if (ManifestIo.exists(fs, p)) ManifestIo.delete(fs, p)
+        }
+        ManifestIo.rename(fs, stagedDel, new HPath(leaf, del))
+        ManifestIo.rename(fs, stagedGen, new HPath(leaf, gen))
+        commitManifest(fs, leaf, pointer, gens :+ del :+ gen, expected,
+          txn.fold(txns) { case (app, ver) => txns + (app -> ver) },
+          statsForGens(parseStats(head), gens) ++
+            collectStats(fs, hconf(spark), leaf, gen))
+      }
+    }
 
   /** [[history]] over a partitioned root: the per-leaf DESCRIBE
     * HISTORY rows with the root-relative leaf path prepended — the
@@ -1694,6 +1798,13 @@ object Warehouse {
         v <= minHead || st.getModificationTime < cutoff
       }.map(_.getPath).toSeq
     claims.foreach(p => ManifestIo.delete(fs, p))
+    // staging debris of a crashed partitioned MERGE (the dirs a
+    // completed merge deletes itself) — aged only, the same grace
+    ManifestIo.list(fs, root)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".upsert-stage-") &&
+        st.getModificationTime < cutoff)
+      .foreach(st => ManifestIo.delete(fs, st.getPath))
     if (claims.isEmpty) leafReports
     else leafReports + ("." -> VacuumReport(Nil,
       claims.map(_.getName.stripPrefix("_root-claim-").toLong).sorted, false))

@@ -174,51 +174,93 @@ object CdcApply {
     val spark = batch.sparkSession
     val W = graft.operators.Warehouse
     type HPath = org.apache.hadoop.fs.Path
-    val updates = lastPerKey(batch)
+    val dbg = sys.env.contains("GRAFT_CDC_DEBUG")
+    var t0 = System.nanoTime()
+    def tick(label: String): Unit = if (dbg) {
+      val t = System.nanoTime()
+      println(f"[cdc] $label ${(t - t0) / 1e6}%.0f ms"); t0 = t
+    }
+    // ONE materialization of the reduced batch: it feeds the shard
+    // set, the state semi-join and the merge — without the cut the
+    // lastPerKey shuffle would run once per consumer
+    val updates = graft.operators.eagerCut(lastPerKey(batch))
     val (fs, root) = graft.operators.ManifestIo.resolve(rootDir,
       spark.sparkContext.hadoopConfiguration)
     val missing = (0 until nShards).filterNot { k =>
       graft.operators.ManifestIo.exists(fs,
         new HPath(new HPath(root, s"shard=$k"), "_current"))
     }
-    // empty v1 bootstrap per missing leaf: a few KB of parquet footer
-    // each, once per table lifetime — the price of a root whose leaves
-    // are all present and lockstep-numbered from the first version.
-    // repartition(1): limit(0) alone has zero partitions and would
-    // write NO part file — the generation must carry the schema.
+    tick("probe")
     if (missing.nonEmpty) {
-      val empty = updates.limit(0).repartition(1)
+      // ONE empty-parquet write job produces the schema-bearing
+      // template; every missing leaf then gets an FS copy + a direct
+      // v1 manifest commit — O(shards) driver FS calls, ZERO per-leaf
+      // Spark jobs, so table creation stays cheap at thousands of
+      // shards. Races/replays: a lost v1 CAS means another creator
+      // (or our own crashed bootstrap) already committed the
+      // identical empty leaf — skip. (limit(0) alone has zero
+      // partitions and would write NO part file; the generation must
+      // carry the schema, hence repartition(1).)
+      val tmpl = new HPath(root, ".bootstrap-template")
+      updates.limit(0).repartition(1).write.mode("overwrite")
+        .parquet(tmpl.toString)
+      val part = graft.operators.ManifestIo.list(fs, tmpl)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .head.getPath
       missing.foreach { k =>
-        W.appendManifested(spark, s"$rootDir/shard=$k", empty,
-          genId = Some(0L))
+        val leaf = new HPath(root, s"shard=$k")
+        val gen0 = new HPath(leaf, ".gen-0")
+        fs.mkdirs(gen0)
+        org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+          new HPath(gen0, part.getName), false,
+          spark.sparkContext.hadoopConfiguration)
+        try W.commitManifest(fs, leaf, new HPath(leaf, "_current"),
+          Seq(".gen-0"), 0L)
+        catch { case _: java.util.ConcurrentModificationException => }
         ()
       }
+      graft.operators.ManifestIo.delete(fs, tmpl)
     }
-    // SHARD-PRUNED state read: only the shards the batch's keys
-    // route to are scanned — the partition values ride the
-    // partitioned read as literals, so the isin predicate folds to
-    // false in every untouched shard's union branch and Catalyst
-    // eliminates those scans entirely (the PlanSpec-pinned leaf
-    // pruning). At 4 shards this is cosmetic; at the thousands of
-    // shards a 100 TB state table carries, it is the difference
-    // between per-batch IO proportional to the BATCH's key spread
-    // and a full state scan every batch. The shard set is
-    // nShards-bounded, computed from the (already small) reduced
-    // batch.
-    val batchShards = updates
-      .select(pmod(col("user_id"), lit(nShards)).cast("string").as("k"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val cur = W.readManifestedPartitioned(spark, rootDir)
-      .filter(col("shard").isin(batchShards: _*)).drop("shard")
-      .join(updates.select(col("user_id")), Seq("user_id"), "left_semi")
-    val merged = graft.operators.eagerCut(
-      cur.select(col("user_id"), col("s").as("cur_s"))
-        .join(updates.select(col("user_id"), col("s").as("new_s")),
-          Seq("user_id"), "full_outer")
-        .select(col("user_id"), greatest(col("cur_s"), col("new_s")).as("s"))
-        .withColumn("shard", pmod(col("user_id"), lit(nShards))))
+    tick("bootstrap")
+    val freshTable = missing.length == nShards
+    val merged = graft.operators.eagerCut {
+      val routed =
+        if (freshTable)
+          // brand-new table: there is no state to merge against — the
+          // reduced batch IS the post-batch state (skips the empty
+          // state read and the vacuous full-outer join)
+          updates.select(col("user_id"), col("s"))
+        else {
+          // SHARD-PRUNED state read: only the shards the batch's keys
+          // route to are scanned — the partition values ride the
+          // partitioned read as literals, so the isin predicate folds
+          // to false in every untouched shard's union branch and
+          // Catalyst eliminates those scans entirely (the
+          // PlanSpec-pinned leaf pruning). At 4 shards this is
+          // cosmetic; at the thousands of shards a 100 TB state table
+          // carries, it is the difference between per-batch IO
+          // proportional to the BATCH's key spread and a full state
+          // scan every batch. The shard set is nShards-bounded,
+          // computed from the (already cut) reduced batch.
+          val batchShards = updates
+            .select(pmod(col("user_id"), lit(nShards)).cast("string").as("k"))
+            .distinct().collect().map(_.getString(0)).toSeq
+          tick("shards")
+          val cur = W.readManifestedPartitioned(spark, rootDir)
+            .filter(col("shard").isin(batchShards: _*)).drop("shard")
+            .join(updates.select(col("user_id")), Seq("user_id"), "left_semi")
+          tick("resolve")
+          cur.select(col("user_id"), col("s").as("cur_s"))
+            .join(updates.select(col("user_id"), col("s").as("new_s")),
+              Seq("user_id"), "full_outer")
+            .select(col("user_id"), greatest(col("cur_s"), col("new_s")).as("s"))
+        }
+      routed.withColumn("shard", pmod(col("user_id"), lit(nShards)))
+    }
+    tick("merge")
     W.upsertManifestedPartitioned(spark, rootDir, merged, "user_id",
       txnVersion.map(v => CdcTxnApp -> v))
+    tick("upsert")
     ()
   }
 
