@@ -1219,6 +1219,22 @@ object Warehouse {
     unionLeaves(fs, root, leaf => readManifested(spark, leaf.toString))
   }
 
+  /** [[readManifestedRange]] over a partitioned root: every leaf
+    * opens only the files whose recorded min/max admits the
+    * predicate, with the `k=v` partition values re-attached as in
+    * [[readManifestedPartitioned]] — composing the two pruning axes a
+    * 100 TB read needs: a partition predicate on the returned frame
+    * prunes whole leaves out of the plan (the PlanSpec-pinned union-
+    * branch elimination), and the manifest stats prune files inside
+    * every surviving leaf. */
+  def readManifestedPartitionedRange(spark: SparkSession, rootDir: String,
+                                     column: String, lower: Any,
+                                     upper: Any): DataFrame = {
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    unionLeaves(fs, root, leaf =>
+      readManifestedRange(spark, leaf.toString, column, lower, upper))
+  }
+
   /** [[readManifestedAt]] over a partitioned root: every leaf resolves
     * the SAME manifest version. This is the coordinated-writer
     * contract: root-level operations ([[compactManifestedPartitioned]],

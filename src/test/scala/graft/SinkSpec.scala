@@ -1476,4 +1476,44 @@ class SinkSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(proot).getParentFile)
   }
+
+  test("staged partitioned merge routes ESCAPED partition values; partitioned range read prunes files inside every leaf") {
+    val W = graft.operators.Warehouse
+    val root = Files.createTempDirectory("graft_esc").resolve("t").toString
+    // partition values Spark must path-escape on write (space, percent):
+    // the staged-merge lookup re-escapes what leafKvs unescaped — a
+    // mismatch would route every slice to the empty-template path
+    val docs = spark.range(0, 40).toDF("id")
+      .withColumn("p", when(col("id") % 2 === 0, lit("a b")).otherwise(lit("c%d")))
+      .withColumn("v", lit("old"))
+    docs.write.partitionBy("p").mode("overwrite").parquet(root)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    W.upsertManifestedPartitioned(spark, root,
+      spark.range(0, 6).toDF("id")
+        .withColumn("p", when(col("id") % 2 === 0, lit("a b")).otherwise(lit("c%d")))
+        .withColumn("v", lit("new")), "id")
+    val back = W.readManifestedPartitioned(spark, root)
+    assert(back.count() == 40L)
+    assert(back.filter(col("v") === "new").count() == 6L,
+      "escaped partition values failed to route the merge slices")
+    assert(back.select("p").distinct().collect().map(_.getString(0)).toSet ==
+      Set("a b", "c%d"), "partition values did not round-trip the escaping")
+
+    // a second, range-disjoint merge gives each leaf a high-id
+    // generation; a low-id point read then prunes those files inside
+    // EVERY leaf while the partition re-attach still rides along
+    W.upsertManifestedPartitioned(spark, root,
+      spark.range(100, 120).toDF("id")
+        .withColumn("p", when(col("id") % 2 === 0, lit("a b")).otherwise(lit("c%d")))
+        .withColumn("v", lit("hi")), "id")
+    val fullFiles = W.readManifestedPartitioned(spark, root).inputFiles.length
+    val pr = W.readManifestedPartitionedRange(spark, root, "id", 3L, 3L)
+    assert(pr.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("v"), r.getAs[String]("p"))).toSeq ==
+      Seq((3L, "new", "c%d")))
+    assert(pr.inputFiles.length < fullFiles,
+      s"partitioned range read opened ${pr.inputFiles.length} of $fullFiles")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
 }
