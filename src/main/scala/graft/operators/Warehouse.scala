@@ -608,6 +608,21 @@ object Warehouse {
     })
   }
 
+  /** Does the leaf hold a committed table at all? The [[headBody]]
+    * predicate exposed for the streaming bootstrap (CdcApply): a leaf
+    * whose `_current` is missing but whose `_manifest-*` trail is not
+    * is a CRASHED POINTER SWAP, not a missing leaf — re-bootstrapping
+    * it would commit an empty `.gen-0` over the rolled-forward head
+    * and silently reset that shard's state. */
+  private[graft] def hasCommittedHead(fs: HFs, root: HPath): Boolean =
+    headBody(fs, root).isDefined
+
+  /** The head version of the committed `_manifest-*` trail (0 when
+    * nothing committed) — what a direct [[commitManifest]] caller
+    * anchors its CAS on. */
+  private[graft] def headVersion(fs: HFs, root: HPath): Long =
+    manifestVersions(fs, root).lastOption.getOrElse(0L)
+
   /** The `#txn:<appId>:<version>` markers of a committed manifest —
     * one entry per writer application, highest version applied (the
     * Delta `txnAppId`/`txnVersion` idempotent-writes state). Carried
@@ -663,7 +678,18 @@ object Warehouse {
     * stats, and column names that would break the line syntax. String
     * min/max are base64 of the UTF-8 bytes; their order is unsigned
     * byte-wise — exactly UTF8String's comparison, so pruning agrees
-    * with the engine's own `>=`. */
+    * with the engine's own `>=`.
+    *
+    * Also emits one `#file:<entry>/<file>` line per parquet file
+    * (r16): the manifest then IS the generation's file inventory —
+    * [[readManifestedRange]] plans the pruned scan from these lines
+    * with ZERO per-generation directory lists (the O(files) metadata
+    * round-trips that dominate at object-store latencies, the exact
+    * cost Delta/Iceberg avoid by making the log the inventory).
+    * Stats-less files (all-null, unsupported types) still get their
+    * `#file:` line, so the inventory is complete even where skipping
+    * cannot prune; legacy manifests without `#file:` lines fall back
+    * to listing. */
   private def collectStats(fs: HFs, conf: org.apache.hadoop.conf.Configuration,
                            root: HPath, entry: String): Seq[String] = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -676,7 +702,8 @@ object Warehouse {
     val files = ManifestIo.list(fs, dir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    files.toSeq.flatMap { st =>
+    files.toSeq.map(st => s"#file:$entry/${st.getPath.getName}") ++
+      files.toSeq.flatMap { st =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
       try {
         val md = reader.getFooter
@@ -728,16 +755,26 @@ object Warehouse {
     }
   }
 
-  /** The `#stats:` lines of a manifest body. */
+  /** The per-file metadata lines of a manifest body — `#stats:`
+    * (min/max skipping) and `#file:` (file inventory) both carry the
+    * same `<entry>/<file>` addressing and the same carry-forward
+    * lifecycle. */
   private def parseStats(body: String): Seq[String] =
-    body.trim.split("\n").toSeq.map(_.trim).filter(_.startsWith("#stats:"))
+    body.trim.split("\n").toSeq.map(_.trim)
+      .filter(l => l.startsWith("#stats:") || l.startsWith("#file:"))
 
-  /** Carry-forward filter: the stats lines whose entry survives into
-    * the next commit's generation list (dropped generations take their
-    * lines with them; retained ones keep theirs as text — no re-read). */
+  /** The entry (generation/tombstone name) a per-file metadata line
+    * belongs to. */
+  private def metaEntry(l: String): String =
+    l.substring(l.indexOf(':') + 1).takeWhile(_ != '/')
+
+  /** Carry-forward filter: the stats/file lines whose entry survives
+    * into the next commit's generation list (dropped generations take
+    * their lines with them; retained ones keep theirs as text — no
+    * re-read). */
   private def statsForGens(lines: Seq[String], gens: Seq[String]): Seq[String] = {
     val keep = gens.toSet
-    lines.filter(l => keep.contains(l.stripPrefix("#stats:").takeWhile(_ != '/')))
+    lines.filter(l => keep.contains(metaEntry(l)))
   }
 
   /** Does the recorded [min, max] intersect the query's [lower, upper]?
@@ -891,8 +928,9 @@ object Warehouse {
         throw new java.io.FileNotFoundException(
           s"readManifestedRange: $dir has no committed table"))
       val gens = parseGens(body)
+      val meta = parseStats(body)
       val ranges: Map[(String, String), (String, String, String)] =
-        parseStats(body).flatMap { l =>
+        meta.filter(_.startsWith("#stats:")).flatMap { l =>
           // #stats:<entry>/<file>:<col>:<kind>:<min>:<max>
           l.stripPrefix("#stats:").split(":", 5) match {
             case Array(entryFile, c, kind, mn, mx) if c == column =>
@@ -902,37 +940,69 @@ object Warehouse {
             case _ => None
           }
         }.toMap
+      // the manifest as file INVENTORY (r16): a generation with
+      // `#file:` lines plans from them — zero directory lists on the
+      // read path; a legacy generation (no lines) falls back to one
+      // list. Inventory presence is judged per generation, so mixed
+      // trails (old generations carried into new manifests) stay
+      // correct.
+      val inventory: Map[String, Seq[String]] =
+        meta.filter(_.startsWith("#file:"))
+          .map(_.stripPrefix("#file:")).map { ef =>
+            val slash = ef.indexOf('/')
+            ef.take(slash) -> ef.drop(slash + 1)
+          }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) }
+      def filesOf(g: String): Seq[HPath] = inventory.get(g) match {
+        case Some(names) =>
+          val d = new HPath(root, g)
+          names.map(n => new HPath(d, n))
+        case None => ManifestIo.list(fs, new HPath(root, g))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).toSeq
+      }
       val (dels, datas) = gens.partition(_.startsWith(".del-"))
       require(datas.nonEmpty,
         s"readManifestedRange: manifest lists only tombstones: $gens")
-      val selected: Seq[(String, Seq[HPath])] = datas.map { g =>
-        val files = ManifestIo.list(fs, new HPath(root, g))
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath).toSeq
-        g -> files.filter(f => ranges.get((g, f.getName)) match {
+      // (generation, all files, files surviving the stats prune)
+      val selected: Seq[(String, Seq[HPath], Seq[HPath])] = datas.map { g =>
+        val all = filesOf(g)
+        (g, all, all.filter(f => ranges.get((g, f.getName)) match {
           case Some((kind, mn, mx)) => statsOverlap(kind, mn, mx, lower, upper)
           case None => true
-        })
+        }))
       }
       val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
-      val live = selected.filter(_._2.nonEmpty)
+      val live = selected.filter(_._3.nonEmpty)
+      // a generation whose files ALL pruned still contributes its
+      // SCHEMA (one footer via a limit(0) branch): the pruned read
+      // must stay semantically identical to readManifested().filter()
+      // — columns added by that generation survive (null-filled), and
+      // a retyped column still refuses loudly instead of escaping
+      // requireAdditiveOnly through the prune
+      val prunedOut = selected.filter(s => s._3.isEmpty && s._2.nonEmpty)
       if (live.isEmpty)
         // every file excluded — plan the ordinary scan only for its
         // schema; the predicate returns zero rows through it
         scanGens(spark, root, gens).filter(pred)
-      else if (dels.isEmpty)
+      else if (dels.isEmpty && prunedOut.isEmpty)
         spark.read.option("mergeSchema", "true")
-          .parquet(live.flatMap(_._2).map(_.toString): _*)
+          .parquet(live.flatMap(_._3).map(_.toString): _*)
           .filter(pred)
       else {
-        val tagged = live.map { case (g, fl) =>
-          g -> spark.read.parquet(fl.map(_.toString): _*)
+        val tagged = selected.collect {
+          case (g, _, fl) if fl.nonEmpty =>
+            g -> spark.read.parquet(fl.map(_.toString): _*)
+          case (g, all, _) if all.nonEmpty =>
+            g -> spark.read.parquet(all.head.toString).limit(0)
         }
         requireAdditiveOnly(tagged)
         val data = tagged.map { case (g, df) =>
           df.withColumn("_gid", lit(entryId(g)))
         }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
-        applyTombstones(spark, root, dels, data).filter(pred)
+        val undeleted =
+          if (dels.isEmpty) data.drop("_gid")
+          else applyTombstones(spark, root, dels, data)
+        undeleted.filter(pred)
       }
     }
     try resolveDf()

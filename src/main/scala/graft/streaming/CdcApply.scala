@@ -186,9 +186,17 @@ object CdcApply {
     val updates = graft.operators.eagerCut(lastPerKey(batch))
     val (fs, root) = graft.operators.ManifestIo.resolve(rootDir,
       spark.sparkContext.hadoopConfiguration)
+    // a leaf is missing only when NOTHING is committed — judged by the
+    // same headBody predicate every Warehouse adoption path uses, NOT
+    // by `_current` existence: in the crashed-pointer-swap window (the
+    // non-atomic delete+rename replace on hdfs/object stores) the
+    // pointer is absent but the `_manifest-*` trail is the committed
+    // head, and "missing" there would let the bootstrap's empty
+    // `.gen-0` commit WIN a putIfAbsent on a GC'd low version and
+    // replace `_current` with it — silently resetting the shard's
+    // entire LWW state (the r15 pointer-vs-head bug, at the CDC layer)
     val missing = (0 until nShards).filterNot { k =>
-      graft.operators.ManifestIo.exists(fs,
-        new HPath(new HPath(root, s"shard=$k"), "_current"))
+      W.hasCommittedHead(fs, new HPath(root, s"shard=$k"))
     }
     tick("probe")
     if (missing.nonEmpty) {
@@ -214,8 +222,12 @@ object CdcApply {
         org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
           new HPath(gen0, part.getName), false,
           spark.sparkContext.hadoopConfiguration)
+        // CAS against the leaf's ACTUAL trail head (not a hardcoded
+        // 0): belt-and-braces with the headBody probe above — a leaf
+        // with any committed history can never be overwritten by the
+        // empty bootstrap generation, it loses the CAS instead
         try W.commitManifest(fs, leaf, new HPath(leaf, "_current"),
-          Seq(".gen-0"), 0L)
+          Seq(".gen-0"), W.headVersion(fs, leaf))
         catch { case _: java.util.ConcurrentModificationException => }
         ()
       }

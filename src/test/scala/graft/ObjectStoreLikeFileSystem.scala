@@ -65,6 +65,12 @@ class ObjectStoreLikeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem 
     }
   }
 
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    if (f.getName.startsWith(".gen-") || f.getName.startsWith(".del-"))
+      ObjectStoreLikeFileSystem.generationLists.incrementAndGet()
+    super.listStatus(f)
+  }
+
   override def delete(f: Path, recursive: Boolean): Boolean = {
     val r = super.delete(f, recursive)
     val fault = ObjectStoreLikeFileSystem.crashAfterDeleteOf.get()
@@ -89,6 +95,11 @@ object ObjectStoreLikeFileSystem {
 
   /** File renames that went through the copy+delete path. */
   val copyRenames = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** LIST calls against generation/tombstone directories — the
+    * per-object-LIST metadata cost the `#file:` manifest inventory
+    * exists to eliminate on the read path. */
+  val generationLists = new java.util.concurrent.atomic.AtomicInteger()
 
   /** File NAME whose next rename-copy crashes after materializing the
     * destination, before deleting the source (one-shot). */

@@ -1261,6 +1261,84 @@ class SinkSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("manifest file inventory: a range read plans with ZERO generation LISTs; a fully-pruned generation keeps its schema") {
+    val W = graft.operators.Warehouse
+    val IO = graft.operators.ManifestIo
+
+    // (a) the 0-LIST pin, on the object-store scheme whose wrapper
+    // counts LIST calls against generation dirs: with `#file:` lines
+    // in the manifest, planning + running a pruned range read issues
+    // no per-generation directory list — the manifest IS the file
+    // inventory (the Delta/Iceberg move; at object-store latencies
+    // per-generation LISTs are the dominant read-path metadata cost)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.objstore.impl", classOf[ObjectStoreLikeFileSystem].getName)
+    val local = Files.createTempDirectory("graft_inv")
+    val dir = s"objstore://$local/tbl"
+    for (q <- 0 until 3)
+      W.appendManifested(spark, dir,
+        spark.range(q * 100L, q * 100L + 100L).toDF("id"))
+    val before = ObjectStoreLikeFileSystem.generationLists.get()
+    val pt = W.readManifestedRange(spark, dir, "id", 150L, 150L)
+    assert(pt.collect().map(_.getLong(0)).toSeq == Seq(150L))
+    val listed = ObjectStoreLikeFileSystem.generationLists.get() - before
+    assert(listed == 0,
+      s"a stats-bearing range read issued $listed generation LISTs")
+    assert(pt.inputFiles.length < W.readManifested(spark, dir).inputFiles.length)
+
+    // (b) legacy manifests (r15 format: #stats but no #file lines)
+    // fall back to listing, still correct
+    val (fs, root) = IO.resolve(dir, conf)
+    val P = new org.apache.hadoop.fs.Path(_: org.apache.hadoop.fs.Path, _: String)
+    Seq("_current", s"_manifest-${W.snapshots(dir).last}").foreach { f =>
+      val body = IO.readString(fs, P(root, f)).split("\n")
+        .filterNot(_.startsWith("#file:")).mkString("\n")
+      fs.delete(P(root, f), false)
+      assert(IO.putIfAbsent(fs, P(root, f), body))
+    }
+    val before2 = ObjectStoreLikeFileSystem.generationLists.get()
+    val legacy = W.readManifestedRange(spark, dir, "id", 150L, 150L)
+    assert(legacy.collect().map(_.getLong(0)).toSeq == Seq(150L))
+    assert(ObjectStoreLikeFileSystem.generationLists.get() - before2 > 0,
+      "legacy fallback should have listed the generations")
+
+    // (c) SCHEMA through a fully-pruned generation: a later generation
+    // that ADDED a column contributes its schema (null-filled) even
+    // when the stats prune every one of its files — the pruned read
+    // stays ≡ readManifested().filter() (r16, the ADVICE fix)
+    val d2 = Files.createTempDirectory("graft_inv2").resolve("t").toString
+    W.appendManifested(spark, d2, spark.range(0, 100).toDF("id"))
+    W.appendManifested(spark, d2,
+      spark.range(1000, 1100).toDF("id").withColumn("score", col("id") * 2))
+    val low = W.readManifestedRange(spark, d2, "id", 10L, 20L)
+    assert(low.columns.toSeq == Seq("id", "score"),
+      s"pruning dropped the evolved schema: ${low.columns.toSeq}")
+    assert(low.count() == 11L &&
+      low.filter(col("score").isNotNull).count() == 0L)
+    // the high range reads the evolved rows with values
+    val hi = W.readManifestedRange(spark, d2, "id", 1000L, 1009L)
+    assert(hi.agg(sum(col("score"))).head.getLong(0) ==
+      (1000L to 1009L).map(_ * 2).sum)
+
+    // (d) a RETYPED column refuses loudly even when its generation is
+    // fully pruned out — the prune must not smuggle a retype past
+    // requireAdditiveOnly
+    val d3 = Files.createTempDirectory("graft_inv3").resolve("t").toString
+    W.appendManifested(spark, d3,
+      spark.range(0, 50).toDF("id").withColumn("v", lit("s")))
+    W.appendManifested(spark, d3,
+      spark.range(1000, 1050).toDF("id").withColumn("v", lit(7L)))
+    val ex = intercept[IllegalArgumentException] {
+      W.readManifestedRange(spark, d3, "id", 0L, 10L).collect()
+    }
+    assert(ex.getMessage.contains("retyped"), ex.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(d2).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(d3).getParentFile)
+  }
+
   test("root-level claim: concurrent partitioned root ops serialize as one of the two serial orders, or refuse loudly") {
     val W = graft.operators.Warehouse
     val root = Files.createTempDirectory("graft_rclaim").resolve("t").toString

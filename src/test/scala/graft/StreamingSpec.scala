@@ -700,6 +700,49 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
   }
 
+  test("sharded CDC: a crashed pointer swap rolls FORWARD — never re-bootstrapped into an empty shard") {
+    // the ADVICE-high window: compaction (retainSnapshots=1) GC'd
+    // _manifest-1, then a crash inside a non-atomic pointer replace
+    // left shard=0 with NO _current but a live _manifest-* trail. The
+    // r15 bootstrap probe keyed off `_current` existence, saw the leaf
+    // as 'missing', and its empty .gen-0 commit WON putIfAbsent on the
+    // GC'd _manifest-1 — replacing _current with the empty body and
+    // silently resetting the shard's LWW state. The headBody-based
+    // probe resolves the trail head instead.
+    import graft.streaming.CdcApply
+    val W = graft.operators.Warehouse
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+    val odd = events.filter(col("event_id") % 2 === 1)
+    val even = events.filter(col("event_id") % 2 === 0)
+    // one tiny batch 2: it must NOT be able to rebuild shard=0's state
+    // by itself — survival of the other keys proves the roll-forward
+    val tiny = events.orderBy(col("event_id")).limit(1)
+    val want = {
+      val dir = Files.createTempDirectory("graft_cdcr_ref").resolve("st").toString
+      CdcApply.applyBatch(events, dir)
+      CdcApply.readState(spark, dir).orderBy("user_id").collect().toSeq
+    }
+    val root = Files.createTempDirectory("graft_cdcr_spec").resolve("t").toString
+    CdcApply.applyBatchManifestedPartitioned(odd, root, nShards = 4, Some(0L))
+    CdcApply.applyBatchManifestedPartitioned(even, root, nShards = 4, Some(1L))
+    // fold: retention GCs the early per-leaf manifests (incl. v1)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    val leaf = java.nio.file.Paths.get(root, "shard=0")
+    assert(!java.nio.file.Files.exists(leaf.resolve("_manifest-1")),
+      "precondition: _manifest-1 must be GC'd for the window to exist")
+    // the crash window: pointer gone, trail intact
+    java.nio.file.Files.delete(leaf.resolve("_current"))
+    CdcApply.applyBatchManifestedPartitioned(tiny, root, nShards = 4, Some(2L))
+    val got = W.readManifestedPartitioned(spark, root)
+      .select(col("user_id"), col("s.ts_us"), col("s.event_id"),
+        col("s.event_type"), col("s.value_q"))
+      .orderBy("user_id").collect().toSeq
+    assert(got == want,
+      "shard state was reset by a re-bootstrap instead of rolling forward")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   test("CDC deletes: markers beat out-of-order upserts, later re-upserts re-insert, retirement physically shrinks state") {
     import graft.streaming.CdcApply
     val W = graft.operators.Warehouse
