@@ -302,11 +302,16 @@ object Warehouse {
                         targetFileBytes: Long = 128L << 20,
                         retainSnapshots: Int = 1,
                         retainFor: Option[java.time.Duration] = None,
-                        clusterBy: Option[String] = None): Int = {
+                        clusterBy: Option[String] = None,
+                        zorderBy: Seq[String] = Nil): Int = {
     require(retainSnapshots >= 0,
       s"retainSnapshots must be >= 0, got $retainSnapshots")
     require(retainFor.forall(!_.isNegative),
       s"retainFor must be >= 0, got $retainFor")
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "compactManifested: pass clusterBy OR zorderBy, not both")
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      s"zorderBy interleaves exactly 2 dimensions, got $zorderBy")
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     withTableLock(root) {
     // LEAF directories only (the compact() convention): a partitioned
@@ -368,9 +373,37 @@ object Warehouse {
     // narrow value range, which is what makes the `#stats:` min/max
     // skipping effective AFTER a fold — a plain hash repartition
     // spreads every value range across every file and no per-file
-    // range can exclude anything.
+    // range can exclude anything. `zorderBy` is the two-dimensional
+    // form (OPTIMIZE ZORDER, r16): lay the fold out along the Morton
+    // curve of both columns, so every file covers a TILE — narrow in
+    // BOTH dimensions — and the `#stats:` skipping read prunes on
+    // either one (a single-column sort can only ever prune its own).
     val folded = scanGens(spark, root, cur)
-    (clusterBy match {
+    (if (zorderBy.nonEmpty) {
+      // Morton key over linearly-bucketed dimensions: one small agg
+      // for the (min, max) of each column, then a 16-bit scale —
+      // branch-free, codegen'd, O(rows) at write time, nothing at
+      // read time. Linear bucketing assumes roughly-uniform value
+      // spread; the production upgrade for heavy skew is quantile cut
+      // points (range-partitioner sampling per dimension), which
+      // slots into the same key expression.
+      val Seq(cx, cy) = zorderBy
+      val b = folded.agg(min(col(cx)).cast("double"), max(col(cx)).cast("double"),
+        min(col(cy)).cast("double"), max(col(cy)).cast("double")).head
+      def bucket(c: String, mn: Double, mx: Double) = {
+        val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+        least(lit(65535L),
+          floor((col(c).cast("double") - lit(mn)) / lit(span) * 65536.0))
+          .cast("long")
+      }
+      if (b.isNullAt(0) || b.isNullAt(2)) folded.repartition(nFiles)
+      else {
+        val zkey = graft.functions.InterleaveBits.interleave_bits(
+          bucket(cx, b.getDouble(0), b.getDouble(1)),
+          bucket(cy, b.getDouble(2), b.getDouble(3)))
+        folded.repartitionByRange(nFiles, zkey).sortWithinPartitions(zkey)
+      }
+    } else clusterBy match {
       case Some(c) => folded.repartitionByRange(nFiles, col(c))
         .sortWithinPartitions(col(c))
       case None => folded.repartition(nFiles)
@@ -1229,7 +1262,8 @@ object Warehouse {
                                    targetFileBytes: Long = 128L << 20,
                                    retainSnapshots: Int = 1,
                                    retainFor: Option[java.time.Duration] = None,
-                                   clusterBy: Option[String] = None): Map[String, Int] = {
+                                   clusterBy: Option[String] = None,
+                                   zorderBy: Seq[String] = Nil): Map[String, Int] = {
     val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
     require(ManifestIo.isDirectory(fs, root),
       s"compactManifestedPartitioned: $rootDir is not a directory")
@@ -1241,7 +1275,7 @@ object Warehouse {
       "compactManifestedPartitioned")
     leaves.map { leaf =>
       relPath(root, leaf) -> compactManifested(spark, leaf.toString,
-        targetFileBytes, retainSnapshots, retainFor, clusterBy)
+        targetFileBytes, retainSnapshots, retainFor, clusterBy, zorderBy)
     }.toMap
   }
 

@@ -320,15 +320,20 @@ object CdcApply {
   /** The manifested CDC micro-batch loop shared by st27 and st29:
     * per batch one marker-gated atomic upsert (batchId = the
     * checkpoint-tracked txn version, so a replayed batch no-ops),
-    * periodic delete-compaction under the live stream. */
+    * periodic delete-compaction under the live stream. `afterBatch`
+    * runs after each batch's commit (the st29 per-batch marker
+    * retirement hook). */
   private def runManifestedCdcStream(scoped: SparkSession, dir: String,
-                                     tableDir: String): Unit = {
+                                     tableDir: String,
+                                     afterBatch: (DataFrame, Long) => Unit =
+                                       (_, _) => ()): Unit = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcm_ckpt")
     try {
       val q = EventStreams.readEventStream(scoped, dir).writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                          batchId: Long) =>
           applyBatchManifested(batch.toDF(), tableDir, Some(batchId))
+          afterBatch(batch.toDF(), batchId)
           if (batchId % 4 == 3) {
             graft.operators.Warehouse.compactManifested(
               batch.sparkSession, tableDir, targetFileBytes = 1L << 30)
@@ -402,19 +407,41 @@ object CdcApply {
   }
 
   /** The st27 loop over a feed whose `deleteTypes` events are CDC
-    * DELETES: markers ride the stream (phase 1), retire at
-    * end-of-stream (phase 2 — everything sealed), and the final
-    * compaction materializes the shrink. The returned state is read
-    * UNFILTERED: if retirement under- or over-deleted, the value
-    * oracle hash-fails — physically-removed markers are part of the
-    * contract, not a view trick. */
+    * DELETES: markers ride the stream (phase 1) and retire PER BATCH
+    * at the moving sealed horizon — max event time seen so far minus
+    * `sealLagUs`, the production shape (a log-compacted store's
+    * delete.retention clock ticking under the live stream; r16) —
+    * then fully at end-of-stream (everything sealed), and the final
+    * compaction materializes the shrink. `sealLagUs` is the
+    * caller-owned disorder bound: a marker retired at the horizon
+    * re-exposes its key to an upsert with a SMALLER timestamp arriving
+    * later (see [[retireDeleteMarkers]]) — size the lag to the feed's
+    * worst-case out-of-orderness, exactly like a watermark delay. The
+    * returned state is read UNFILTERED: if retirement under- or
+    * over-deleted, the value oracle hash-fails — physically-removed
+    * markers are part of the contract, not a view trick. */
   def runCdcApplyManifestedDeletes(spark: SparkSession, dir: String,
                                    tableDir: String,
-                                   deleteTypes: Set[String]): DataFrame = {
+                                   deleteTypes: Set[String],
+                                   sealLagUs: Long = 3_600_000_000L): DataFrame = {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
-    runManifestedCdcStream(scoped, dir, tableDir)
+    // the moving horizon: monotone max event time across batches (the
+    // stream's own watermark is per-query state; this loop's driver-
+    // side register rebuilds conservatively from later batches after a
+    // restart, which can only DELAY retirement — never unseal)
+    val maxTsUs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    runManifestedCdcStream(scoped, dir, tableDir, { (batch, _) =>
+      val m = batch.agg(max(unix_micros(col("ts")))).head
+      if (!m.isNullAt(0))
+        maxTsUs.updateAndGet(x => math.max(x, m.getLong(0)))
+      if (maxTsUs.get() != Long.MinValue) {
+        retireDeleteMarkers(scoped, tableDir, deleteTypes,
+          Some(maxTsUs.get() - sealLagUs))
+        ()
+      }
+    })
     retireDeleteMarkers(scoped, tableDir, deleteTypes)
     graft.operators.Warehouse.compactManifested(scoped, tableDir,
       targetFileBytes = 1L << 30)

@@ -1261,6 +1261,59 @@ class SinkSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("z-order compaction: the skipping read prunes on EITHER dimension; a single-column sort cannot") {
+    // the OPTIMIZE ZORDER analogue composed with the manifest stats
+    // path (r16): compactManifested(zorderBy) lays the fold along the
+    // Morton curve, so every output file is a TILE — narrow in both x
+    // and y — and readManifestedRange's #stats pruning works on either
+    // dimension. The control is the same table folded clusterBy("x"):
+    // x-slices prune x-reads but a y-band crosses every slice.
+    val W = graft.operators.Warehouse
+    // a 64×64 grid; ids shuffled into 4 appends so the pre-fold layout
+    // carries no accidental order
+    def grid(dir: String): Unit =
+      for (q <- 0 until 4)
+        W.appendManifested(spark, dir,
+          spark.range(0, 4096).filter(pmod(col("id"), lit(4)) === q)
+            .select((col("id") % 64).as("x"),
+              (col("id") / 64).cast("long").as("y"), col("id")))
+    val zdir = Files.createTempDirectory("graft_zc").resolve("z").toString
+    grid(zdir)
+    W.compactManifested(spark, zdir, targetFileBytes = 1L << 10,
+      zorderBy = Seq("x", "y"))
+    val xdir = Files.createTempDirectory("graft_zc").resolve("x").toString
+    grid(xdir)
+    W.compactManifested(spark, xdir, targetFileBytes = 1L << 10,
+      clusterBy = Some("x"))
+    val zTotal = W.readManifested(spark, zdir).inputFiles.length
+    val xTotal = W.readManifested(spark, xdir).inputFiles.length
+    assert(zTotal >= 8 && xTotal >= 8, s"want many files: z=$zTotal x=$xTotal")
+    def files(dir: String, c: String) =
+      W.readManifestedRange(spark, dir, c, 0L, 15L).inputFiles.length
+    def rows(dir: String, c: String) =
+      W.readManifestedRange(spark, dir, c, 0L, 15L)
+        .agg(sum(col("id"))).head.getLong(0)
+    // correctness on both layouts, both dimensions
+    val wantX = (0L until 4096L).filter(_ % 64 <= 15).sum
+    val wantY = (0L until 4096L).filter(_ / 64 <= 15).sum
+    assert(rows(zdir, "x") == wantX && rows(xdir, "x") == wantX)
+    assert(rows(zdir, "y") == wantY && rows(xdir, "y") == wantY)
+    // pruning: the z layout prunes BOTH dimensions to a bounded tile
+    // set; the x sort prunes x but reads every file for the y band
+    assert(files(zdir, "x") <= zTotal / 2,
+      s"z-layout x-read opened ${files(zdir, "x")} of $zTotal")
+    assert(files(zdir, "y") <= zTotal / 2,
+      s"z-layout y-read opened ${files(zdir, "y")} of $zTotal")
+    assert(files(xdir, "x") <= xTotal / 2,
+      s"x-sort x-read opened ${files(xdir, "x")} of $xTotal")
+    assert(files(xdir, "y") >= xTotal - 1,
+      s"x-sort y-read should scan ~everything, opened ${files(xdir, "y")} of $xTotal")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(zdir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(xdir).getParentFile)
+  }
+
   test("manifest file inventory: a range read plans with ZERO generation LISTs; a fully-pruned generation keeps its schema") {
     val W = graft.operators.Warehouse
     val IO = graft.operators.ManifestIo

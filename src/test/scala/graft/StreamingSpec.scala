@@ -700,6 +700,65 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
   }
 
+  test("per-batch marker retirement: the moving horizon seals and shrinks mid-stream; a violated lag re-exposes exactly as documented") {
+    import graft.streaming.CdcApply
+    val W = graft.operators.Warehouse
+    val sp = spark; import sp.implicits._
+    def batch(rows: (Long, Long, Long, String, Double)*) =
+      rows.toSeq.toDF("event_id", "tus", "user_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+    val dir = Files.createTempDirectory("graft_cdcwm").resolve("t").toString
+    // batch 0: DELETE k1@10, upsert k2@20
+    CdcApply.applyBatchManifested(
+      batch((100L, 10L, 1L, "error", 0.0), (101L, 20L, 2L, "view", 1.0)),
+      dir, Some(0L))
+    // per-batch retirement at horizon 15 (= watermark after batch 0
+    // under a suitable lag): the k1 marker (ts 10 < 15) is sealed and
+    // retires mid-stream — state PHYSICALLY shrinks under the live
+    // stream, not only at end-of-stream
+    assert(CdcApply.retireDeleteMarkers(spark, dir, Set("error"), Some(15L)) == 1L)
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+    assert(W.readManifested(spark, dir).count() == 1L,
+      "mid-stream retirement did not shrink the state")
+    // the documented re-exposure: an upsert BELOW the horizon arriving
+    // AFTER retirement (the lag promise was violated by the feed)
+    // finds no marker and re-inserts — the caller-owned retention
+    // contract, same as every log-compacted store
+    CdcApply.applyBatchManifested(batch((99L, 5L, 1L, "view", 2.0)),
+      dir, Some(1L))
+    assert(CdcApply.readLiveState(spark, dir, Set("error"))
+      .select("user_id").as[Long].collect().toSet == Set(1L, 2L),
+      "a retired marker must re-expose its key (the documented contract)")
+    // an UNSEALED marker (ts above the horizon) survives retirement
+    // and still beats a late earlier-ts upsert
+    CdcApply.applyBatchManifested(batch((102L, 40L, 2L, "error", 0.0)),
+      dir, Some(2L))
+    assert(CdcApply.retireDeleteMarkers(spark, dir, Set("error"), Some(30L)) == 0L)
+    CdcApply.applyBatchManifested(batch((98L, 35L, 2L, "view", 3.0)),
+      dir, Some(3L))
+    assert(CdcApply.readLiveState(spark, dir, Set("error"))
+      .select("user_id").as[Long].collect().toSet == Set(1L),
+      "an unsealed marker must keep suppressing late upserts")
+    // the full loop with the per-batch hook wired (one-file source =
+    // one batch; the hook must not disturb the end-of-stream contract)
+    val want = {
+      val d2 = Files.createTempDirectory("graft_cdcwm_ref").resolve("st").toString
+      val events = graft.sources.Tables(spark, "/root/testdata/sf0.001", "events")
+      CdcApply.applyBatch(events, d2)
+      CdcApply.readState(spark, d2).filter(col("event_type") =!= "error")
+        .orderBy("user_id").collect().toSeq
+    }
+    val table = Files.createTempDirectory("graft_cdcwm_loop").resolve("t").toString
+    val got = CdcApply.runCdcApplyManifestedDeletes(spark,
+      "/root/testdata/sf0.001", table, Set("error"), sealLagUs = 0L)
+      .orderBy("user_id").collect().toSeq
+    assert(got == want, "per-batch retirement diverged from the st29 contract")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(table).getParentFile)
+  }
+
   test("sharded CDC: a crashed pointer swap rolls FORWARD — never re-bootstrapped into an empty shard") {
     // the ADVICE-high window: compaction (retainSnapshots=1) GC'd
     // _manifest-1, then a crash inside a non-atomic pointer replace
