@@ -234,10 +234,10 @@ object Quality {
     // PARTITIONED ROW-LEVEL OPS under the correctness gate: build
     // (once per process+sf) a lang-partitioned manifested documents
     // table (adoption per leaf), tombstone doc_id % 7 == 0 ACROSS
-    // leaves (one tombstone commit per leaf, lockstep), then MERGE a
+    // leaves (one tombstone commit per leaf), then MERGE a
     // mutated doc_id % 5 == 0 slice routed by lang (identity
-    // partitioning; leaves without matching rows commit the empty
-    // slice — the lockstep contract), and profile the union read per
+    // partitioning; leaves without matching rows commit nothing —
+    // the r16 version map records them), and profile the union read per
     // language. The oracle recomputes the expectation straight from
     // `documents`: merge-after-delete re-insert ordering, per-leaf
     // tombstone application, empty-slice commits, and the partition-

@@ -1268,15 +1268,54 @@ object Warehouse {
     require(ManifestIo.isDirectory(fs, root),
       s"compactManifestedPartitioned: $rootDir is not a directory")
     val leaves = manifestLeaves(fs, root)
-    // compaction has no txn identity: a crashed run leaves its claim
-    // until the vacuum grace passes (or an operator removes it) —
-    // the documented availability price of mechanical lockstep
-    claimRootTransition(fs, root, leaves, None,
+    // compaction has no txn identity; a crashed run's claim is taken
+    // over once aged (beginRootTransition) — content-safe, since
+    // compaction is content-preserving per leaf and the next map
+    // records actual heads
+    val st = beginRootTransition(fs, root, leaves, None,
       "compactManifestedPartitioned")
-    leaves.map { leaf =>
-      relPath(root, leaf) -> compactManifested(spark, leaf.toString,
-        targetFileBytes, retainSnapshots, retainFor, clusterBy, zorderBy)
-    }.toMap
+    val out = leaves.map { leaf =>
+      val rel = relPath(root, leaf)
+      val body = headBody(fs, leaf)
+      val gens = body.map(parseGens).getOrElse(Seq.empty)
+      // STEADY-STATE SKIP (r16): a leaf already folded to one data
+      // generation (no tombstone trail, no re-layout requested) needs
+      // no fold and COMMITS NOTHING — under the version map untouched
+      // leaves are simply recorded at their current head, so the
+      // periodic compaction under a sharded CDC stream costs
+      // O(touched shards), like the merges it folds
+      val steady = gens.size == 1 && gens.head.startsWith(".gen-") &&
+        clusterBy.isEmpty && zorderBy.isEmpty
+      if (steady) {
+        val inv = parseStats(body.get).count(l => l.startsWith("#file:") &&
+          metaEntry(l) == gens.head)
+        val n =
+          if (inv > 0) inv
+          else ManifestIo.list(fs, new HPath(leaf, gens.head))
+            .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        rel -> (n, st.prior.getOrElse(rel, headVersion(fs, leaf)))
+      } else {
+        val n = compactManifested(spark, leaf.toString, targetFileBytes,
+          retainSnapshots, retainFor, clusterBy, zorderBy)
+        refreshClaim(fs, st, root, None)
+        rel -> (n, headVersion(fs, leaf))
+      }
+    }
+    val map = out.map { case (r, (_, v)) => r -> v }.toMap
+    // a fully-steady walk (every leaf skipped, heads unchanged) spends
+    // NO root version: periodic maintenance under a live stream must
+    // be free when there is nothing to fold — release the claim only
+    if (map == st.prior && rootVersions(fs, root).nonEmpty)
+      ManifestIo.delete(fs, st.claimPath(root))
+    else {
+      commitRootManifest(fs, root, st, map, None)
+      // root-manifest retention mirrors the per-leaf knob: keep the
+      // count window, GC older maps (their per-leaf manifests age out
+      // through the leaf retention anyway)
+      rootVersions(fs, root).filter(_ < st.next - retainSnapshots).foreach(v =>
+        ManifestIo.delete(fs, new HPath(root, s"_root-manifest-$v")))
+    }
+    out.map { case (r, (n, _)) => r -> n }.toMap
   }
 
   /** The `k=v` leaf walk shared by the manifested-partitioned compact
@@ -1339,18 +1378,37 @@ object Warehouse {
       readManifestedRange(spark, leaf.toString, column, lower, upper))
   }
 
-  /** [[readManifestedAt]] over a partitioned root: every leaf resolves
-    * the SAME manifest version. This is the coordinated-writer
-    * contract: root-level operations ([[compactManifestedPartitioned]],
-    * a partitioned ingest that appends to every leaf per batch) commit
-    * one version per leaf in lockstep, so version numbers align across
-    * leaves; a root whose leaves were committed independently may not
-    * share numbering, and the read then fails loudly on the first leaf
-    * missing the version — never a silently partial table. */
+  /** [[readManifestedAt]] over a partitioned root. Resolution rule
+    * (r16): `version` is a ROOT version — the `_root-manifest-
+    * <version>` map names each leaf's recorded manifest version and
+    * every leaf reads exactly there (the leaf SET is the map's: a
+    * partition added after the snapshot is correctly absent from it).
+    * A root never touched by a root-level op has no maps; it falls
+    * back to the legacy lockstep rule — every leaf at the SAME leaf
+    * version, failing loudly on the first leaf missing it. A
+    * map-managed root asked for a version with no surviving map
+    * refuses with the retained root versions — never a silently
+    * partial or mis-aligned union. */
   def readManifestedPartitionedAt(spark: SparkSession, rootDir: String,
                                   version: Long): DataFrame = {
     val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
-    unionLeaves(fs, root, leaf => readManifestedAt(spark, leaf.toString, version))
+    val rvs = rootVersions(fs, root)
+    if (rvs.isEmpty)
+      unionLeaves(fs, root, leaf => readManifestedAt(spark, leaf.toString, version))
+    else if (!rvs.contains(version))
+      throw new IllegalArgumentException(
+        s"readManifestedPartitionedAt: root snapshot $version of $rootDir " +
+          s"is not retained (available: ${rvs.mkString(", ")})")
+    else {
+      val map = parseRootMap(ManifestIo.readString(fs,
+        new HPath(root, s"_root-manifest-$version")))
+      map.toSeq.sortBy(_._1).map { case (rel, v) =>
+        val leaf = new HPath(root, rel)
+        leafKvs(root, leaf).foldLeft(readManifestedAt(spark, leaf.toString, v)) {
+          case (df, (k, vv)) => df.withColumn(k, lit(vv))
+        }
+      }.reduceLeft(_.unionByName(_))
+    }
   }
 
   /** The shared partitioned-read shape: per-leaf resolve via `read`,
@@ -1525,128 +1583,328 @@ object Warehouse {
           "txns STRING"))
   }
 
-  // ------------------------------ root-level transition claim (r15)
-  /** Make the partitioned-root LOCKSTEP MECHANICAL under concurrent
-    * cross-process writers: every root-level op (partitioned upsert /
-    * delete / compaction) is one TRANSITION `T → T+1` of every leaf,
-    * and the transition is claimed by create-exclusive on
-    * `_root-claim-(T+1)` at the root — the same CAS primitive as the
-    * per-leaf `_manifest-v` trail, one level up. Until r14 this safety
-    * was the documented coordinated-writer contract only: two
-    * concurrent root ops could interleave their per-leaf commits (each
-    * leaf CAS individually fine) and silently break the lockstep
-    * numbering [[readManifestedPartitionedAt]] depends on. Outcomes:
-    *
-    *  - lockstep leaves (all at T): claim T+1, or — if another writer
-    *    holds it — throw ConcurrentModificationException BEFORE any
-    *    leaf commit, so racing root ops serialize as one of the
-    *    serial orders, never an interleaving. A claim already carrying
-    *    OUR (appId, version) is our own replay — resume, no re-claim.
-    *  - mid-transition (leaves spanning T, T+1): resumable ONLY by the
-    *    txn owning `_root-claim-(T+1)` (the crashed partitioned merge
-    *    converging back to lockstep); anything else refuses loudly.
-    *  - drift beyond one version: refuse — a leaf-level writer broke
-    *    the contract; that now surfaces instead of compounding.
-    *
-    * A txn whose marker is already on EVERY leaf is a completed
-    * replay: no claim is written (the per-leaf calls no-op), so a
-    * re-fired batch never strands a claim for a transition that will
-    * not happen. Completed claims (≤ the min leaf head) and aged
-    * orphan claims are GC'd by [[vacuumPartitioned]] — a crashed
-    * NO-txn root op blocks further root ops only until the vacuum
-    * grace passes, the same liveness story as leaf debris. */
-  private def claimRootTransition(fs: HFs, root: HPath, leaves: Seq[HPath],
-                                  txn: Option[(String, Long)],
-                                  op: String): Unit = {
-    val heads = leaves.map(l => manifestVersions(fs, l).lastOption.getOrElse(0L))
-    val vMin = heads.min
-    val vMax = heads.max
-    val mine = txn.map { case (a, v) => s"$a:$v" }
-    val fullReplay = txn.exists { case (app, ver) =>
-      leaves.forall(l => headBody(fs, l).exists(b =>
-        parseTxns(b).get(app).exists(_ >= ver)))
-    }
-    if (fullReplay) ()
-    else if (vMax == vMin) {
-      val claim = new HPath(root, s"_root-claim-${vMin + 1}")
-      if (!ManifestIo.putIfAbsent(fs, claim, mine.getOrElse("-"))) {
-        val owner = ManifestIo.readString(fs, claim)
-        if (!mine.contains(owner))
-          throw new java.util.ConcurrentModificationException(
-            s"$op: transition to version ${vMin + 1} of $root is claimed " +
-              s"by '$owner' — a concurrent root-level writer; retry after " +
-              "it completes (vacuumPartitioned GCs an aged crashed claim)")
-      }
-    } else if (vMax == vMin + 1) {
-      val claim = new HPath(root, s"_root-claim-$vMax")
-      val owner =
-        try Some(ManifestIo.readString(fs, claim))
-        catch { case _: java.io.FileNotFoundException => None }
-      if (!(mine.isDefined && owner == mine))
-        throw new IllegalStateException(
-          s"$op: $root is mid-transition to version $vMax (leaves span " +
-            s"$vMin..$vMax; claim ${owner.getOrElse("missing")}) — only " +
-            "the owning txn may resume it")
-    } else
-      throw new IllegalStateException(
-        s"$op: leaves of $root drifted off lockstep (versions " +
-          s"$vMin..$vMax) — a leaf-level writer broke the " +
-          "coordinated-writer contract")
+  // ---------------------- root-level version map + transition claim
+  // (r16 — supersedes the r15 per-batch LOCKSTEP) Every root-level op
+  // (partitioned upsert / delete / compaction) commits per-leaf ONLY
+  // in the leaves it touches, then publishes ONE immutable root
+  // manifest `_root-manifest-<T>` — a VERSION MAP of `<leafRelPath>:
+  // <leafHeadVersion>` lines plus `#txn:` markers, claimed by the same
+  // create-exclusive CAS as the per-leaf `_manifest-v` trail. The map
+  // replaces lockstep numbering as [[readManifestedPartitionedAt]]'s
+  // resolution rule: snapshot T reads every leaf at its RECORDED
+  // version, so untouched leaves need no commit at all. That breaks
+  // the r15 O(total shards) per-batch commit floor (§6.1o: 0.23
+  // s/shard/batch even when a batch touched 3 of 64) — per-batch cost
+  // is now O(touched shards) + one root commit, which at the
+  // thousands of shards a 100 TB keyed state table carries is the
+  // difference between micro-batch latency and minutes of pure commit
+  // fan-out. Writer serialization is unchanged in spirit: the
+  // transition T+1 is claimed via `_root-claim-(T+1)` BEFORE any leaf
+  // commit, so racing root ops serialize as one of the serial orders
+  // or refuse loudly; the root-manifest putIfAbsent is the commit
+  // point (a crash before it leaves the table AT root version T —
+  // the op becomes atomic at the root, which per-batch lockstep never
+  // was).
+
+  /** The committed root-manifest versions of a partitioned root,
+    * ascending — the root-level [[snapshots]] (empty for a legacy /
+    * never-root-committed tree, whose snapshots still resolve by the
+    * per-leaf lockstep rule). */
+  def rootSnapshots(dir: String): Seq[Long] = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val (fs, root) = ManifestIo.resolve(dir, conf)
+    rootVersions(fs, root)
   }
 
-  // ------------------------------------- partitioned row-level ops (r14)
+  private def rootVersions(fs: HFs, root: HPath): Seq[Long] =
+    ManifestIo.list(fs, root)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_root-manifest-"))
+      .map(_.getPath.getName.stripPrefix("_root-manifest-").toLong)
+      .sorted.toSeq
+
+  /** `<leafRelPath>:<leafVersion>` lines of a root manifest (rel paths
+    * are the on-disk escaped form, which never contains a raw ':'). */
+  private def parseRootMap(body: String): Map[String, Long] =
+    body.trim.split("\n").toSeq.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.lastIndexOf(':')
+        l.substring(0, i) -> l.substring(i + 1).toLong
+      }.toMap
+
+  private def rootManifestBody(map: Map[String, Long],
+                               txns: Map[String, Long]): String =
+    (map.toSeq.sortBy(_._1).map { case (l, v) => s"$l:$v" } ++
+      txns.toSeq.sortBy(_._1).map { case (a, v) => s"#txn:$a:$v" })
+      .mkString("\n")
+
+  /** The state a root-level op carries between its claim and its
+    * commit: the transition version to publish, the PRIOR version map
+    * (what untouched leaves are recorded at), the root-level txn
+    * markers to carry forward, and whether the whole op is a
+    * completed replay (commit nothing). */
+  private case class RootTransition(next: Long, prior: Map[String, Long],
+                                    txns: Map[String, Long],
+                                    fullReplay: Boolean) {
+    def claimPath(root: HPath): HPath = new HPath(root, s"_root-claim-$next")
+  }
+
+  /** Begin a root-level transition: resolve the root head, detect
+    * replays, claim `T+1`. Map-managed roots need ONE root-manifest
+    * read — no per-leaf listing (the O(touched) contract). A root with
+    * no root manifest yet MIGRATES: its leaves must be lockstep (the
+    * r15 contract it is leaving), their common head anchors the root
+    * version line, and — so pre-migration snapshots stay addressable —
+    * an ANCHOR manifest `_root-manifest-T0` recording the walked heads
+    * is committed when T0 ≥ 1. Crashed-op recovery:
+    *
+    *  - our own txn's claim → resume (per-leaf markers no-op the
+    *    committed leaves; the root manifest then records actuals).
+    *  - a FRESH foreign claim → ConcurrentModificationException before
+    *    any leaf commit.
+    *  - an AGED foreign claim (older than `takeoverGraceMs`) → TAKE
+    *    OVER: delete + re-claim (r16 — a crashed no-txn root op no
+    *    longer blocks until a manual vacuum; content safety holds
+    *    because the next map records actual leaf heads, and a LIVE op
+    *    refreshes its claim's mtime per leaf commit, so only true
+    *    corpses age).
+    *  - a claim whose transition already committed (we raced a winner
+    *    that deleted its claim after publishing) → re-checked after
+    *    the claim succeeds: the root head moved past our anchor, so
+    *    release and refuse — never leaf-commit under a stale claim. */
+  private def beginRootTransition(fs: HFs, root: HPath, leaves: Seq[HPath],
+                                  txn: Option[(String, Long)], op: String,
+                                  takeoverGraceMs: Long = DefaultVacuumGraceMs): RootTransition = {
+    val mine = txn.map { case (a, v) => s"$a:$v" }
+    def claim(next: Long): Unit = {
+      val c = new HPath(root, s"_root-claim-$next")
+      def refuse(owner: String): Nothing =
+        throw new java.util.ConcurrentModificationException(
+          s"$op: transition to version $next of $root is claimed by " +
+            s"'$owner' — a concurrent root-level writer; retry after it " +
+            "completes (an aged crashed claim is taken over automatically)")
+      if (!ManifestIo.putIfAbsent(fs, c, mine.getOrElse("-"))) {
+        val owner =
+          try Some(ManifestIo.readString(fs, c))
+          catch { case _: java.io.FileNotFoundException => None }
+        if (owner.isDefined && mine.isDefined && owner == mine) ()
+        else {
+          val aged = owner.isEmpty || {
+            try fs.getFileStatus(c).getModificationTime <
+              System.currentTimeMillis() - takeoverGraceMs
+            catch { case _: java.io.FileNotFoundException => true }
+          }
+          if (!aged) refuse(owner.getOrElse("?"))
+          ManifestIo.delete(fs, c)
+          if (!ManifestIo.putIfAbsent(fs, c, mine.getOrElse("-")))
+            refuse(try ManifestIo.readString(fs, c)
+              catch { case _: java.io.FileNotFoundException => "?" })
+        }
+      }
+      // stale-anchor re-check: a winner that already PUBLISHED next
+      // deletes its claim, so our create-exclusive can succeed for a
+      // transition that is history — verify the head is still behind
+      // the claim before any leaf commit
+      if (rootVersions(fs, root).lastOption.exists(_ >= next)) {
+        ManifestIo.delete(fs, c)
+        throw new java.util.ConcurrentModificationException(
+          s"$op: transition $next of $root already committed by a " +
+            "concurrent writer — re-read and retry")
+      }
+    }
+    rootVersions(fs, root).lastOption match {
+      case Some(t) =>
+        val body = ManifestIo.readString(fs, new HPath(root, s"_root-manifest-$t"))
+        val prior = parseRootMap(body)
+        val txns = parseTxns(body)
+        val fullReplay =
+          txn.exists { case (app, ver) => txns.get(app).exists(_ >= ver) }
+        if (!fullReplay) claim(t + 1)
+        RootTransition(t + 1, prior, txns, fullReplay)
+      case None =>
+        // migration from the lockstep scheme: one per-leaf walk (only
+        // ever paid once per root)
+        val heads = leaves.map(l => l -> headVersion(fs, l))
+        val headMap = heads.map { case (l, v) => relPath(root, l) -> v }.toMap
+        val vMin = heads.map(_._2).min
+        val vMax = heads.map(_._2).max
+        val fullReplay = txn.exists { case (app, ver) =>
+          leaves.forall(l => headBody(fs, l).exists(b =>
+            parseTxns(b).get(app).exists(_ >= ver)))
+        }
+        if (fullReplay) RootTransition(vMax, headMap, Map.empty, fullReplay = true)
+        else if (vMax == vMin) {
+          if (vMin >= 1) {
+            // the anchor: pre-migration lockstep state, root-addressable
+            ManifestIo.putIfAbsent(fs, new HPath(root, s"_root-manifest-$vMin"),
+              rootManifestBody(headMap, Map.empty))
+            ()
+          }
+          claim(vMin + 1)
+          RootTransition(vMin + 1, headMap, Map.empty, fullReplay = false)
+        } else if (vMax == vMin + 1) {
+          // a crashed r15-era (or crashed migrating) op: resumable only
+          // by the owning txn, the pre-map rule
+          val c = new HPath(root, s"_root-claim-$vMax")
+          val owner =
+            try Some(ManifestIo.readString(fs, c))
+            catch { case _: java.io.FileNotFoundException => None }
+          if (!(mine.isDefined && owner == mine))
+            throw new IllegalStateException(
+              s"$op: $root is mid-transition to version $vMax (leaves " +
+                s"span $vMin..$vMax; claim ${owner.getOrElse("missing")}) — " +
+                "only the owning txn may resume it")
+          RootTransition(vMax, headMap, Map.empty, fullReplay = false)
+        } else
+          throw new IllegalStateException(
+            s"$op: legacy leaves of $root drifted off lockstep (versions " +
+              s"$vMin..$vMax) with no root manifest to anchor a migration — " +
+              "repair the leaves or commit a root manifest by hand")
+    }
+  }
+
+  /** Refresh the claim's mtime (atomic tmp+rename rewrite) — the
+    * liveness heartbeat a long root op emits per leaf commit, so the
+    * aged-claim takeover and [[vacuumPartitioned]]'s grace only ever
+    * fire on true corpses, never on a live walk that outlives the
+    * grace (a partitioned op over thousands of shards legitimately
+    * does). */
+  private def refreshClaim(fs: HFs, st: RootTransition, root: HPath,
+                           txn: Option[(String, Long)]): Unit =
+    if (!st.fullReplay)
+      ManifestIo.replace(fs, st.claimPath(root),
+        txn.map { case (a, v) => s"$a:$v" }.getOrElse("-"))
+
+  /** Publish the transition: putIfAbsent `_root-manifest-<next>` (the
+    * commit point — a reader of [[readManifestedPartitionedAt]] sees
+    * the table at T or at T+1, never a half-applied map), then drop
+    * the claim. A lost putIfAbsent with IDENTICAL body is our own
+    * completed replay (benign); different content under our claim is
+    * a broken invariant and refuses loudly. */
+  private def commitRootManifest(fs: HFs, root: HPath, st: RootTransition,
+                                 map: Map[String, Long],
+                                 txn: Option[(String, Long)]): Unit = {
+    val txns = txn.fold(st.txns) { case (a, v) => st.txns + (a -> v) }
+    val body = rootManifestBody(map, txns)
+    val p = new HPath(root, s"_root-manifest-${st.next}")
+    if (!ManifestIo.putIfAbsent(fs, p, body) &&
+        ManifestIo.readString(fs, p) != body)
+      throw new java.util.ConcurrentModificationException(
+        s"root manifest ${st.next} of $root was committed with different " +
+          "content under this writer's claim — claim discipline violated")
+    ManifestIo.delete(fs, st.claimPath(root))
+  }
+
+  // ------------------------------- partitioned row-level ops (r14/r16)
   // The row-level commits above are leaf-scoped; a 100 TB table is a
   // PARTITIONED root, and "delete these keys" must not require hand-
-  // iterating leaves (which would also break the lockstep-version
-  // numbering readManifestedPartitionedAt's coordinated-writer rule
-  // depends on). Each op below is the [[manifestLeaves]] walk with
-  // EXACTLY ONE commit per leaf — lockstep preserved by construction —
-  // and each leaf's commit is the same CAS-guarded atomic pointer swap
-  // as its leaf-scoped form. At 100 TB the per-leaf commits are
-  // embarrassingly parallel (no two leaves share state), exactly like
-  // compactManifestedPartitioned's walk.
+  // iterating leaves. Each op below claims its root transition, walks
+  // [[manifestLeaves]] committing ONLY where it has work (each leaf's
+  // commit the same CAS-guarded atomic pointer swap as its leaf-scoped
+  // form), and publishes one root version map. At 100 TB the per-leaf
+  // commits are embarrassingly parallel (no two leaves share state —
+  // the sequential walk here becomes a foreachPartition over leaf
+  // names running the same rename+CAS sequence; they are pure FS ops,
+  // no Spark jobs).
 
   /** [[deleteManifested]] over a partitioned root: ONE tombstone
     * commit per leaf, all carrying the same key set — a key lives in
     * whichever leaf its row was routed to, so the tombstone must reach
     * every leaf (the delete set is O(keys) per leaf, never a data
-    * rewrite; a leaf holding none of the keys commits a tombstone that
-    * suppresses nothing, which keeps the version numbering lockstep).
-    * The delete set is materialized ONCE (eager cut) and re-written
-    * per leaf, not re-computed. Returns root-relative leaf path → the
-    * leaf's committed tombstone id (-1 = replay no-op on that leaf).
-    * With `txn` (per-leaf markers, the [[upsertManifestedPartitioned]]
-    * contract) a crashed partitioned delete is RESUMABLE: the replay
-    * no-ops the leaves that already committed and tombstones the
-    * rest, converging the root back to lockstep instead of
-    * double-tombstoning. */
+    * rewrite). The key set is WRITTEN ONCE to a root-local staging dir
+    * (one Spark job) and FS-copied into each leaf's `.del-<id>` — per
+    * delete the Spark-job count is O(1) and per-leaf cost is pure
+    * filesystem ops, the same write-once shape as the partitioned
+    * MERGE. The transition publishes one root version map (r16);
+    * returns root-relative leaf path → the leaf's committed tombstone
+    * id (-1 = replay no-op on that leaf). With `txn` a crashed
+    * partitioned delete is RESUMABLE: the replay no-ops the leaves
+    * whose marker already records it and tombstones the rest. */
   def deleteManifestedPartitioned(spark: SparkSession, rootDir: String,
                                   keys: DataFrame,
                                   txn: Option[(String, Long)] = None): Map[String, Long] = {
     require(keys.columns.length == 1,
       s"deleteManifestedPartitioned: keys must be exactly the key " +
         s"column, got ${keys.columns.mkString(", ")}")
+    require(txn.forall(t => !t._1.contains("\n") && !t._1.contains(":")),
+      s"deleteManifestedPartitioned: txn appId must not contain ':' or " +
+        s"newline: $txn")
     val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
     require(ManifestIo.isDirectory(fs, root),
       s"deleteManifestedPartitioned: $rootDir is not a directory")
-    val cut = eagerCut(keys.distinct())
     val leaves = manifestLeaves(fs, root)
-    claimRootTransition(fs, root, leaves, txn, "deleteManifestedPartitioned")
-    leaves.map { leaf =>
-      relPath(root, leaf) -> deleteManifested(spark, leaf.toString, cut, txn)
-    }.toMap
+    val st = beginRootTransition(fs, root, leaves, txn,
+      "deleteManifestedPartitioned")
+    if (st.fullReplay) return leaves.map(l => relPath(root, l) -> -1L).toMap
+    val key = keys.columns.head
+    // commit-time key probe, once per ROOT (leaves share one schema)
+    leaves.headOption.foreach { leaf =>
+      parseGens(headBody(fs, leaf).getOrElse(throw new IllegalArgumentException(
+        s"deleteManifestedPartitioned: $leaf has no committed table")))
+        .find(!_.startsWith(".del-")).foreach { g =>
+          val cols = spark.read.parquet(new HPath(leaf, g).toString).columns
+          require(cols.contains(key),
+            s"deleteManifestedPartitioned: $rootDir has no column '$key' " +
+              s"(columns: ${cols.mkString(", ")})")
+        }
+    }
+    // stage the key set once; per-leaf commits copy its files
+    val stage = new HPath(root,
+      s".delete-stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    keys.distinct().write.mode("overwrite").parquet(stage.toString)
+    val parts = ManifestIo.list(fs, stage)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq
+    val out = leaves.map { leaf =>
+      val rel = relPath(root, leaf)
+      val r = withTableLock(leaf) {
+        val pointer = new HPath(leaf, "_current")
+        val head = headBody(fs, leaf).getOrElse(
+          throw new IllegalArgumentException(
+            s"deleteManifestedPartitioned: $leaf has no committed table"))
+        val gens = parseGens(head)
+        val txns = parseTxns(head)
+        val expected = manifestVersions(fs, leaf).lastOption.getOrElse(0L)
+        val alreadyApplied =
+          txn.exists { case (app, ver) => txns.get(app).exists(_ >= ver) }
+        if (alreadyApplied) (-1L, expected)
+        else {
+          val nextId = gens.map(entryId).foldLeft(-1L)(math.max) + 1
+          val del = new HPath(leaf, s".del-$nextId")
+          if (ManifestIo.exists(fs, del)) ManifestIo.delete(fs, del)
+          fs.mkdirs(del)
+          parts.foreach(p => org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+            new HPath(del, p.getName), false, hconf(spark)))
+          val v = commitManifest(fs, leaf, pointer, gens :+ s".del-$nextId",
+            expected,
+            txn.fold(txns) { case (app, ver) => txns + (app -> ver) },
+            statsForGens(parseStats(head), gens))
+          (nextId, v)
+        }
+      }
+      refreshClaim(fs, st, root, txn)
+      rel -> r
+    }
+    commitRootManifest(fs, root, st,
+      out.map { case (r, (_, v)) => r -> v }.toMap, txn)
+    ManifestIo.delete(fs, stage)
+    out.map { case (r, (id, _)) => r -> id }.toMap
   }
 
   /** [[upsertManifested]] over a partitioned root — MERGE INTO the
     * partitioned table: `source` carries the partition column(s) (the
     * `k=v` names of the leaf directories) plus the leaf schema; rows
     * route to their leaf by partition value (string-compared — the
-    * [[readManifestedPartitioned]] typing contract) and each leaf gets
-    * one atomic tombstone+generation commit for its slice. EVERY leaf
-    * commits, including those with an empty slice — one version per
-    * leaf, lockstep preserved (an empty upsert is an empty tombstone +
-    * an empty generation: a few KB of footer, the price of keeping
-    * [[readManifestedPartitionedAt]] resolvable at every version).
+    * [[readManifestedPartitioned]] typing contract) and each TOUCHED
+    * leaf gets one atomic tombstone+generation commit for its slice.
+    * Untouched leaves commit NOTHING (r16): the published root
+    * version map records them at their prior head, which is what
+    * keeps [[readManifestedPartitionedAt]] resolvable at every root
+    * version while per-batch commit cost stays O(touched shards) —
+    * the r15 lockstep scheme paid an empty tombstone+generation pair
+    * in every untouched leaf, the measured O(total shards) floor.
     *
     * Two loud refusals, both at commit time: a source partition value
     * with NO existing leaf (a new partition needs its own adoption/
@@ -1662,10 +1920,10 @@ object Warehouse {
     *
     * With `txn` (the [[upsertManifested]] exactly-once contract,
     * applied per leaf) a partitioned merge is also RESUMABLE: a crash
-    * after some leaves committed leaves the root off-lockstep, and the
-    * replay no-ops exactly the leaves that already carry the marker
-    * while applying the rest — converging the root back to lockstep
-    * instead of double-applying the committed leaves. */
+    * after some leaves committed leaves the root claim held and no
+    * root manifest published, and the replay no-ops exactly the
+    * leaves that already carry the marker while applying the rest —
+    * then publishes the map once, never double-applying a leaf. */
   def upsertManifestedPartitioned(spark: SparkSession, rootDir: String,
                                   source: DataFrame, keyCol: String,
                                   txn: Option[(String, Long)] = None): Map[String, Long] = {
@@ -1700,8 +1958,13 @@ object Warehouse {
         s"leaves ${unknown.map(c => pcols.zip(c).map { case (k, v) => s"$k=$v" }
           .mkString("/")).mkString(", ")} — create the partition first " +
         "(partitioned write + adoption), then upsert")
-    claimRootTransition(fs, root, leaves.map(_._1), txn,
+    val st = beginRootTransition(fs, root, leaves.map(_._1), txn,
       "upsertManifestedPartitioned")
+    if (st.fullReplay)
+      return leaves.map { case (leaf, _) =>
+        val rel = relPath(root, leaf)
+        rel -> st.prior.getOrElse(rel, headVersion(fs, leaf))
+      }.toMap
     // commit-time key probe, once per ROOT (leaves share one schema —
     // the uniform-writer contract): refuse an unknown key column here,
     // not per leaf and not later as a reader's resolution error
@@ -1714,19 +1977,19 @@ object Warehouse {
               s"'$keyCol' (columns: ${cols.mkString(", ")})")
         }
     }
-    // STAGE ONCE, MOVE PER LEAF (r15): two partitionBy jobs write
-    // every leaf's data slice and tombstone key set under a root-local
-    // dot-prefixed staging dir (invisible to discovery and the leaf
-    // walk), plus two 1-file template jobs carrying the slice schemas
-    // for leaves whose slice is EMPTY (partitionBy skips empty
-    // combos, but lockstep requires every leaf to commit). Each leaf
-    // commit is then two renames + one CAS'd pointer swap — per-merge
-    // Spark jobs are O(1), not O(2·leaves), which is the difference
-    // between a micro-batch and a job-scheduler stampede at the
-    // thousands of shards a 100 TB state table carries. A crash
-    // mid-walk strands only the staging dir (aged `.upsert-stage-*`
-    // is vacuumPartitioned food) and off-lockstep leaves that the txn
-    // replay converges exactly as before.
+    // STAGE ONCE, MOVE PER TOUCHED LEAF (r15/r16): two partitionBy
+    // jobs write every NON-EMPTY slice's data and tombstone key set
+    // under a root-local dot-prefixed staging dir (invisible to
+    // discovery and the leaf walk). Each touched leaf's commit is two
+    // renames + one CAS'd pointer swap; an UNTOUCHED leaf commits
+    // NOTHING — the root version map records it at its prior head
+    // (r16; the r15 lockstep scheme committed an empty tombstone +
+    // generation pair to every one of them, the measured O(total
+    // shards) per-batch floor of §6.1o). Per-merge Spark jobs are
+    // O(1) and per-batch commit cost O(touched shards) + one root
+    // manifest. A crash mid-walk strands only the staging dir (aged
+    // `.upsert-stage-*` is vacuumPartitioned food) and partially-
+    // committed leaves that the txn replay converges.
     val stage = new HPath(root,
       s".upsert-stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     val dataStage = new HPath(stage, "data")
@@ -1736,37 +1999,24 @@ object Warehouse {
     cut.select((pcols :+ keyCol).map(c => col(c)): _*).distinct()
       .write.partitionBy(pcols: _*).mode("overwrite")
       .parquet(keyStage.toString)
-    val dataTmpl = new HPath(stage, "data-tmpl")
-    cut.drop(pcols: _*).limit(0).repartition(1)
-      .write.parquet(dataTmpl.toString)
-    val keyTmpl = new HPath(stage, "keys-tmpl")
-    cut.select(col(keyCol)).limit(0).repartition(1)
-      .write.parquet(keyTmpl.toString)
-    def templatePart(tmpl: HPath): HPath = ManifestIo.list(fs, tmpl)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .head.getPath
-    def staged(stageRoot: HPath, kvs: Seq[(String, String)],
-               tmpl: HPath, tag: String, i: Int): HPath = {
-      val p = kvs.foldLeft(stageRoot) { case (acc, (k, v)) =>
+    def staged(stageRoot: HPath, kvs: Seq[(String, String)]): HPath =
+      kvs.foldLeft(stageRoot) { case (acc, (k, v)) =>
         new HPath(acc, s"$k=${org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.escapePathName(v)}")
       }
-      if (ManifestIo.isDirectory(fs, p)) p
+    val out = leaves.map { case (leaf, kvs) =>
+      val rel = relPath(root, leaf)
+      val slice = staged(dataStage, kvs)
+      if (!ManifestIo.isDirectory(fs, slice))
+        rel -> st.prior.getOrElse(rel, headVersion(fs, leaf))
       else {
-        // empty slice: a schema-bearing copy of the template
-        val d = new HPath(stage, s"empty-$tag-$i")
-        fs.mkdirs(d)
-        val part = templatePart(tmpl)
-        org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
-          new HPath(d, part.getName), false, hconf(spark))
-        d
+        val v = upsertManifestedStagedMove(spark, fs, leaf,
+          staged(keyStage, kvs), slice, keyCol, txn)
+        refreshClaim(fs, st, root, txn)
+        rel -> v
       }
-    }
-    val out = leaves.zipWithIndex.map { case ((leaf, kvs), i) =>
-      relPath(root, leaf) -> upsertManifestedStagedMove(spark, fs, leaf,
-        staged(keyStage, kvs, keyTmpl, "del", i),
-        staged(dataStage, kvs, dataTmpl, "gen", i), keyCol, txn)
     }.toMap
+    commitRootManifest(fs, root, st, out, txn)
     ManifestIo.delete(fs, stage)
     out
   }
@@ -1817,9 +2067,9 @@ object Warehouse {
 
   /** [[history]] over a partitioned root: the per-leaf DESCRIBE
     * HISTORY rows with the root-relative leaf path prepended — the
-    * audit view of the lockstep contract (a coordinated-writer root
-    * shows every version present in every leaf; a drifted root shows
-    * exactly where the numbering diverged). */
+    * audit view of O(touched) commits (a leaf untouched by recent
+    * root ops shows a shorter trail; the root version maps record
+    * where each snapshot reads it). */
   def historyPartitioned(spark: SparkSession, rootDir: String): DataFrame = {
     val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
     require(ManifestIo.isDirectory(fs, root),
@@ -1890,11 +2140,12 @@ object Warehouse {
     * independent, exactly like their commits). Returns root-relative
     * leaf path → report, reporting only leaves where anything was
     * removed. Also GCs the `_root-claim-*` transition files of
-    * [[claimRootTransition]]: claims at/below the MIN leaf head are
-    * completed transitions (safe immediately — the resume path only
-    * ever consults a claim above it), and aged claims above it are
-    * crashed root ops (the same age-grace argument as leaf debris;
-    * removing one un-blocks the next root op). Reported under the
+    * [[beginRootTransition]]: claims at/below the committed ROOT head
+    * (or, on a legacy root with no root manifests, the min leaf head)
+    * are completed transitions — safe immediately — and AGED claims
+    * above it are crashed root ops (the same age-grace argument as
+    * leaf debris; live walks refresh their claim's mtime per leaf
+    * commit, so a long op never ages into this). Reported under the
     * `"."` key with the claim versions in `removedManifests`. */
   def vacuumPartitioned(spark: SparkSession, rootDir: String,
                         graceMs: Long = DefaultVacuumGraceMs): Map[String, VacuumReport] = {
@@ -1908,21 +2159,24 @@ object Warehouse {
       r.removedGenerations.nonEmpty || r.removedManifests.nonEmpty ||
         r.removedPointerTmp
     }.toMap
-    val heads = leaves.map(l => manifestVersions(fs, l).lastOption.getOrElse(0L))
-    val minHead = if (heads.isEmpty) 0L else heads.min
+    val completedHead = rootVersions(fs, root).lastOption.getOrElse {
+      val heads = leaves.map(l => manifestVersions(fs, l).lastOption.getOrElse(0L))
+      if (heads.isEmpty) 0L else heads.min
+    }
     val cutoff = System.currentTimeMillis() - graceMs
     val claims = ManifestIo.list(fs, root)
       .filter(st => st.isFile && st.getPath.getName.startsWith("_root-claim-"))
       .filter { st =>
         val v = st.getPath.getName.stripPrefix("_root-claim-").toLong
-        v <= minHead || st.getModificationTime < cutoff
+        v <= completedHead || st.getModificationTime < cutoff
       }.map(_.getPath).toSeq
     claims.foreach(p => ManifestIo.delete(fs, p))
-    // staging debris of a crashed partitioned MERGE (the dirs a
-    // completed merge deletes itself) — aged only, the same grace
+    // staging debris of a crashed partitioned MERGE/DELETE (the dirs a
+    // completed op deletes itself) — aged only, the same grace
     ManifestIo.list(fs, root)
       .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(".upsert-stage-") &&
+        (st.getPath.getName.startsWith(".upsert-stage-") ||
+          st.getPath.getName.startsWith(".delete-stage-")) &&
         st.getModificationTime < cutoff)
       .foreach(st => ManifestIo.delete(fs, st.getPath))
     if (claims.isEmpty) leafReports

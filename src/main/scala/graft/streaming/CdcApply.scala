@@ -144,16 +144,18 @@ object CdcApply {
     * 100 TB keyed state table actually ships with: the table is
     * hash-sharded on the key into `shard=<k>` leaves, so per-leaf
     * commits, compactions and scans stay bounded and embarrassingly
-    * parallel, while the lockstep version numbering keeps the ROOT
-    * one time-travelable table. Per batch: the same associative LWW
+    * parallel, while the root VERSION MAPS (r16) keep the ROOT one
+    * time-travelable table. Per batch: the same associative LWW
     * merge for the batch's keys, then
     * `upsertManifestedPartitioned` routes the merged rows to their
     * shard by the DETERMINISTIC shard function (`pmod(user_id,
     * nShards)` — a key's shard never changes, satisfying the
-    * identity-partitioning contract) and commits EVERY leaf in
-    * lockstep under the batchId txn marker: a replayed batch no-ops
-    * per leaf, and a crash mid-merge (some shards committed, some
-    * not) converges back to lockstep on the replay — the resumability
+    * identity-partitioning contract) and commits ONLY the touched
+    * leaves plus one root manifest under the batchId txn marker —
+    * per-batch commit cost O(touched shards), not O(nShards) (the
+    * r15 lockstep floor §6.1o measured). A replayed batch no-ops
+    * per leaf and at the root; a crash mid-merge (some shards
+    * committed, some not) converges on the replay — the resumability
     * `upsertManifestedPartitioned` pins. Before the first merge, every
     * missing `shard=<k>` leaf is bootstrapped EMPTY (appendManifested
     * with genId 0 — idempotent: a crash mid-bootstrap replays by
@@ -243,24 +245,26 @@ object CdcApply {
           // state read and the vacuous full-outer join)
           updates.select(col("user_id"), col("s"))
         else {
-          // SHARD-PRUNED state read: only the shards the batch's keys
-          // route to are scanned — the partition values ride the
-          // partitioned read as literals, so the isin predicate folds
-          // to false in every untouched shard's union branch and
-          // Catalyst eliminates those scans entirely (the
-          // PlanSpec-pinned leaf pruning). At 4 shards this is
-          // cosmetic; at the thousands of shards a 100 TB state table
-          // carries, it is the difference between per-batch IO
-          // proportional to the BATCH's key spread and a full state
-          // scan every batch. The shard set is nShards-bounded,
+          // SHARD-PRUNED state read, planned over ONLY the touched
+          // leaves (r16): the shard function is deterministic, so the
+          // batch's shard set IS the leaf set to read — the union is
+          // built from those leaves directly instead of planning all
+          // nShards branches and letting Catalyst fold the untouched
+          // ones away (plan construction itself is O(leaves) driver
+          // work: at 64 shards it dominated the §6.1o sparse-batch
+          // profile, at the thousands a 100 TB state table carries it
+          // would dwarf the batch). The shard set is nShards-bounded,
           // computed from the (already cut) reduced batch.
           val batchShards = updates
-            .select(pmod(col("user_id"), lit(nShards)).cast("string").as("k"))
-            .distinct().collect().map(_.getString(0)).toSeq
+            .select(pmod(col("user_id"), lit(nShards)).as("k"))
+            .distinct().collect().map(_.getLong(0)).toSeq.sorted
           tick("shards")
-          val cur = W.readManifestedPartitioned(spark, rootDir)
-            .filter(col("shard").isin(batchShards: _*)).drop("shard")
-            .join(updates.select(col("user_id")), Seq("user_id"), "left_semi")
+          val cur =
+            if (batchShards.isEmpty) updates.limit(0) // empty batch
+            else batchShards
+              .map(k => W.readManifested(spark, s"$rootDir/shard=$k"))
+              .reduceLeft(_.unionByName(_))
+              .join(updates.select(col("user_id")), Seq("user_id"), "left_semi")
           tick("resolve")
           cur.select(col("user_id"), col("s").as("cur_s"))
             .join(updates.select(col("user_id"), col("s").as("new_s")),

@@ -169,10 +169,11 @@ object StreamingQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
       out
     }),
-    // the CDC loop onto a SHARDED manifested root (r14): state
-    // hash-sharded into shard=<k> leaves, per-batch lockstep
-    // upsertManifestedPartitioned commits under the batchId txn
-    // marker, per-leaf delete-compaction under the live stream; SAME
+    // the CDC loop onto a SHARDED manifested root (r14/r16): state
+    // hash-sharded into shard=<k> leaves, per-batch O(touched-shard)
+    // upsertManifestedPartitioned commits + one root version map
+    // under the batchId txn marker, per-leaf delete-compaction
+    // (steady leaves skip) under the live stream; SAME
     // event-time-LWW oracle as st11/st27 — the third state mechanism
     // under one oracle text, so none of them can drift
     "st28_stream_cdc_sharded" -> ((s, d) => {

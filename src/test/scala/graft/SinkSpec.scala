@@ -167,9 +167,12 @@ class SinkSpec extends SparkSpec {
     })
     reader.start()
     try {
+      // clusterBy forces a genuine re-fold each round (a plain compact
+      // would steady-state SKIP already-folded leaves — pinned below)
       (1 to 2).foreach { _ =>
         graft.operators.Warehouse
-          .compactManifestedPartitioned(spark, out, targetFileBytes = 1L << 30)
+          .compactManifestedPartitioned(spark, out, targetFileBytes = 1L << 30,
+            clusterBy = Some("doc_id"))
       }
     } finally { stop = true; reader.join(60000) }
     assert(failures.isEmpty, s"concurrent reader hit: ${failures.asScala.toSeq.take(3)}")
@@ -186,6 +189,19 @@ class SinkSpec extends SparkSpec {
     val enGens = new java.io.File(s"$out/lang=en").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith(".gen-")).map(_.getName).sorted
     assert(enGens.toSeq == Seq(".gen-2", ".gen-3"), enGens.mkString(","))
+
+    // STEADY-STATE SKIP (r16): a plain compact over already-folded
+    // leaves commits nothing anywhere — no leaf generation moves and
+    // no root version is spent (maintenance under a live stream is
+    // free when there is nothing to fold)
+    val rvsBefore = graft.operators.Warehouse.rootSnapshots(out)
+    graft.operators.Warehouse
+      .compactManifestedPartitioned(spark, out, targetFileBytes = 1L << 30)
+    assert(graft.operators.Warehouse.rootSnapshots(out) == rvsBefore,
+      "a steady-state compaction published a root version")
+    val enGens2 = new java.io.File(s"$out/lang=en").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(".gen-")).map(_.getName).sorted
+    assert(enGens2.toSeq == enGens.toSeq, "a steady-state compaction folded a leaf")
 
     // compactManifested itself refuses a partitioned root, loudly
     val ex = intercept[IllegalArgumentException] {
@@ -595,33 +611,40 @@ class SinkSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(d).getParentFile))
   }
 
-  test("partitioned snapshot read: lockstep versions time-travel across leaves") {
+  test("partitioned snapshot read: root version maps time-travel across leaves") {
     val W = graft.operators.Warehouse
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
     val dir = Files.createTempDirectory("graft_psnap").resolve("tbl").toString
     docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
-    // root-level ops commit one version per leaf in LOCKSTEP: the
-    // compact adopts (v1) then folds (v2) every leaf
+    // the first root-level op migrates the root onto the VERSION MAP
+    // line (r16): the compact adopts + folds every leaf and publishes
+    // _root-manifest-1 recording each leaf's head
     W.compactManifestedPartitioned(spark, dir, targetFileBytes = 1L << 30)
+    assert(W.rootSnapshots(dir) == Seq(1L), W.rootSnapshots(dir).toString)
     val baseN = docs.count()
-    // a lockstep per-leaf append (v3 everywhere)
+    // INDEPENDENT per-leaf appends move the leaves but publish no root
+    // snapshot: the current read sees them, root version 1 does not —
+    // leaf-level commits become root-addressable at the NEXT root op
     val leaves = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("lang=")).sortBy(_.getName)
     assert(leaves.length >= 2)
     for (leaf <- leaves)
       W.appendManifested(spark, leaf.getPath, docs.drop("lang").limit(3))
-    // current == snapshot v3 == base + the appends; v2 == pre-append
     val nowN = baseN + 3L * leaves.length
     assert(W.readManifestedPartitioned(spark, dir).count() == nowN)
-    assert(W.readManifestedPartitionedAt(spark, dir, 3L).count() == nowN)
-    assert(W.readManifestedPartitionedAt(spark, dir, 2L).count() == baseN)
+    assert(W.readManifestedPartitionedAt(spark, dir, 1L).count() == baseN)
     // partition values re-attach on the snapshot read too
-    assert(W.readManifestedPartitionedAt(spark, dir, 2L)
+    assert(W.readManifestedPartitionedAt(spark, dir, 1L)
       .select(col("lang")).distinct().count() == leaves.length.toLong)
-    // an unknown version fails loudly, never a partial union
-    intercept[IllegalArgumentException] {
+    // the next root op snapshots the moved heads into map 2 (and the
+    // appends fold, so the leaves were genuinely touched)
+    W.compactManifestedPartitioned(spark, dir, targetFileBytes = 1L << 30)
+    assert(W.readManifestedPartitionedAt(spark, dir, 2L).count() == nowN)
+    // an unknown root version fails loudly, never a partial union
+    val ex = intercept[IllegalArgumentException] {
       W.readManifestedPartitionedAt(spark, dir, 99L)
     }
+    assert(ex.getMessage.contains("not retained"), ex.getMessage)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
   }
@@ -917,37 +940,39 @@ class SinkSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
   }
 
-  test("partitioned row-level ops: delete/upsert walk every leaf in lockstep; time travel per version") {
+  test("partitioned row-level ops: delete/upsert touch only their leaves; root versions time-travel") {
     val W = graft.operators.Warehouse
     val dir = Files.createTempDirectory("graft_prow").resolve("tbl").toString
-    // three leaves; fr never touched by the merge source — its empty
-    // slice must STILL commit, or the lockstep numbering drifts
+    // three leaves; fr never touched by the merge source — under the
+    // r16 version map it commits NOTHING and the root snapshot records
+    // it at its prior head
     val docs = spark.range(0, 42).toDF("id")
       .withColumn("lang",
         when(col("id") >= 40, lit("fr"))
           .when(col("id") % 2 === 0, lit("en")).otherwise(lit("de")))
       .withColumn("v", lit("old"))
     docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
-    // adoption (v1) + fold (v2) in every leaf
+    // adoption + fold in every leaf; root version 1 = the migration map
     W.compactManifestedPartitioned(spark, dir, targetFileBytes = 1L << 30)
     val leaves = Set("lang=de", "lang=en", "lang=fr")
 
     // DELETE keys spanning leaves (ids 0..9 live in en AND de): one
-    // tombstone commit per leaf, same key set everywhere — v3 lockstep
+    // tombstone commit per leaf, same key set everywhere — root v2
     val delRep = W.deleteManifestedPartitioned(spark, dir,
       spark.range(0, 10).toDF("id"))
     assert(delRep.keySet == leaves, delRep.toString)
     assert(W.readManifestedPartitioned(spark, dir).count() == 32L)
 
     // MERGE: re-insert 0..3 (post-delete), update 10..14, insert
-    // 100..103 — routed by lang; fr gets the empty slice. v4 lockstep.
+    // 100..103 — routed by lang; fr is untouched and stays at its
+    // prior leaf head in the root-v3 map
     val src = (spark.range(0, 4) union spark.range(10, 15) union
         spark.range(100, 104)).toDF("id")
       .withColumn("lang",
         when(col("id") % 2 === 0, lit("en")).otherwise(lit("de")))
       .withColumn("v", lit("new"))
     val upsRep = W.upsertManifestedPartitioned(spark, dir, src, "id")
-    assert(upsRep.keySet == leaves && upsRep.values.toSet == Set(4L),
+    assert(upsRep == Map("lang=en" -> 4L, "lang=de" -> 4L, "lang=fr" -> 3L),
       upsRep.toString)
     val back = W.readManifestedPartitioned(spark, dir)
     assert(back.count() == 40L)
@@ -958,23 +983,28 @@ class SinkSpec extends SparkSpec {
       "matched row not replaced")
     assert(back.filter(col("lang") === "fr").count() == 2L)
 
-    // TIME TRAVEL per version, across every leaf (the lockstep payoff):
-    // v2 = pre-delete, v3 = post-delete pre-merge, v4 = post-merge
-    assert(W.readManifestedPartitionedAt(spark, dir, 2L).count() == 42L)
-    assert(W.readManifestedPartitionedAt(spark, dir, 3L).count() == 32L)
-    assert(W.readManifestedPartitionedAt(spark, dir, 4L).count() == 40L)
+    // TIME TRAVEL per ROOT version: v1 = post-compact (pre-delete),
+    // v2 = post-delete pre-merge, v3 = post-merge — fr resolves
+    // through the recorded prior head in every map
+    assert(W.rootSnapshots(dir) == Seq(1L, 2L, 3L))
+    assert(W.readManifestedPartitionedAt(spark, dir, 1L).count() == 42L)
+    assert(W.readManifestedPartitionedAt(spark, dir, 2L).count() == 32L)
+    assert(W.readManifestedPartitionedAt(spark, dir, 3L).count() == 40L)
 
-    // historyPartitioned: every leaf shows the same version trail with
-    // exactly one current row at v4 — the lockstep audit view
+    // historyPartitioned: the touched leaves carry the full trail, the
+    // untouched fr stops at its tombstone commit — the audit view of
+    // O(touched) commits
     val hist = W.historyPartitioned(spark, dir).collect()
     assert(hist.map(_.getString(0)).toSet == leaves)
-    leaves.foreach { l =>
+    Seq("lang=en", "lang=de").foreach { l =>
       val rows = hist.filter(_.getString(0) == l)
       assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L),
         s"$l trail: ${rows.map(_.getLong(1)).toSeq}")
       assert(rows.count(_.getBoolean(5)) == 1 &&
         rows.find(_.getBoolean(5)).get.getLong(1) == 4L, s"$l current row")
     }
+    assert(hist.filter(_.getString(0) == "lang=fr")
+      .map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L), "fr trail")
 
     // refusals: a source row routing to a non-existent leaf, and the
     // partitioned ops on a plain leaf
@@ -1046,7 +1076,7 @@ class SinkSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
-  test("partitioned merge resumability: per-leaf txn markers converge a crashed merge to lockstep") {
+  test("partitioned merge resumability: per-leaf txn markers converge a crashed merge; a full replay publishes nothing") {
     val W = graft.operators.Warehouse
     val dir = Files.createTempDirectory("graft_txnp").resolve("tbl").toString
     val docs = spark.range(0, 20).toDF("id")
@@ -1058,41 +1088,49 @@ class SinkSpec extends SparkSpec {
     val src = spark.range(0, 6).toDF("id")
       .withColumn("lang", when(col("id") % 2 === 0, lit("en")).otherwise(lit("de")))
       .withColumn("v", lit("new"))
-    // simulate the crash window as an r15 root op leaves it: the merge
-    // CLAIMED the root transition, committed the en leaf (with its txn
-    // marker) and died before de — the root is OFF-lockstep with the
-    // claim on disk
+    // simulate the crash window as an r16 root op leaves it: the merge
+    // CLAIMED transition 2 (root head is 1 after the migration
+    // compact), committed the en leaf (with its txn marker) and died
+    // before de and before the root-manifest publish — the table still
+    // reads at root version 1
     val (cfs, crp) = graft.operators.ManifestIo.resolve(dir,
       spark.sparkContext.hadoopConfiguration)
+    assert(W.rootSnapshots(dir) == Seq(1L))
     assert(graft.operators.ManifestIo.putIfAbsent(cfs,
-      new org.apache.hadoop.fs.Path(crp, "_root-claim-3"), "job:7"))
+      new org.apache.hadoop.fs.Path(crp, "_root-claim-2"), "job:7"))
     W.upsertManifested(spark, s"$dir/lang=en",
       src.filter(col("lang") === "en").drop("lang"), "id", Some("job" -> 7L))
-    // the REPLAY of the whole partitioned merge: en no-ops on its
-    // marker, de applies — the root converges back to lockstep with
-    // the en slice applied exactly once
+    // the REPLAY of the whole partitioned merge: the claim is ours, en
+    // no-ops on its marker, de applies, and the root manifest publishes
+    // with the en slice applied exactly once
     val rep = W.upsertManifestedPartitioned(spark, dir, src, "id",
       Some("job" -> 7L))
     assert(rep == Map("lang=en" -> 3L, "lang=de" -> 3L), rep.toString)
     val back = W.readManifestedPartitioned(spark, dir)
     assert(back.count() == 20L)
     assert(back.filter(col("v") === "new").count() == 6L)
-    // lockstep restored: the post-merge version resolves across leaves
-    assert(W.readManifestedPartitionedAt(spark, dir, 3L).count() == 20L)
+    // the post-merge ROOT version resolves across leaves
+    assert(W.readManifestedPartitionedAt(spark, dir, 2L).count() == 20L)
 
     // the DELETE path has the same crash window and the same cure: a
-    // partitioned delete that claimed the transition, committed en
+    // partitioned delete that claimed transition 3, committed en
     // (marker recorded) and died replays to a no-op there (-1) and a
-    // tombstone in de — lockstep again, keys tombstoned exactly once
+    // tombstone in de — keys tombstoned exactly once
     assert(graft.operators.ManifestIo.putIfAbsent(cfs,
-      new org.apache.hadoop.fs.Path(crp, "_root-claim-4"), "job:8"))
+      new org.apache.hadoop.fs.Path(crp, "_root-claim-3"), "job:8"))
     assert(W.deleteManifested(spark, s"$dir/lang=en",
       spark.range(0, 4).toDF("id"), Some("job" -> 8L)) >= 0)
     val drep = W.deleteManifestedPartitioned(spark, dir,
       spark.range(0, 4).toDF("id"), Some("job" -> 8L))
     assert(drep("lang=en") == -1L && drep("lang=de") >= 0, drep.toString)
     assert(W.readManifestedPartitioned(spark, dir).count() == 16L)
-    assert(W.readManifestedPartitionedAt(spark, dir, 4L).count() == 16L)
+    assert(W.readManifestedPartitionedAt(spark, dir, 3L).count() == 16L)
+    // a FULL replay (root marker recorded) is a true no-op end to end
+    val rvs = W.rootSnapshots(dir)
+    assert(W.deleteManifestedPartitioned(spark, dir,
+      spark.range(0, 4).toDF("id"), Some("job" -> 8L))
+      .values.toSet == Set(-1L))
+    assert(W.rootSnapshots(dir) == rvs, "a full replay published a root version")
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
   }
@@ -1163,11 +1201,11 @@ class SinkSpec extends SparkSpec {
       .write.parquet(P(IO.resolve(s"$proot/lang=en",
         spark.sparkContext.hadoopConfiguration)._2, ".gen-9").toString)
     val preport = W.vacuumPartitioned(spark, proot, graceMs = 0L)
-    // "." = the root-claim GC: the adoption compact's completed
-    // transition claim (r15) is collected alongside the leaf debris
+    // no "." entry: a completed root op deletes its own claim (r16) —
+    // vacuum only ever collects crashed-claim debris
     assert(preport == Map(
-      "lang=en" -> W.VacuumReport(Seq(".gen-9"), Nil, removedPointerTmp = false),
-      "." -> W.VacuumReport(Nil, Seq(1L), removedPointerTmp = false)), preport)
+      "lang=en" -> W.VacuumReport(Seq(".gen-9"), Nil, removedPointerTmp = false)),
+      preport)
     assert(W.readManifestedPartitioned(spark, proot).count() == 20L)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(proot).getParentFile)
@@ -1444,34 +1482,47 @@ class SinkSpec extends SparkSpec {
     assert((0 to 1).map(k => W.snapshots(s"$root/p=$k").last).toSet == vs,
       "a completed replay moved a version")
 
-    // (3) a FOREIGN crashed claim blocks every root op loudly…
+    // (3) a FRESH foreign claim blocks every root op loudly…
     val (fs, rp) = graft.operators.ManifestIo.resolve(root,
       spark.sparkContext.hadoopConfiguration)
-    val head = W.snapshots(s"$root/p=0").last
-    assert(graft.operators.ManifestIo.putIfAbsent(fs,
-      new org.apache.hadoop.fs.Path(rp, s"_root-claim-${head + 1}"), "ghost:9"))
+    val head = W.rootSnapshots(root).last
+    val ghost = new org.apache.hadoop.fs.Path(rp, s"_root-claim-${head + 1}")
+    assert(graft.operators.ManifestIo.putIfAbsent(fs, ghost, "ghost:9"))
     intercept[java.util.ConcurrentModificationException] {
       W.upsertManifestedPartitioned(spark, root, src("C"), "id")
     }
     intercept[java.util.ConcurrentModificationException] {
       W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
     }
-    // …until vacuumPartitioned GCs it past the grace (0 here), which
-    // un-blocks the next op
-    val rep = W.vacuumPartitioned(spark, root, graceMs = 0L)
-    assert(rep.get(".").exists(_.removedManifests.contains(head + 1)), rep)
+    // …until it AGES, at which point the next writer TAKES IT OVER
+    // inside the claim path itself (r16) — a crashed no-txn root op
+    // no longer needs a manual vacuum to heal
+    assert(new java.io.File(ghost.toUri.getPath)
+      .setLastModified(System.currentTimeMillis() - 2 * 60 * 60 * 1000L))
     W.upsertManifestedPartitioned(spark, root, src("C"), "id",
       Some(("appC", 1L)))
     assert(valueSet() == Set("C"))
+    // vacuumPartitioned still GCs completed/aged claim debris
+    assert(graft.operators.ManifestIo.putIfAbsent(fs,
+      new org.apache.hadoop.fs.Path(rp, s"_root-claim-99"), "ghost:10"))
+    val rep = W.vacuumPartitioned(spark, root, graceMs = 0L)
+    assert(rep.get(".").exists(_.removedManifests.contains(99L)), rep.toString)
 
-    // (4) MID-TRANSITION: a leaf-level writer bumps one leaf — root ops
-    // refuse rather than compound the drift (claim missing / foreign)
+    // (4) a LEAF-LEVEL writer bumps one leaf between root ops: under
+    // the version map this is representable, not drift — the next root
+    // op records the moved head and proceeds (the r15 lockstep scheme
+    // refused here)
     W.upsertManifested(spark, s"$root/p=0",
       spark.range(0, 3).toDF("id").withColumn("v", lit("rogue")), "id")
-    intercept[IllegalStateException] {
-      W.deleteManifestedPartitioned(spark, root,
-        spark.range(0, 3).toDF("id"))
-    }
+    val drep = W.deleteManifestedPartitioned(spark, root,
+      spark.range(0, 3).toDF("id"))
+    assert(drep.keySet == Set("p=0", "p=1"), drep.toString)
+    val cur = W.readManifestedPartitioned(spark, root)
+    assert(cur.filter(col("id") < 3).count() == 0L)
+    // the new root snapshot resolves BOTH leaves, rogue commit included
+    val atHead = W.readManifestedPartitionedAt(spark, root,
+      W.rootSnapshots(root).last)
+    assert(atHead.count() == cur.count())
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(root).getParentFile)
   }

@@ -606,7 +606,7 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id").collect().toSeq == want)
   }
 
-  test("CDC onto the SHARDED manifested root: same final state, lockstep leaves, exactly-once replay") {
+  test("CDC onto the SHARDED manifested root: same final state, root version maps, exactly-once replay") {
     // the third state mechanism under the one LWW contract: state
     // hash-sharded into shard=<k> leaves, every batch one lockstep
     // upsertManifestedPartitioned commit under the batchId txn marker
@@ -628,20 +628,26 @@ class StreamingSpec extends SparkSpec {
         col("s.event_type"), col("s.value_q"))
       .orderBy("user_id").collect().toSeq
     assert(flat() == want, "sharded state diverged from the LWW contract")
-    // all 4 shards exist (empty ones bootstrapped too) and sit at the
-    // SAME version — the lockstep contract under the stream
+    // all 4 shards exist (empty ones bootstrapped too) and every ROOT
+    // snapshot's version map covers all of them — the r16 contract
+    // (only touched shards commit; the map records the rest)
     val leaves = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName)
     assert(leaves.sorted.toSeq == (0 until 4).map(k => s"shard=$k"))
-    val versions = leaves.map(l => W.snapshots(s"$root/$l").last).toSet
-    assert(versions.size == 1, s"leaves off lockstep: $versions")
-    // a replayed batch no-ops in EVERY shard: no version anywhere moves
+    assert(W.rootSnapshots(root).nonEmpty)
+    // a replayed batch no-ops EVERYWHERE: no leaf version moves and no
+    // root snapshot is published
+    val versions = leaves.map(l => s"$l" -> W.snapshots(s"$root/$l").last).toMap
+    val rvs = W.rootSnapshots(root)
     CdcApply.applyBatchManifestedPartitioned(even, root, nShards = 4, Some(1L))
-    assert(leaves.map(l => W.snapshots(s"$root/$l").last).toSet == versions,
+    assert(leaves.map(l => s"$l" -> W.snapshots(s"$root/$l").last).toMap == versions,
       "a replayed sharded batch committed somewhere")
+    assert(W.rootSnapshots(root) == rvs,
+      "a replayed sharded batch published a root snapshot")
     assert(flat() == want)
-    // per-version time travel across the root still resolves (lockstep
-    // payoff): v1 = the empty bootstrap, v2 = the odd batch's merge
+    // per-root-version time travel resolves through the maps: v1 = the
+    // migration anchor (the empty bootstrap), v2 = the odd batch's
+    // merge — untouched shards resolve at their recorded prior head
     assert(W.readManifestedPartitionedAt(spark, root, 1L).count() == 0L)
     assert(W.readManifestedPartitionedAt(spark, root, 2L).count() ==
       odd.select(col("user_id")).distinct().count())
@@ -680,8 +686,9 @@ class StreamingSpec extends SparkSpec {
         col("s.event_type"), col("s.value_q"))
       .orderBy("user_id").collect().toSeq
     assert(flat(root) == want, "crash-mid-bootstrap replay diverged")
-    val versions = (0 until 4).map(k => W.snapshots(s"$root/shard=$k").last).toSet
-    assert(versions.size == 1, s"leaves off lockstep after replay: $versions")
+    // every shard is committed and the root publishes version maps
+    (0 until 4).foreach(k => assert(W.snapshots(s"$root/shard=$k").nonEmpty))
+    assert(W.rootSnapshots(root).nonEmpty)
 
     // (2) the r14 bootstrap probe ran java.nio on the LOCAL fs — on any
     // non-local scheme it was always false, so EVERY batch re-appended
