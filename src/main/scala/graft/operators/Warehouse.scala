@@ -1765,12 +1765,48 @@ object Warehouse {
     }
   }
 
+  /** Run `f` over the leaves a root op touches with a BOUNDED driver-
+    * side pool (r16): per-leaf commits are pure filesystem sequences
+    * (renames + create-exclusive CAS + pointer swap — no Spark jobs),
+    * independent across leaves (separate locks, separate `_current`
+    * tmp files), so they parallelize trivially; at object-store
+    * latencies this is the difference between `touched × RTT` and
+    * `touched/16 × RTT` per batch. Work runs in CHUNKS with the claim
+    * heartbeat refreshed between chunks (the refresh rewrites one
+    * shared root-level tmp, so it stays on the coordinating thread).
+    * Failures propagate with their original exception (CME from a
+    * lost CAS included); the chunk boundary bounds how much work can
+    * follow a failure. */
+  private[graft] def parCommitLeaves[A, B](xs: Seq[A], parallelism: Int = 16,
+                                    chunk: Int = 64,
+                                    refresh: () => Unit = () => ())(f: A => B): Seq[B] =
+    if (xs.size <= 1) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, xs.size))
+      try {
+        xs.grouped(chunk).flatMap { grp =>
+          val fs = grp.map(x => pool.submit(
+            new java.util.concurrent.Callable[B] { def call(): B = f(x) }))
+          val out = fs.map { fu =>
+            try fu.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
+          refresh()
+          out
+        }.toSeq
+      } finally pool.shutdown()
+    }
+
   /** Refresh the claim's mtime (atomic tmp+rename rewrite) — the
-    * liveness heartbeat a long root op emits per leaf commit, so the
-    * aged-claim takeover and [[vacuumPartitioned]]'s grace only ever
-    * fire on true corpses, never on a live walk that outlives the
-    * grace (a partitioned op over thousands of shards legitimately
-    * does). */
+    * liveness heartbeat a long root op emits per chunk of leaf
+    * commits, so the aged-claim takeover and [[vacuumPartitioned]]'s
+    * grace only ever fire on true corpses, never on a live walk that
+    * outlives the grace (a partitioned op over thousands of shards
+    * legitimately does). */
   private def refreshClaim(fs: HFs, st: RootTransition, root: HPath,
                            txn: Option[(String, Long)]): Unit =
     if (!st.fullReplay)
@@ -1857,7 +1893,8 @@ object Warehouse {
     val parts = ManifestIo.list(fs, stage)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).toSeq
-    val out = leaves.map { leaf =>
+    val out = parCommitLeaves(leaves,
+      refresh = () => refreshClaim(fs, st, root, txn)) { leaf =>
       val rel = relPath(root, leaf)
       val r = withTableLock(leaf) {
         val pointer = new HPath(leaf, "_current")
@@ -1884,7 +1921,6 @@ object Warehouse {
           (nextId, v)
         }
       }
-      refreshClaim(fs, st, root, txn)
       rel -> r
     }
     commitRootManifest(fs, root, st,
@@ -2004,17 +2040,15 @@ object Warehouse {
         new HPath(acc, s"$k=${org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.escapePathName(v)}")
       }
-    val out = leaves.map { case (leaf, kvs) =>
+    val out = parCommitLeaves(leaves,
+      refresh = () => refreshClaim(fs, st, root, txn)) { case (leaf, kvs) =>
       val rel = relPath(root, leaf)
       val slice = staged(dataStage, kvs)
       if (!ManifestIo.isDirectory(fs, slice))
         rel -> st.prior.getOrElse(rel, headVersion(fs, leaf))
-      else {
-        val v = upsertManifestedStagedMove(spark, fs, leaf,
+      else
+        rel -> upsertManifestedStagedMove(spark, fs, leaf,
           staged(keyStage, kvs), slice, keyCol, txn)
-        refreshClaim(fs, st, root, txn)
-        rel -> v
-      }
     }.toMap
     commitRootManifest(fs, root, st, out, txn)
     ManifestIo.delete(fs, stage)
@@ -2064,6 +2098,42 @@ object Warehouse {
             collectStats(fs, hconf(spark), leaf, gen))
       }
     }
+
+  /** DESCRIBE HISTORY of the ROOT version-map line (r16): one row per
+    * retained `_root-manifest-<T>` — the map entries, how many leaves
+    * the transition actually touched (vs the prior map), the commit
+    * instant, and the root-level txn markers. The audit companion to
+    * [[readManifestedPartitionedAt]]: its `version` column is exactly
+    * what that call accepts; `n_touched` is the O(touched) contract
+    * made visible per commit. Root metadata is map-sized by design —
+    * a driver-side listing, like [[history]]. */
+  def rootHistory(spark: SparkSession, rootDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    val versions = rootVersions(fs, root)
+    val bodies = versions.flatMap { v =>
+      val p = new HPath(root, s"_root-manifest-$v")
+      try Some((v, ManifestIo.readString(fs, p),
+        fs.getFileStatus(p).getModificationTime))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
+    val rows = bodies.zipWithIndex.map { case ((v, body, mtime), i) =>
+      val map = parseRootMap(body)
+      val prior = if (i == 0) Map.empty[String, Long]
+        else parseRootMap(bodies(i - 1)._2)
+      val touched = map.count { case (l, x) => !prior.get(l).contains(x) }
+      org.apache.spark.sql.Row(v,
+        map.toSeq.sortBy(_._1).map { case (l, x) => s"$l:$x" }.mkString(","),
+        map.size.toLong, touched.toLong,
+        new java.sql.Timestamp(mtime),
+        parseTxns(body).toSeq.sortBy(_._1)
+          .map { case (a, x) => s"$a:$x" }.mkString(","))
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "version BIGINT, leaf_versions STRING, n_leaves BIGINT, " +
+          "n_touched BIGINT, commit_ts TIMESTAMP, txns STRING"))
+  }
 
   /** [[history]] over a partitioned root: the per-leaf DESCRIBE
     * HISTORY rows with the root-relative leaf path prepended — the

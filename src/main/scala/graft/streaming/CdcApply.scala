@@ -217,7 +217,10 @@ object CdcApply {
       val part = graft.operators.ManifestIo.list(fs, tmpl)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .head.getPath
-      missing.foreach { k =>
+      // pure-FS leaf creations, parallelized like every per-leaf
+      // commit walk (r16): table creation at thousands of shards is
+      // shards/16 × RTT, not shards × RTT
+      W.parCommitLeaves(missing) { k =>
         val leaf = new HPath(root, s"shard=$k")
         val gen0 = new HPath(leaf, ".gen-0")
         fs.mkdirs(gen0)
@@ -233,6 +236,7 @@ object CdcApply {
         catch { case _: java.util.ConcurrentModificationException => }
         ()
       }
+      ()
       graft.operators.ManifestIo.delete(fs, tmpl)
     }
     tick("bootstrap")

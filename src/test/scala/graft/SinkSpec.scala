@@ -1593,6 +1593,54 @@ class SinkSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
   }
 
+  test("object-store partitioned root: version maps, touched-only commits and time travel hold over copy+delete renames") {
+    // the r16 root-map protocol on the objstore scheme: root-manifest
+    // CAS via create-exclusive, claim refresh + pointer swaps through
+    // the delete+rename fallback, per-leaf staged moves — the whole
+    // partitioned lifecycle must behave exactly as on file:
+    val W = graft.operators.Warehouse
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.objstore.impl", classOf[ObjectStoreLikeFileSystem].getName)
+    val local = Files.createTempDirectory("graft_objp")
+    val root = s"objstore://$local/tbl"
+    spark.range(0, 40).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .withColumn("v", lit("base"))
+      .write.partitionBy("p").mode("overwrite").parquet(root)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    assert(W.rootSnapshots(root) == Seq(1L))
+    // touched-only MERGE: source routes to p=0 only
+    W.upsertManifestedPartitioned(spark, root,
+      spark.range(0, 6).toDF("id").filter(col("id") % 2 === 0)
+        .withColumn("p", lit("0")).withColumn("v", lit("new")), "id",
+      Some("app" -> 1L))
+    assert(W.rootSnapshots(root) == Seq(1L, 2L))
+    // delete across leaves
+    W.deleteManifestedPartitioned(spark, root,
+      spark.range(10, 20).toDF("id"), Some("app" -> 2L))
+    val cur = W.readManifestedPartitioned(spark, root)
+    assert(cur.count() == 30L)
+    assert(cur.filter(col("v") === "new").count() == 3L)
+    // time travel through the maps, over the fallback-swapped pointers
+    assert(W.readManifestedPartitionedAt(spark, root, 1L).count() == 40L)
+    assert(W.readManifestedPartitionedAt(spark, root, 2L).count() == 40L)
+    assert(W.readManifestedPartitionedAt(spark, root, 3L).count() == 30L)
+    // the audit view: map line advances once per op, touched counts
+    // reflect the touched-only contract (merge touched 1 of 2 leaves)
+    val rh = W.rootHistory(spark, root).orderBy(col("version")).collect()
+    assert(rh.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rh.map(_.getLong(2)).toSet == Set(2L), "n_leaves")
+    assert(rh(1).getLong(3) == 1L, s"merge touched ${rh(1).getLong(3)} leaves")
+    assert(rh(2).getLong(3) == 2L, s"delete touched ${rh(2).getLong(3)} leaves")
+    assert(rh(2).getString(5) == "app:2", rh(2).toString)
+    // full replay end-to-end: nothing moves anywhere
+    val rvs = W.rootSnapshots(root)
+    W.deleteManifestedPartitioned(spark, root,
+      spark.range(10, 20).toDF("id"), Some("app" -> 2L))
+    assert(W.rootSnapshots(root) == rvs)
+    org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
+  }
+
   test("additive schema evolution: a MERGE with a NEW column null-fills older generations, survives folds and partitioned roots; retype refuses loudly") {
     val W = graft.operators.Warehouse
     val dir = Files.createTempDirectory("graft_evolve").resolve("tbl").toString
