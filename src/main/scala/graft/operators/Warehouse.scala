@@ -1414,10 +1414,14 @@ object Warehouse {
   /** The shared partitioned-read shape: per-leaf resolve via `read`,
     * `k=v` partition values re-attached from the directory names (see
     * [[readManifestedPartitioned]] for the unescaping + string-typing
-    * contract), leaves unioned by name. */
+    * contract), leaves unioned by name. Per-leaf PLAN construction
+    * (pointer read + file listing + footer schema) runs on the
+    * bounded pool (r16): it is metadata IO, independent across
+    * leaves, and sequential it is the dominant driver cost of a read
+    * over a many-leaf root — leaves/16 × RTT instead of leaves × RTT. */
   private def unionLeaves(fs: HFs, root: HPath,
                           read: HPath => DataFrame): DataFrame = {
-    val parts = manifestLeaves(fs, root).map { leaf =>
+    val parts = parCommitLeaves(manifestLeaves(fs, root)) { leaf =>
       leafKvs(root, leaf).foldLeft(read(leaf)) {
         case (df, (k, v)) => df.withColumn(k, lit(v))
       }
