@@ -1805,17 +1805,24 @@ object Warehouse {
       } finally pool.shutdown()
     }
 
-  /** Refresh the claim's mtime (atomic tmp+rename rewrite) — the
-    * liveness heartbeat a long root op emits per chunk of leaf
-    * commits, so the aged-claim takeover and [[vacuumPartitioned]]'s
-    * grace only ever fire on true corpses, never on a live walk that
-    * outlives the grace (a partitioned op over thousands of shards
-    * legitimately does). */
+  /** Refresh the claim's mtime — the liveness heartbeat a long root
+    * op emits per chunk of leaf commits, so the aged-claim takeover
+    * and [[vacuumPartitioned]]'s grace only ever fire on true
+    * corpses, never on a live walk that outlives the grace (a
+    * partitioned op over thousands of shards legitimately does).
+    * Deliberately `setTimes`, NOT a rewrite: a delete+rename rewrite
+    * has a claim-ABSENT window on hdfs/object-store schemes in which
+    * a rival's create-exclusive could steal a LIVE claim. A store
+    * that ignores setTimes simply doesn't heartbeat — size
+    * `takeoverGraceMs` above the longest expected walk there (the
+    * race endpoint stays LOUD either way: two writers at one
+    * transition collide on the root-manifest CAS with different
+    * content). */
   private def refreshClaim(fs: HFs, st: RootTransition, root: HPath,
                            txn: Option[(String, Long)]): Unit =
     if (!st.fullReplay)
-      ManifestIo.replace(fs, st.claimPath(root),
-        txn.map { case (a, v) => s"$a:$v" }.getOrElse("-"))
+      try { fs.setTimes(st.claimPath(root), System.currentTimeMillis(), -1); () }
+      catch { case _: java.io.IOException | _: UnsupportedOperationException => }
 
   /** Publish the transition: putIfAbsent `_root-manifest-<next>` (the
     * commit point — a reader of [[readManifestedPartitionedAt]] sees

@@ -1502,11 +1502,19 @@ class SinkSpec extends SparkSpec {
     W.upsertManifestedPartitioned(spark, root, src("C"), "id",
       Some(("appC", 1L)))
     assert(valueSet() == Set("C"))
-    // vacuumPartitioned still GCs completed/aged claim debris
+    // vacuumPartitioned still GCs aged claim debris (grace 0)…
     assert(graft.operators.ManifestIo.putIfAbsent(fs,
       new org.apache.hadoop.fs.Path(rp, s"_root-claim-99"), "ghost:10"))
     val rep = W.vacuumPartitioned(spark, root, graceMs = 0L)
     assert(rep.get(".").exists(_.removedManifests.contains(99L)), rep.toString)
+    // …and a claim at/below the committed ROOT head is a COMPLETED
+    // transition — collected under the DEFAULT grace, age-independent
+    // (the crash window between root-manifest publish and claim delete)
+    val doneV = W.rootSnapshots(root).last
+    assert(graft.operators.ManifestIo.putIfAbsent(fs,
+      new org.apache.hadoop.fs.Path(rp, s"_root-claim-$doneV"), "ghost:11"))
+    val rep2 = W.vacuumPartitioned(spark, root)
+    assert(rep2.get(".").exists(_.removedManifests.contains(doneV)), rep2.toString)
 
     // (4) a LEAF-LEVEL writer bumps one leaf between root ops: under
     // the version map this is representable, not drift — the next root
