@@ -304,6 +304,38 @@ object Quality {
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))
     }),
+    // Z-ORDER lifecycle under the correctness gate (r16): build (once
+    // per process+sf) a manifested documents table as four doc_id-
+    // split appends, fold it along the Morton curve of (doc_id,
+    // n_chars) — compactManifested(zorderBy), the OPTIMIZE ZORDER
+    // move — then answer an n_chars RANGE read through
+    // readManifestedRange: the SECOND dimension, the one a single-
+    // column sort could not prune. The oracle recomputes straight
+    // from `documents` with the same scale-proportional bounds
+    // (scalar subqueries), so a Morton-layout bug that drops or
+    // double-reads a file hash-fails here; the either-dimension
+    // numFiles pruning itself is SinkSpec-pinned against an x-sorted
+    // control.
+    "v13_zorder_range_read" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifzorder", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        (0 until 4).foreach { q =>
+          Warehouse.appendManifested(s, dir,
+            docs.filter(col("doc_id") >= q * n / 4 &&
+              col("doc_id") < (q + 1) * n / 4))
+        }
+        Warehouse.compactManifested(s, dir, targetFileBytes = 1L << 20,
+          zorderBy = Seq("doc_id", "n_chars"))
+        ()
+      }
+      val mx = t(s, d, "documents").agg(max(col("n_chars"))).head.getLong(0)
+      Warehouse.readManifestedRange(s, root, "n_chars", mx / 8, mx / 4)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
     "v06_snapshot_diff" -> ((s, d) => {
       val cust = t(s, d, "customer")
       val nu = cust.filter(col("c_custkey") % 13 =!= 0)
@@ -397,6 +429,15 @@ object Quality {
          WHERE (doc_id % 7 <> 0 OR doc_id % 5 = 0)
            AND doc_id BETWEEN (SELECT max(doc_id) // 8 FROM documents)
                           AND (SELECT max(doc_id) // 4 FROM documents)
+         GROUP BY lang ORDER BY lang""",
+    // the z-ordered pruned read recomputed from the source with the
+    // same scale-proportional n_chars window
+    "v13_zorder_range_read" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         WHERE n_chars BETWEEN (SELECT max(n_chars) // 8 FROM documents)
+                           AND (SELECT max(n_chars) // 4 FROM documents)
          GROUP BY lang ORDER BY lang""",
     // the survivors recomputed straight from the source table: every
     // doc except the tombstoned residue class
