@@ -42,8 +42,15 @@ object ShardBench {
       // is O(touched shards): the 64-shard figure should sit near the
       // 4-shard one over the same feed.
       import org.apache.spark.sql.functions._
+      // GRAFT_SPARSE_MOD (r17): the residue modulus bounding the key
+      // classes. Default 64 keeps the r16 ledger rows comparable; 1024
+      // bounds the feed to ≤4 touched shards at EVERY count dividing
+      // 1024, for the 256/1024-shard extension table (under mod 64 a
+      // 256-shard run touches 16 classes, not 4 — the invariant the
+      // extension measures would silently change).
+      val mod = sys.env.getOrElse("GRAFT_SPARSE_MOD", "64").toInt
       val ev = graft.sources.Tables(spark, sfDir, "events")
-        .filter(pmod(col("user_id"), lit(64)) < 4)
+        .filter(pmod(col("user_id"), lit(mod)) < 4)
       val parts = (0 until 4).map(i =>
         graft.operators.eagerCut(ev.filter(pmod(col("event_id"), lit(4)) === i)))
       counts.foreach { n =>
@@ -60,7 +67,7 @@ object ShardBench {
         val sec = (System.nanoTime() - t0) / 1e9
         val rows = operators.Warehouse.readManifestedPartitioned(spark, root)
           .count()
-        println(f"""{"metric":"st28_shards_sparse","nShards":$n,"rows":$rows,"batches":3,"sec":$sec%.2f}""")
+        println(f"""{"metric":"st28_shards_sparse","nShards":$n,"mod":$mod,"rows":$rows,"batches":3,"sec":$sec%.2f}""")
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(root).getParentFile)
       }

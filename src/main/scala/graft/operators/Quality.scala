@@ -336,6 +336,39 @@ object Quality {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang"))
     }),
+    // PARTITION ADOPTION under the correctness gate (r17): build (once
+    // per process+sf) the partitioned table WITHOUT its
+    // alphabetically-last language, then run ONE
+    // upsertManifestedPartitioned whose source carries BOTH updates to
+    // existing partitions (the %5 sentinel) and every row of the
+    // never-seen language — the merge must CREATE the missing leaf
+    // under the same root claim as the data commits (the new `lang=`
+    // arriving in a CDC feed, the first thing a real MERGE hits). The
+    // oracle recomputes the full expectation from `documents`: a
+    // dropped or doubled adopted row, a lost sentinel update, or a
+    // mis-attached partition value hash-fails. The one-root-version
+    // atomicity of creation+data is SinkSpec-pinned.
+    "v14_partition_adoption_merge" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifadopt", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        val late = docs.agg(max(col("lang"))).head.getString(0)
+        docs.filter(col("lang") =!= late).write.partitionBy("lang")
+          .mode("overwrite").parquet(dir)
+        Warehouse.compactManifestedPartitioned(s, dir)
+        Warehouse.upsertManifestedPartitioned(s, dir,
+          docs.filter(col("lang") === late || col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("lang"),
+              when(col("doc_id") % 5 === 0, col("n_chars") * 0 - 1)
+                .otherwise(col("n_chars")).as("n_chars")), "doc_id")
+        ()
+      }
+      Warehouse.readManifestedPartitioned(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     "v06_snapshot_diff" -> ((s, d) => {
       val cust = t(s, d, "customer")
       val nu = cust.filter(col("c_custkey") % 13 =!= 0)
@@ -438,6 +471,16 @@ object Quality {
          FROM documents
          WHERE n_chars BETWEEN (SELECT max(n_chars) // 8 FROM documents)
                            AND (SELECT max(n_chars) // 4 FROM documents)
+         GROUP BY lang ORDER BY lang""",
+    // the adopted-merge outcome recomputed from the source: EVERY doc
+    // is present (the late language merged in whole), %5 rows carry
+    // the sentinel — a lost adoption drops a whole language group
+    "v14_partition_adoption_merge" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(CASE WHEN doc_id % 5 = 0 THEN -1 ELSE n_chars END)
+             AS BIGINT) AS sum_chars
+         FROM documents
          GROUP BY lang ORDER BY lang""",
     // the survivors recomputed straight from the source table: every
     // doc except the tombstoned residue class

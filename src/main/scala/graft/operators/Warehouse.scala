@@ -310,8 +310,10 @@ object Warehouse {
       s"retainFor must be >= 0, got $retainFor")
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "compactManifested: pass clusterBy OR zorderBy, not both")
-    require(zorderBy.isEmpty || zorderBy.size == 2,
-      s"zorderBy interleaves exactly 2 dimensions, got $zorderBy")
+    require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 4),
+      s"zorderBy interleaves 2 to 4 dimensions (16-bit buckets — more " +
+        s"than 4 would overflow the 64-bit Morton key; beyond 4, cluster " +
+        s"on the highest-selectivity pair instead), got $zorderBy")
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     withTableLock(root) {
     // LEAF directories only (the compact() convention): a partitioned
@@ -386,21 +388,52 @@ object Warehouse {
       // read time. Linear bucketing assumes roughly-uniform value
       // spread; the production upgrade for heavy skew is quantile cut
       // points (range-partitioner sampling per dimension), which
-      // slots into the same key expression.
-      val Seq(cx, cy) = zorderBy
-      val b = folded.agg(min(col(cx)).cast("double"), max(col(cx)).cast("double"),
-        min(col(cy)).cast("double"), max(col(cy)).cast("double")).head
+      // slots into the same key expression. 2 dims take the magic-mask
+      // binary interleave (32-bit capable, the pinned r16 path); 3–4
+      // take the round-robin [[graft.functions.InterleaveBitsN]].
+      //
+      // Type gate UP FRONT (r17): a dimension whose values cannot be
+      // bucketed numerically (a plain string column casts to null)
+      // would silently degrade the requested Z-order to an unclustered
+      // hash layout — no pruning, no error. Refuse loudly instead.
+      zorderBy.foreach { c =>
+        val f = folded.schema.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"compactManifested: zorderBy column '$c' not in schema " +
+              s"(columns: ${folded.columns.mkString(", ")})"))
+        val ok = f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          f.dataType == org.apache.spark.sql.types.TimestampType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType
+        require(ok, s"compactManifested: zorderBy column '$c' has type " +
+          s"${f.dataType.simpleString} — Z-order buckets need a numeric " +
+          "or timestamp dimension (a lexical string would bucket as " +
+          "null and silently lose the requested layout)")
+      }
+      val aggs = zorderBy.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      val b = folded.agg(aggs.head, aggs.tail: _*).head
       def bucket(c: String, mn: Double, mx: Double) = {
         val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
         least(lit(65535L),
           floor((col(c).cast("double") - lit(mn)) / lit(span) * 65536.0))
           .cast("long")
       }
-      if (b.isNullAt(0) || b.isNullAt(2)) folded.repartition(nFiles)
-      else {
-        val zkey = graft.functions.InterleaveBits.interleave_bits(
-          bucket(cx, b.getDouble(0), b.getDouble(1)),
-          bucket(cy, b.getDouble(2), b.getDouble(3)))
+      if (zorderBy.indices.exists(i => b.isNullAt(2 * i))) {
+        // an all-null dimension passes the type gate but carries no
+        // range to bucket — fall back, SAYING SO (r17; was silent)
+        System.err.println(s"[graft] compactManifested: zorderBy " +
+          s"dimension(s) ${zorderBy.zipWithIndex.collect {
+            case (c, i) if b.isNullAt(2 * i) => c }.mkString(", ")} " +
+          s"of $dir are entirely null — falling back to an unclustered " +
+          "hash layout (no Z-order pruning for this fold)")
+        folded.repartition(nFiles)
+      } else {
+        val buckets = zorderBy.zipWithIndex.map { case (c, i) =>
+          bucket(c, b.getDouble(2 * i), b.getDouble(2 * i + 1)) }
+        val zkey =
+          if (buckets.size == 2)
+            graft.functions.InterleaveBits.interleave_bits(buckets(0), buckets(1))
+          else graft.functions.InterleaveBits.interleave_bits_n(buckets)
         folded.repartitionByRange(nFiles, zkey).sortWithinPartitions(zkey)
       }
     } else clusterBy match {
@@ -1272,18 +1305,30 @@ object Warehouse {
     // over once aged (beginRootTransition) — content-safe, since
     // compaction is content-preserving per leaf and the next map
     // records actual heads
+    // contentPreserving: compaction may TAKE OVER an aged crashed
+    // legacy (pre-map) mid-transition — folding each leaf at its
+    // actual head and publishing the first version map (r17)
     val st = beginRootTransition(fs, root, leaves, None,
-      "compactManifestedPartitioned")
-    val out = leaves.map { leaf =>
+      "compactManifestedPartitioned", contentPreserving = true)
+    // Phase 1 — STEADY-STATE SKIP, on the bounded pool (r16/r17): a
+    // leaf already folded to one data generation (no tombstone trail,
+    // no re-layout requested) needs no fold and COMMITS NOTHING —
+    // under the version map untouched leaves are simply recorded at
+    // their current head, so the periodic compaction under a sharded
+    // CDC stream costs O(touched shards), like the merges it folds.
+    // The skip still honors the caller's retention knobs (r17): the
+    // no-commit [[gcLeafRetention]] ages out manifests/generations a
+    // prior fold retained under wider knobs — without it a steady
+    // leaf kept one permanently stale snapshot's worth of storage that
+    // retainFor/retainSnapshots=0 could never reclaim. Steady checks
+    // and the GC are pure FS metadata (head read + list + deletes, no
+    // Spark job), independent across leaves — pooled, the walk over
+    // thousands of steady shards pays leaves/16 × RTT, not leaves ×.
+    val checked = parCommitLeaves(leaves,
+      refresh = () => refreshClaim(fs, st, root, None)) { leaf =>
       val rel = relPath(root, leaf)
       val body = headBody(fs, leaf)
       val gens = body.map(parseGens).getOrElse(Seq.empty)
-      // STEADY-STATE SKIP (r16): a leaf already folded to one data
-      // generation (no tombstone trail, no re-layout requested) needs
-      // no fold and COMMITS NOTHING — under the version map untouched
-      // leaves are simply recorded at their current head, so the
-      // periodic compaction under a sharded CDC stream costs
-      // O(touched shards), like the merges it folds
       val steady = gens.size == 1 && gens.head.startsWith(".gen-") &&
         clusterBy.isEmpty && zorderBy.isEmpty
       if (steady) {
@@ -1293,29 +1338,92 @@ object Warehouse {
           if (inv > 0) inv
           else ManifestIo.list(fs, new HPath(leaf, gens.head))
             .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        rel -> (n, st.prior.getOrElse(rel, headVersion(fs, leaf)))
-      } else {
+        val v = withTableLock(leaf) {
+          gcLeafRetention(fs, leaf, retainSnapshots, retainFor)
+        }
+        Some(rel -> (n, st.prior.getOrElse(rel, v)))
+      } else None
+    }
+    // Phase 2 — folds, sequential: each is a Spark job (scan + write)
+    val out = leaves.zip(checked).map {
+      case (_, Some(r)) => r
+      case (leaf, None) =>
+        val rel = relPath(root, leaf)
         val n = compactManifested(spark, leaf.toString, targetFileBytes,
           retainSnapshots, retainFor, clusterBy, zorderBy)
         refreshClaim(fs, st, root, None)
         rel -> (n, headVersion(fs, leaf))
-      }
     }
     val map = out.map { case (r, (_, v)) => r -> v }.toMap
     // a fully-steady walk (every leaf skipped, heads unchanged) spends
     // NO root version: periodic maintenance under a live stream must
     // be free when there is nothing to fold — release the claim only
-    if (map == st.prior && rootVersions(fs, root).nonEmpty)
-      ManifestIo.delete(fs, st.claimPath(root))
-    else {
-      commitRootManifest(fs, root, st, map, None)
-      // root-manifest retention mirrors the per-leaf knob: keep the
-      // count window, GC older maps (their per-leaf manifests age out
-      // through the leaf retention anyway)
-      rootVersions(fs, root).filter(_ < st.next - retainSnapshots).foreach(v =>
-        ManifestIo.delete(fs, new HPath(root, s"_root-manifest-$v")))
+    val skipped = map == st.prior && rootVersions(fs, root).nonEmpty
+    if (skipped) ManifestIo.delete(fs, st.claimPath(root))
+    else commitRootManifest(fs, root, st, map, None)
+    // root-manifest retention mirrors the per-leaf knobs as the SAME
+    // union — count window OR time window (r17): a map-managed root
+    // refuses any version without a surviving map, so GC'ing a root
+    // manifest inside `retainFor` would silently collapse root-level
+    // time travel to the count window even while every leaf snapshot
+    // it references is still retained. mtime is the commit instant
+    // (the PUT instant on an object store), the per-leaf clock. Runs
+    // on BOTH paths — a fully-steady walk spends no version but still
+    // ages maps out, or a steady table's "retain 0" would never
+    // reclaim them (the same storage leak the leaf-side
+    // [[gcLeafRetention]] closes).
+    val rootHead =
+      if (skipped) rootVersions(fs, root).lastOption.getOrElse(0L) else st.next
+    val rootTimeCutoff =
+      retainFor.map(d => System.currentTimeMillis() - d.toMillis)
+    def rootInTimeWindow(v: Long): Boolean = rootTimeCutoff.exists { c =>
+      try fs.getFileStatus(new HPath(root, s"_root-manifest-$v"))
+        .getModificationTime >= c
+      catch { case _: java.io.FileNotFoundException => false }
     }
+    rootVersions(fs, root)
+      .filter(v => v < rootHead - retainSnapshots && !rootInTimeWindow(v))
+      .foreach(v =>
+        ManifestIo.delete(fs, new HPath(root, s"_root-manifest-$v")))
     out.map { case (r, (n, _)) => r -> n }.toMap
+  }
+
+  /** Retention GC for a leaf WITHOUT a new fold commit — the steady-
+    * skip companion (r17). Applies [[compactManifested]]'s retention
+    * union relative to the CURRENT head `h` instead of a new commit:
+    * a manifest survives inside the count window (`x >= h -
+    * retainSnapshots` — exactly the shape a fold at `h` left behind,
+    * so a freshly-folded leaf is a no-op) or the time window
+    * (`retainFor` against the manifest's commit mtime); expired
+    * manifests and the generation/tombstone dirs only they reference
+    * are deleted. Pure FS metadata work — no Spark job, no manifest
+    * version spent, the head untouched. Returns the head version.
+    * Caller holds the table lock; the same single-maintainer
+    * discipline as the fold GC applies across processes. */
+  private def gcLeafRetention(fs: HFs, leaf: HPath, retainSnapshots: Int,
+                              retainFor: Option[java.time.Duration]): Long = {
+    val vs = manifestVersions(fs, leaf)
+    val h = vs.lastOption.getOrElse(0L)
+    val timeCutoff = retainFor.map(d => System.currentTimeMillis() - d.toMillis)
+    def inTime(x: Long): Boolean = timeCutoff.exists { c =>
+      try fs.getFileStatus(new HPath(leaf, s"_manifest-$x"))
+        .getModificationTime >= c
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    val kept = vs.filter(x => x >= h - retainSnapshots || inTime(x))
+    if (kept.size != vs.size) {
+      val keepGens: Set[String] = kept
+        .flatMap(x => readPointer(fs, new HPath(leaf, s"_manifest-$x"))).toSet
+      ManifestIo.list(fs, leaf)
+        .filter(st => st.isDirectory &&
+          (st.getPath.getName.startsWith(".gen-") ||
+            st.getPath.getName.startsWith(".del-")) &&
+          !keepGens.contains(st.getPath.getName))
+        .foreach(st => ManifestIo.delete(fs, st.getPath))
+      vs.filterNot(kept.contains).foreach(x =>
+        ManifestIo.delete(fs, new HPath(leaf, s"_manifest-$x")))
+    }
+    h
   }
 
   /** The `k=v` leaf walk shared by the manifested-partitioned compact
@@ -1338,8 +1446,15 @@ object Warehouse {
         !st.getPath.getName.startsWith(".") &&
         !st.getPath.getName.startsWith("_"))
     if (sub.isEmpty) Seq(d)
-    else sub.toSeq.sortBy(_.getPath.getName)
-      .flatMap(st => manifestLeaves(fs, st.getPath))
+    else {
+      // recurse on the bounded pool (r17): each child's walk is one
+      // independent LIST (a k=v leaf's children are all dot/underscore
+      // entries, so its recursion terminates without spawning further
+      // pools) — at thousands of shards the walk pays leaves/16 × RTT
+      // instead of leaves × RTT, same as the commit walks it feeds
+      val children = sub.toSeq.sortBy(_.getPath.getName).map(_.getPath)
+      parCommitLeaves(children)(c => manifestLeaves(fs, c)).flatten
+    }
   }
 
   /** Read a [[compactManifestedPartitioned]] tree: every leaf resolves
@@ -1630,6 +1745,20 @@ object Warehouse {
 
   /** `<leafRelPath>:<leafVersion>` lines of a root manifest (rel paths
     * are the on-disk escaped form, which never contains a raw ':'). */
+  /** Root-relative leaf paths recorded by the LAST root version map —
+    * None when the root carries no maps yet. The O(1) committed-leaf
+    * inventory a sharded-CDC batch reads instead of probing every
+    * leaf's head (the same metadata discipline as the `#file:` file
+    * inventory: the log IS the listing). A map GC'd between the
+    * version list and the read (a concurrent compaction's retention)
+    * degrades to None — the caller's per-leaf probe fallback. */
+  private[graft] def lastRootMapRels(fs: HFs, root: HPath): Option[Set[String]] =
+    rootVersions(fs, root).lastOption.flatMap { v =>
+      try Some(parseRootMap(ManifestIo.readString(fs,
+        new HPath(root, s"_root-manifest-$v"))).keySet)
+      catch { case _: java.io.FileNotFoundException => None }
+    }
+
   private def parseRootMap(body: String): Map[String, Long] =
     body.trim.split("\n").toSeq.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -1680,7 +1809,8 @@ object Warehouse {
     *    release and refuse — never leaf-commit under a stale claim. */
   private def beginRootTransition(fs: HFs, root: HPath, leaves: Seq[HPath],
                                   txn: Option[(String, Long)], op: String,
-                                  takeoverGraceMs: Long = DefaultVacuumGraceMs): RootTransition = {
+                                  takeoverGraceMs: Long = DefaultVacuumGraceMs,
+                                  contentPreserving: Boolean = false): RootTransition = {
     val mine = txn.map { case (a, v) => s"$a:$v" }
     def claim(next: Long): Unit = {
       val c = new HPath(root, s"_root-claim-$next")
@@ -1749,18 +1879,37 @@ object Warehouse {
           claim(vMin + 1)
           RootTransition(vMin + 1, headMap, Map.empty, fullReplay = false)
         } else if (vMax == vMin + 1) {
-          // a crashed r15-era (or crashed migrating) op: resumable only
-          // by the owning txn, the pre-map rule
+          // a crashed r15-era (or crashed migrating) op: resumable by
+          // the owning txn (the pre-map rule), or — r17 — taken over
+          // by a CONTENT-PRESERVING no-txn op (compaction) once the
+          // crashed claim has aged, the same grace discipline as the
+          // map-managed takeover above. The takeover freezes the
+          // crashed op's half-applied state into the first root
+          // version map (each leaf at its ACTUAL head) — honest for
+          // an op that carried no replay identity: nobody can ever
+          // resume it, and without the takeover the root refused
+          // every non-owning writer forever. A FRESH claim still
+          // refuses (a live migrating op), and a txn-carrying op
+          // (delete/upsert — they ADD content, a takeover would
+          // publish someone else's torn write as theirs) still
+          // requires ownership.
           val c = new HPath(root, s"_root-claim-$vMax")
           val owner =
             try Some(ManifestIo.readString(fs, c))
             catch { case _: java.io.FileNotFoundException => None }
-          if (!(mine.isDefined && owner == mine))
+          if (mine.isDefined && owner == mine)
+            RootTransition(vMax, headMap, Map.empty, fullReplay = false)
+          else if (contentPreserving && mine.isEmpty) {
+            claim(vMax) // absent/aged → takeover; fresh → refuse (CME)
+            RootTransition(vMax, headMap, Map.empty, fullReplay = false)
+          } else
             throw new IllegalStateException(
               s"$op: $root is mid-transition to version $vMax (leaves " +
                 s"span $vMin..$vMax; claim ${owner.getOrElse("missing")}) — " +
-                "only the owning txn may resume it")
-          RootTransition(vMax, headMap, Map.empty, fullReplay = false)
+                "only the owning txn may resume it; once the claim ages " +
+                "past the takeover grace, compactManifestedPartitioned " +
+                "migrates the root to a version map at the leaves' " +
+                "actual heads")
         } else
           throw new IllegalStateException(
             s"$op: legacy leaves of $root drifted off lockstep (versions " +
@@ -1882,11 +2031,11 @@ object Warehouse {
     require(ManifestIo.isDirectory(fs, root),
       s"deleteManifestedPartitioned: $rootDir is not a directory")
     val leaves = manifestLeaves(fs, root)
-    val st = beginRootTransition(fs, root, leaves, txn,
-      "deleteManifestedPartitioned")
-    if (st.fullReplay) return leaves.map(l => relPath(root, l) -> -1L).toMap
     val key = keys.columns.head
-    // commit-time key probe, once per ROOT (leaves share one schema)
+    // key probe BEFORE the root claim (r17), once per ROOT (leaves
+    // share one schema): a typo'd key column must throw while nothing
+    // is claimed — probing after would strand `_root-claim-(T+1)` and
+    // block every root op on the table until the takeover grace
     leaves.headOption.foreach { leaf =>
       parseGens(headBody(fs, leaf).getOrElse(throw new IllegalArgumentException(
         s"deleteManifestedPartitioned: $leaf has no committed table")))
@@ -1897,6 +2046,9 @@ object Warehouse {
               s"(columns: ${cols.mkString(", ")})")
         }
     }
+    val st = beginRootTransition(fs, root, leaves, txn,
+      "deleteManifestedPartitioned")
+    if (st.fullReplay) return leaves.map(l => relPath(root, l) -> -1L).toMap
     // stage the key set once; per-leaf commits copy its files
     val stage = new HPath(root,
       s".delete-stage-${ProcessHandle.current().pid()}-${System.nanoTime()}")
@@ -1953,11 +2105,18 @@ object Warehouse {
     * the r15 lockstep scheme paid an empty tombstone+generation pair
     * in every untouched leaf, the measured O(total shards) floor.
     *
-    * Two loud refusals, both at commit time: a source partition value
-    * with NO existing leaf (a new partition needs its own adoption/
-    * append and would start its version numbering at 1, off-lockstep —
-    * route new partitions through a partitioned write + adoption
-    * first), and a missing key/partition column. One documented
+    * A source partition value with NO existing leaf CREATES it (r17 —
+    * partition adoption, what a real MERGE does when a new `lang=`
+    * value arrives in a CDC feed): the missing leaves are
+    * bootstrapped from one schema-bearing empty template (one Spark
+    * job total, then pure-FS copy + v1 commit per leaf on the bounded
+    * pool) UNDER THE SAME ROOT CLAIM as the data commits, so creation
+    * and first data land in ONE root version — a reader at T-1 never
+    * sees the partition, a reader at T sees it with its rows. Two
+    * concurrent writers introducing the same new partition serialize
+    * at the root claim; the loser's retry finds the leaf committed
+    * and its creation no-ops on the v1 CAS. A missing key/partition
+    * column refuses loudly BEFORE the claim. One documented
     * non-contract: a key whose PARTITION VALUE changed is an insert
     * into the new leaf only — the old leaf's copy survives, because
     * the tombstone for a slice carries only that slice's keys (the
@@ -1989,32 +2148,11 @@ object Warehouse {
     (pcols :+ keyCol).foreach(c => require(source.columns.contains(c),
       s"upsertManifestedPartitioned: source has no column '$c' " +
         s"(columns: ${source.columns.mkString(", ")})"))
-    // one materialization of the source; every leaf's two writes
-    // (tombstone keys + data) filter the cut, not the original plan
-    val cut = eagerCut(source)
-    // routing check: the distinct partition combos are leaf-count-
-    // bounded (the same cardinality as the walk itself), so this
-    // collect is as bounded as listing the directories was
-    val known: Set[Seq[String]] = leaves.map(_._2.map(_._2)).toSet
-    val combos = cut.select(pcols.map(c => col(c).cast("string")): _*)
-      .distinct().collect()
-      .map(r => pcols.indices.map(i => r.getString(i)).toSeq)
-    val unknown = combos.filterNot(known.contains)
-    require(unknown.isEmpty,
-      s"upsertManifestedPartitioned: source rows route to non-existent " +
-        s"leaves ${unknown.map(c => pcols.zip(c).map { case (k, v) => s"$k=$v" }
-          .mkString("/")).mkString(", ")} — create the partition first " +
-        "(partitioned write + adoption), then upsert")
-    val st = beginRootTransition(fs, root, leaves.map(_._1), txn,
-      "upsertManifestedPartitioned")
-    if (st.fullReplay)
-      return leaves.map { case (leaf, _) =>
-        val rel = relPath(root, leaf)
-        rel -> st.prior.getOrElse(rel, headVersion(fs, leaf))
-      }.toMap
-    // commit-time key probe, once per ROOT (leaves share one schema —
-    // the uniform-writer contract): refuse an unknown key column here,
-    // not per leaf and not later as a reader's resolution error
+    // key probe BEFORE the root claim (r17), once per ROOT (leaves
+    // share one schema — the uniform-writer contract): a typo'd key
+    // column must throw while nothing is claimed — probing after
+    // would strand `_root-claim-(T+1)` and block every root op on
+    // the table until the takeover grace passes
     leaves.headOption.foreach { case (leaf, _) =>
       parseGens(headBody(fs, leaf).getOrElse(""))
         .find(!_.startsWith(".del-")).foreach { g =>
@@ -2023,6 +2161,79 @@ object Warehouse {
             s"upsertManifestedPartitioned: $rootDir has no column " +
               s"'$keyCol' (columns: ${cols.mkString(", ")})")
         }
+    }
+    // one materialization of the source; every leaf's two writes
+    // (tombstone keys + data) filter the cut, not the original plan
+    val cut = eagerCut(source)
+    // routing: the distinct partition combos are touched-leaf-bounded
+    // (the same cardinality as the walk itself), so this collect is
+    // as bounded as listing the directories was
+    val combos = cut.select(pcols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => pcols.indices.map(i => r.getString(i)).toSeq).toSeq
+    def leafFor(combo: Seq[String]): HPath =
+      pcols.zip(combo).foldLeft(root) { case (acc, (k, v)) =>
+        new HPath(acc, s"$k=${org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(v)}")
+      }
+    // adoption probe: a combo needs creation when its leaf holds NO
+    // COMMITTED HEAD — head-probed, not directory-probed, because a
+    // crashed prior adoption leaves the directory without a commit
+    // and re-creating it must converge (the CDC-bootstrap predicate).
+    // O(touched) pointer reads, on the pool.
+    val toCreate = parCommitLeaves(combos) { c =>
+      c -> hasCommittedHead(fs, leafFor(c))
+    }.collect { case (c, committed) if !committed => c }
+    val st = beginRootTransition(fs, root, leaves.map(_._1), txn,
+      "upsertManifestedPartitioned")
+    if (st.fullReplay)
+      return leaves.map { case (leaf, _) =>
+        val rel = relPath(root, leaf)
+        rel -> st.prior.getOrElse(rel, headVersion(fs, leaf))
+      }.toMap
+    // PARTITION ADOPTION (r17): create the missing leaves under THIS
+    // claim — one schema-bearing empty template (the leaf schema =
+    // source minus partition columns; limit(0).repartition(1) writes
+    // exactly one empty part file carrying it), then per missing leaf
+    // a pure-FS copy + a v1 commit CAS-ANCHORED AT 0, re-probing the
+    // head first: any interim commit (our crashed prior attempt) owns
+    // `_manifest-1` and the creation no-ops instead of resetting the
+    // leaf. Creation and the slice's data commit land in ONE root
+    // version below.
+    val adopted: Seq[(HPath, Seq[(String, String)])] =
+      if (toCreate.isEmpty) Seq.empty
+      else {
+        val tmpl = new HPath(root,
+          s".adopt-template-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        cut.limit(0).drop(pcols: _*).repartition(1).write
+          .mode("overwrite").parquet(tmpl.toString)
+        val part = ManifestIo.list(fs, tmpl)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .head.getPath
+        val created = parCommitLeaves(toCreate,
+          refresh = () => refreshClaim(fs, st, root, txn)) { combo =>
+          val leaf = leafFor(combo)
+          if (!hasCommittedHead(fs, leaf)) {
+            val gen0 = new HPath(leaf, ".gen-0")
+            if (ManifestIo.exists(fs, gen0)) ManifestIo.delete(fs, gen0)
+            fs.mkdirs(gen0)
+            org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+              new HPath(gen0, part.getName), false, hconf(spark))
+            try { commitManifest(fs, leaf, new HPath(leaf, "_current"),
+              Seq(".gen-0"), 0L); () }
+            catch { case _: java.util.ConcurrentModificationException => () }
+          }
+          leaf -> pcols.zip(combo)
+        }
+        ManifestIo.delete(fs, tmpl)
+        created
+      }
+    // the commit walk covers walked + adopted leaves exactly once (a
+    // half-created directory appears in both — the adopted entry wins)
+    val allLeaves = {
+      val createdPaths = adopted.map(_._1.toString).toSet
+      leaves.filterNot { case (l, _) => createdPaths.contains(l.toString) } ++
+        adopted
     }
     // STAGE ONCE, MOVE PER TOUCHED LEAF (r15/r16): two partitionBy
     // jobs write every NON-EMPTY slice's data and tombstone key set
@@ -2051,7 +2262,7 @@ object Warehouse {
         new HPath(acc, s"$k=${org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.escapePathName(v)}")
       }
-    val out = parCommitLeaves(leaves,
+    val out = parCommitLeaves(allLeaves,
       refresh = () => refreshClaim(fs, st, root, txn)) { case (leaf, kvs) =>
       val rel = relPath(root, leaf)
       val slice = staged(dataStage, kvs)

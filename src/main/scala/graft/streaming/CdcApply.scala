@@ -197,9 +197,20 @@ object CdcApply {
     // `.gen-0` commit WIN a putIfAbsent on a GC'd low version and
     // replace `_current` with it — silently resetting the shard's
     // entire LWW state (the r15 pointer-vs-head bug, at the CDC layer)
-    val missing = (0 until nShards).filterNot { k =>
-      W.hasCommittedHead(fs, new HPath(root, s"shard=$k"))
-    }
+    // Bootstrap-detection fast path (r17): once any root manifest
+    // exists, its version map lists every committed leaf — ONE pointer
+    // read replaces nShards per-leaf head probes per batch (at 1024
+    // shards the sequential probe walk is otherwise the dominant
+    // steady-state per-batch driver cost). Shards absent from the map
+    // — all of them when no map exists yet — fall back to the per-leaf
+    // head probe, run on the bounded pool. Crash safety holds: a leaf
+    // created by a crashed bootstrap is not yet in any map, so it is
+    // re-probed, and its re-creation converges on the v1 CAS skip.
+    val mapped = W.lastRootMapRels(fs, root).getOrElse(Set.empty)
+    val candidates = (0 until nShards).filterNot(k => mapped.contains(s"shard=$k"))
+    val missing = W.parCommitLeaves(candidates) { k =>
+      k -> W.hasCommittedHead(fs, new HPath(root, s"shard=$k"))
+    }.collect { case (k, committed) if !committed => k }
     tick("probe")
     if (missing.nonEmpty) {
       // ONE empty-parquet write job produces the schema-bearing
@@ -227,13 +238,20 @@ object CdcApply {
         org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
           new HPath(gen0, part.getName), false,
           spark.sparkContext.hadoopConfiguration)
-        // CAS against the leaf's ACTUAL trail head (not a hardcoded
-        // 0): belt-and-braces with the headBody probe above — a leaf
-        // with any committed history can never be overwritten by the
-        // empty bootstrap generation, it loses the CAS instead
-        try W.commitManifest(fs, leaf, new HPath(leaf, "_current"),
-          Seq(".gen-0"), W.headVersion(fs, leaf))
-        catch { case _: java.util.ConcurrentModificationException => }
+        // CAS anchored at 0 — NOT at the live trail head (r17): the
+        // probe-to-commit window spans the template-write Spark job,
+        // and anchoring at the head would claim `_manifest-(head+1)`,
+        // which is ALWAYS absent — the putIfAbsent would succeed over
+        // any generation a concurrent writer committed since the
+        // probe, replacing `_current` with the empty .gen-0 body and
+        // silently resetting the shard. Anchored at 0, any interim
+        // commit holds `_manifest-1` and the bootstrap LOSES the CAS.
+        // Belt-and-braces: re-probe the head right before the commit
+        // (cheap — one pointer read) and skip on either signal.
+        if (!W.hasCommittedHead(fs, leaf))
+          try W.commitManifest(fs, leaf, new HPath(leaf, "_current"),
+            Seq(".gen-0"), 0L)
+          catch { case _: java.util.ConcurrentModificationException => }
         ()
       }
       ()

@@ -142,6 +142,43 @@ class ExpressionSpec extends SparkSpec {
     assert(proj(nullRow).isNullAt(0) && expr.eval(nullRow) == null)
   }
 
+  test("interleave_bits_n codegen compiles, matches interpreted eval, and n=2 agrees with the magic-mask morton") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.LongType
+    import graft.functions.{InterleaveBits, InterleaveBitsN}
+    val expr = InterleaveBitsN(Seq(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true),
+      BoundReference(2, LongType, nullable = true)), 16)
+    // generate() throws if the emitted Java fails to compile — the
+    // codegen gate (the layout key must stay in whole-stage codegen)
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val row = InternalRow(rnd.nextInt(65536).toLong,
+        rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)
+      assert(proj(row).getLong(0) == expr.eval(row).asInstanceOf[Long],
+        s"codegen/interpreted drift on $row")
+    }
+    // 3-D round-robin: bit i of dim d lands at position 3i+d
+    assert(InterleaveBits.mortonN(Array(1L, 0L, 0L), 16) == 1L)
+    assert(InterleaveBits.mortonN(Array(0L, 1L, 0L), 16) == 2L)
+    assert(InterleaveBits.mortonN(Array(0L, 0L, 1L), 16) == 4L)
+    assert(InterleaveBits.mortonN(Array(2L, 0L, 0L), 16) == 8L)
+    // n=2 at 32 bits IS the binary magic-mask ladder
+    for (_ <- 0 until 50) {
+      val x = rnd.nextLong() & 0xFFFFFFFFL
+      val y = rnd.nextLong() & 0xFFFFFFFFL
+      assert(InterleaveBits.mortonN(Array(x, y), 32) ==
+        InterleaveBits.morton(x, y), s"n=2 drift on ($x, $y)")
+    }
+    // null-in null-out, both paths
+    val nullRow = InternalRow(null, 1L, 2L)
+    assert(proj(nullRow).isNullAt(0) && expr.eval(nullRow) == null)
+  }
+
   test("merge-then-extract rule removes the map_concat from the plan") {
     import spark.implicits._
     val df = Seq((1L, Map("a" -> "x")), (2L, null.asInstanceOf[Map[String, String]]))

@@ -1006,13 +1006,14 @@ class SinkSpec extends SparkSpec {
     assert(hist.filter(_.getString(0) == "lang=fr")
       .map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L), "fr trail")
 
-    // refusals: a source row routing to a non-existent leaf, and the
-    // partitioned ops on a plain leaf
-    val toFr = intercept[IllegalArgumentException] {
-      W.upsertManifestedPartitioned(spark, dir,
-        src.withColumn("lang", lit("xx")), "id")
-    }
-    assert(toFr.getMessage.contains("lang=xx"), toFr.getMessage)
+    // a source row routing to a non-existent leaf ADOPTS it (r17 —
+    // was a refusal; the dedicated adoption pins live in the
+    // partition-adoption test), and the partitioned ops on a plain
+    // leaf still refuse
+    W.upsertManifestedPartitioned(spark, dir,
+      src.withColumn("lang", lit("xx")), "id")
+    assert(W.readManifestedPartitioned(spark, dir)
+      .filter(col("lang") === "xx").count() == src.count())
     val plain = Files.createTempDirectory("graft_prow2").resolve("t2").toString
     W.appendManifested(spark, plain, spark.range(0, 5).toDF("id"))
     val notPart = intercept[IllegalArgumentException] {
@@ -1753,5 +1754,243 @@ class SinkSpec extends SparkSpec {
       s"partitioned range read opened ${pr.inputFiles.length} of $fullFiles")
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(root).getParentFile)
+  }
+
+  test("partition adoption: a MERGE introducing a new partition creates its leaf in ONE root version; racing creators converge") {
+    val W = graft.operators.Warehouse
+    val root = Files.createTempDirectory("graft_adopt").resolve("t").toString
+    spark.range(0, 40).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .withColumn("v", lit("base"))
+      .write.partitionBy("p").mode("overwrite").parquet(root)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    val preV = W.rootSnapshots(root).last
+    def src(ids: Range, p: String, tag: String) =
+      spark.range(ids.start, ids.end).toDF("id")
+        .withColumn("p", lit(p)).withColumn("v", lit(tag))
+
+    // (1) ONE merge spanning an existing partition (updates — EVEN ids,
+    // the ones that live in p=0) and a brand-new one: creation + first
+    // data land in one root version
+    val m = W.upsertManifestedPartitioned(spark, root,
+      src(0 until 3, "0", "upd").withColumn("id", col("id") * 2)
+        .unionByName(src(100 until 110, "2", "new")),
+      "id")
+    assert(m.keySet == Set("p=0", "p=1", "p=2"), m.toString)
+    assert(W.rootSnapshots(root).last == preV + 1,
+      s"adoption+data must spend ONE root version: ${W.rootSnapshots(root)}")
+    val cur = W.readManifestedPartitioned(spark, root)
+    assert(cur.count() == 50L)
+    assert(cur.filter(col("p") === "2").count() == 10L)
+    assert(cur.filter(col("v") === "upd").count() == 3L)
+    // a reader at preV never sees the partition; at preV+1 sees it whole
+    assert(W.readManifestedPartitionedAt(spark, root, preV)
+      .filter(col("p") === "2").count() == 0L)
+    assert(W.readManifestedPartitionedAt(spark, root, preV + 1)
+      .filter(col("p") === "2").count() == 10L)
+
+    // (2) a second merge into the now-existing partition: normal path
+    W.upsertManifestedPartitioned(spark, root, src(100 until 103, "2", "upd2"), "id")
+    val p2 = W.readManifestedPartitioned(spark, root).filter(col("p") === "2")
+    assert(p2.count() == 10L && p2.filter(col("v") === "upd2").count() == 3L)
+
+    // (3) a TORN prior creation (directory + orphan .gen-0, no commit)
+    // converges: the head-probe re-creates it instead of refusing or
+    // merging into the debris
+    assert(new java.io.File(s"$root/p=3/.gen-0").mkdirs())
+    W.upsertManifestedPartitioned(spark, root, src(200 until 205, "3", "late"), "id")
+    assert(W.readManifestedPartitioned(spark, root)
+      .filter(col("p") === "3").count() == 5L)
+
+    // (4) the RACE: two writers introduce the SAME new partition with
+    // disjoint keys. Exactly one claims the transition; the loser
+    // refuses BEFORE creating anything, retries, finds the leaf
+    // committed, and lands as the second serial order — both key sets
+    // survive, the leaf was created exactly once.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val wins = new java.util.concurrent.atomic.AtomicInteger()
+    val threads = Seq(("rA", 300), ("rB", 400)).map { case (tag, lo) =>
+      new Thread(() =>
+        try {
+          W.upsertManifestedPartitioned(spark, root,
+            src(lo until lo + 5, "4", tag), "id")
+          wins.incrementAndGet(); ()
+        } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1, s"wins=${wins.get()}, errs=$errs")
+    assert(errs.size == 1 &&
+      errs.peek().isInstanceOf[java.util.ConcurrentModificationException],
+      s"loser must fail the claim CAS before creating anything: $errs")
+    val loser = if (W.readManifestedPartitioned(spark, root)
+      .filter(col("v") === "rA").count() == 5L) ("rB", 400) else ("rA", 300)
+    W.upsertManifestedPartitioned(spark, root,
+      src(loser._2 until loser._2 + 5, "4", loser._1), "id")
+    val p4 = W.readManifestedPartitioned(spark, root).filter(col("p") === "4")
+    assert(p4.count() == 10L)
+    assert(p4.select(col("v")).distinct().collect().map(_.getString(0)).toSet ==
+      Set("rA", "rB"))
+    // created exactly once: v1 = the empty adoption commit, then one
+    // data commit per writer — never a second .gen-0 reset
+    assert(W.snapshots(s"$root/p=4") == Seq(1L, 2L, 3L),
+      W.snapshots(s"$root/p=4").toString)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("legacy mid-transition root: an AGED crashed lockstep heals through compaction; fresh and txn ops still refuse") {
+    val W = graft.operators.Warehouse
+    val root = Files.createTempDirectory("graft_legacy").resolve("t").toString
+    spark.range(0, 40).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .write.partitionBy("p").mode("overwrite").parquet(root)
+    // the pre-r16 world: per-LEAF ops only, no root manifest ever
+    W.compactManifested(spark, s"$root/p=0", targetFileBytes = 1L << 30)
+    W.compactManifested(spark, s"$root/p=1", targetFileBytes = 1L << 30)
+    // a crashed r15-era root op: one leaf committed (head moved), the
+    // other not — vMin..vMin+1 — with the corpse's claim left behind
+    W.appendManifested(spark, s"$root/p=0",
+      spark.range(100, 110).toDF("id"))
+    val vMax = W.snapshots(s"$root/p=0").last
+    assert(vMax == W.snapshots(s"$root/p=1").last + 1, "fixture drifted")
+    val (fs, rp) = graft.operators.ManifestIo.resolve(root,
+      spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(rp, s"_root-claim-$vMax")
+    assert(graft.operators.ManifestIo.putIfAbsent(fs, claim, "deadapp:7"))
+
+    // FRESH claim: everything refuses — a live migrating op may own it
+    intercept[java.util.ConcurrentModificationException] {
+      W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    }
+    val exFresh = intercept[IllegalStateException] {
+      W.deleteManifestedPartitioned(spark, root,
+        spark.range(0, 3).toDF("id"), txn = Some(("app", 1L)))
+    }
+    assert(exFresh.getMessage.contains("only the owning txn"), exFresh.getMessage)
+
+    // AGED claim: a txn op STILL refuses (it would publish someone
+    // else's torn write under its own marker)…
+    assert(new java.io.File(claim.toUri.getPath)
+      .setLastModified(System.currentTimeMillis() - 2 * 60 * 60 * 1000L))
+    intercept[IllegalStateException] {
+      W.deleteManifestedPartitioned(spark, root,
+        spark.range(0, 3).toDF("id"), txn = Some(("app", 1L)))
+    }
+    // …but content-preserving compaction TAKES OVER: folds each leaf
+    // at its actual head and publishes the first root version map
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    assert(W.rootSnapshots(root) == Seq(vMax), W.rootSnapshots(root).toString)
+    val back = W.readManifestedPartitioned(spark, root)
+    assert(back.count() == 50L, s"content lost in takeover: ${back.count()}")
+    assert(W.readManifestedPartitionedAt(spark, root, vMax).count() == 50L)
+    // the root is map-managed now: ordinary root ops proceed
+    W.deleteManifestedPartitioned(spark, root, spark.range(100, 110).toDF("id"))
+    assert(W.readManifestedPartitioned(spark, root).count() == 40L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("steady-skip retention: the skip still ages out pre-fold snapshots and old root maps, spending no version") {
+    val W = graft.operators.Warehouse
+    val root = Files.createTempDirectory("graft_steadygc").resolve("t").toString
+    spark.range(0, 40).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .write.partitionBy("p").mode("overwrite").parquet(root)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    // post-fold leaves hold {adopt, fold} manifests + the pre-fold gen
+    assert(W.snapshots(s"$root/p=0") == Seq(1L, 2L))
+    assert(new java.io.File(s"$root/p=0/.gen-0").exists())
+    val rootV = W.rootSnapshots(root).last
+
+    // (1) young manifests inside retainFor survive even at count 0
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30,
+      retainSnapshots = 0, retainFor = Some(java.time.Duration.ofHours(1)))
+    assert(W.snapshots(s"$root/p=0") == Seq(1L, 2L),
+      "retainFor must keep young snapshots on the steady path")
+
+    // (2) count-only retain 0: the steady SKIP reclaims the pre-fold
+    // trail — manifest 1 and .gen-0 go — without folding anything or
+    // spending a root version (the r16 skip froze this storage forever)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30,
+      retainSnapshots = 0)
+    assert(W.snapshots(s"$root/p=0") == Seq(2L),
+      W.snapshots(s"$root/p=0").toString)
+    assert(!new java.io.File(s"$root/p=0/.gen-0").exists(),
+      "the pre-fold generation must be GC'd by the steady-path retention")
+    assert(W.readManifestedPartitioned(spark, root).count() == 40L)
+    assert(W.rootSnapshots(root) == Seq(rootV),
+      s"a steady walk spent a root version: ${W.rootSnapshots(root)}")
+
+    // (3) old ROOT MAPS age out on the skip path too: pile up root
+    // versions, fold once, then a steady retain-0 walk GCs the trail
+    W.deleteManifestedPartitioned(spark, root, spark.range(0, 3).toDF("id"))
+    W.upsertManifestedPartitioned(spark, root,
+      spark.range(0, 3).toDF("id").withColumn("p", (col("id") % 2).cast("string")),
+      "id")
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    val head = W.rootSnapshots(root).last
+    assert(W.rootSnapshots(root).size > 1)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30,
+      retainSnapshots = 0)
+    assert(W.rootSnapshots(root) == Seq(head), W.rootSnapshots(root).toString)
+    assert(W.readManifestedPartitionedAt(spark, root, head).count() == 40L)
+    intercept[IllegalArgumentException] {
+      W.readManifestedPartitionedAt(spark, root, rootV).collect()
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("n-dim z-order: a 3-D Morton fold prunes a band on ANY dimension; non-numeric and >4-dim requests refuse loudly") {
+    val W = graft.operators.Warehouse
+    // a 32×32×32 grid, ids shuffled into 4 appends so the pre-fold
+    // layout carries no accidental order. The grid must be large
+    // relative to the file count for the tile geometry to show: with
+    // F files a tile has edge ~(n³/F)^⅓, and a band of width w opens
+    // ~(w + edge)/n of the files — at 32³ and ~300 files that is ~40%
+    // for the 8-wide quarter band (vs ~100% unclustered).
+    val zdir = Files.createTempDirectory("graft_z3").resolve("z").toString
+    for (q <- 0 until 4)
+      W.appendManifested(spark, zdir,
+        spark.range(0, 32768).filter(pmod(col("id"), lit(4)) === q)
+          .select((col("id") % 32).as("x"),
+            ((col("id") / 32) % 32).cast("long").as("y"),
+            (col("id") / 1024).cast("long").as("z"), col("id")))
+    W.compactManifested(spark, zdir, targetFileBytes = 1L << 10,
+      zorderBy = Seq("x", "y", "z"))
+    val total = W.readManifested(spark, zdir).inputFiles.length
+    assert(total >= 32, s"want many files: $total")
+    def files(c: String) =
+      W.readManifestedRange(spark, zdir, c, 0L, 7L).inputFiles.length
+    def rows(c: String) =
+      W.readManifestedRange(spark, zdir, c, 0L, 7L)
+        .agg(sum(col("id"))).head.getLong(0)
+    // correctness of the band on every dimension
+    assert(rows("x") == (0L until 32768L).filter(_ % 32 <= 7).sum)
+    assert(rows("y") == (0L until 32768L).filter(i => (i / 32) % 32 <= 7).sum)
+    assert(rows("z") == (0L until 32768L).filter(_ / 1024 <= 7).sum)
+    // every dimension prunes: each output file is a 3-D tile
+    for (c <- Seq("x", "y", "z"))
+      assert(files(c) <= total / 2,
+        s"3-D z-layout $c-band opened ${files(c)} of $total")
+    // refusal 1: a lexical string dimension (would bucket as null and
+    // silently lose the layout — the r16 behavior this pins away)
+    val sdir = Files.createTempDirectory("graft_z3s").resolve("s").toString
+    W.appendManifested(spark, sdir,
+      spark.range(0, 10).select(col("id"),
+        concat(lit("w"), col("id")).as("s")))
+    val ex = intercept[IllegalArgumentException] {
+      W.compactManifested(spark, sdir, zorderBy = Seq("id", "s"))
+    }
+    assert(ex.getMessage.contains("numeric"), ex.getMessage)
+    // refusal 2: more than 4 dimensions overflows the 64-bit key
+    val ex2 = intercept[IllegalArgumentException] {
+      W.compactManifested(spark, zdir, zorderBy = Seq("x", "y", "z", "id", "x"))
+    }
+    assert(ex2.getMessage.contains("2 to 4"), ex2.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(zdir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(sdir).getParentFile)
   }
 }
