@@ -2262,15 +2262,22 @@ object Warehouse {
         new HPath(acc, s"$k=${org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.escapePathName(v)}")
       }
+    // the TOUCHED slice set from ONE staging walk (r17): per-leaf
+    // existence stats against the stage were the last O(all leaves)
+    // FS term per merge batch — the staged tree holds exactly the
+    // non-empty slices, and its dir names carry the same partitionBy
+    // escaping as the leaf walk, so the rel paths compare directly
+    val touched: Set[String] =
+      manifestLeaves(fs, dataStage).filter(_ != dataStage)
+        .map(l => relPath(dataStage, l)).toSet
     val out = parCommitLeaves(allLeaves,
       refresh = () => refreshClaim(fs, st, root, txn)) { case (leaf, kvs) =>
       val rel = relPath(root, leaf)
-      val slice = staged(dataStage, kvs)
-      if (!ManifestIo.isDirectory(fs, slice))
+      if (!touched.contains(rel))
         rel -> st.prior.getOrElse(rel, headVersion(fs, leaf))
       else
         rel -> upsertManifestedStagedMove(spark, fs, leaf,
-          staged(keyStage, kvs), slice, keyCol, txn)
+          staged(keyStage, kvs), staged(dataStage, kvs), keyCol, txn)
     }.toMap
     commitRootManifest(fs, root, st, out, txn)
     ManifestIo.delete(fs, stage)
