@@ -1517,7 +1517,10 @@ object Warehouse {
     else {
       val map = parseRootMap(ManifestIo.readString(fs,
         new HPath(root, s"_root-manifest-$version")))
-      map.toSeq.sortBy(_._1).map { case (rel, v) =>
+      // per-leaf PLAN construction on the bounded pool (r17) — the
+      // same O(leaves) sequential driver term unionLeaves shed for
+      // live reads applies to the snapshot read's resolution walk
+      parCommitLeaves(map.toSeq.sortBy(_._1)) { case (rel, v) =>
         val leaf = new HPath(root, rel)
         leafKvs(root, leaf).foldLeft(readManifestedAt(spark, leaf.toString, v)) {
           case (df, (k, vv)) => df.withColumn(k, lit(vv))
@@ -1910,11 +1913,25 @@ object Warehouse {
                 "past the takeover grace, compactManifestedPartitioned " +
                 "migrates the root to a version map at the leaves' " +
                 "actual heads")
+        } else if (contentPreserving && mine.isEmpty) {
+          // arbitrary legacy drift (leaves bumped by out-of-band
+          // per-leaf writers, never a root op): under the version map
+          // this state is REPRESENTABLE, not broken — a content-
+          // preserving op migrates it by recording each leaf at its
+          // ACTUAL head (r17; the same stance the mapped path takes
+          // when a leaf-level writer bumps one leaf between root ops).
+          // claim() still refuses a FRESH rival and takes over only
+          // aged corpses. Txn ops keep refusing below: there is no
+          // lockstep history for their replay rule to anchor on.
+          claim(vMax)
+          RootTransition(vMax, headMap, Map.empty, fullReplay = false)
         } else
           throw new IllegalStateException(
             s"$op: legacy leaves of $root drifted off lockstep (versions " +
               s"$vMin..$vMax) with no root manifest to anchor a migration — " +
-              "repair the leaves or commit a root manifest by hand")
+              "run compactManifestedPartitioned (content-preserving: it " +
+              "migrates the root to a version map at the leaves' actual " +
+              "heads), or commit a root manifest by hand")
     }
   }
 

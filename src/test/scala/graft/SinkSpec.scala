@@ -1886,8 +1886,33 @@ class SinkSpec extends SparkSpec {
     // the root is map-managed now: ordinary root ops proceed
     W.deleteManifestedPartitioned(spark, root, spark.range(100, 110).toDF("id"))
     assert(W.readManifestedPartitioned(spark, root).count() == 40L)
+
+    // ARBITRARY drift (≥2 — out-of-band per-leaf writers, no crashed
+    // root op, no claim): a txn op refuses with the migration hint;
+    // compaction migrates the root to a map at the leaves' ACTUAL
+    // heads — the same representable-not-broken stance the mapped
+    // path takes for leaf-level bumps between root ops
+    val root2 = Files.createTempDirectory("graft_legacy2").resolve("t").toString
+    spark.range(0, 40).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .write.partitionBy("p").mode("overwrite").parquet(root2)
+    W.compactManifested(spark, s"$root2/p=0", targetFileBytes = 1L << 30)
+    W.compactManifested(spark, s"$root2/p=1", targetFileBytes = 1L << 30)
+    W.appendManifested(spark, s"$root2/p=0", spark.range(100, 110).toDF("id"))
+    W.appendManifested(spark, s"$root2/p=0", spark.range(200, 210).toDF("id"))
+    assert(W.snapshots(s"$root2/p=0").last - W.snapshots(s"$root2/p=1").last == 2)
+    val exDrift = intercept[IllegalStateException] {
+      W.deleteManifestedPartitioned(spark, root2,
+        spark.range(0, 2).toDF("id"), txn = Some(("app", 1L)))
+    }
+    assert(exDrift.getMessage.contains("drifted"), exDrift.getMessage)
+    W.compactManifestedPartitioned(spark, root2, targetFileBytes = 1L << 30)
+    assert(W.rootSnapshots(root2) == Seq(4L), W.rootSnapshots(root2).toString)
+    assert(W.readManifestedPartitioned(spark, root2).count() == 60L)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(root).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root2).getParentFile)
   }
 
   test("steady-skip retention: the skip still ages out pre-fold snapshots and old root maps, spending no version") {
