@@ -2390,7 +2390,7 @@ object Warehouse {
     val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
     require(ManifestIo.isDirectory(fs, root),
       s"historyPartitioned: $rootDir is not a directory")
-    manifestLeaves(fs, root).map { leaf =>
+    parCommitLeaves(manifestLeaves(fs, root)) { leaf =>
       history(spark, leaf.toString)
         .select(lit(relPath(root, leaf)).as("leaf"), col("*"))
     }.reduceLeft(_.unionByName(_))
@@ -2469,7 +2469,9 @@ object Warehouse {
     require(ManifestIo.isDirectory(fs, root),
       s"vacuumPartitioned: $rootDir is not a directory")
     val leaves = manifestLeaves(fs, root)
-    val leafReports = leaves.map { leaf =>
+    // per-leaf vacuums are pure FS passes under independent locks —
+    // pooled like every other per-leaf walk (r17)
+    val leafReports = parCommitLeaves(leaves) { leaf =>
       relPath(root, leaf) -> vacuum(spark, leaf.toString, graceMs)
     }.filter { case (_, r) =>
       r.removedGenerations.nonEmpty || r.removedManifests.nonEmpty ||
@@ -2487,12 +2489,15 @@ object Warehouse {
         v <= completedHead || st.getModificationTime < cutoff
       }.map(_.getPath).toSeq
     claims.foreach(p => ManifestIo.delete(fs, p))
-    // staging debris of a crashed partitioned MERGE/DELETE (the dirs a
-    // completed op deletes itself) — aged only, the same grace
+    // staging debris of a crashed partitioned MERGE/DELETE/adoption
+    // (the dirs a completed op deletes itself) — aged only, the same
+    // grace
     ManifestIo.list(fs, root)
       .filter(st => st.isDirectory &&
         (st.getPath.getName.startsWith(".upsert-stage-") ||
-          st.getPath.getName.startsWith(".delete-stage-")) &&
+          st.getPath.getName.startsWith(".delete-stage-") ||
+          st.getPath.getName.startsWith(".adopt-template-") ||
+          st.getPath.getName == ".bootstrap-template") &&
         st.getModificationTime < cutoff)
       .foreach(st => ManifestIo.delete(fs, st.getPath))
     if (claims.isEmpty) leafReports
