@@ -430,10 +430,19 @@ object Warehouse {
       } else {
         val buckets = zorderBy.zipWithIndex.map { case (c, i) =>
           bucket(c, b.getDouble(2 * i), b.getDouble(2 * i + 1)) }
+        // n = 4 fills bit 63 (the Long SIGN bit — 4 dims × 16 bucket
+        // bits), and the engine's range partitioner compares SIGNED:
+        // without correction the top half of dim 3 would sort FIRST,
+        // splitting its box across the curve. XOR with MinValue makes
+        // the signed comparator see the unsigned curve order; for
+        // n = 2–3 (≤48 key bits) it is a constant bit flip that
+        // changes no relative order. Caught by MortonPropertySpec's
+        // locality property; the 4-D SinkSpec pin exercises it E2E.
         val zkey =
-          if (buckets.size == 2)
+          (if (buckets.size == 2)
             graft.functions.InterleaveBits.interleave_bits(buckets(0), buckets(1))
-          else graft.functions.InterleaveBits.interleave_bits_n(buckets)
+          else graft.functions.InterleaveBits.interleave_bits_n(buckets))
+            .bitwiseXOR(lit(Long.MinValue))
         folded.repartitionByRange(nFiles, zkey).sortWithinPartitions(zkey)
       }
     } else clusterBy match {

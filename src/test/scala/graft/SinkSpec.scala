@@ -1998,6 +1998,29 @@ class SinkSpec extends SparkSpec {
     for (c <- Seq("x", "y", "z"))
       assert(files(c) <= total / 2,
         s"3-D z-layout $c-band opened ${files(c)} of $total")
+    // 4-D: dim 3's top bucket bit is the Long SIGN bit — the fold's
+    // sign-XOR keeps the curve contiguous under the engine's signed
+    // range partitioner (without it the top half of dim 3 sorts FIRST
+    // and its box splits across the curve). A band on the sign-bit
+    // dimension must still prune.
+    val wdir = Files.createTempDirectory("graft_z4").resolve("w").toString
+    for (q <- 0 until 4)
+      W.appendManifested(spark, wdir,
+        spark.range(0, 65536).filter(pmod(col("id"), lit(4)) === q)
+          .select((col("id") % 16).as("a"),
+            ((col("id") / 16) % 16).cast("long").as("b"),
+            ((col("id") / 256) % 16).cast("long").as("c"),
+            (col("id") / 4096).cast("long").as("d"), col("id")))
+    W.compactManifested(spark, wdir, targetFileBytes = 1L << 10,
+      zorderBy = Seq("a", "b", "c", "d"))
+    val wTotal = W.readManifested(spark, wdir).inputFiles.length
+    assert(wTotal >= 32, s"want many files: $wTotal")
+    val dBand = W.readManifestedRange(spark, wdir, "d", 0L, 1L)
+    assert(dBand.agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 65536L).filter(_ / 4096 <= 1).sum)
+    assert(dBand.inputFiles.length <= wTotal / 2,
+      s"4-D z-layout d-band (sign-bit dim) opened ${dBand.inputFiles.length} of $wTotal")
+
     // refusal 1: a lexical string dimension (would bucket as null and
     // silently lose the layout — the r16 behavior this pins away)
     val sdir = Files.createTempDirectory("graft_z3s").resolve("s").toString
@@ -2017,5 +2040,7 @@ class SinkSpec extends SparkSpec {
       new java.io.File(zdir).getParentFile)
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(sdir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(wdir).getParentFile)
   }
 }
