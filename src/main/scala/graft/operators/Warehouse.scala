@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -303,7 +303,8 @@ object Warehouse {
                         retainSnapshots: Int = 1,
                         retainFor: Option[java.time.Duration] = None,
                         clusterBy: Option[String] = None,
-                        zorderBy: Seq[String] = Nil): Int = {
+                        zorderBy: Seq[String] = Nil,
+                        zorderQuantiles: Boolean = false): Int = {
     require(retainSnapshots >= 0,
       s"retainSnapshots must be >= 0, got $retainSnapshots")
     require(retainFor.forall(!_.isNegative),
@@ -409,27 +410,55 @@ object Warehouse {
           "or timestamp dimension (a lexical string would bucket as " +
           "null and silently lose the requested layout)")
       }
-      val aggs = zorderBy.flatMap(c =>
-        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-      val b = folded.agg(aggs.head, aggs.tail: _*).head
-      def bucket(c: String, mn: Double, mx: Double) = {
-        val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
-        least(lit(65535L),
-          floor((col(c).cast("double") - lit(mn)) / lit(span) * 65536.0))
-          .cast("long")
-      }
-      if (zorderBy.indices.exists(i => b.isNullAt(2 * i))) {
+      val bucketsOpt: Option[Seq[Column]] =
+        if (zorderQuantiles) {
+          // SKEW-ROBUST bucketing (r18): per-dimension sampled
+          // quantile cut points (the range-partitioner move applied
+          // to the layout key) instead of the linear min/max scale —
+          // a zipfian dimension spreads across the full bucket space
+          // by MASS, so tiles stay narrow where the rows actually
+          // are and the skipping read keeps pruning. One GK-sketch
+          // pass over the fold (approxQuantile on all dims at once);
+          // 4,095 cuts × scale 16 fills the same 16-bit space the
+          // linear path uses, so the Morton key expression below is
+          // shared verbatim. Duplicate cuts (one value heavier than
+          // a quantile step) are harmless: the upper-bound search
+          // stays monotone and such a value simply owns a wider
+          // bucket band — exactly its mass.
+          val Q = 4096
+          val probs = (1 until Q).map(_.toDouble / Q).toArray
+          val qdf = folded.select(
+            zorderBy.map(c => col(c).cast("double").as(c)): _*)
+          val cuts = qdf.stat.approxQuantile(zorderBy.toArray, probs, 0.001)
+          if (cuts.exists(_.isEmpty)) None // an all-null dimension
+          else Some(zorderBy.zip(cuts).map { case (c, cu) =>
+            graft.functions.BucketByCuts.bucket_by_cuts(
+              col(c).cast("double"), cu, 65536 / Q)
+          })
+        } else {
+          val aggs = zorderBy.flatMap(c =>
+            Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+          val b = folded.agg(aggs.head, aggs.tail: _*).head
+          def bucket(c: String, mn: Double, mx: Double) = {
+            val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+            least(lit(65535L),
+              floor((col(c).cast("double") - lit(mn)) / lit(span) * 65536.0))
+              .cast("long")
+          }
+          if (zorderBy.indices.exists(i => b.isNullAt(2 * i))) None
+          else Some(zorderBy.zipWithIndex.map { case (c, i) =>
+            bucket(c, b.getDouble(2 * i), b.getDouble(2 * i + 1)) })
+        }
+      bucketsOpt match {
+       case None =>
         // an all-null dimension passes the type gate but carries no
         // range to bucket — fall back, SAYING SO (r17; was silent)
-        System.err.println(s"[graft] compactManifested: zorderBy " +
-          s"dimension(s) ${zorderBy.zipWithIndex.collect {
-            case (c, i) if b.isNullAt(2 * i) => c }.mkString(", ")} " +
-          s"of $dir are entirely null — falling back to an unclustered " +
+        System.err.println(s"[graft] compactManifested: a zorderBy " +
+          s"dimension of $dir (of ${zorderBy.mkString(", ")}) is " +
+          "entirely null — falling back to an unclustered " +
           "hash layout (no Z-order pruning for this fold)")
         folded.repartition(nFiles)
-      } else {
-        val buckets = zorderBy.zipWithIndex.map { case (c, i) =>
-          bucket(c, b.getDouble(2 * i), b.getDouble(2 * i + 1)) }
+       case Some(buckets) =>
         // n = 4 fills bit 63 (the Long SIGN bit — 4 dims × 16 bucket
         // bits), and the engine's range partitioner compares SIGNED:
         // without correction the top half of dim 3 would sort FIRST,
@@ -482,16 +511,26 @@ object Warehouse {
         .getModificationTime >= c
       catch { case _: java.io.FileNotFoundException => false }
     }
-    val kept = manifestVersions(fs, root)
+    val allVersions = manifestVersions(fs, root)
+    val kept = allVersions
       .filter(x => x >= v - retainSnapshots || inTimeWindow(x))
     val keepGens: Set[String] =
       (kept.flatMap(x => readPointer(fs, new HPath(root, s"_manifest-$x"))) ++
         (if (retainSnapshots >= 1) cur else Seq.empty) :+ next).toSet
+    // same in-flight discipline as [[gcLeafRetention]] (r18): a dir no
+    // manifest ever referenced may be a cross-process appender's
+    // not-yet-committed generation — grace it; expired-manifest
+    // references are retention food, deletable now
+    val expiredGens: Set[String] = allVersions.filterNot(kept.contains)
+      .flatMap(x => readPointer(fs, new HPath(root, s"_manifest-$x"))).toSet
+    val graceCutoff = System.currentTimeMillis() - DefaultVacuumGraceMs
     ManifestIo.list(fs, root)
       .filter(st => st.isDirectory &&
         (st.getPath.getName.startsWith(".gen-") ||
           st.getPath.getName.startsWith(".del-")) &&
-        !keepGens.contains(st.getPath.getName))
+        !keepGens.contains(st.getPath.getName) &&
+        (expiredGens.contains(st.getPath.getName) ||
+          st.getModificationTime < graceCutoff))
       .foreach(st => ManifestIo.delete(fs, st.getPath))
     ManifestIo.list(fs, root)
       .filter(st => st.isFile && st.getPath.getName.startsWith("_manifest-") &&
@@ -1305,7 +1344,8 @@ object Warehouse {
                                    retainSnapshots: Int = 1,
                                    retainFor: Option[java.time.Duration] = None,
                                    clusterBy: Option[String] = None,
-                                   zorderBy: Seq[String] = Nil): Map[String, Int] = {
+                                   zorderBy: Seq[String] = Nil,
+                                   zorderQuantiles: Boolean = false): Map[String, Int] = {
     val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
     require(ManifestIo.isDirectory(fs, root),
       s"compactManifestedPartitioned: $rootDir is not a directory")
@@ -1359,7 +1399,7 @@ object Warehouse {
       case (leaf, None) =>
         val rel = relPath(root, leaf)
         val n = compactManifested(spark, leaf.toString, targetFileBytes,
-          retainSnapshots, retainFor, clusterBy, zorderBy)
+          retainSnapshots, retainFor, clusterBy, zorderBy, zorderQuantiles)
         refreshClaim(fs, st, root, None)
         rel -> (n, headVersion(fs, leaf))
     }
@@ -1423,11 +1463,23 @@ object Warehouse {
     if (kept.size != vs.size) {
       val keepGens: Set[String] = kept
         .flatMap(x => readPointer(fs, new HPath(leaf, s"_manifest-$x"))).toSet
+      // a dir referenced ONLY by expired manifests was committed once
+      // and is plain retention food — deletable now; a dir referenced
+      // by NO manifest at all may be a live cross-process appender's
+      // in-flight (not-yet-committed) generation on this steady leaf,
+      // so it gets the vacuum mtime grace instead of an instant delete
+      // (r18 — the fold GC's documented in-flight protection applied
+      // here too; an aged true orphan falls to the next pass/vacuum)
+      val expiredGens: Set[String] = vs.filterNot(kept.contains)
+        .flatMap(x => readPointer(fs, new HPath(leaf, s"_manifest-$x"))).toSet
+      val graceCutoff = System.currentTimeMillis() - DefaultVacuumGraceMs
       ManifestIo.list(fs, leaf)
         .filter(st => st.isDirectory &&
           (st.getPath.getName.startsWith(".gen-") ||
             st.getPath.getName.startsWith(".del-")) &&
-          !keepGens.contains(st.getPath.getName))
+          !keepGens.contains(st.getPath.getName) &&
+          (expiredGens.contains(st.getPath.getName) ||
+            st.getModificationTime < graceCutoff))
         .foreach(st => ManifestIo.delete(fs, st.getPath))
       vs.filterNot(kept.contains).foreach(x =>
         ManifestIo.delete(fs, new HPath(leaf, s"_manifest-$x")))
@@ -1442,28 +1494,41 @@ object Warehouse {
     * may carry that debris). A manifested leaf's `.gen-*`/`_current`
     * entries are dot/underscore-prefixed, so it walks as a leaf. */
   private def manifestLeaves(fs: HFs, d: HPath): Seq[HPath] = {
-    ManifestIo.list(fs, d)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".") &&
-        st.getPath.getName.endsWith(".compact_old"))
-      .foreach { o =>
-        val target = new HPath(d,
-          o.getPath.getName.stripPrefix(".").stripSuffix(".compact_old"))
-        restoreIfStranded(fs, target)
-      }
-    val sub = ManifestIo.list(fs, d)
-      .filter(st => st.isDirectory &&
-        !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_"))
-    if (sub.isEmpty) Seq(d)
-    else {
-      // recurse on the bounded pool (r17): each child's walk is one
-      // independent LIST (a k=v leaf's children are all dot/underscore
-      // entries, so its recursion terminates without spawning further
-      // pools) — at thousands of shards the walk pays leaves/16 × RTT
-      // instead of leaves × RTT, same as the commit walks it feeds
-      val children = sub.toSeq.sortBy(_.getPath.getName).map(_.getPath)
-      parCommitLeaves(children)(c => manifestLeaves(fs, c)).flatten
+    // breadth-first on ONE bounded pool per LEVEL (r18): each frontier
+    // directory's walk step is one independent LIST, and the whole
+    // level lists in a single parCommitLeaves call from THIS thread —
+    // at thousands of shards the walk pays leaves/16 × RTT instead of
+    // leaves × RTT. (The r17 form recursed parCommitLeaves from inside
+    // pool workers: correct for single-level k=v trees, but a 2–3
+    // level tree nested a fresh 16-thread pool per non-leaf child —
+    // ~16^depth threads, outer workers blocked on inner pools.)
+    def step(dir: HPath): Either[HPath, Seq[HPath]] = {
+      ManifestIo.list(fs, dir)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(".") &&
+          st.getPath.getName.endsWith(".compact_old"))
+        .foreach { o =>
+          val target = new HPath(dir,
+            o.getPath.getName.stripPrefix(".").stripSuffix(".compact_old"))
+          restoreIfStranded(fs, target)
+        }
+      val sub = ManifestIo.list(fs, dir)
+        .filter(st => st.isDirectory &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+      if (sub.isEmpty) Left(dir)
+      else Right(sub.toSeq.sortBy(_.getPath.getName).map(_.getPath))
     }
+    val leaves = Seq.newBuilder[HPath]
+    var frontier: Seq[HPath] = Seq(d)
+    while (frontier.nonEmpty) {
+      val stepped = parCommitLeaves(frontier)(step)
+      leaves ++= stepped.collect { case Left(leaf) => leaf }
+      frontier = stepped.collect { case Right(kids) => kids }.flatten
+    }
+    // depth-first lexical order, as before: every consumer zips or
+    // maps over this seq, so keep the ordering deterministic and
+    // path-sorted regardless of which level a leaf surfaced at
+    leaves.result().sortBy(_.toString)
   }
 
   /** Read a [[compactManifestedPartitioned]] tree: every leaf resolves
@@ -2193,14 +2258,27 @@ object Warehouse {
     val cut = eagerCut(source)
     // routing: the distinct partition combos are touched-leaf-bounded
     // (the same cardinality as the walk itself), so this collect is
-    // as bounded as listing the directories was
+    // as bounded as listing the directories was. A NULL or EMPTY
+    // partition value maps to the Hive default-partition sentinel
+    // (r18) — the SAME name the staging `partitionBy` writes such
+    // rows under — so the adoption probe, leaf routing and the staged
+    // tree agree on one directory instead of the probe NPE-ing on
+    // escapePathName(null) while the stage files the row elsewhere.
+    val defaultPart = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
     val combos = cut.select(pcols.map(c => col(c).cast("string")): _*)
       .distinct().collect()
-      .map(r => pcols.indices.map(i => r.getString(i)).toSeq).toSeq
+      .map(r => pcols.indices.map { i =>
+        val v = r.getString(i)
+        if (v == null || v.isEmpty) defaultPart else v
+      }.toSeq).toSeq
+      .distinct // null and '' fold to ONE sentinel combo, not two
     def leafFor(combo: Seq[String]): HPath =
       pcols.zip(combo).foldLeft(root) { case (acc, (k, v)) =>
-        new HPath(acc, s"$k=${org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.escapePathName(v)}")
+        val dir = if (v == defaultPart) v
+          else org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(v)
+        new HPath(acc, s"$k=$dir")
       }
     // adoption probe: a combo needs creation when its leaf holds NO
     // COMMITTED HEAD — head-probed, not directory-probed, because a
@@ -2241,12 +2319,32 @@ object Warehouse {
           val leaf = leafFor(combo)
           if (!hasCommittedHead(fs, leaf)) {
             val gen0 = new HPath(leaf, ".gen-0")
-            if (ManifestIo.exists(fs, gen0)) ManifestIo.delete(fs, gen0)
             fs.mkdirs(gen0)
-            org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
-              new HPath(gen0, part.getName), false, hconf(spark))
+            // ADOPT, never reset (r18): a headless leaf is not always
+            // empty — loose parquet files are a partitioned write
+            // awaiting first contact (the [[appendManifested]]/
+            // [[compactManifested]] adoption contract), and a
+            // non-empty `.gen-0` is a crashed prior adoption's
+            // half-moved state. Both become generation 0: loose files
+            // rename INTO `.gen-0` (idempotent — a replay moves the
+            // remainder and converges), existing `.gen-0` contents are
+            // KEPT; only a leaf with no data at all gets the empty
+            // schema template. (r17 deleted `.gen-0` and committed the
+            // template unconditionally — silent data loss on exactly
+            // the crashed-adoption state the head probe exists to
+            // converge.)
+            ManifestIo.list(fs, leaf)
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .foreach(s => ManifestIo.rename(fs, s.getPath,
+                new HPath(gen0, s.getPath.getName)))
+            val hasData = ManifestIo.list(fs, gen0)
+              .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            if (!hasData)
+              org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+                new HPath(gen0, part.getName), false, hconf(spark))
             try { commitManifest(fs, leaf, new HPath(leaf, "_current"),
-              Seq(".gen-0"), 0L); () }
+              Seq(".gen-0"), 0L,
+              stats = collectStats(fs, hconf(spark), leaf, ".gen-0")); () }
             catch { case _: java.util.ConcurrentModificationException => () }
           }
           leaf -> pcols.zip(combo)

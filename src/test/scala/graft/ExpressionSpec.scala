@@ -179,6 +179,40 @@ class ExpressionSpec extends SparkSpec {
     assert(proj(nullRow).isNullAt(0) && expr.eval(nullRow) == null)
   }
 
+  test("bucket_by_cuts codegen compiles, matches interpreted eval, and the upper-bound search is monotone under duplicate cuts") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types.DoubleType
+    import graft.functions.BucketByCuts
+    // duplicate cuts model a value heavier than one quantile step —
+    // the skew case the expression exists for
+    val cuts = Array(1.0, 2.0, 2.0, 2.0, 5.0, 9.0, 9.0)
+    val expr = BucketByCuts(
+      BoundReference(0, DoubleType, nullable = true), cuts, 16)
+    val proj = GenerateMutableProjection.generate(Seq(expr))
+    // known values: count of cuts <= v, times scale
+    val expect = Seq(0.5 -> 0L, 1.0 -> 1L, 1.5 -> 1L, 2.0 -> 4L,
+      3.0 -> 4L, 5.0 -> 5L, 8.9 -> 5L, 9.0 -> 7L, 100.0 -> 7L)
+    for ((v, b) <- expect) {
+      val row = InternalRow(v)
+      assert(expr.eval(row) == b * 16, s"interpreted bucket($v)")
+      assert(proj(row).getLong(0) == b * 16, s"codegen bucket($v)")
+    }
+    // monotone over a random sweep, codegen == interpreted
+    val rnd = new scala.util.Random(11)
+    val vs = Seq.fill(200)(rnd.nextDouble() * 12).sorted
+    val bs = vs.map { v =>
+      val row = InternalRow(v)
+      val g = proj(row).getLong(0)
+      assert(g == expr.eval(row).asInstanceOf[Long], s"drift at $v")
+      g
+    }
+    assert(bs == bs.sorted, "bucket map must be monotone")
+    val nullRow = InternalRow(null)
+    assert(proj(nullRow).isNullAt(0) && expr.eval(nullRow) == null)
+  }
+
   test("merge-then-extract rule removes the map_concat from the plan") {
     import spark.implicits._
     val df = Seq((1L, Map("a" -> "x")), (2L, null.asInstanceOf[Map[String, String]]))

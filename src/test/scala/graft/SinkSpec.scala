@@ -2043,4 +2043,223 @@ class SinkSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(wdir).getParentFile)
   }
+
+  test("quantile z-order: on a zipfian dimension the sampled-cuts layout keeps pruning where linear min/max bucketing collapses") {
+    val W = graft.operators.Warehouse
+    // x uniform 8-bit; y ZIPFIAN-shaped: 98.4% of rows cluster in
+    // [1, 63] while 1/64 are outliers near 1e6 — the linear min/max
+    // scale maps the whole cluster into bucket ~0, so the Morton key
+    // varies only with x and a y-band inside the cluster cannot prune.
+    // The quantile layout spreads the cluster by MASS: each cluster
+    // value owns ~64 of 4096 cut steps, files go narrow in y where
+    // the rows actually are, and the same band prunes like the
+    // uniform control.
+    // outliers at 1e9: the linear 16-bit scale then maps the WHOLE
+    // cluster to bucket 0 (63/1e9 · 65536 ≈ 0.004) — the genuine
+    // collapse. The cluster value comes from id's HIGH bits while x
+    // is the low byte, so the two dimensions are independent — a
+    // y-correlated-with-x fixture would let the x tiling prune y for
+    // free and mask the collapse.
+    def skewed(id: org.apache.spark.sql.Column) = {
+      val hi = (id / 256).cast("long") % 64
+      when(hi === 0, lit(1000000000L) + id).otherwise(hi)
+    }
+    def build(dir: String, yCol: org.apache.spark.sql.Column,
+              quantiles: Boolean): Unit = {
+      W.appendManifested(spark, dir,
+        spark.range(0, 65536).select(col("id"),
+          (col("id") % 256).as("x"), yCol.as("y")))
+      W.compactManifested(spark, dir, targetFileBytes = 1L << 10,
+        zorderBy = Seq("x", "y"), zorderQuantiles = quantiles)
+    }
+    val base = Files.createTempDirectory("graft_zq")
+    val (udir, ldir, qdir) =
+      (s"$base/u", s"$base/l", s"$base/q")
+    build(udir, (col("id") * 37) % 4096, quantiles = false) // uniform control
+    build(ldir, skewed(col("id")), quantiles = false)       // skew + linear
+    build(qdir, skewed(col("id")), quantiles = true)        // skew + cuts
+    def frac(dir: String, lo: Long, hi: Long): Double = {
+      val total = W.readManifested(spark, dir).inputFiles.length
+      assert(total >= 32, s"want many files in $dir: $total")
+      W.readManifestedRange(spark, dir, "y", lo, hi)
+        .inputFiles.length.toDouble / total
+    }
+    // ~1/8-of-mass bands: [0,511] of 4096 uniform; [0,7] of the 1..63
+    // cluster (7/64 of rows) on the skewed tables
+    val uFrac = frac(udir, 0L, 511L)
+    val lFrac = frac(ldir, 0L, 7L)
+    val qFrac = frac(qdir, 0L, 7L)
+    // correctness first: the pruned reads return exactly the band
+    val bandSum = (0L until 65536L)
+      .filter(i => (i / 256) % 64 >= 1 && (i / 256) % 64 <= 7).sum
+    assert(W.readManifestedRange(spark, qdir, "y", 0L, 7L)
+      .agg(sum(col("id"))).head.getLong(0) == bandSum)
+    assert(W.readManifestedRange(spark, ldir, "y", 0L, 7L)
+      .agg(sum(col("id"))).head.getLong(0) == bandSum)
+    // the layout claim: quantile pruning within ~2x of the uniform
+    // case; the linear control FAILS that bound on the same data
+    assert(qFrac <= 2.0 * uFrac,
+      f"quantile layout opened $qFrac%.2f of files vs uniform $uFrac%.2f")
+    assert(lFrac > 2.0 * uFrac,
+      f"linear control unexpectedly pruned: $lFrac%.2f vs uniform $uFrac%.2f")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
+  test("partition adoption preserves pre-existing data: loose parquet and a crashed adoption's .gen-0 become generation 0, never reset") {
+    val W = graft.operators.Warehouse
+    val root = Files.createTempDirectory("graft_adoptdata").resolve("t").toString
+    spark.range(0, 40).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .withColumn("v", lit("base"))
+      .write.partitionBy("p").mode("overwrite").parquet(root)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    def src(ids: Range, p: String, tag: String) =
+      spark.range(ids.start, ids.end).toDF("id")
+        .withColumn("p", lit(p)).withColumn("v", lit(tag))
+
+    // (1) LOOSE parquet under a headless leaf — a partitioned write
+    // that landed after the root was manifested, awaiting the
+    // adoption-on-first-contact contract. The MERGE must adopt those
+    // rows as generation 0, then apply its slice — never bootstrap an
+    // empty v1 over them (the r17 behavior: loose files orphaned out
+    // of every read).
+    spark.range(500, 510).toDF("id").withColumn("v", lit("loose"))
+      .coalesce(1).write.parquet(s"$root/p=2")
+    W.upsertManifestedPartitioned(spark, root,
+      src(500 until 503, "2", "upd"), "id")
+    val p2 = W.readManifestedPartitioned(spark, root).filter(col("p") === "2")
+    assert(p2.count() == 10L,
+      s"loose pre-adoption rows were lost: ${p2.count()} of 10")
+    assert(p2.filter(col("v") === "upd").count() == 3L)
+    assert(p2.filter(col("v") === "loose").count() == 7L)
+
+    // (2) a crashed prior adoption: files already MOVED into .gen-0,
+    // no commit (the compactManifested adoption's crash window). The
+    // r17 bootstrap recursively DELETED this directory — permanent
+    // data loss; the merge must commit its contents as generation 0.
+    spark.range(600, 606).toDF("id").withColumn("v", lit("crashed"))
+      .coalesce(1).write.parquet(s"$root/p=3/.gen-0")
+    W.upsertManifestedPartitioned(spark, root,
+      src(606 until 608, "3", "add"), "id")
+    val p3 = W.readManifestedPartitioned(spark, root).filter(col("p") === "3")
+    assert(p3.count() == 8L,
+      s"crashed-adoption .gen-0 rows were lost: ${p3.count()} of 8")
+    assert(p3.filter(col("v") === "crashed").count() == 6L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("nested partition adoption: a 2-level MERGE introducing new (k1,k2) combos — incl. escaped values — lands in ONE root version") {
+    val W = graft.operators.Warehouse
+    val root = Files.createTempDirectory("graft_adopt2").resolve("t").toString
+    spark.range(0, 40).toDF("id")
+      .withColumn("k1", when(col("id") % 2 === 0, lit("a")).otherwise(lit("b")))
+      .withColumn("k2", lit("x"))
+      .withColumn("v", lit("base"))
+      .write.partitionBy("k1", "k2").mode("overwrite").parquet(root)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    val preV = W.rootSnapshots(root).last
+    def src(ids: Range, k1: String, k2: String, tag: String) =
+      spark.range(ids.start, ids.end).toDF("id")
+        .withColumn("k1", lit(k1)).withColumn("k2", lit(k2))
+        .withColumn("v", lit(tag))
+    // one merge: an update into an existing combo, a new k2 under an
+    // existing k1 (mid-tree creation), and a both-levels-new combo
+    // whose values need path escaping (space, colon, percent)
+    val m = W.upsertManifestedPartitioned(spark, root,
+      src(0 until 2, "a", "x", "upd").withColumn("id", col("id") * 2)
+        .unionByName(src(100 until 110, "a", "c:d", "new"))
+        .unionByName(src(200 until 205, "n w", "q%r", "new2")),
+      "id")
+    assert(m.keySet == Set("k1=a/k2=x", "k1=b/k2=x",
+      "k1=a/k2=c%3Ad", "k1=n w/k2=q%25r"), m.toString)
+    assert(W.rootSnapshots(root).last == preV + 1,
+      s"nested adoption+data must spend ONE root version: ${W.rootSnapshots(root)}")
+    val cur = W.readManifestedPartitioned(spark, root)
+    assert(cur.count() == 55L)
+    assert(cur.filter(col("k1") === "a" && col("k2") === "c:d").count() == 10L,
+      "escaped mid-tree combo failed to route")
+    assert(cur.filter(col("k1") === "n w" && col("k2") === "q%r").count() == 5L,
+      "both-levels-new escaped combo failed to route")
+    assert(cur.filter(col("v") === "upd").count() == 2L)
+    // time travel: a reader at preV never sees the adopted combos
+    val pre = W.readManifestedPartitionedAt(spark, root, preV)
+    assert(pre.count() == 40L)
+    assert(pre.filter(col("k2") =!= "x").count() == 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("a NULL or empty partition value in the merge source routes to the Hive default-partition leaf, matching the staged tree") {
+    val W = graft.operators.Warehouse
+    val root = Files.createTempDirectory("graft_nullpart").resolve("t").toString
+    spark.range(0, 40).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .withColumn("v", lit("base"))
+      .write.partitionBy("p").mode("overwrite").parquet(root)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    val preV = W.rootSnapshots(root).last
+    // nulls (even ids) and empty strings (odd ids) both file under the
+    // sentinel — ONE adopted leaf, one root version, no NPE in the
+    // adoption probe (the r17 behavior: escapePathName(null) threw an
+    // opaque NPE inside the probe's pool thread)
+    val srcDf = spark.range(100, 105).toDF("id")
+      .withColumn("p", when(col("id") % 2 === 0, lit(null).cast("string"))
+        .otherwise(lit("")))
+      .withColumn("v", lit("n"))
+    W.upsertManifestedPartitioned(spark, root, srcDf, "id")
+    assert(W.rootSnapshots(root).last == preV + 1)
+    val sentinel = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    assert(new java.io.File(s"$root/p=$sentinel").isDirectory,
+      "null rows must land under the Hive default-partition leaf")
+    val back = W.readManifestedPartitioned(spark, root)
+    assert(back.filter(col("p") === sentinel).count() == 5L,
+      "probe and staged tree disagreed on the null-partition leaf")
+    assert(back.count() == 45L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
+  test("retention GC graces a never-committed generation: young in-flight dirs survive, aged orphans and expired snapshots are collected") {
+    val W = graft.operators.Warehouse
+    val root = Files.createTempDirectory("graft_gcgrace").resolve("t").toString
+    spark.range(0, 40).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .write.partitionBy("p").mode("overwrite").parquet(root)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    // plant a cross-process appender's in-flight (never-committed)
+    // generation on the steady leaf, mid-write: data present, commit
+    // not yet landed
+    val inflight = new java.io.File(s"$root/p=0/.gen-7")
+    spark.range(900, 905).toDF("id")
+      .coalesce(1).write.parquet(inflight.toString)
+    // retain-0 steady walk: the expired pre-fold snapshot goes (count
+    // window), but the YOUNG unreferenced dir survives the grace —
+    // r17 deleted it mid-write
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30,
+      retainSnapshots = 0)
+    assert(W.snapshots(s"$root/p=0").size == 1,
+      W.snapshots(s"$root/p=0").toString)
+    assert(inflight.isDirectory,
+      "steady-path retention GC deleted a live writer's in-flight generation")
+    // once AGED past the vacuum grace it is a true orphan (the writer
+    // died): the next retention pass collects it. Backdate, then give
+    // the walk an expired manifest so the GC body runs (append+fold).
+    def backdate(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+      ()
+    }
+    backdate(inflight)
+    inflight.listFiles().foreach(backdate)
+    W.appendManifested(spark, s"$root/p=0",
+      spark.range(910, 915).toDF("id"))
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30,
+      retainSnapshots = 0)
+    assert(!inflight.exists(),
+      "an aged never-committed orphan must be collected once past the grace")
+    assert(W.readManifestedPartitioned(spark, root).count() == 45L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
 }
