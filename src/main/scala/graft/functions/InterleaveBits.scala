@@ -144,4 +144,28 @@ object InterleaveBits {
         (0 until bits).map(i => s"((($y >> $i) & 1) << ${2 * i + 1})")
     terms.mkString("(", " | ", ")")
   }
+
+  /** DuckDB-expressible mirror of the n-ary [[mortonN]] INCLUDING the
+    * sign-XOR fold — the exact signed value of
+    * `interleave_bits_n(cols, bits).bitwiseXOR(Long.MinValue)`, the
+    * key [[graft.operators.Warehouse.compactManifested]] range-
+    * partitions a `zorderBy` fold on. Same unrolled bit-test sum as
+    * [[mortonSql]], position `n·i + d`, but over HUGEINT: with
+    * n·bits = 64 the top term lands on bit 63, which 64-bit SQL
+    * arithmetic cannot place without overflow. In the wider type the
+    * XOR-with-2⁶³ fold collapses to plain arithmetic: for an unsigned
+    * key k ∈ [0, 2⁶⁴), `k XOR 2⁶³` reinterpreted signed is k − 2⁶³ in
+    * BOTH halves — so the mirror is `CAST(Σ terms − 2⁶³ AS BIGINT)`,
+    * bit-for-bit the engine's folded key (ExpressionSpec pins the
+    * agreement; the v15 catalog row puts it under the DuckDB oracle). */
+  def mortonSqlN(cols: Seq[String], bits: Int): String = {
+    require(cols.size >= 2 && cols.size * bits <= 64,
+      s"mortonSqlN: ${cols.size} dims x $bits bits exceeds the 64-bit key")
+    val n = cols.size
+    val terms = for {
+      (c, d) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield s"(CAST((($c >> $i) & 1) AS HUGEINT) << ${n * i + d})"
+    terms.mkString("CAST((", " + ", ") - 9223372036854775808 AS BIGINT)")
+  }
 }

@@ -336,6 +336,51 @@ object Quality {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang"))
     }),
+    // N-DIM Z-ORDER under the correctness gate (r18): the 3-D twin of
+    // v13 — build (once per process+sf) a manifested documents table
+    // carrying a third synthetic dimension (`dmix`, a multiplicative
+    // hash of doc_id — full oracle replay is one integer expression),
+    // fold it along the 3-D Morton curve ([[InterleaveBitsN]], the
+    // round-robin n-ary interleave), then answer a dmix RANGE read
+    // through the skipping reader: the THIRD dimension, prunable only
+    // because the n-ary curve tiled it. The output ALSO replays the
+    // 4-D FOLDED KEY per row (16-bit integer buckets through the
+    // production expression + the sign-XOR fold — 4×16 fills bit 63,
+    // the n=4 ordering hole MortonPropertySpec caught in r17) as
+    // per-group min/max, and the oracle recomputes the identical
+    // signed keys via [[InterleaveBits.mortonSqlN]] — so a single
+    // wrong bit in the interleave OR a missing/misplaced sign fold
+    // hash-fails against DuckDB instead of living only in specs.
+    "v15_zorder3_range_read" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifzorder3", d) { dir =>
+        val docs = t(s, d, "documents").select(
+            col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("dmix", (col("doc_id") * lit(2654435761L)) % 4096)
+        val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        (0 until 4).foreach { q =>
+          Warehouse.appendManifested(s, dir,
+            docs.filter(col("doc_id") >= q * n / 4 &&
+              col("doc_id") < (q + 1) * n / 4))
+        }
+        Warehouse.compactManifested(s, dir, targetFileBytes = 1L << 20,
+          zorderBy = Seq("doc_id", "n_chars", "dmix"))
+        ()
+      }
+      val read = Warehouse.readManifestedRange(s, root, "dmix", 512L, 1023L)
+      val dims = Seq(
+        col("doc_id") % 65536,
+        col("n_chars").cast("long") % 65536,
+        col("dmix"),
+        (col("doc_id") * 40503L) % 65536)
+      val zkey = graft.functions.InterleaveBits
+        .interleave_bits_n(dims.map(_.cast("long")))
+        .bitwiseXOR(lit(Long.MinValue))
+      read.withColumn("zkey", zkey)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          min(col("zkey")).as("z_min"), max(col("zkey")).as("z_max"))
+        .orderBy(col("lang"))
+    }),
     // PARTITION ADOPTION under the correctness gate (r17): build (once
     // per process+sf) the partitioned table WITHOUT its
     // alphabetically-last language, then run ONE
@@ -472,6 +517,27 @@ object Quality {
          WHERE n_chars BETWEEN (SELECT max(n_chars) // 8 FROM documents)
                            AND (SELECT max(n_chars) // 4 FROM documents)
          GROUP BY lang ORDER BY lang""",
+    // the 3-D pruned read recomputed from the source (same dmix window)
+    // PLUS the per-group extremes of the 4-D folded Morton key — the
+    // n-ary interleave and the sign-XOR fold replayed bit-for-bit in
+    // SQL by mortonSqlN (HUGEINT bit-test sum, minus 2^63 = the fold)
+    "v15_zorder3_range_read" -> {
+      val zkey = graft.functions.InterleaveBits.mortonSqlN(Seq(
+        "(doc_id % 65536)", "(n_chars % 65536)", "dmix",
+        "((doc_id * 40503) % 65536)"), 16)
+      s"""WITH src AS (
+           SELECT doc_id, lang, n_chars,
+             (doc_id * 2654435761) % 4096 AS dmix
+           FROM documents),
+         k AS (
+           SELECT lang, doc_id, $zkey AS zkey
+           FROM src WHERE dmix BETWEEN 512 AND 1023)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(min(zkey) AS BIGINT) AS z_min,
+           CAST(max(zkey) AS BIGINT) AS z_max
+         FROM k GROUP BY lang ORDER BY lang"""
+    },
     // the adopted-merge outcome recomputed from the source: EVERY doc
     // is present (the late language merged in whole), %5 rows carry
     // the sentinel — a lost adoption drops a whole language group
