@@ -14,6 +14,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 package object operators {
 
+  // Hadoop path/filesystem aliases shared by the Warehouse modules
+  // (r18 split — one definition; per-trait private aliases would
+  // conflict when mixed into the object)
+  private[operators] type HPath = org.apache.hadoop.fs.Path
+  private[operators] type HFs = org.apache.hadoop.fs.FileSystem
+
   /** True when the session opts into RELIABLE (fault-tolerant) lineage
     * cuts: `spark.graft.reliableCheckpoint=true` plus a
     * `sparkContext.setCheckpointDir`. Default (false) cuts lineage with
