@@ -52,6 +52,8 @@ object Plans {
       "v12_skipping_range_read" -> "manifest min/max data skipping: the scan is planned over only the files whose recorded range admits the predicate; tombstones broadcast-anti on top",
       "v13_zorder_range_read" -> "OPTIMIZE ZORDER + skipping read: the fold is laid along the Morton curve of two dimensions, so the range read prunes files on the SECOND dimension too; planned from the #file manifest inventory, zero generation LISTs",
       "v15_zorder3_range_read" -> "n-dim OPTIMIZE ZORDER: the fold rides the 3-D round-robin Morton curve (codegen'd InterleaveBitsN), the range read prunes on the THIRD dimension, and the output replays the 4-D sign-folded key against the SQL mirror",
+      "v16_change_data_feed" -> "change data feed: candidate keys from exactly the delta's generation/tombstone dirs, both snapshots semi-joined down to them, ONE key-equi diff join — never a full-outer of two snapshots",
+      "v17_clone_read" -> "deep clone read: the clone's own manifest plans the scan; post-clone source mutations are invisible by storage independence, not by filtering",
       "s16_retrieve_rerank" -> "two-stage ANN serve: broadcast shortlist meets the corpus; exact rerank never shuffles it",
       "v07_key_skew" -> "skew profile: map-side key counts; global top-N is a TakeOrdered, not a sort",
       // the plan shows PASS 2 only (the narrow offset scan); pass 1 —

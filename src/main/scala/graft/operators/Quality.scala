@@ -381,6 +381,64 @@ object Quality {
           min(col("zkey")).as("z_min"), max(col("zkey")).as("z_max"))
         .orderBy(col("lang"))
     }),
+    // CHANGE DATA FEED under the correctness gate (r18): build (once
+    // per process+sf) a three-version lifecycle — full append (v1),
+    // tombstone %7 (v2), one MERGE carrying updates (%5 → sentinel
+    // n_chars) AND inserts (negated new keys for the %11 class) (v3) —
+    // then read the NET row-level changes v1 → v3 through
+    // [[Warehouse.tableChanges]] (candidates from exactly the
+    // generation/tombstone dirs the manifest added; pre-image payload
+    // for deletes, post-image for updates/inserts). The oracle
+    // recomputes every class from `documents`: a missed tombstone, a
+    // dropped insert, a no-op row leaking through as an update, or a
+    // wrong-image payload all hash-fail.
+    "v16_change_data_feed" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifcdf", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        Warehouse.appendManifested(s, dir, docs)                      // v1
+        Warehouse.deleteManifested(s, dir,
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))) // v2
+        Warehouse.upsertManifested(s, dir,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") * 0 - 1).as("n_chars"))
+            .unionByName(docs.filter(col("doc_id") % 11 === 0)
+              .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+                (col("n_chars") * 0 - 2).as("n_chars"))),
+          "doc_id")                                                   // v3
+        ()
+      }
+      Warehouse.tableChanges(s, root, "doc_id", 1L, 3L)
+        .groupBy(col("lang"), col("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("change_type"))
+    }),
+    // DEEP CLONE under the correctness gate (r18): clone the
+    // append+delete source table, then MUTATE THE SOURCE AGAIN (%3
+    // tombstone) inside the gated lifecycle — the clone read must
+    // surface the snapshot it copied, proving storage independence,
+    // not just a working read path. Oracle = the %7 survivors
+    // recomputed from `documents` (the %3 delete must NOT appear).
+    "v17_clone_read" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifclone", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        Warehouse.appendManifested(s, s"$dir/src", docs)
+        Warehouse.deleteManifested(s, s"$dir/src",
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+        Warehouse.cloneManifested(s, s"$dir/src", s"$dir/clone")
+        Warehouse.deleteManifested(s, s"$dir/src",
+          docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+        ()
+      }
+      Warehouse.readManifested(s, s"$root/clone")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     // PARTITION ADOPTION under the correctness gate (r17): build (once
     // per process+sf) the partitioned table WITHOUT its
     // alphabetically-last language, then run ONE
@@ -538,6 +596,33 @@ object Quality {
            CAST(max(zkey) AS BIGINT) AS z_max
          FROM k GROUP BY lang ORDER BY lang"""
     },
+    // the net change classes recomputed from the source: deletes are
+    // the tombstoned-and-not-re-upserted residue (PRE-image n_chars),
+    // updates the %5 class (post-image sentinel −1 — including %35
+    // rows, whose delete-then-re-insert nets to an update), inserts
+    // the negated %11 keys (post-image −2)
+    "v16_change_data_feed" ->
+      """WITH ch AS (
+           SELECT lang, 'delete' AS change_type, doc_id, n_chars
+           FROM documents WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+           UNION ALL
+           SELECT lang, 'update', doc_id, -1 FROM documents
+           WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT lang, 'insert', -(doc_id + 1), -2 FROM documents
+           WHERE doc_id % 11 = 0)
+         SELECT lang, change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM ch GROUP BY lang, change_type ORDER BY lang, change_type""",
+    // the cloned snapshot recomputed from the source: the %7 delete is
+    // in the clone, the post-clone %3 delete must NOT be
+    "v17_clone_read" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE doc_id % 7 <> 0
+         GROUP BY lang ORDER BY lang""",
     // the adopted-merge outcome recomputed from the source: EVERY doc
     // is present (the late language merged in whole), %5 rows carry
     // the sentinel — a lost adoption drops a whole language group

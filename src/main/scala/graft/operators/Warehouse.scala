@@ -37,6 +37,7 @@ object Warehouse
     with WarehouseLeaf
     with WarehouseRoot
     with WarehouseRetention
+    with WarehouseChanges
     with WarehouseQueries {
 
   /** Exact semi join of `fact` against `dimKeys`, pre-filtered by a

@@ -2044,6 +2044,94 @@ class SinkSpec extends SparkSpec {
       new java.io.File(wdir).getParentFile)
   }
 
+  test("change data feed: net insert/update/delete with correct images, empty self-diff, compaction-window equivalence, refusals") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_cdf").resolve("t").toString
+    def rows(xs: (Long, Long)*) = {
+      import spark.implicits._
+      xs.toSeq.toDF("id", "p")
+    }
+    W.appendManifested(spark, dir, rows((0L to 10L).map(i => i -> i * 10): _*)) // v1
+    W.deleteManifested(spark, dir,
+      rows((0L to 10L).filter(_ % 2 == 0).map(i => i -> 0L): _*).select(col("id"))) // v2
+    // v3: identical re-insert (net NO-OP), changed re-insert (update),
+    // brand-new key (insert)
+    W.appendManifested(spark, dir, rows(0L -> 0L, 2L -> 999L, 100L -> 5L))  // v3
+    def ch(a: Long, b: Long) =
+      W.tableChanges(spark, dir, "id", a, b).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("p"),
+          r.getAs[String]("change_type"))).toSet
+    assert(ch(1L, 3L) == Set(
+      (4L, 40L, "delete"), (6L, 60L, "delete"),   // PRE-image payloads
+      (8L, 80L, "delete"), (10L, 100L, "delete"),
+      (2L, 999L, "update"),                        // post-image
+      (100L, 5L, "insert")),
+      s"net diff v1->v3: ${ch(1L, 3L)}")
+    // the identically-re-inserted key 0 nets out — no row at all
+    assert(!ch(1L, 3L).exists(_._1 == 0L))
+    assert(ch(2L, 3L) == Set((0L, 0L, "insert"), (2L, 999L, "insert"),
+      (100L, 5L, "insert")))
+    assert(ch(3L, 3L).isEmpty && ch(1L, 1L).isEmpty)
+    intercept[IllegalArgumentException] { W.tableChanges(spark, dir, "id", 3L, 1L) }
+    intercept[IllegalArgumentException] { W.tableChanges(spark, dir, "nope", 1L, 3L) }
+    // a compaction between the endpoints renames every surviving row
+    // into the fold — the diff degrades to full candidates but the NET
+    // result is identical (rewritten-identical rows net out)
+    val before = ch(1L, 3L)
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30,
+      retainSnapshots = 10)                                               // v4
+    assert(ch(1L, 4L) == before, s"fold changed the net diff: ${ch(1L, 4L)}")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("deep clone: snapshot-pinned content, fresh history, storage independence both ways, txn markers dropped, refusals and crash convergence") {
+    val W = graft.operators.Warehouse
+    val base = Files.createTempDirectory("graft_clone")
+    val src = s"$base/src"
+    W.appendManifested(spark, src, spark.range(0, 20).toDF("id"))        // v1
+    W.deleteManifested(spark, src,
+      spark.range(0, 20).filter(col("id") % 2 === 0).toDF("id"))         // v2
+    W.upsertManifested(spark, src, spark.range(100, 103).toDF("id"), "id",
+      txn = Some("app" -> 7L))                                           // v3
+    // version-pinned clone = the time-travel content, not the head
+    val c1 = s"$base/c1"
+    assert(W.cloneManifested(spark, src, c1, version = Some(1L)) == 1L)
+    assert(W.readManifested(spark, c1).count() == 20L)
+    assert(W.snapshots(c1) == Seq(1L), "a clone starts a FRESH history")
+    // head clone carries the snapshot incl. tombstones; txn markers of
+    // the source's writers do NOT transfer (fresh table, fresh
+    // idempotence domain)
+    val c2 = s"$base/c2"
+    W.cloneManifested(spark, src, c2)
+    assert(W.readManifested(spark, c2).count() == 13L)
+    assert(!java.nio.file.Files.readString(
+      java.nio.file.Paths.get(c2, "_current")).contains("#txn:"),
+      "writer idempotence state must not transfer to a clone")
+    // independence both directions: mutate source -> clone unchanged;
+    // mutate clone -> source unchanged
+    W.deleteManifested(spark, src, spark.range(0, 20).toDF("id"))
+    assert(W.readManifested(spark, c2).count() == 13L)
+    W.appendManifested(spark, c2, spark.range(500, 510).toDF("id"))
+    assert(W.readManifested(spark, src).count() == 3L)
+    assert(W.readManifested(spark, c2).count() == 23L)
+    // refusal: a committed destination never merges histories
+    val ex = intercept[IllegalArgumentException] {
+      W.cloneManifested(spark, src, c2)
+    }
+    assert(ex.getMessage.contains("already holds"), ex.getMessage)
+    // crash convergence: a half-copied headless destination re-clones
+    val c3 = s"$base/c3"
+    val gen = new java.io.File(src).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(".gen-")).head
+    org.apache.commons.io.FileUtils.copyDirectory(gen,
+      new java.io.File(s"$c3/${gen.getName}"))
+    W.cloneManifested(spark, src, c3)
+    assert(W.readManifested(spark, c3).collect().map(_.getLong(0)).toSet ==
+      W.readManifested(spark, src).collect().map(_.getLong(0)).toSet)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
   test("quantile z-order: on a zipfian dimension the sampled-cuts layout keeps pruning where linear min/max bucketing collapses") {
     val W = graft.operators.Warehouse
     // x uniform 8-bit; y ZIPFIAN-shaped: 98.4% of rows cluster in
