@@ -54,6 +54,7 @@ object Plans {
       "v15_zorder3_range_read" -> "n-dim OPTIMIZE ZORDER: the fold rides the 3-D round-robin Morton curve (codegen'd InterleaveBitsN), the range read prunes on the THIRD dimension, and the output replays the 4-D sign-folded key against the SQL mirror",
       "v16_change_data_feed" -> "change data feed: candidate keys from exactly the delta's generation/tombstone dirs, both snapshots semi-joined down to them, ONE key-equi diff join — never a full-outer of two snapshots",
       "v17_clone_read" -> "deep clone read: the clone's own manifest plans the scan; post-clone source mutations are invisible by storage independence, not by filtering",
+      "v18_incremental_mv_from_cdf" -> "incremental MV from the change feed: base aggregate never re-scanned, each refresh folds signed partials of an O(delta)-candidate diff — post-images add, pre-images subtract",
       "s16_retrieve_rerank" -> "two-stage ANN serve: broadcast shortlist meets the corpus; exact rerank never shuffles it",
       "v07_key_skew" -> "skew profile: map-side key counts; global top-N is a TakeOrdered, not a sort",
       // the plan shows PASS 2 only (the narrow offset scan); pass 1 —

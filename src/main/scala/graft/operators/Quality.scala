@@ -415,6 +415,55 @@ object Quality {
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("change_type"))
     }),
+    // INCREMENTAL MV FROM CDF under the correctness gate (r18): the
+    // q70 merge-partials claim lifted to the TABLE layer — a standing
+    // per-lang aggregate is maintained from [[Warehouse.tableChanges]]
+    // deltas across the v16 lifecycle's version chain (v1 base
+    // aggregate, then one signed-partials fold per version step:
+    // post-images add, PRE-images subtract — exactly what the
+    // update_preimage/update_postimage convention exists for), and
+    // the oracle is the FULL recompute of the final table from
+    // `documents`. A wrong image, a dropped class, or a net no-op
+    // leaking through makes incremental ≠ full and hash-fails. At
+    // 100 TB this is the streaming-MV story: the base never re-scans,
+    // each refresh reads O(delta) candidates.
+    "v18_incremental_mv_from_cdf" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifcdf", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        Warehouse.appendManifested(s, dir, docs)
+        Warehouse.deleteManifested(s, dir,
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+        Warehouse.upsertManifested(s, dir,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") * 0 - 1).as("n_chars"))
+            .unionByName(docs.filter(col("doc_id") % 11 === 0)
+              .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+                (col("n_chars") * 0 - 2).as("n_chars"))),
+          "doc_id")
+        ()
+      }
+      val base = Warehouse.readManifestedAt(s, root, 1L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+      val deltas = Seq((1L, 2L), (2L, 3L)).map { case (a, b) =>
+        Warehouse.tableChanges(s, root, "doc_id", a, b)
+          .withColumn("sgn",
+            when(col("change_type").isin("insert", "update_postimage"), 1L)
+              .otherwise(-1L))
+          .groupBy(col("lang"))
+          .agg(sum(col("sgn")).as("n_docs"),
+            sum(col("sgn") * col("doc_id")).as("sum_ids"),
+            sum(col("sgn") * col("n_chars")).as("sum_chars"))
+      }
+      (base +: deltas).reduce(_.unionByName(_))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_ids")).as("sum_ids"),
+          sum(col("sum_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     // DEEP CLONE under the correctness gate (r18): clone the
     // append+delete source table, then MUTATE THE SOURCE AGAIN (%3
     // tombstone) inside the gated lifecycle — the clone read must
@@ -598,15 +647,19 @@ object Quality {
     },
     // the net change classes recomputed from the source: deletes are
     // the tombstoned-and-not-re-upserted residue (PRE-image n_chars),
-    // updates the %5 class (post-image sentinel −1 — including %35
-    // rows, whose delete-then-re-insert nets to an update), inserts
-    // the negated %11 keys (post-image −2)
+    // updates the %5 class as TWO image rows (pre = original n_chars,
+    // post = the sentinel −1 — including %35 rows, whose
+    // delete-then-re-insert nets to an update), inserts the negated
+    // %11 keys (post-image −2)
     "v16_change_data_feed" ->
       """WITH ch AS (
            SELECT lang, 'delete' AS change_type, doc_id, n_chars
            FROM documents WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
            UNION ALL
-           SELECT lang, 'update', doc_id, -1 FROM documents
+           SELECT lang, 'update_preimage', doc_id, n_chars FROM documents
+           WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT lang, 'update_postimage', doc_id, -1 FROM documents
            WHERE doc_id % 5 = 0
            UNION ALL
            SELECT lang, 'insert', -(doc_id + 1), -2 FROM documents
@@ -615,6 +668,23 @@ object Quality {
            CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM ch GROUP BY lang, change_type ORDER BY lang, change_type""",
+    // the incrementally-maintained MV must equal the FULL recompute of
+    // the final table: %7 deletes applied unless %5 re-upserted, %5
+    // rows carry the sentinel, negated %11 inserts appended — if the
+    // signed-partials fold over the CDF images drifts from this by one
+    // row or one image, the hash fails
+    "v18_incremental_mv_from_cdf" ->
+      """WITH fin AS (
+           SELECT lang, doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 7 <> 0 OR doc_id % 5 = 0
+           UNION ALL
+           SELECT lang, -(doc_id + 1), -2 FROM documents
+           WHERE doc_id % 11 = 0)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM fin GROUP BY lang ORDER BY lang""",
     // the cloned snapshot recomputed from the source: the %7 delete is
     // in the clone, the post-clone %3 delete must NOT be
     "v17_clone_read" ->

@@ -22,8 +22,12 @@ trait WarehouseChanges { this: Warehouse.type =>
     *  - `insert` — key present only at `toVersion` (post-image),
     *  - `delete` — key present only at `fromVersion` (PRE-image: the
     *    row the consumer must retract),
-    *  - `update` — key present in both with any non-key column
-    *    differing (post-image),
+    *  - `update_preimage` + `update_postimage` — TWO rows per key
+    *    present in both snapshots with any non-key column differing
+    *    (Delta CDF's update convention: an incremental consumer
+    *    subtracts the pre-image and adds the post-image — v18 gates
+    *    exactly that MV-maintenance algebra against a full
+    *    recompute),
     *
     * and nothing for untouched or net-identical keys (a delete
     * followed by an identical re-insert is a no-op between the two
@@ -99,15 +103,25 @@ trait WarehouseChanges { this: Warehouse.type =>
     val samePayload = payload
       .map(c => col(s"_f_$c") <=> col(s"_t_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val changeType =
-      when(col(s"_f_$key").isNull, "insert")
-        .when(col(s"_t_$key").isNull, "delete")
-        .when(!samePayload, "update")
-    // post-image for insert/update, PRE-image for delete
-    def img(c: String): Column =
-      when(col(s"_t_$key").isNull, col(s"_f_$c")).otherwise(col(s"_t_$c")).as(c)
-    j.filter(changeType.isNotNull)
-      .select(((key +: payload).map(img) :+ changeType.as("change_type")): _*)
+    val cls =
+      when(col(s"_f_$key").isNull, "i")
+        .when(col(s"_t_$key").isNull, "d")
+        .when(!samePayload, "u")
+    val marked = j.withColumn("_cls", cls).filter(col("_cls").isNotNull)
+    def side(prefix: String, types: Column): DataFrame = marked
+      .filter(types.isNotNull)
+      .select(((key +: payload).map(c => col(s"${prefix}$c").as(c)) :+
+        types.as("change_type")): _*)
+    // PRE-images: deletes and the update's before-row; POST-images:
+    // inserts and the update's after-row. Two passes over one
+    // candidate-bounded join — each side stays a straight projection.
+    val pre = side("_f_",
+      when(col("_cls") === "d", "delete")
+        .when(col("_cls") === "u", "update_preimage"))
+    val post = side("_t_",
+      when(col("_cls") === "i", "insert")
+        .when(col("_cls") === "u", "update_postimage"))
+    pre.unionByName(post)
   }
 
   /** DEEP CLONE of a manifested leaf snapshot into a fresh table —

@@ -2064,7 +2064,8 @@ class SinkSpec extends SparkSpec {
     assert(ch(1L, 3L) == Set(
       (4L, 40L, "delete"), (6L, 60L, "delete"),   // PRE-image payloads
       (8L, 80L, "delete"), (10L, 100L, "delete"),
-      (2L, 999L, "update"),                        // post-image
+      (2L, 20L, "update_preimage"),                // both update images
+      (2L, 999L, "update_postimage"),
       (100L, 5L, "insert")),
       s"net diff v1->v3: ${ch(1L, 3L)}")
     // the identically-re-inserted key 0 nets out — no row at all
