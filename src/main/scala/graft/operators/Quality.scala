@@ -464,6 +464,42 @@ object Quality {
           sum(col("sum_chars")).as("sum_chars"))
         .orderBy(col("lang"))
     }),
+    // PARTITIONED CDF under the correctness gate (r18): the change
+    // feed of a partitioned root between two ROOT versions — build
+    // the table without its alphabetically-last language, compact
+    // (root v1), tombstone %7 across leaves (v2), then one MERGE
+    // carrying %5 sentinel updates AND the whole late language (v3,
+    // partition adoption). tableChangesPartitioned compares the two
+    // version MAPS: untouched leaves contribute nothing at zero cost,
+    // changed leaves run the candidate-bounded per-leaf diff, and the
+    // adopted leaf surfaces as whole-snapshot inserts. The oracle
+    // recomputes every class per language from `documents` — a
+    // missed adoption, a wrong image, or a skipped-leaf false
+    // negative hash-fails.
+    "v19_partitioned_cdf" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifpcdf", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        val late = docs.agg(max(col("lang"))).head.getString(0)
+        docs.filter(col("lang") =!= late).write.partitionBy("lang")
+          .mode("overwrite").parquet(dir)
+        Warehouse.compactManifestedPartitioned(s, dir)
+        Warehouse.deleteManifestedPartitioned(s, dir,
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+        Warehouse.upsertManifestedPartitioned(s, dir,
+          docs.filter(col("lang") === late || col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("lang"),
+              when(col("doc_id") % 5 === 0, col("n_chars") * 0 - 1)
+                .otherwise(col("n_chars")).as("n_chars")), "doc_id")
+        ()
+      }
+      val vs = Warehouse.rootSnapshots(root)
+      Warehouse.tableChangesPartitioned(s, root, "doc_id", vs.head, vs.last)
+        .groupBy(col("lang"), col("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("change_type"))
+    }),
     // DEEP CLONE under the correctness gate (r18): clone the
     // append+delete source table, then MUTATE THE SOURCE AGAIN (%3
     // tombstone) inside the gated lifecycle — the clone read must
@@ -685,6 +721,30 @@ object Quality {
            CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM fin GROUP BY lang ORDER BY lang""",
+    // the partitioned feed recomputed per language: existing languages
+    // carry the delete/update classes (update as two image rows), the
+    // late language arrives whole as inserts with the %5 sentinel
+    // already applied (the merge wrote it that way)
+    "v19_partitioned_cdf" ->
+      """WITH late AS (SELECT max(lang) AS l FROM documents),
+         ch AS (
+           SELECT lang, 'delete' AS change_type, doc_id, n_chars
+           FROM documents, late
+           WHERE lang <> l AND doc_id % 7 = 0 AND doc_id % 5 <> 0
+           UNION ALL
+           SELECT lang, 'update_preimage', doc_id, n_chars
+           FROM documents, late WHERE lang <> l AND doc_id % 5 = 0
+           UNION ALL
+           SELECT lang, 'update_postimage', doc_id, -1
+           FROM documents, late WHERE lang <> l AND doc_id % 5 = 0
+           UNION ALL
+           SELECT lang, 'insert', doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN -1 ELSE n_chars END
+           FROM documents, late WHERE lang = l)
+         SELECT lang, change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM ch GROUP BY lang, change_type ORDER BY lang, change_type""",
     // the cloned snapshot recomputed from the source: the %7 delete is
     // in the clone, the post-clone %3 delete must NOT be
     "v17_clone_read" ->

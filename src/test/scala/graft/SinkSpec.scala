@@ -2086,6 +2086,42 @@ class SinkSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("partitioned change feed: untouched leaves contribute nothing, changed leaves diff candidate-bounded, adopted partitions arrive as inserts") {
+    val W = graft.operators.Warehouse
+    val root = Files.createTempDirectory("graft_pcdf").resolve("t").toString
+    spark.range(0, 20).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .withColumn("v", lit("base"))
+      .write.partitionBy("p").mode("overwrite").parquet(root)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    val r1 = W.rootSnapshots(root).last
+    // one merge: update two even keys (p=0) and adopt p=9 whole
+    W.upsertManifestedPartitioned(spark, root,
+      spark.range(0, 2).toDF("id").withColumn("id", col("id") * 2)
+        .withColumn("p", lit("0")).withColumn("v", lit("upd"))
+        .unionByName(spark.range(100, 103).toDF("id")
+          .withColumn("p", lit("9")).withColumn("v", lit("new"))),
+      "id")
+    val r2 = W.rootSnapshots(root).last
+    val ch = W.tableChangesPartitioned(spark, root, "id", r1, r2).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[String]("p"), r.getAs[String]("change_type"))).toSet
+    assert(ch == Set(
+      (0L, "base", "0", "update_preimage"), (0L, "upd", "0", "update_postimage"),
+      (2L, "base", "0", "update_preimage"), (2L, "upd", "0", "update_postimage"),
+      (100L, "new", "9", "insert"), (101L, "new", "9", "insert"),
+      (102L, "new", "9", "insert")), s"partitioned feed: $ch")
+    // untouched p=1 contributed nothing; self-diff is empty; a
+    // non-retained root version refuses loudly
+    assert(!ch.exists(_._3 == "1"))
+    assert(W.tableChangesPartitioned(spark, root, "id", r2, r2).isEmpty)
+    intercept[IllegalArgumentException] {
+      W.tableChangesPartitioned(spark, root, "id", r1 - 1000, r2).collect()
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   test("deep clone: snapshot-pinned content, fresh history, storage independence both ways, txn markers dropped, refusals and crash convergence") {
     val W = graft.operators.Warehouse
     val base = Files.createTempDirectory("graft_clone")
