@@ -91,22 +91,43 @@ private[graft] object ManifestIo {
   /** CREATE-EXCLUSIVE commit of an immutable file — the CAS primitive
     * under the `_manifest-v` trail (claim version v by being first to
     * create its file). Returns false if the file already exists (a
-    * concurrent writer claimed v). On `file:` this is a true `O_EXCL`
-    * open (atomic cross-process — Hadoop's local `create(overwrite =
-    * false)` is check-then-act, so the local branch goes straight to
-    * the POSIX flag); on HDFS `create(overwrite=false)` is atomic at
-    * the NameNode; on object stores the connector's create-exclusive /
-    * conditional PUT carries it (see the object-store note above). */
+    * concurrent writer claimed v).
+    *
+    * On `file:` the claim is CONTENT-ATOMIC (r19): the body is staged
+    * to a unique dot-prefixed tmp sibling, fsynced, then `link(2)`d
+    * into place — `Files.createLink` fails with EEXIST atomically
+    * (the O_EXCL-grade CAS) and the claimed name appears WITH its
+    * full bytes, never empty. The previous form (O_EXCL create, then
+    * write) left a claimed-but-empty window in which a reader rolling
+    * forward from a missed pointer could resolve an EMPTY head
+    * trailer — see [[graft.operators.Warehouse]]'s headBody, which
+    * also defends in depth by walking past blank trail heads, because
+    * the window still exists off-`file:`: HDFS `create(overwrite =
+    * false)` claims at the NameNode before any byte is written (tiny
+    * window, covered by the reader's blank-head walk + one-retry
+    * contract), and an object-store deployment replaces this whole
+    * primitive with the store's conditional PUT, which is
+    * content-atomic by construction. */
   def putIfAbsent(fs: FileSystem, p: Path, body: String): Boolean =
     try {
       if (fs.getUri.getScheme == "file") {
-        import java.nio.file.{Paths, StandardOpenOption => O}
-        val ch = java.nio.channels.FileChannel.open(
-          Paths.get(p.toUri.getPath), O.CREATE_NEW, O.WRITE)
+        import java.nio.file.{Files, Paths, StandardOpenOption => O}
+        val dst = Paths.get(p.toUri.getPath)
+        // unique per attempt: two writers racing the same claim must
+        // never share a staging file (a shared name could link the
+        // LOSER's bytes under the winner's claim)
+        val tmp = Files.createTempFile(dst.getParent,
+          s".${dst.getFileName}.claim", "")
         try {
-          ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8")))
-          ch.force(true)
-        } finally ch.close()
+          val ch = java.nio.channels.FileChannel.open(tmp, O.WRITE,
+            O.TRUNCATE_EXISTING)
+          try {
+            ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8")))
+            ch.force(true)
+          } finally ch.close()
+          Files.createLink(dst, tmp)
+          syncDir(fs, p.getParent)
+        } finally Files.deleteIfExists(tmp)
       } else writeSynced(fs, p, body, overwrite = false)
       true
     } catch {

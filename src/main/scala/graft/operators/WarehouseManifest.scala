@@ -122,14 +122,30 @@ trait WarehouseManifest { this: Warehouse.type =>
     * as fresh re-adopted `.gen-0` ALONE and committed a pointer that
     * dropped every later generation (r15 fix — every pointer consumer
     * below resolves through here). None = nothing committed at all.
-    * The next commit's [[ManifestIo.replace]] heals the pointer. */
+    * The next commit's [[ManifestIo.replace]] heals the pointer.
+    *
+    * A BLANK body is never a committed head (r19): every commit path
+    * serializes at least one generation line, so an empty/whitespace
+    * trail head is a claimed-but-unwritten `_manifest-v` — the window
+    * between a store's create-exclusive and its body write (closed on
+    * `file:` by [[ManifestIo.putIfAbsent]]'s link(2) staging, still
+    * real on HDFS-contract stores). The roll-forward walks DOWN the
+    * trail past blank claims to the newest complete snapshot instead
+    * of resolving an in-flight claim as an empty table; a blank
+    * `_current` (torn non-atomic pointer swap) falls through to the
+    * same walk. */
   private[operators] def headBody(fs: HFs, root: HPath): Option[String] = {
     val direct =
       try Some(ManifestIo.readString(fs, new HPath(root, "_current")))
       catch { case _: java.io.FileNotFoundException => None }
-    direct.orElse(manifestVersions(fs, root).lastOption.map { v =>
-      ManifestIo.readString(fs, new HPath(root, s"_manifest-$v"))
-    })
+    // a listed version GC'd between the list and the read propagates
+    // as FileNotFoundException — the caller's one-retry contract
+    // re-resolves from a fresh listing (walking past it here could
+    // resolve a STALE retained snapshot as the head)
+    direct.filter(_.trim.nonEmpty).orElse(
+      manifestVersions(fs, root).reverseIterator
+        .map(v => ManifestIo.readString(fs, new HPath(root, s"_manifest-$v")))
+        .find(_.trim.nonEmpty))
   }
 
   /** Does the leaf hold a committed table at all? The [[headBody]]

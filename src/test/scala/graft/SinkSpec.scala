@@ -940,6 +940,93 @@ class SinkSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
   }
 
+  test("hdfs-contract scheme: a blank trail head (claimed-but-unwritten manifest) is never resolved; readers walk down, writers commit past it") {
+    // HDFS create(overwrite=false) claims the _manifest-v NAME at the
+    // NameNode before any byte is written; a reader whose _current
+    // read missed (the fallback's pointer-absent instant) and rolled
+    // forward used to land on that EMPTY head and resolve a committed
+    // table as empty/none (the r18 judge-run flake's suspected product
+    // mechanism). Freeze exactly that state and pin the r19 contract:
+    // a blank body is never a committed head.
+    val W = graft.operators.Warehouse
+    val IO = graft.operators.ManifestIo
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.hdfslike.impl", classOf[HdfsLikeFileSystem].getName)
+    val local = Files.createTempDirectory("graft_faultfs3")
+    val dir = s"hdfslike://$local/tbl"
+    val P = new org.apache.hadoop.fs.Path(_: org.apache.hadoop.fs.Path, _: String)
+    W.appendManifested(spark, dir, spark.range(0, 30).toDF("id"))   // v1
+    W.appendManifested(spark, dir, spark.range(30, 40).toDF("id"))  // v2
+    val (fs, root) = IO.resolve(dir, conf)
+    // the frozen window: a rival claimed v3 and has written nothing
+    // yet, and _current is ALSO absent (mid-fallback pointer swap)
+    fs.create(P(root, "_manifest-3"), false).close()
+    fs.delete(P(root, "_current"), false)
+    // reader rolls forward PAST the blank claim to v2's snapshot
+    assert(W.readManifested(spark, dir).count() == 40L,
+      "blank trail head resolved instead of the newest complete snapshot")
+    // a blank _current (torn non-atomic swap) falls through the same way
+    IO.replace(fs, P(root, "_current"), "")
+    assert(W.readManifested(spark, dir).count() == 40L,
+      "blank _current resolved instead of the trail walk")
+    // the next writer anchors on max trail version: it claims v4 PAST
+    // the stale blank claim, carrying v2's state — nothing lost
+    W.appendManifested(spark, dir, spark.range(40, 45).toDF("id"))
+    assert(W.readManifested(spark, dir).count() == 45L)
+    assert(W.snapshots(dir).max == 4L)
+    org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
+  }
+
+  test("file: manifest claim is content-atomic — racing readers never see an empty or partial claim; exactly one writer wins") {
+    // ManifestIo.putIfAbsent on file: stages the body and link(2)s it
+    // into place (r19): the claim NAME appears atomically WITH its
+    // bytes. The pre-r19 O_EXCL-create-then-write form had a
+    // claimed-but-empty window this race would catch: spin a reader
+    // across many claim rounds and assert every observed body is a
+    // complete winner body, never "" or a prefix.
+    val IO = graft.operators.ManifestIo
+    val conf = spark.sparkContext.hadoopConfiguration
+    val local = Files.createTempDirectory("graft_claimatomic")
+    val (fs, root) = IO.resolve(local.toString, conf)
+    val P = new org.apache.hadoop.fs.Path(_: org.apache.hadoop.fs.Path, _: String)
+    val payload = "x" * 65536
+    val rounds = 300
+    val round = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        val r = round.get()
+        if (r >= 0) {
+          try {
+            val body = IO.readString(fs, P(root, s"claim-$r"))
+            if (!(body.length == payload.length + 3 && body.startsWith("w") &&
+                  body.endsWith("x")))
+              bad.add(s"round $r: saw ${body.length} bytes")
+          } catch { case _: java.io.FileNotFoundException => } // not claimed yet
+        }
+      }
+    })
+    reader.start()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      for (r <- 0 until rounds) {
+        round.set(r)
+        val wins = (0 until 4).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = IO.putIfAbsent(fs, P(root, s"claim-$r"), s"w$i:$payload")
+          })
+        }.count(_.get())
+        assert(wins == 1, s"round $r: $wins writers won the claim")
+      }
+    } finally { stop = true; pool.shutdown(); reader.join(10000) }
+    assert(bad.isEmpty, s"non-atomic claim bodies observed: ${bad.asScala.toSeq.take(3)}")
+    // no staging debris: every .claim tmp is deleted win or lose
+    assert(!local.toFile.listFiles().exists(_.getName.contains(".claim")),
+      "staging tmp files leaked")
+    org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
+  }
+
   test("partitioned row-level ops: delete/upsert touch only their leaves; root versions time-travel") {
     val W = graft.operators.Warehouse
     val dir = Files.createTempDirectory("graft_prow").resolve("tbl").toString

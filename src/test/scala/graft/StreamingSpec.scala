@@ -489,7 +489,15 @@ class StreamingSpec extends SparkSpec {
             if (snap.getLong(1) != 0L)
               failures.add(s"${snap.getLong(1)} vectors with partial code sets")
             sizes.add(snap.getLong(0))
-          } catch { case e: Throwable => failures.add(s"read failed: ${e.getMessage}") }
+          } catch { case e: Throwable =>
+            // capture ground truth for the flake postmortem (r18
+            // judge run hit one failure here): what the dir REALLY
+            // held at failure time names the mechanism
+            val ls = Option(new java.io.File(codesDir).list())
+              .map(_.sorted.mkString(",")).getOrElse("<dir absent>")
+            failures.add(s"read failed: ${e.getClass.getName}: " +
+              s"${e.getMessage} [dir: $ls]")
+          }
         }
       }
     })
