@@ -41,6 +41,19 @@ case class BucketByCuts(child: Expression, cuts: Array[Double], scale: Int)
   override protected def withNewChildInternal(newChild: Expression): BucketByCuts =
     copy(child = newChild)
   override def prettyName: String = "bucket_by_cuts"
+  // the generated case-class equals compares the Array[Double] by
+  // REFERENCE, so two semantically identical expressions never compare
+  // equal — defeating Catalyst canonicalization / common-subexpression
+  // dedup. Compare the cuts by value (r18 ADVICE).
+  override def equals(other: Any): Boolean = other match {
+    case b: BucketByCuts =>
+      child == b.child && scale == b.scale &&
+        java.util.Arrays.equals(cuts, b.cuts)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(scale),
+      Integer.valueOf(java.util.Arrays.hashCode(cuts)))
 }
 
 object BucketByCuts {

@@ -54,17 +54,48 @@ trait WarehouseChanges { this: Warehouse.type =>
     * Both snapshots must still be retained (`retainSnapshots` /
     * `retainFor`) — a GC'd version refuses loudly through the same
     * [[readManifestedAt]] contract. `fromVersion == toVersion` is the
-    * empty feed; `fromVersion > toVersion` refuses. */
+    * empty feed; `fromVersion > toVersion` refuses.
+    *
+    * SCHEMA EVOLUTION (r19): a window that crosses an ADDITIVE
+    * evolution commit (the layer's own MERGE/read discipline —
+    * mergeSchema, union-by-name) reconciles instead of refusing: the
+    * `from` image is null-filled up to `to`'s columns, so a consumer
+    * sees the new column arrive as update/insert post-images whose
+    * pre-images carry null in the new fields — exactly Delta CDF's
+    * null-filled-images convention. A window in which a column was
+    * DROPPED or RETYPED still refuses, and all schema validation runs
+    * BEFORE any Spark job (no candidate scan is paid on a window that
+    * will refuse). */
   def tableChanges(spark: SparkSession, dir: String, key: String,
                    fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"tableChanges: fromVersion $fromVersion > toVersion $toVersion")
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
-    val from = readManifestedAt(spark, dir, fromVersion)
+    val from0 = readManifestedAt(spark, dir, fromVersion)
     val to = readManifestedAt(spark, dir, toVersion)
-    require(from.columns.contains(key) && to.columns.contains(key),
+    require(from0.columns.contains(key) && to.columns.contains(key),
       s"tableChanges: $dir has no column '$key' " +
         s"(columns: ${to.columns.mkString(", ")})")
+    // schema reconciliation first — plan-time metadata only, so a
+    // refusing window refuses before any job runs (r18 ADVICE)
+    val fromTypes = from0.schema.fields.map(f => f.name -> f.dataType).toMap
+    val toTypes = to.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dropped = from0.columns.filterNot(toTypes.contains)
+    require(dropped.isEmpty,
+      s"tableChanges: column(s) ${dropped.mkString(", ")} present at " +
+        s"version $fromVersion but gone at $toVersion — a dropped-column " +
+        "window has no per-row change representation; diff it " +
+        "column-by-column instead")
+    val retyped = from0.columns
+      .filter(c => toTypes.contains(c) && toTypes(c) != fromTypes(c))
+    require(retyped.isEmpty,
+      s"tableChanges: column(s) ${retyped.mkString(", ")} changed type " +
+        s"across ($fromVersion, $toVersion] — a retype window has no " +
+        "comparable images; diff it column-by-column instead")
+    // additive evolution: null-fill the pre-image side up to `to`'s
+    // columns (the mergeSchema discipline, applied across the window)
+    val from = to.columns.filterNot(fromTypes.contains)
+      .foldLeft(from0)((acc, c) => acc.withColumn(c, lit(null).cast(toTypes(c))))
     def empty: DataFrame = {
       val payload = to.columns.filterNot(_ == key).toSeq
       to.select((key +: payload).map(col): _*)
@@ -93,10 +124,6 @@ trait WarehouseChanges { this: Warehouse.type =>
     val fromC = from.join(cand, Seq(key), "left_semi")
     val toC = to.join(cand, Seq(key), "left_semi")
     val payload = to.columns.filterNot(_ == key).toSeq
-    require(payload == from.columns.filterNot(_ == key).toSeq,
-      s"tableChanges: snapshots disagree on columns (" +
-        s"${from.columns.mkString(",")} vs ${to.columns.mkString(",")}) — " +
-        "diff an evolution window column-by-column instead")
     val f = fromC.select((key +: payload).map(c => col(c).as(s"_f_$c")): _*)
     val t = toC.select((key +: payload).map(c => col(c).as(s"_t_$c")): _*)
     val j = f.join(t, col(s"_f_$key") === col(s"_t_$key"), "full_outer")
@@ -207,7 +234,13 @@ trait WarehouseChanges { this: Warehouse.type =>
     * leaves a headless destination (copied dirs, no manifest): re-run
     * to converge — the copy overwrites its own partial debris and the
     * single version-1 CAS is the commit point, so a reader never sees
-    * a half-clone. Returns the destination's committed version (1).
+    * a half-clone. A crash AFTER the CAS is a clone that already
+    * COMPLETED with an unhealed pointer (headBody rolls forward): the
+    * re-run recognizes its own committed body — destination head is
+    * version 1 with exactly the entries+stats this clone would write —
+    * heals `_current`, and returns 1 idempotently (r19; any OTHER
+    * committed head still refuses). Returns the destination's
+    * committed version (1).
     *
     * SCALE: the copy is per-entry on the bounded pool — a clone of a
     * fanned-out table pays entries/16 × copy RTT; at the petabyte
@@ -226,11 +259,25 @@ trait WarehouseChanges { this: Warehouse.type =>
       throw new IllegalArgumentException(
         s"cloneManifested: snapshot $v of $srcDir is not retained " +
           s"(available: ${manifestVersions(fs, src).mkString(", ")})")
-    require(!hasCommittedHead(fs, dst),
-      s"cloneManifested: $dstDir already holds a committed table — " +
-        "refusing to merge histories; clone into a fresh directory")
     val body = ManifestIo.readString(fs, hist)
     val gens = parseGens(body)
+    // what commitManifest below would serialize — used both to refuse
+    // a foreign table and to recognize this clone's own crashed commit
+    val wantBody = manifestBody(gens, Map.empty, parseStats(body))
+    headBody(fs, dst) match {
+      case Some(h) if h == wantBody && headVersion(fs, dst) == 1L =>
+        // a prior run of THIS clone crashed (or completed) after its
+        // version-1 CAS: the data and trail are committed; heal the
+        // pointer if the crash left it absent and converge
+        val pointer = new HPath(dst, "_current")
+        if (!ManifestIo.exists(fs, pointer)) ManifestIo.replace(fs, pointer, h)
+        return 1L
+      case Some(_) =>
+        throw new IllegalArgumentException(
+          s"cloneManifested: $dstDir already holds a committed table — " +
+            "refusing to merge histories; clone into a fresh directory")
+      case None => // fresh or pre-CAS crash: (re-)copy and commit
+    }
     gens.find(g => !ManifestIo.isDirectory(fs, new HPath(src, g))).foreach { g =>
       throw new IllegalStateException(
         s"cloneManifested: snapshot $v of $srcDir lists $g, which has " +

@@ -120,14 +120,21 @@ trait WarehouseLeaf { this: Warehouse.type =>
     * silent: in-process writers serialize on the per-table lock, and
     * a cross-process compaction whose pointer read was overtaken
     * fails its CAS loudly (the stale fold becomes [[vacuum]] food)
-    * rather than burying the interleaved append. */
+    * rather than burying the interleaved append.
+    *
+    * `alsoRetainVersions` (r19): snapshot versions pinned from this
+    * fold's GC regardless of the count/time windows — the partitioned
+    * walk passes the versions its retained root maps still reference
+    * (an out-of-band leaf fold can put those below the count window);
+    * a deployment can pin a version a downstream consumer holds. */
   def compactManifested(spark: SparkSession, dir: String,
                         targetFileBytes: Long = 128L << 20,
                         retainSnapshots: Int = 1,
                         retainFor: Option[java.time.Duration] = None,
                         clusterBy: Option[String] = None,
                         zorderBy: Seq[String] = Nil,
-                        zorderQuantiles: Boolean = false): Int = {
+                        zorderQuantiles: Boolean = false,
+                        alsoRetainVersions: Set[Long] = Set.empty): Int = {
     require(retainSnapshots >= 0,
       s"retainSnapshots must be >= 0, got $retainSnapshots")
     require(retainFor.forall(!_.isNegative),
@@ -336,7 +343,8 @@ trait WarehouseLeaf { this: Warehouse.type =>
     }
     val allVersions = manifestVersions(fs, root)
     val kept = allVersions
-      .filter(x => x >= v - retainSnapshots || inTimeWindow(x))
+      .filter(x => x >= v - retainSnapshots || inTimeWindow(x) ||
+        alsoRetainVersions.contains(x))
     val keepGens: Set[String] =
       (kept.flatMap(x => readPointer(fs, new HPath(root, s"_manifest-$x"))) ++
         (if (retainSnapshots >= 1) cur else Seq.empty) :+ next).toSet

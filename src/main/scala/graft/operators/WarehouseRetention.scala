@@ -20,9 +20,19 @@ trait WarehouseRetention { this: Warehouse.type =>
     * are deleted. Pure FS metadata work — no Spark job, no manifest
     * version spent, the head untouched. Returns the head version.
     * Caller holds the table lock; the same single-maintainer
-    * discipline as the fold GC applies across processes. */
+    * discipline as the fold GC applies across processes.
+    *
+    * `alsoRetain` (r19): leaf versions referenced by RETAINED root
+    * version maps — an out-of-band leaf-level fold can advance a leaf
+    * several versions inside one root window, putting a root-map-
+    * referenced version below `h - retainSnapshots`; GC'ing it would
+    * leave a retained root snapshot resolving to a deleted leaf
+    * manifest ([[readManifestedPartitionedAt]] throws). The
+    * partitioned walk passes the union of its surviving maps' entries
+    * for this leaf. */
   private[operators] def gcLeafRetention(fs: HFs, leaf: HPath, retainSnapshots: Int,
-                              retainFor: Option[java.time.Duration]): Long = {
+                              retainFor: Option[java.time.Duration],
+                              alsoRetain: Set[Long] = Set.empty): Long = {
     val vs = manifestVersions(fs, leaf)
     val h = vs.lastOption.getOrElse(0L)
     val timeCutoff = retainFor.map(d => System.currentTimeMillis() - d.toMillis)
@@ -31,7 +41,8 @@ trait WarehouseRetention { this: Warehouse.type =>
         .getModificationTime >= c
       catch { case _: java.io.FileNotFoundException => false }
     }
-    val kept = vs.filter(x => x >= h - retainSnapshots || inTime(x))
+    val kept = vs.filter(x =>
+      x >= h - retainSnapshots || inTime(x) || alsoRetain.contains(x))
     if (kept.size != vs.size) {
       val keepGens: Set[String] = kept
         .flatMap(x => readPointer(fs, new HPath(leaf, s"_manifest-$x"))).toSet
@@ -106,6 +117,13 @@ trait WarehouseRetention { this: Warehouse.type =>
           st.getPath.getName.startsWith(".delete-stage-") ||
           st.getPath.getName.startsWith(".adopt-template-") ||
           st.getPath.getName == ".bootstrap-template") &&
+        st.getModificationTime < cutoff)
+      .foreach(st => ManifestIo.delete(fs, st.getPath))
+    // a crashed claim takeover strands its renamed-aside corpse file
+    // (r19 — the rename-based takeover's only debris); aged only
+    ManifestIo.list(fs, root)
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith(".claim-corpse-") &&
         st.getModificationTime < cutoff)
       .foreach(st => ManifestIo.delete(fs, st.getPath))
     if (claims.isEmpty) leafReports

@@ -45,6 +45,17 @@ trait WarehouseRoot { this: Warehouse.type =>
     // actual head and publishing the first version map (r17)
     val st = beginRootTransition(fs, root, leaves, None,
       "compactManifestedPartitioned", contentPreserving = true)
+    // leaf versions referenced by the surviving root maps must outlive
+    // the per-leaf retention GC (r19 ADVICE): an out-of-band leaf fold
+    // can advance a leaf several versions inside one root window, so
+    // count-window retention alone could GC a version a RETAINED root
+    // map still resolves. One read of the (small) map files, before
+    // the pooled walk; maps this pass itself ages out over-retain for
+    // exactly one pass — conservative by construction.
+    val mapPins: Map[String, Set[Long]] = rootVersions(fs, root)
+      .flatMap(v => parseRootMap(ManifestIo.readString(fs,
+        new HPath(root, s"_root-manifest-$v"))).toSeq)
+      .groupMap(_._1)(_._2).map { case (rel, vs) => rel -> vs.toSet }
     // Phase 1 — STEADY-STATE SKIP, on the bounded pool (r16/r17): a
     // leaf already folded to one data generation (no tombstone trail,
     // no re-layout requested) needs no fold and COMMITS NOTHING —
@@ -74,9 +85,18 @@ trait WarehouseRoot { this: Warehouse.type =>
           else ManifestIo.list(fs, new HPath(leaf, gens.head))
             .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         val v = withTableLock(leaf) {
-          gcLeafRetention(fs, leaf, retainSnapshots, retainFor)
+          gcLeafRetention(fs, leaf, retainSnapshots, retainFor,
+            alsoRetain = mapPins.getOrElse(rel, Set.empty))
         }
-        Some(rel -> (n, st.prior.getOrElse(rel, v)))
+        // record the ACTUAL head (r19 ADVICE; was st.prior's version):
+        // an out-of-band leaf fold between root ops moves the head
+        // without touching the generation count — recording the stale
+        // prior published a root map referencing a version the GC
+        // above may have just deleted. With actual heads the
+        // fully-steady skip below degrades naturally to per-leaf head
+        // comparison: any moved head makes map != st.prior and spends
+        // a root version recording it.
+        Some(rel -> (n, v))
       } else None
     }
     // Phase 2 — folds, sequential: each is a Spark job (scan + write)
@@ -85,7 +105,8 @@ trait WarehouseRoot { this: Warehouse.type =>
       case (leaf, None) =>
         val rel = relPath(root, leaf)
         val n = compactManifested(spark, leaf.toString, targetFileBytes,
-          retainSnapshots, retainFor, clusterBy, zorderBy, zorderQuantiles)
+          retainSnapshots, retainFor, clusterBy, zorderBy, zorderQuantiles,
+          alsoRetainVersions = mapPins.getOrElse(rel, Set.empty))
         refreshClaim(fs, st, root, None)
         rel -> (n, headVersion(fs, leaf))
     }
@@ -379,6 +400,16 @@ trait WarehouseRoot { this: Warehouse.type =>
                                   takeoverGraceMs: Long = DefaultVacuumGraceMs,
                                   contentPreserving: Boolean = false): RootTransition = {
     val mine = txn.map { case (a, v) => s"$a:$v" }
+    // claim file body: the owner line (txn identity or "-"), then a
+    // UNIQUE per-attempt token line (r19 ADVICE) — what lets a
+    // takeover verify the file it moved aside is the corpse it
+    // aged-checked, not a rival's fresh re-claim
+    def claimBody(): String =
+      s"${mine.getOrElse("-")}\n#claim-token:${java.util.UUID.randomUUID()}"
+    def ownerLine(body: String): String =
+      body.linesIterator.nextOption().getOrElse("")
+    def tokenLine(body: String): Option[String] =
+      body.linesIterator.find(_.startsWith("#claim-token:"))
     def claim(next: Long): Unit = {
       val c = new HPath(root, s"_root-claim-$next")
       def refuse(owner: String): Nothing =
@@ -386,22 +417,53 @@ trait WarehouseRoot { this: Warehouse.type =>
           s"$op: transition to version $next of $root is claimed by " +
             s"'$owner' — a concurrent root-level writer; retry after it " +
             "completes (an aged crashed claim is taken over automatically)")
-      if (!ManifestIo.putIfAbsent(fs, c, mine.getOrElse("-"))) {
+      def refuseCurrent(): Nothing =
+        refuse(try ownerLine(ManifestIo.readString(fs, c))
+          catch { case _: java.io.FileNotFoundException => "?" })
+      if (!ManifestIo.putIfAbsent(fs, c, claimBody())) {
         val owner =
           try Some(ManifestIo.readString(fs, c))
           catch { case _: java.io.FileNotFoundException => None }
-        if (owner.isDefined && mine.isDefined && owner == mine) ()
+        if (owner.isDefined && mine.isDefined && owner.map(ownerLine) == mine) ()
         else {
           val aged = owner.isEmpty || {
             try fs.getFileStatus(c).getModificationTime <
               System.currentTimeMillis() - takeoverGraceMs
             catch { case _: java.io.FileNotFoundException => true }
           }
-          if (!aged) refuse(owner.getOrElse("?"))
-          ManifestIo.delete(fs, c)
-          if (!ManifestIo.putIfAbsent(fs, c, mine.getOrElse("-")))
-            refuse(try ManifestIo.readString(fs, c)
-              catch { case _: java.io.FileNotFoundException => "?" })
+          if (!aged) refuse(owner.map(ownerLine).getOrElse("?"))
+          // takeover moves the corpse aside by RENAME + token verify,
+          // never delete+re-claim (r19 ADVICE): two rivals that both
+          // observed the aged corpse race here, and a delete window
+          // let the slower rival delete the faster one's FRESH claim
+          // — two walkers under one transition. The rename is
+          // source-exclusive (exactly one concurrent rival's rename
+          // succeeds), and the token verify catches the SLOW-rival
+          // shape the rename alone cannot: a rival that re-claimed
+          // between our aged check and our rename — we just moved a
+          // LIVE claim, so restore it and refuse. The corpse name is
+          // dot-prefixed (invisible to Spark discovery and to the
+          // `_root-claim-` GC parser); a crash strands at most one
+          // tiny file, swept by [[vacuumPartitioned]]'s aged-debris
+          // pass.
+          val corpse = new HPath(root, s".claim-corpse-$next-" +
+            s"${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+          val tookOver =
+            try fs.rename(c, corpse)
+            catch { case _: java.io.FileNotFoundException => false }
+          if (!tookOver) refuseCurrent()
+          val moved =
+            try Some(ManifestIo.readString(fs, corpse))
+            catch { case _: java.io.FileNotFoundException => None }
+          if (moved.flatMap(tokenLine) != owner.flatMap(tokenLine)) {
+            // not the corpse we aged-checked: a rival took over and
+            // re-claimed in between — put its live claim back
+            fs.rename(corpse, c)
+            refuse(moved.map(ownerLine).getOrElse("?"))
+          }
+          ManifestIo.delete(fs, corpse)
+          if (!ManifestIo.putIfAbsent(fs, c, claimBody()))
+            refuseCurrent()
         }
       }
       // stale-anchor re-check: a winner that already PUBLISHED next
@@ -462,7 +524,7 @@ trait WarehouseRoot { this: Warehouse.type =>
           // requires ownership.
           val c = new HPath(root, s"_root-claim-$vMax")
           val owner =
-            try Some(ManifestIo.readString(fs, c))
+            try Some(ownerLine(ManifestIo.readString(fs, c)))
             catch { case _: java.io.FileNotFoundException => None }
           if (mine.isDefined && owner == mine)
             RootTransition(vMax, headMap, Map.empty, fullReplay = false)

@@ -1027,6 +1027,32 @@ class SinkSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(local.toFile)
   }
 
+  test("steady skip records ACTUAL leaf heads: an out-of-band leaf fold between root ops never publishes a map referencing a GC'd version") {
+    // r18 recorded st.prior's version for a steady leaf while the same
+    // pass's gcLeafRetention(retain 0) deleted that version's manifest
+    // — the published root map then referenced a GC'd leaf snapshot
+    // and readManifestedPartitionedAt(head) threw (r18 ADVICE).
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_steadyhead").resolve("tbl").toString
+    val docs = spark.range(0, 40).toDF("id")
+      .withColumn("lang", when(col("id") % 2 === 0, "en").otherwise("de"))
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    W.compactManifestedPartitioned(spark, dir, targetFileBytes = 1L << 30) // root v1
+    // out-of-band: a leaf-level fold bumps ONE leaf's head with no root op
+    W.compactManifested(spark, s"$dir/lang=en", targetFileBytes = 1L << 30)
+    // maintenance with retain 0 — the GC-everything-stale knob
+    W.compactManifestedPartitioned(spark, dir, targetFileBytes = 1L << 30,
+      retainSnapshots = 0)
+    val head = W.rootSnapshots(dir).max
+    // the moved head SPENT a root version recording the actual state...
+    assert(head >= 2, s"out-of-band fold not recorded (root head $head)")
+    // ...and the head map resolves: no reference to a GC'd leaf version
+    assert(W.readManifestedPartitionedAt(spark, dir, head).count() == 40L)
+    assert(W.readManifestedPartitioned(spark, dir).count() == 40L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("partitioned row-level ops: delete/upsert touch only their leaves; root versions time-travel") {
     val W = graft.operators.Warehouse
     val dir = Files.createTempDirectory("graft_prow").resolve("tbl").toString
@@ -2173,6 +2199,39 @@ class SinkSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("change data feed across an additive schema-evolution window: pre-images null-fill the new column (the Delta CDF convention)") {
+    // the layer's own MERGE supports additive evolution (r15), so a
+    // feed window crossing the evolution commit must be READABLE —
+    // r18 refused it, a consumer-facing seam (r18 VERDICT #3). The
+    // reconciliation null-fills the `from` image up to `to`'s columns;
+    // a new column arrives as update/insert post-images whose
+    // pre-images carry null in the new fields.
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_cdfevo").resolve("t").toString
+    import spark.implicits._
+    W.appendManifested(spark, dir,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "p"))            // v1
+    // additive evolution inside the window: MERGE with a NEW column q
+    W.upsertManifested(spark, dir,
+      Seq((2L, 20L, 7L), (9L, 90L, 8L)).toDF("id", "p", "q"), "id")    // v2
+    val ch = W.tableChanges(spark, dir, "id", 1L, 2L).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("p"),
+        Option(r.getAs[java.lang.Long]("q")).map(_.toLong),
+        r.getAs[String]("change_type"))).toSet
+    assert(ch == Set(
+      (2L, 20L, None, "update_preimage"),      // pre-image: q null-filled
+      (2L, 20L, Some(7L), "update_postimage"),
+      (9L, 90L, Some(8L), "insert")),
+      s"evolution-window feed: $ch")
+    // key 1/3 untouched (not candidates) — no spurious updates from
+    // the null-filled comparison
+    assert(!ch.exists(t => t._1 == 1L || t._1 == 3L))
+    // self-diffs on either side of the evolution stay empty
+    assert(W.tableChanges(spark, dir, "id", 2L, 2L).isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("partitioned change feed: untouched leaves contribute nothing, changed leaves diff candidate-bounded, adopted partitions arrive as inserts") {
     val W = graft.operators.Warehouse
     val root = Files.createTempDirectory("graft_pcdf").resolve("t").toString
@@ -2253,6 +2312,21 @@ class SinkSpec extends SparkSpec {
     W.cloneManifested(spark, src, c3)
     assert(W.readManifested(spark, c3).collect().map(_.getLong(0)).toSet ==
       W.readManifested(spark, src).collect().map(_.getLong(0)).toSet)
+    // crash AFTER the version-1 CAS: the trail committed, the pointer
+    // never swapped — the re-run must recognize its own body, heal
+    // `_current`, and return 1 (r18 ADVICE: it used to refuse through
+    // the roll-forward's hasCommittedHead, breaking the documented
+    // re-run-to-converge recovery)
+    val c4 = s"$base/c4"
+    W.cloneManifested(spark, src, c4)
+    val want4 = W.readManifested(spark, c4).collect().map(_.getLong(0)).toSet
+    assert(new java.io.File(c4, "_current").delete())
+    assert(W.cloneManifested(spark, src, c4) == 1L,
+      "a post-CAS crashed clone must converge on re-run")
+    assert(new java.io.File(c4, "_current").exists(),
+      "the converging re-run must heal the pointer")
+    assert(W.snapshots(c4) == Seq(1L))
+    assert(W.readManifested(spark, c4).collect().map(_.getLong(0)).toSet == want4)
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }
 
