@@ -85,7 +85,7 @@ object Bench {
     // round-over-round diffing; each detail entry records its
     // executed position as "pos" so any drag window is locatable in
     // the artifact.
-    val orderSeed = 18L
+    val orderSeed = 19L
     val ordered = new scala.util.Random(orderSeed)
       .shuffle(selected.toSeq.sortBy(_._1))
     val results = ordered.zipWithIndex.map { case ((name, fn), pos) =>

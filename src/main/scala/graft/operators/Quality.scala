@@ -500,6 +500,38 @@ object Quality {
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("change_type"))
     }),
+    // RESTORE under the correctness gate (r19): the v16-shaped
+    // lifecycle (append v1, %7 tombstone v2, %5-sentinel upsert v3),
+    // then RESTORE to v2 — rolling the upsert AWAY — and one
+    // post-restore append (the negated %11 rows) proving the restored
+    // head is a live table subsequent writers build on. The oracle is
+    // the final state recomputed from `documents`: if the restore
+    // no-opped, the %5 sentinel and the %35 resurrections leak through
+    // and hash-fail; if it rolled too far, the %7 deletes vanish.
+    "v20_restore_read" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifrestore", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        Warehouse.appendManifested(s, dir, docs)                      // v1
+        Warehouse.deleteManifested(s, dir,
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))) // v2
+        Warehouse.upsertManifested(s, dir,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") * 0 - 1).as("n_chars")), "doc_id")      // v3
+        Warehouse.restoreManifested(s, dir, 2L)                       // v4 ≡ v2
+        Warehouse.appendManifested(s, dir,
+          docs.filter(col("doc_id") % 11 === 0)
+            .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+              (col("n_chars") * 0 - 2).as("n_chars")))                // v5
+        ()
+      }
+      Warehouse.readManifested(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     // DEEP CLONE under the correctness gate (r18): clone the
     // append+delete source table, then MUTATE THE SOURCE AGAIN (%3
     // tombstone) inside the gated lifecycle — the clone read must
@@ -745,6 +777,19 @@ object Quality {
            CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM ch GROUP BY lang, change_type ORDER BY lang, change_type""",
+    // the restored-then-appended state recomputed from the source: %7
+    // deletes present (v2's state), the rolled-away %5 sentinel ABSENT,
+    // the post-restore negated-%11 appends present
+    "v20_restore_read" ->
+      """WITH fin AS (
+           SELECT lang, doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT lang, -(doc_id + 1), -2 FROM documents
+           WHERE doc_id % 11 = 0)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM fin GROUP BY lang ORDER BY lang""",
     // the cloned snapshot recomputed from the source: the %7 delete is
     // in the clone, the post-clone %3 delete must NOT be
     "v17_clone_read" ->

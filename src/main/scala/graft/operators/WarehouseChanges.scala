@@ -216,6 +216,53 @@ trait WarehouseChanges { this: Warehouse.type =>
     else parts.reduce(_.unionByName(_))
   }
 
+  /** RESTORE — version rollback as a NEW commit (Delta `RESTORE TABLE
+    * … VERSION AS OF v`): commit version N+1 whose generation list and
+    * `#stats:`/`#file:` skipping lines equal retained snapshot v's,
+    * with the CURRENT head's `#txn:` markers carried forward (restore
+    * rolls DATA back, never a writer's exactly-once progress — a
+    * pre-restore batch replayed after the restore must still no-op).
+    * Nothing is deleted: the rolled-past versions stay retained
+    * history aged out by the normal retention windows, so a restore is
+    * itself time-travelable from BOTH sides — `readManifestedAt(N)`
+    * still serves the pre-restore state, and the change feed composes:
+    * `tableChanges(v, N+1)` is EMPTY at zero read cost (the two entry
+    * lists are equal, so the candidate symmetric difference is empty)
+    * while `tableChanges(N, N+1)` surfaces the rollback as net row
+    * changes a downstream MV consumes like any other commit. Restoring
+    * to the current head is a no-op (returns the head, spends no
+    * version). Refuses loudly when `version` is not retained or a
+    * generation it lists was GC'd.
+    *
+    * SCALE: pure manifest metadata — one read of the snapshot trailer,
+    * one CAS commit; no data file is read, copied, or moved at any
+    * table size. */
+  def restoreManifested(spark: SparkSession, dir: String, version: Long): Long = {
+    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
+    withTableLock(root) {
+      val pointer = new HPath(root, "_current")
+      val head = headBody(fs, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"restoreManifested: $dir has no committed table"))
+      val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
+      if (version == expected) return expected
+      val hist = new HPath(root, s"_manifest-$version")
+      if (!ManifestIo.exists(fs, hist))
+        throw new IllegalArgumentException(
+          s"restoreManifested: snapshot $version of $dir is not retained " +
+            s"(available: ${manifestVersions(fs, root).mkString(", ")})")
+      val snap = ManifestIo.readString(fs, hist)
+      val gens = parseGens(snap)
+      gens.find(g => !ManifestIo.isDirectory(fs, new HPath(root, g))).foreach { g =>
+        throw new IllegalStateException(
+          s"restoreManifested: snapshot $version of $dir lists $g, which " +
+            "has been garbage-collected (retention window moved past it)")
+      }
+      commitManifest(fs, root, pointer, gens, expected, parseTxns(head),
+        statsForGens(parseStats(snap), gens))
+    }
+  }
+
   /** DEEP CLONE of a manifested leaf snapshot into a fresh table —
     * Delta `CREATE TABLE ... DEEP CLONE src [VERSION AS OF v]`: the
     * referenced generation/tombstone directories are COPIED (the

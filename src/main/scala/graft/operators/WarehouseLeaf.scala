@@ -192,7 +192,7 @@ trait WarehouseLeaf { this: Warehouse.type =>
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val nextId = cur.map(entryId).max + 1
+    val nextId = nextEntryId(fs, root, cur)
     val next = s".gen-$nextId"
     // the new generation is invisible until the pointer flips, so it
     // can be written in place — no staging rename needed. The fold
@@ -483,8 +483,7 @@ trait WarehouseLeaf { this: Warehouse.type =>
         case None => (Seq.empty[String], Map.empty[String, Long], Seq.empty[String])
       }
       val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
-      val nextId = genId.getOrElse(
-        gens.map(entryId).foldLeft(-1L)(math.max) + 1)
+      val nextId = genId.getOrElse(nextEntryId(fs, root, gens))
       val next = s".gen-$nextId"
       df.write.mode("overwrite").parquet(new HPath(root, next).toString)
       if (gens.contains(next)) committed = nextId // idempotent re-fire
@@ -751,7 +750,7 @@ trait WarehouseLeaf { this: Warehouse.type =>
             s"deleteManifested: $dir has no column '$key' " +
               s"(columns: ${cols.mkString(", ")})")
         }
-        val nextId = gens.map(entryId).foldLeft(-1L)(math.max) + 1
+        val nextId = nextEntryId(fs, root, gens)
         val next = s".del-$nextId"
         keys.distinct().write.mode("overwrite")
           .parquet(new HPath(root, next).toString)
@@ -906,7 +905,7 @@ trait WarehouseLeaf { this: Warehouse.type =>
             s"upsertManifested: $dir has no column '$keyCol' " +
               s"(columns: ${cols.mkString(", ")})")
         }
-        val base = gens.map(entryId).foldLeft(-1L)(math.max) + 1
+        val base = nextEntryId(fs, root, gens)
         val del = s".del-$base"
         val gen = s".gen-${base + 1}"
         source.select(col(keyCol)).distinct().write.mode("overwrite")

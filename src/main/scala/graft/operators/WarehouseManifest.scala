@@ -356,6 +356,28 @@ trait WarehouseManifest { this: Warehouse.type =>
   private[operators] def entryId(name: String): Long =
     name.substring(name.lastIndexOf('-') + 1).toLong
 
+  /** The next free entry id for a new commit: one past every id the
+    * HEAD references OR the directory holds (r19). The head's max id
+    * alone became insufficient with [[restoreManifested]]: a restore's
+    * head lists an OLD snapshot's entries while the rolled-past
+    * versions keep their directories on disk as retained history — a
+    * head-anchored id would re-issue one of their ids and the new
+    * generation's overwrite-write would destroy a retained snapshot's
+    * data. Scanning the directory also steps past crashed writers'
+    * orphan generations (ids simply skip; the orphans stay vacuum
+    * food). Cost: one LIST per commit, beside the one
+    * [[manifestVersions]] already pays. Callers that key their
+    * generation explicitly (`genId` — the streaming exactly-once
+    * contract) bypass this on purpose: overwriting their OWN prior
+    * generation is that contract. */
+  private[operators] def nextEntryId(fs: HFs, root: HPath, gens: Seq[String]): Long = {
+    val onDisk = ManifestIo.list(fs, root)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.matches("""\.(gen|del)-\d+"""))
+      .map(st => entryId(st.getPath.getName)).toSeq
+    (gens.map(entryId) ++ onDisk).foldLeft(-1L)(math.max) + 1
+  }
+
   /** Commit manifest VERSION `expectedVersion + 1`: claim the
     * immutable history file `_manifest-<v>` by CREATE-EXCLUSIVE (the
     * Delta `_delta_log/N.json` analogue — one file per commit, and

@@ -678,7 +678,7 @@ trait WarehouseRoot { this: Warehouse.type =>
           txn.exists { case (app, ver) => txns.get(app).exists(_ >= ver) }
         if (alreadyApplied) (-1L, expected)
         else {
-          val nextId = gens.map(entryId).foldLeft(-1L)(math.max) + 1
+          val nextId = nextEntryId(fs, leaf, gens)
           val del = new HPath(leaf, s".del-$nextId")
           if (ManifestIo.exists(fs, del)) ManifestIo.delete(fs, del)
           fs.mkdirs(del)
@@ -952,7 +952,7 @@ trait WarehouseRoot { this: Warehouse.type =>
         // one partitioned table share a writer and a schema) — a
         // per-leaf footer probe would re-plan a scan per leaf per
         // batch, O(leaves) driver work for one fact
-        val base = gens.map(entryId).foldLeft(-1L)(math.max) + 1
+        val base = nextEntryId(fs, leaf, gens)
         val del = s".del-$base"
         val gen = s".gen-${base + 1}"
         Seq(del, gen).foreach { d =>

@@ -2199,6 +2199,62 @@ class SinkSpec extends SparkSpec {
       new java.io.File(dir).getParentFile)
   }
 
+  test("restore: version rollback as a new commit — empty CDF to the restored version, rollback visible as changes, time travel keeps both sides") {
+    val W = graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_restore").resolve("t").toString
+    import spark.implicits._
+    def ids() = W.readManifested(spark, dir).collect().map(_.getLong(0)).toSet
+    W.appendManifested(spark, dir, spark.range(0, 10).toDF("id"))       // v1
+    W.deleteManifested(spark, dir,
+      spark.range(0, 10).filter(col("id") % 2 === 0).toDF("id"))        // v2
+    W.appendManifested(spark, dir, Seq(100L).toDF("id"))                // v3
+    assert(W.restoreManifested(spark, dir, 1L) == 4L)                   // v4 ≡ v1
+    assert(ids() == (0L until 10L).toSet, "restored head must serve v1")
+    // nothing deleted: the rolled-past versions stay time-travelable
+    assert(W.snapshots(dir) == Seq(1L, 2L, 3L, 4L))
+    assert(W.readManifestedAt(spark, dir, 3L).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L, 7L, 9L, 100L), "pre-restore state must stay readable")
+    // the feed composes: restore-to-v1 diffs EMPTY against v1 (equal
+    // entry lists — zero candidates, zero reads)...
+    assert(W.tableChanges(spark, dir, "id", 1L, 4L).isEmpty)
+    // ...and the rollback IS the change between v3 and v4: the evens
+    // return as inserts, the post-v1 row 100 retracts as a delete
+    val ch = W.tableChanges(spark, dir, "id", 3L, 4L).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("change_type"))).toSet
+    assert(ch == Set((0L, "insert"), (2L, "insert"), (4L, "insert"),
+      (6L, "insert"), (8L, "insert"), (100L, "delete")), s"rollback feed: $ch")
+    // restore-to-head is a no-op; an un-retained version refuses
+    assert(W.restoreManifested(spark, dir, 4L) == 4L)
+    assert(W.snapshots(dir) == Seq(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] { W.restoreManifested(spark, dir, 99L) }
+    // the restored head is a LIVE table: a new append's generation id
+    // steps PAST the rolled-past versions' on-disk directories (never
+    // overwriting retained snapshot data), and everything still reads
+    W.appendManifested(spark, dir, Seq(200L).toDF("id"))                // v5
+    assert(ids() == (0L until 10L).toSet + 200L)
+    assert(W.readManifestedAt(spark, dir, 3L).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L, 7L, 9L, 100L),
+      "a post-restore append must not overwrite a retained generation")
+    // the direct collision shape: append/append/restore-to-1/append —
+    // a head-anchored id sequence would re-issue .gen-1 and the new
+    // generation's overwrite-write would destroy retained v2's data;
+    // the id sequence must step past every on-disk entry
+    val d2 = Files.createTempDirectory("graft_restore2").resolve("t").toString
+    W.appendManifested(spark, d2, spark.range(0, 10).toDF("id"))        // .gen-0
+    W.appendManifested(spark, d2, spark.range(10, 20).toDF("id"))       // .gen-1
+    W.restoreManifested(spark, d2, 1L)
+    W.appendManifested(spark, d2, Seq(200L).toDF("id"))
+    assert(W.readManifestedAt(spark, d2, 2L).collect().map(_.getLong(0)).toSet ==
+      (0L until 20L).toSet,
+      "post-restore append re-used a retained generation's id")
+    assert(W.readManifested(spark, d2).collect().map(_.getLong(0)).toSet ==
+      (0L until 10L).toSet + 200L)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(d2).getParentFile)
+  }
+
   test("change data feed across an additive schema-evolution window: pre-images null-fill the new column (the Delta CDF convention)") {
     // the layer's own MERGE supports additive evolution (r15), so a
     // feed window crossing the evolution commit must be READABLE —
