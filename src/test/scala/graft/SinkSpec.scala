@@ -2386,6 +2386,56 @@ class SinkSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }
 
+  test("partitioned deep clone: root-version-pinned content, one v1 map anchor, source independence, crash convergence, refusals") {
+    val W = graft.operators.Warehouse
+    val base = Files.createTempDirectory("graft_pclone")
+    val src = s"$base/src"
+    val docs = spark.range(0, 40).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+      .withColumn("v", lit("base"))
+    docs.write.partitionBy("p").mode("overwrite").parquet(src)
+    W.compactManifestedPartitioned(spark, src, targetFileBytes = 1L << 30)
+    val r1 = W.rootSnapshots(src).last
+    W.upsertManifestedPartitioned(spark, src,
+      docs.filter(col("id") < 4).withColumn("v", lit("upd")), "id")
+    // root-version-pinned clone = the time-travel content, not the head
+    val c1 = s"$base/c1"
+    assert(W.cloneManifestedPartitioned(spark, src, c1, Some(r1)) == 1L)
+    assert(W.readManifestedPartitioned(spark, c1).count() == 40L)
+    assert(W.readManifestedPartitioned(spark, c1)
+      .filter(col("v") === "upd").count() == 0L, "r1 clone must predate the merge")
+    assert(W.rootSnapshots(c1) == Seq(1L), "a clone starts a fresh root history")
+    // head clone carries the merge
+    val c2 = s"$base/c2"
+    val r2 = W.rootSnapshots(src).last
+    W.cloneManifestedPartitioned(spark, src, c2)
+    assert(W.readManifestedPartitioned(spark, c2)
+      .filter(col("v") === "upd").count() == 4L)
+    // storage independence: mutate the source, clones unchanged
+    W.deleteManifestedPartitioned(spark, src,
+      spark.range(0, 10).toDF("id"))
+    assert(W.readManifestedPartitioned(spark, src).count() == 30L)
+    assert(W.readManifestedPartitioned(spark, c2).count() == 40L)
+    // crash convergence: a crash before the root map commit leaves
+    // cloned leaves with no map — the re-run WITH THE SAME PINNED
+    // VERSION converges (per-leaf idempotence recognizes each leaf's
+    // own committed body + identical-body map commit); re-running
+    // against the mutated head would be a DIFFERENT clone and the
+    // leaves refuse it rather than merge histories
+    assert(new java.io.File(c2, "_root-manifest-1").delete())
+    assert(W.cloneManifestedPartitioned(spark, src, c2, Some(r2)) == 1L)
+    assert(W.rootSnapshots(c2) == Seq(1L))
+    assert(W.readManifestedPartitioned(spark, c2).count() == 40L)
+    intercept[IllegalArgumentException] {
+      W.cloneManifestedPartitioned(spark, src, c2, Some(r2)) // mapped dst
+    }
+    // refusal: a mapped destination never merges histories
+    intercept[IllegalArgumentException] {
+      W.cloneManifestedPartitioned(spark, src, c1)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
   test("quantile z-order: on a zipfian dimension the sampled-cuts layout keeps pruning where linear min/max bucketing collapses") {
     val W = graft.operators.Warehouse
     // x uniform 8-bit; y ZIPFIAN-shaped: 98.4% of rows cluster in
