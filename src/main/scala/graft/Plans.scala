@@ -55,6 +55,7 @@ object Plans {
       "v16_change_data_feed" -> "change data feed: candidate keys from exactly the delta's generation/tombstone dirs, both snapshots semi-joined down to them, ONE key-equi diff join — never a full-outer of two snapshots",
       "v17_clone_read" -> "deep clone read: the clone's own manifest plans the scan; post-clone source mutations are invisible by storage independence, not by filtering",
       "v18_incremental_mv_from_cdf" -> "incremental MV from the change feed: base aggregate never re-scanned, each refresh folds signed partials of an O(delta)-candidate diff — post-images add, pre-images subtract",
+      "v21_zorder_quantile_range_read" -> "quantile Z-order read: the fold buckets by sampled cuts (codegen'd BucketByCuts) instead of the linear scale; the skipping read prunes the second dimension and content is layout-invariant",
       "v20_restore_read" -> "RESTORE: version rollback as one metadata-only CAS commit — the restored head lists the old snapshot's generations verbatim; no data file read, copied, or moved",
       "v19_partitioned_cdf" -> "partitioned change feed: the two root version MAPS are the change detector — untouched leaves cost zero reads, changed leaves diff candidate-bounded, an adopted partition arrives as whole-snapshot inserts",
       "s16_retrieve_rerank" -> "two-stage ANN serve: broadcast shortlist meets the corpus; exact rerank never shuffles it",

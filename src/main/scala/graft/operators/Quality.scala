@@ -336,6 +336,40 @@ object Quality {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang"))
     }),
+    // QUANTILE Z-ORDER under the correctness gate (r19 — the r18
+    // verdict's residual (d)): v13's lifecycle with
+    // `zorderQuantiles = true`, so the fold lays the table out along
+    // sampled-cut buckets instead of the linear min/max scale, and the
+    // same scale-proportional n_chars range read answers through the
+    // skipping reader. The approxQuantile CUT POINTS are deliberately
+    // out of oracle scope (data-deterministic but not SQL-replayable);
+    // what the oracle gates is the composition that must be invariant
+    // to them: quantile bucketing is LAYOUT only, so the pruned read's
+    // CONTENT must equal the straight recompute — a non-monotone
+    // bucket map, a stats line mis-collected off the bucketed layout,
+    // or a fold that drops/duplicates rows hash-fails here. The
+    // pruning COUNT advantage on a zipfian dimension stays SinkSpec-
+    // pinned (the r18 zipfian pin), where the fixture controls skew.
+    "v21_zorder_quantile_range_read" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifzorderq", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        (0 until 4).foreach { q =>
+          Warehouse.appendManifested(s, dir,
+            docs.filter(col("doc_id") >= q * n / 4 &&
+              col("doc_id") < (q + 1) * n / 4))
+        }
+        Warehouse.compactManifested(s, dir, targetFileBytes = 1L << 20,
+          zorderBy = Seq("doc_id", "n_chars"), zorderQuantiles = true)
+        ()
+      }
+      val mx = t(s, d, "documents").agg(max(col("n_chars"))).head.getLong(0)
+      Warehouse.readManifestedRange(s, root, "n_chars", mx / 8, mx / 4)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
     // N-DIM Z-ORDER under the correctness gate (r18): the 3-D twin of
     // v13 — build (once per process+sf) a manifested documents table
     // carrying a third synthetic dimension (`dmix`, a multiplicative
@@ -682,6 +716,17 @@ object Quality {
          WHERE (doc_id % 7 <> 0 OR doc_id % 5 = 0)
            AND doc_id BETWEEN (SELECT max(doc_id) // 8 FROM documents)
                           AND (SELECT max(doc_id) // 4 FROM documents)
+         GROUP BY lang ORDER BY lang""",
+    // the quantile-layout pruned read recomputed from the source —
+    // IDENTICAL text to v13's oracle on purpose: layout (linear vs
+    // quantile buckets) must be invisible to content, so the two
+    // entries share one contract the way q53/q69/q71 share theirs
+    "v21_zorder_quantile_range_read" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         WHERE n_chars BETWEEN (SELECT max(n_chars) // 8 FROM documents)
+                           AND (SELECT max(n_chars) // 4 FROM documents)
          GROUP BY lang ORDER BY lang""",
     // the z-ordered pruned read recomputed from the source with the
     // same scale-proportional n_chars window
