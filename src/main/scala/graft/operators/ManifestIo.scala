@@ -70,8 +70,21 @@ private[graft] object ManifestIo {
     try fs.listStatus(p)
     catch { case _: java.io.FileNotFoundException => Array.empty }
 
+  /** Read a small metadata file fully. Resource exhaustion must never
+    * read as ABSENCE (r19): on the local scheme an fd-starved open
+    * throws FileNotFoundException whose message is "(Too many open
+    * files)" — callers catch FNF to mean "pointer/manifest absent",
+    * and a starved process concluding "no committed table" is the
+    * silent-wrong answer; rethrow it as the IO failure it is. */
   def readString(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
+    val in =
+      try fs.open(p)
+      catch {
+        case e: java.io.FileNotFoundException
+            if e.getMessage != null &&
+              e.getMessage.contains("Too many open files") =>
+          throw new java.io.IOException(s"fd exhaustion opening $p", e)
+      }
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 

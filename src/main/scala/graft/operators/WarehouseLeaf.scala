@@ -820,7 +820,17 @@ trait WarehouseLeaf { this: Warehouse.type =>
   def readManifested(spark: SparkSession, dir: String): DataFrame = {
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     def resolveDf(): DataFrame = {
-      val gens = parseGens(headBody(fs, root).getOrElse(
+      // "no committed table" is a MOMENTOUS conclusion for a reader —
+      // downstream it means bootstrap/empty, so a transient resolution
+      // failure (an fd-starved stat reading as absence, an object
+      // store's transient list inconsistency) must not reach it on
+      // first sight: verify once after a short pause before concluding
+      // (r19; costs 50 ms only on the genuinely-nothing-there path)
+      val head = headBody(fs, root).orElse {
+        Thread.sleep(50)
+        headBody(fs, root)
+      }
+      val gens = parseGens(head.getOrElse(
         throw new java.io.FileNotFoundException(
           s"readManifested: $dir has no committed table")))
       // scanGens: additive schema evolution carries (mergeSchema /

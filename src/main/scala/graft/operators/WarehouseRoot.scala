@@ -45,14 +45,26 @@ trait WarehouseRoot { this: Warehouse.type =>
     // actual head and publishing the first version map (r17)
     val st = beginRootTransition(fs, root, leaves, None,
       "compactManifestedPartitioned", contentPreserving = true)
-    // leaf versions referenced by the surviving root maps must outlive
+    // leaf versions referenced by the SURVIVING root maps must outlive
     // the per-leaf retention GC (r19 ADVICE): an out-of-band leaf fold
     // can advance a leaf several versions inside one root window, so
     // count-window retention alone could GC a version a RETAINED root
-    // map still resolves. One read of the (small) map files, before
-    // the pooled walk; maps this pass itself ages out over-retain for
-    // exactly one pass — conservative by construction.
+    // map still resolves. Pins come only from maps that survive THIS
+    // pass's own root retention (count window anchored on st.next —
+    // one conservative version when the walk turns out fully steady —
+    // or the time window): pinning from about-to-expire maps would
+    // hold every leaf's rolled-past generations one pass too long and
+    // change the documented GC shape. One read of the (small) map
+    // files, before the pooled walk.
+    val pinTimeCutoff =
+      retainFor.map(d => System.currentTimeMillis() - d.toMillis)
+    def mapInTimeWindow(v: Long): Boolean = pinTimeCutoff.exists { c =>
+      try fs.getFileStatus(new HPath(root, s"_root-manifest-$v"))
+        .getModificationTime >= c
+      catch { case _: java.io.FileNotFoundException => false }
+    }
     val mapPins: Map[String, Set[Long]] = rootVersions(fs, root)
+      .filter(v => v >= st.next - retainSnapshots || mapInTimeWindow(v))
       .flatMap(v => parseRootMap(ManifestIo.readString(fs,
         new HPath(root, s"_root-manifest-$v"))).toSeq)
       .groupMap(_._1)(_._2).map { case (rel, vs) => rel -> vs.toSet }
