@@ -349,7 +349,7 @@ object CdcApply {
     * periodic delete-compaction under the live stream. `afterBatch`
     * runs after each batch's commit (the st29 per-batch marker
     * retirement hook). */
-  private def runManifestedCdcStream(scoped: SparkSession, dir: String,
+  private[streaming] def runManifestedCdcStream(scoped: SparkSession, dir: String,
                                      tableDir: String,
                                      afterBatch: (DataFrame, Long) => Unit =
                                        (_, _) => ()): Unit = {
@@ -373,7 +373,7 @@ object CdcApply {
     }
   }
 
-  private def flatState(state: DataFrame): DataFrame =
+  private[streaming] def flatState(state: DataFrame): DataFrame =
     state.select(col("user_id"), col("s.ts_us").as("ts_us"),
       col("s.event_id").as("event_id"),
       col("s.event_type").as("event_type"), col("s.value_q").as("value_q"))

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STREAMING consumption of a manifested table's change data feed —
+  * the missing half of r18's `tableChanges` (Delta CDF's
+  * `readStream.option("readChangeFeed", true)`, the API that lets a
+  * downstream system FOLLOW a 100 TB table at the cost of its deltas
+  * instead of re-reading snapshots): a consumer tails the source's
+  * manifest versions, reads each new `(lastConsumed, head]` window as
+  * NET row changes through [[graft.operators.Warehouse.tableChanges]],
+  * and applies them to an independent downstream table with
+  * exactly-once, marker-gated commits.
+  *
+  * The demonstration workload ([[runCdfMirror]], query `st30`) is the
+  * canonical one: replicate a CDC-maintained keyed table into a mirror
+  * the consumer owns. The writer loop is st27's VERBATIM (same
+  * commits, same periodic delete-compaction under the live stream);
+  * the consumer rides its `foreachBatch` hook at zero lag, so the
+  * feed windows it consumes are exactly the version ranges a
+  * production tailing consumer would see — including windows a
+  * maintenance fold crossed, which net to ZERO rows and commit
+  * NOTHING downstream (compaction is invisible to the feed's
+  * consumers, the same invariance st23/st26 pin for serving).
+  *
+  * EXACTLY-ONCE: the mirror's own `#txn:` markers are the consumer's
+  * durable cursor — the delete and upsert commits of window
+  * `(from, to]` are gated on `(app, to)`, so a crash-replayed window
+  * no-ops both commits (the [[graft.operators.WarehouseLeaf
+  * .upsertManifested]] contract; StreamingSpec pins version-for-version
+  * that a replay leaves the mirror untouched). A restarted consumer
+  * that lost its in-memory cursor can resume from any retained
+  * version at or below its marker — replay is free, skip is the only
+  * sin (and a skipped-window delete surfacing against an empty mirror
+  * refuses loudly rather than dropping the retraction).
+  *
+  * SCALE: each window costs O(its changed data) — `tableChanges`
+  * bounds both snapshot reads to the candidate keys of the window's
+  * manifest-entry symmetric difference — plus two O(delta) mirror
+  * commits; the untouched key space is never read on either side. The
+  * initial catch-up window (`fromVersion = 0`) is the whole snapshot
+  * as inserts, Delta's `startingVersion = 0` convention.
+  */
+object ChangeFeedStream {
+
+  /** Marker app ids for the mirror's two per-window commits. Distinct
+    * ids because the two commits share one monotone sequence per app:
+    * gating both on one id would make the second commit of a window
+    * read as already-applied the moment the first lands. */
+  private[graft] val MirrorDelApp = "graft.cdf.mirror.del"
+  private[graft] val MirrorUpApp = "graft.cdf.mirror.up"
+
+  /** Apply the net changes of `srcTable`'s `(fromVersion, toVersion]`
+    * window to `mirrorTable`: `delete` pre-images retract their keys
+    * (one merge-on-read tombstone commit), `insert`/`update_postimage`
+    * rows land through one keyed upsert; `update_preimage` rows are
+    * implied by the upsert and not applied. Both commits are
+    * marker-gated on `toVersion` — replaying a consumed window no-ops.
+    * `fromVersion = 0` is the initial snapshot (everything at
+    * `toVersion` as inserts). Returns the number of change rows
+    * applied — 0 for an empty or fold-only window, which also commits
+    * nothing (the mirror's version history advances only when data
+    * changed). */
+  def consumeWindow(spark: SparkSession, srcTable: String,
+                    mirrorTable: String, key: String,
+                    fromVersion: Long, toVersion: Long): Long = {
+    val W = graft.operators.Warehouse
+    if (fromVersion >= toVersion) return 0L
+    val changes = graft.operators.eagerCut(
+      if (fromVersion == 0L)
+        W.readManifestedAt(spark, srcTable, toVersion)
+          .withColumn("change_type", lit("insert"))
+      else W.tableChanges(spark, srcTable, key, fromVersion, toVersion))
+    val dels = changes.filter(col("change_type") === "delete").select(col(key))
+    val posts = changes
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .drop("change_type")
+    val nDel = dels.count()
+    val nPost = posts.count()
+    if (W.snapshots(mirrorTable).isEmpty) {
+      // first contact: commit an empty schema-bearing generation so
+      // even the FIRST window's data lands through the marker-gated
+      // upsert — the consumer is exactly-once from its first commit.
+      // (limit(0) alone has zero partitions and would write no part
+      // file; the generation must carry the schema.)
+      require(nDel == 0L,
+        s"consumeWindow: window ($fromVersion, $toVersion] of $srcTable " +
+          s"carries deletes but $mirrorTable is empty — the consumer " +
+          "skipped earlier windows; resume from its last marker instead")
+      W.appendManifested(spark, mirrorTable,
+        changes.drop("change_type").limit(0).repartition(1))
+      ()
+    }
+    if (nDel > 0)
+      W.deleteManifested(spark, mirrorTable, dels,
+        Some(MirrorDelApp -> toVersion))
+    if (nPost > 0)
+      W.upsertManifested(spark, mirrorTable, posts, key,
+        Some(MirrorUpApp -> toVersion))
+    nDel + nPost
+  }
+
+  /** The st30 loop: st27's CDC writer maintains `srcTable` from the
+    * event stream while a zero-lag consumer tails its change feed into
+    * `mirrorTable`; returns the mirror's final keyed state in flat row
+    * form. The mirror must equal the batch event-time-LWW answer — the
+    * FOURTH state mechanism (parquet swap / manifested / sharded root /
+    * CDF replication) pinned under the one `CdcLwwOracleSql` text, so
+    * none of them can drift from the others. */
+  def runCdfMirror(spark: SparkSession, dir: String, srcTable: String,
+                   mirrorTable: String): DataFrame = {
+    val W = graft.operators.Warehouse
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val lastConsumed = new java.util.concurrent.atomic.AtomicLong(0L)
+    def tail(): Unit = {
+      val head = W.snapshots(srcTable).lastOption.getOrElse(0L)
+      consumeWindow(scoped, srcTable, mirrorTable, "user_id",
+        lastConsumed.get(), head)
+      lastConsumed.set(head)
+    }
+    CdcApply.runManifestedCdcStream(scoped, dir, srcTable,
+      { (_, _) => tail() })
+    // drain: the writer's periodic fold commits land AFTER the hook
+    // within their batch — consume the fold-only tail window (nets to
+    // zero rows, commits nothing; the cursor still advances)
+    tail()
+    CdcApply.flatState(W.readManifested(scoped, mirrorTable))
+  }
+}

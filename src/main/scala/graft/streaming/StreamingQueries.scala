@@ -201,6 +201,24 @@ object StreamingQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
       out
     }),
+    // STREAMING change-feed consumption (r19 — Delta readChangeFeed's
+    // streaming shape): the st27 writer maintains the source table
+    // while a zero-lag consumer tails its manifest versions, reads
+    // each window's NET changes via tableChanges, and replicates them
+    // into an independent mirror under marker-gated exactly-once
+    // commits; fold-crossing windows net to zero and commit nothing.
+    // The mirror must equal the batch LWW answer — the FOURTH state
+    // mechanism under the one CdcLwwOracleSql text
+    "st30_stream_cdf_mirror" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_st30")
+      val src = root.resolve("src").toString
+      val mirror = root.resolve("mirror").toString
+      val out = graft.operators.eagerCut(
+        ChangeFeedStream.runCdfMirror(s, d, src, mirror)
+          .orderBy(col("user_id")))
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      out
+    }),
     // Spark 4 transformWithState (state v2): ValueState running profile
     // on the RocksDB store, update mode; final profile per key must
     // equal the batch aggregate
@@ -402,6 +420,9 @@ object StreamingQueries {
     // the same event-time-LWW answer as the dir-swap state table
     "st27_stream_cdc_manifested" -> CdcLwwOracleSql,
     "st28_stream_cdc_sharded" -> CdcLwwOracleSql,
+    // identical oracle again BY DESIGN: a mirror maintained purely
+    // from the change feed must converge to the table it follows
+    "st30_stream_cdf_mirror" -> CdcLwwOracleSql,
     "st10_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_q

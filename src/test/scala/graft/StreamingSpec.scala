@@ -868,4 +868,78 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
   }
+
+  test("CDF mirror: feed consumer replicates the table; replayed windows no-op; fold windows commit nothing; deletes propagate") {
+    import graft.streaming.{CdcApply, ChangeFeedStream}
+    val W = graft.operators.Warehouse
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("graft_cdfm")
+    val src = root.resolve("src").toString
+    val mirror = root.resolve("mirror").toString
+    def stateOf(dir: String) = W.readManifested(spark, dir)
+      .select(col("user_id"), col("s.ts_us"), col("s.event_id"),
+        col("s.event_type"), col("s.value_q"))
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    def batch(rows: (Long, Long, Long, String, Double)*) =
+      rows.toSeq.toDF("event_id", "tus", "user_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+
+    // the full loop: writer + zero-lag tailing consumer
+    ChangeFeedStream.runCdfMirror(spark, "/root/testdata/sf0.001", src, mirror)
+    assert(stateOf(mirror) == stateOf(src),
+      "mirror diverged from the table it follows")
+    val head1 = W.snapshots(src).last
+
+    // a follow-up source commit: one UPDATE of an existing key (huge
+    // ts wins LWW) + one brand-new INSERT key
+    val existing = stateOf(src).head._1
+    CdcApply.applyBatchManifested(
+      batch((900000L, 9_000_000_000_000_000L, existing, "view", 5.0),
+        (900001L, 9_000_000_000_000_000L, 999999L, "view", 7.0)),
+      src, Some(1000L))
+    val head2 = W.snapshots(src).last
+    val applied = ChangeFeedStream.consumeWindow(
+      spark, src, mirror, "user_id", head1, head2)
+    assert(applied == 2L, s"expected the update + insert, applied $applied")
+    assert(stateOf(mirror) == stateOf(src))
+    val mv = W.snapshots(mirror).last
+
+    // EXACTLY-ONCE: the crash-replayed window no-ops — content AND
+    // version-for-version (the markers gate both commits)
+    ChangeFeedStream.consumeWindow(spark, src, mirror, "user_id", head1, head2)
+    assert(W.snapshots(mirror).last == mv,
+      "a replayed window committed again instead of no-opping")
+    assert(stateOf(mirror) == stateOf(src))
+
+    // NET DELETE propagation (the CDC writer loop never nets one —
+    // this path needs its own pin)
+    W.deleteManifested(spark, src, Seq(999999L).toDF("user_id"))
+    val head3 = W.snapshots(src).last
+    ChangeFeedStream.consumeWindow(spark, src, mirror, "user_id", head2, head3)
+    assert(stateOf(mirror) == stateOf(src),
+      "the delete did not propagate to the mirror")
+    assert(!stateOf(mirror).exists(_._1 == 999999L))
+
+    // a skipped-window delete against an EMPTY mirror refuses loudly
+    // instead of silently dropping the retraction (before the fold —
+    // its GC retires _manifest-head2)
+    val mirror2 = root.resolve("mirror2").toString
+    val e = intercept[IllegalArgumentException] {
+      ChangeFeedStream.consumeWindow(spark, src, mirror2, "user_id", head2, head3)
+    }
+    assert(e.getMessage.contains("skipped earlier windows"))
+
+    // a FOLD-ONLY window nets zero rows and commits NOTHING — the
+    // mirror's version history advances only when data changed
+    val mv3 = W.snapshots(mirror).last
+    W.compactManifested(spark, src, targetFileBytes = 1L << 30)
+    val head4 = W.snapshots(src).last
+    assert(head4 > head3, "precondition: the fold must commit a version")
+    assert(ChangeFeedStream.consumeWindow(
+      spark, src, mirror, "user_id", head3, head4) == 0L)
+    assert(W.snapshots(mirror).last == mv3,
+      "a fold-only window committed downstream")
+    assert(stateOf(mirror) == stateOf(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
 }
