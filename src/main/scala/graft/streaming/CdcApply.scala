@@ -308,6 +308,22 @@ object CdcApply {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    runShardedCdcStream(scoped, dir, rootDir, nShards)
+    graft.operators.Warehouse.readManifestedPartitioned(scoped, rootDir)
+      .select(col("user_id"), col("s.ts_us").as("ts_us"),
+        col("s.event_id").as("event_id"),
+        col("s.event_type").as("event_type"), col("s.value_q").as("value_q"))
+  }
+
+  /** The sharded CDC micro-batch loop shared by st28 and st31's
+    * writer: per batch one marker-gated O(touched-shard) partitioned
+    * upsert, periodic per-leaf delete-compaction under the live
+    * stream. `afterBatch(batchId)` runs after each batch's commit
+    * (the st31 feed-consumer hook). */
+  private[streaming] def runShardedCdcStream(scoped: SparkSession, dir: String,
+                                             rootDir: String, nShards: Int,
+                                             afterBatch: Long => Unit =
+                                               _ => ()): Unit = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcp_ckpt")
     try {
       val q = EventStreams.readEventStream(scoped, dir).writeStream
@@ -315,6 +331,7 @@ object CdcApply {
                          batchId: Long) =>
           applyBatchManifestedPartitioned(batch.toDF(), rootDir, nShards,
             Some(batchId))
+          afterBatch(batchId)
           // per-leaf maintenance under the live stream — each shard
           // folds independently (embarrassingly parallel at scale)
           if (batchId % 4 == 3) {
@@ -328,10 +345,6 @@ object CdcApply {
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
     }
-    graft.operators.Warehouse.readManifestedPartitioned(scoped, rootDir)
-      .select(col("user_id"), col("s.ts_us").as("ts_us"),
-        col("s.event_id").as("event_id"),
-        col("s.event_type").as("event_type"), col("s.value_q").as("value_q"))
   }
 
   def runCdcApplyManifested(spark: SparkSession, dir: String,

@@ -101,6 +101,81 @@ object ChangeFeedStream {
     nDel + nPost
   }
 
+  /** [[consumeWindow]] over a PARTITIONED root — the change feed of a
+    * 100 TB sharded table consumed downstream at the cost of its
+    * deltas. The initial catch-up (`fromRootVersion = 0`) is a DEEP
+    * CLONE of the source at `toRootVersion` (real replication's
+    * snapshot-then-tail shape — the clone is the snapshot transfer,
+    * the feed is the tail); a crashed initial sync converges by
+    * re-running the clone, and a replay AFTER it completed skips (the
+    * mirror holding root versions at cursor 0 can only mean a
+    * completed sync). Incremental windows apply
+    * [[graft.operators.Warehouse.tableChangesPartitioned]]'s net
+    * changes through the partitioned row ops, marker-gated on the
+    * window's `toRootVersion`, each RESUMABLE per leaf: deletes as one
+    * all-leaf tombstone commit, post-images routed to their leaves by
+    * the feed's re-attached partition columns — a partition ADOPTED at
+    * the source inside the window arrives as whole-snapshot inserts
+    * and is adopted at the mirror by the upsert itself. Untouched
+    * leaves cost nothing at either end (the root version maps are the
+    * change detector upstream, the touched-slice walk the commit
+    * bound downstream). */
+  def consumeWindowPartitioned(spark: SparkSession, srcRoot: String,
+                               mirrorRoot: String, key: String,
+                               fromRootVersion: Long,
+                               toRootVersion: Long): Long = {
+    val W = graft.operators.Warehouse
+    if (fromRootVersion >= toRootVersion) return 0L
+    if (fromRootVersion == 0L) {
+      if (W.rootSnapshots(mirrorRoot).nonEmpty) return 0L // already synced
+      W.cloneManifestedPartitioned(spark, srcRoot, mirrorRoot,
+        Some(toRootVersion))
+      return W.readManifestedPartitioned(spark, mirrorRoot).count()
+    }
+    val changes = graft.operators.eagerCut(
+      W.tableChangesPartitioned(spark, srcRoot, key,
+        fromRootVersion, toRootVersion))
+    val dels = changes.filter(col("change_type") === "delete").select(col(key))
+    val posts = changes
+      .filter(col("change_type").isin("insert", "update_postimage"))
+      .drop("change_type")
+    val nDel = dels.count()
+    val nPost = posts.count()
+    if (nDel > 0)
+      W.deleteManifestedPartitioned(spark, mirrorRoot, dels,
+        Some(MirrorDelApp -> toRootVersion))
+    if (nPost > 0)
+      W.upsertManifestedPartitioned(spark, mirrorRoot, posts, key,
+        Some(MirrorUpApp -> toRootVersion))
+    nDel + nPost
+  }
+
+  /** The st31 loop: st28's sharded CDC writer maintains `srcRoot`
+    * while the partitioned consumer tails its ROOT versions into
+    * `mirrorRoot` — initial sync by deep clone, then incremental
+    * maintenance from the feed; same LWW oracle as the other three
+    * mechanisms. */
+  def runCdfMirrorPartitioned(spark: SparkSession, dir: String,
+                              srcRoot: String, mirrorRoot: String,
+                              nShards: Int = 4): DataFrame = {
+    val W = graft.operators.Warehouse
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val lastConsumed = new java.util.concurrent.atomic.AtomicLong(0L)
+    def tail(): Unit = {
+      val head = W.rootSnapshots(srcRoot).lastOption.getOrElse(0L)
+      consumeWindowPartitioned(scoped, srcRoot, mirrorRoot, "user_id",
+        lastConsumed.get(), head)
+      lastConsumed.set(head)
+    }
+    CdcApply.runShardedCdcStream(scoped, dir, srcRoot, nShards,
+      { _ => tail() })
+    tail() // drain the trailing fold-only window (nets zero, commits nothing)
+    CdcApply.flatState(W.readManifestedPartitioned(scoped, mirrorRoot)
+      .select(col("user_id"), col("s")))
+  }
+
   /** The st30 loop: st27's CDC writer maintains `srcTable` from the
     * event stream while a zero-lag consumer tails its change feed into
     * `mirrorTable`; returns the mirror's final keyed state in flat row

@@ -219,6 +219,21 @@ object StreamingQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
       out
     }),
+    // the PARTITIONED feed consumer (r19): st28's sharded writer
+    // maintains the source root; the consumer tails its ROOT versions
+    // — initial sync by deep clone (replication's snapshot-then-tail
+    // shape), then incremental windows through the partitioned row
+    // ops, O(touched) at both ends. Fifth mechanism, same oracle
+    "st31_stream_cdf_mirror_sharded" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_st31")
+      val src = root.resolve("src").toString
+      val mirror = root.resolve("mirror").toString
+      val out = graft.operators.eagerCut(
+        ChangeFeedStream.runCdfMirrorPartitioned(s, d, src, mirror)
+          .orderBy(col("user_id")))
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      out
+    }),
     // Spark 4 transformWithState (state v2): ValueState running profile
     // on the RocksDB store, update mode; final profile per key must
     // equal the batch aggregate
@@ -423,6 +438,7 @@ object StreamingQueries {
     // identical oracle again BY DESIGN: a mirror maintained purely
     // from the change feed must converge to the table it follows
     "st30_stream_cdf_mirror" -> CdcLwwOracleSql,
+    "st31_stream_cdf_mirror_sharded" -> CdcLwwOracleSql,
     "st10_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
            CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_q

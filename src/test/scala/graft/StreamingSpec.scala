@@ -942,4 +942,85 @@ class StreamingSpec extends SparkSpec {
     assert(stateOf(mirror) == stateOf(src))
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
+
+  test("partitioned CDF mirror: clone-then-tail replication; exactly-once; adopted partitions propagate; fold windows commit nothing") {
+    import graft.streaming.{CdcApply, ChangeFeedStream}
+    val W = graft.operators.Warehouse
+    val sp = spark; import sp.implicits._
+    val root = Files.createTempDirectory("graft_cdfmp")
+    val src = root.resolve("src").toString
+    val mirror = root.resolve("mirror").toString
+    def stateOf(dir: String) = W.readManifestedPartitioned(spark, dir)
+      .select(col("user_id"), col("s.ts_us"), col("s.event_id"),
+        col("s.event_type"), col("s.value_q"))
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    def batch(rows: (Long, Long, Long, String, Double)*) =
+      rows.toSeq.toDF("event_id", "tus", "user_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+
+    // full loop: sharded writer + partitioned tailing consumer
+    ChangeFeedStream.runCdfMirrorPartitioned(spark, "/root/testdata/sf0.001",
+      src, mirror)
+    assert(stateOf(mirror) == stateOf(src),
+      "mirror diverged from the sharded table it follows")
+    val h1 = W.rootSnapshots(src).last
+
+    // incremental window: update an existing key + insert a new one
+    val existing = stateOf(src).head._1
+    CdcApply.applyBatchManifestedPartitioned(
+      batch((910000L, 9_000_000_000_000_000L, existing, "view", 5.0),
+        (910001L, 9_000_000_000_000_000L, 888888L, "view", 7.0)),
+      src, nShards = 4, Some(1000L))
+    val h2 = W.rootSnapshots(src).last
+    assert(ChangeFeedStream.consumeWindowPartitioned(
+      spark, src, mirror, "user_id", h1, h2) == 2L)
+    assert(stateOf(mirror) == stateOf(src))
+    val mv = W.rootSnapshots(mirror).last
+
+    // exactly-once: a replayed window spends no mirror root version
+    ChangeFeedStream.consumeWindowPartitioned(
+      spark, src, mirror, "user_id", h1, h2)
+    assert(W.rootSnapshots(mirror).last == mv,
+      "a replayed window committed again instead of no-opping")
+    assert(stateOf(mirror) == stateOf(src))
+
+    // ADOPTION propagates: a brand-new partition appears at the source
+    // inside the window; the feed delivers it as whole-snapshot
+    // inserts and the mirror's upsert adopts the leaf itself
+    val newPart = Seq((777777L, 9_000_000_000_000_000L, 920000L, "view", 9L))
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value_q")
+      .select(col("user_id"),
+        struct(col("ts_us"), col("event_id"), col("event_type"),
+          col("value_q")).as("s"))
+      .withColumn("shard", lit(9L))
+    W.upsertManifestedPartitioned(spark, src, newPart, "user_id")
+    val h3 = W.rootSnapshots(src).last
+    ChangeFeedStream.consumeWindowPartitioned(
+      spark, src, mirror, "user_id", h2, h3)
+    assert(stateOf(mirror) == stateOf(src),
+      "the adopted partition did not propagate")
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(mirror, "shard=9")),
+      "the mirror did not adopt the new leaf")
+
+    // net delete propagates through the all-leaf tombstone commit
+    W.deleteManifestedPartitioned(spark, src, Seq(888888L).toDF("user_id"))
+    val h4 = W.rootSnapshots(src).last
+    ChangeFeedStream.consumeWindowPartitioned(
+      spark, src, mirror, "user_id", h3, h4)
+    assert(stateOf(mirror) == stateOf(src))
+    assert(!stateOf(mirror).exists(_._1 == 888888L))
+
+    // fold-only window: nets zero rows, commits nothing downstream
+    val mv4 = W.rootSnapshots(mirror).last
+    W.compactManifestedPartitioned(spark, src, targetFileBytes = 1L << 30)
+    val h5 = W.rootSnapshots(src).last
+    assert(h5 > h4, "precondition: the fold must commit a root version")
+    assert(ChangeFeedStream.consumeWindowPartitioned(
+      spark, src, mirror, "user_id", h4, h5) == 0L)
+    assert(W.rootSnapshots(mirror).last == mv4,
+      "a fold-only window committed downstream")
+    assert(stateOf(mirror) == stateOf(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+  }
 }
