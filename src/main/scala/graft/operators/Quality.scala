@@ -542,6 +542,41 @@ object Quality {
     // the final state recomputed from `documents`: if the restore
     // no-opped, the %5 sentinel and the %35 resurrections leak through
     // and hash-fail; if it rolled too far, the %7 deletes vanish.
+    // CHECK CONSTRAINTS under the correctness gate (r19): the table
+    // gains a committed CHECK, then one VIOLATING append is refused
+    // (it must contribute NOTHING — an over-permissive gate leaks its
+    // +1e6-keyed rows into the sums and hash-fails) and one VALID
+    // upsert passes under the same gate (an over-strict gate loses
+    // the %5 sentinel and hash-fails the other way). The oracle
+    // recomputes the final state from `documents` with only the valid
+    // mutation applied.
+    "v22_constrained_table_read" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifcheck", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        Warehouse.appendManifested(s, dir, docs)                       // v1
+        Warehouse.addCheckConstraint(s, dir,
+          "chars_nonneg", "n_chars >= 0")                              // v2
+        try {
+          Warehouse.appendManifested(s, dir,
+            docs.filter(col("doc_id") % 13 === 0)
+              .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+                (col("n_chars") * 0 - 5).as("n_chars")))
+          throw new IllegalStateException(
+            "v22: the violating append was NOT refused")
+        } catch { case _: IllegalArgumentException => }
+        Warehouse.upsertManifested(s, dir,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") * 0 + 7).as("n_chars")), "doc_id")       // v3
+        ()
+      }
+      Warehouse.readManifested(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     "v20_restore_read" -> ((s, d) => {
       val root = Similarity.cachedIndex("manifrestore", d) { dir =>
         val docs = t(s, d, "documents").select(
@@ -822,6 +857,17 @@ object Quality {
            CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM ch GROUP BY lang, change_type ORDER BY lang, change_type""",
+    // the constrained table recomputed from the source: the refused
+    // violating batch contributes nothing, the valid %5 sentinel is in
+    "v22_constrained_table_read" ->
+      """WITH fin AS (
+           SELECT lang, doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 7 ELSE n_chars END AS n_chars
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM fin GROUP BY lang ORDER BY lang""",
     // the restored-then-appended state recomputed from the source: %7
     // deletes present (v2's state), the rolled-away %5 sentinel ABSENT,
     // the post-restore negated-%11 appends present

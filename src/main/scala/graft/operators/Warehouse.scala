@@ -38,6 +38,7 @@ object Warehouse
     with WarehouseRoot
     with WarehouseRetention
     with WarehouseChanges
+    with WarehouseConstraints
     with WarehouseQueries {
 
   /** Exact semi join of `fact` against `dimKeys`, pre-filtered by a

@@ -313,8 +313,10 @@ trait WarehouseLeaf { this: Warehouse.type =>
     // `expected` was read, this THROWS (the fold is stale — it misses
     // that writer's generation) and the folded directory is left as
     // an orphan for [[vacuum]]; the caller re-runs the compaction.
+    // CHECK constraint lines carry through the fold — compaction is
+    // content-preserving, so the invariant they state still holds
     val v = commitManifest(fs, root, pointer, Seq(next), expected, curTxns,
-      collectStats(fs, hconf(spark), root, next))
+      constraintLines(head) ++ collectStats(fs, hconf(spark), root, next))
     // SNAPSHOT RETENTION: a manifest version survives this GC if it is
     // within the COUNT window (the last `retainSnapshots` before this
     // commit) OR within the TIME window (`retainFor`, anchored on the
@@ -467,6 +469,11 @@ trait WarehouseLeaf { this: Warehouse.type =>
           stats = collectStats(fs, hconf(spark), root, ".gen-0"))
       }
     }
+    // CHECK constraints gate the incoming batch BEFORE anything is
+    // written (one O(batch) job, zero when unconstrained); validated
+    // once outside the CAS loop — a concurrent add-constraint racing
+    // this append validates the whole table itself at add time
+    requireConstraints(headBody(fs, root), df, "appendManifested")
     // optimistic-CAS commit loop: in-process writers never collide
     // (the lock serializes them); a cross-process writer that overtook
     // this one surfaces as ConcurrentModificationException from the
@@ -915,6 +922,10 @@ trait WarehouseLeaf { this: Warehouse.type =>
             s"upsertManifested: $dir has no column '$keyCol' " +
               s"(columns: ${cols.mkString(", ")})")
         }
+        // CHECK constraints gate the incoming rows before either of
+        // the two writes below (one O(batch) job; replays above never
+        // pay it)
+        requireConstraints(Some(head), source, "upsertManifested")
         val base = nextEntryId(fs, root, gens)
         val del = s".del-$base"
         val gen = s".gen-${base + 1}"

@@ -295,13 +295,17 @@ trait WarehouseManifest { this: Warehouse.type =>
     }
   }
 
-  /** The per-file metadata lines of a manifest body — `#stats:`
-    * (min/max skipping) and `#file:` (file inventory) both carry the
-    * same `<entry>/<file>` addressing and the same carry-forward
-    * lifecycle. */
+  /** The carried metadata lines of a manifest body — `#stats:`
+    * (min/max skipping) and `#file:` (file inventory), both
+    * `<entry>/<file>`-addressed with the entry-keyed carry-forward
+    * lifecycle, plus `#constraint:` (table CHECK constraints,
+    * [[WarehouseConstraints]]) which carries UNCONDITIONALLY — a
+    * constraint is table state, not per-entry state. Every consumer
+    * of these lines filters by its own prefix. */
   private[operators] def parseStats(body: String): Seq[String] =
     body.trim.split("\n").toSeq.map(_.trim)
-      .filter(l => l.startsWith("#stats:") || l.startsWith("#file:"))
+      .filter(l => l.startsWith("#stats:") || l.startsWith("#file:") ||
+        l.startsWith("#constraint:"))
 
   /** The entry (generation/tombstone name) a per-file metadata line
     * belongs to. */
@@ -311,10 +315,12 @@ trait WarehouseManifest { this: Warehouse.type =>
   /** Carry-forward filter: the stats/file lines whose entry survives
     * into the next commit's generation list (dropped generations take
     * their lines with them; retained ones keep theirs as text — no
-    * re-read). */
+    * re-read). `#constraint:` lines carry unconditionally — table
+    * state, not entry state. */
   private[operators] def statsForGens(lines: Seq[String], gens: Seq[String]): Seq[String] = {
     val keep = gens.toSet
-    lines.filter(l => keep.contains(metaEntry(l)))
+    lines.filter(l => l.startsWith("#constraint:") ||
+      keep.contains(metaEntry(l)))
   }
 
   /** Does the recorded [min, max] intersect the query's [lower, upper]?

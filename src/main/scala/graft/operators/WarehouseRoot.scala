@@ -784,6 +784,14 @@ trait WarehouseRoot { this: Warehouse.type =>
     // one materialization of the source; every leaf's two writes
     // (tombstone keys + data) filter the cut, not the original plan
     val cut = eagerCut(source)
+    // CHECK constraints, validated ONCE against the first leaf's head
+    // (leaves share one schema and writer discipline — the
+    // uniform-writer contract of every root op) before any staging
+    // write; one O(batch) job, zero when unconstrained
+    leaves.headOption.foreach { case (leaf, _) =>
+      requireConstraints(headBody(fs, leaf), cut,
+        "upsertManifestedPartitioned")
+    }
     // routing: the distinct partition combos are touched-leaf-bounded
     // (the same cardinality as the walk itself), so this collect is
     // as bounded as listing the directories was. A NULL or EMPTY

@@ -2654,4 +2654,111 @@ class SinkSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(root).getParentFile)
   }
+
+  test("CHECK constraints: add validates the table, commits gate batches, lifecycle carries the lines") {
+    val W = graft.operators.Warehouse
+    val sp = spark; import sp.implicits._
+    val base = Files.createTempDirectory("graft_check")
+    val dir = base.resolve("t").toString
+    def df(rows: (Long, String, java.lang.Double)*) =
+      rows.toSeq.toDF("id", "lang", "score")
+    def ids(d: String) = W.readManifested(spark, d)
+      .select("id").as[Long].collect().toSet
+
+    W.appendManifested(spark, dir, df((1L, "en", 0.5), (2L, "de", 0.9)))
+    // add: commits a metadata-only version, listable
+    val v1 = W.snapshots(dir).last
+    W.addCheckConstraint(spark, dir, "score_pos", "score >= 0")
+    assert(W.snapshots(dir).last == v1 + 1, "add must spend one version")
+    assert(W.checkConstraints(spark, dir) ==
+      Map("score_pos" -> "score >= 0"))
+    // duplicate name refuses; a predicate the CURRENT table violates
+    // refuses and leaves no trace
+    intercept[IllegalArgumentException] {
+      W.addCheckConstraint(spark, dir, "score_pos", "score >= 0.1")
+    }
+    val vBefore = W.snapshots(dir).last
+    val e0 = intercept[IllegalArgumentException] {
+      W.addCheckConstraint(spark, dir, "high", "score > 0.8")
+    }
+    assert(e0.getMessage.contains("violate"))
+    assert(W.snapshots(dir).last == vBefore &&
+      W.checkConstraints(spark, dir).keySet == Set("score_pos"),
+      "a refused add must leave no constraint and spend no version")
+
+    // violating APPEND refuses before anything commits
+    val v2 = W.snapshots(dir).last
+    val e1 = intercept[IllegalArgumentException] {
+      W.appendManifested(spark, dir, df((3L, "fr", -1.0)))
+    }
+    assert(e1.getMessage.contains("score_pos"))
+    assert(W.snapshots(dir).last == v2 && ids(dir) == Set(1L, 2L))
+    // violating UPSERT refuses identically
+    val e2 = intercept[IllegalArgumentException] {
+      W.upsertManifested(spark, dir, df((1L, "en", -0.2)), "id")
+    }
+    assert(e2.getMessage.contains("score_pos"))
+    assert(W.snapshots(dir).last == v2)
+    // valid commits pass; SQL CHECK semantics: NULL passes
+    W.appendManifested(spark, dir, df((3L, "fr", 1.5), (4L, "pt", null)))
+    assert(ids(dir) == Set(1L, 2L, 3L, 4L))
+
+    // the fold carries the lines: post-compaction commits still gate
+    // (wide retention: the restore below travels back to v1)
+    W.compactManifested(spark, dir, targetFileBytes = 1L << 30,
+      retainSnapshots = 10)
+    assert(W.checkConstraints(spark, dir).keySet == Set("score_pos"))
+    intercept[IllegalArgumentException] {
+      W.appendManifested(spark, dir, df((5L, "it", -3.0)))
+    }
+    // clone carries them too (Delta CLONE convention)
+    val clone = base.resolve("clone").toString
+    W.cloneManifested(spark, dir, clone)
+    assert(W.checkConstraints(spark, clone).keySet == Set("score_pos"))
+    intercept[IllegalArgumentException] {
+      W.appendManifested(spark, clone, df((6L, "es", -1.0)))
+    }
+
+    // RESTORE rolls constraint state back with the data: the
+    // pre-constraint snapshot is unconstrained again
+    W.restoreManifested(spark, dir, v1)
+    assert(W.checkConstraints(spark, dir).isEmpty,
+      "restore to a pre-constraint snapshot must drop the constraint")
+    W.appendManifested(spark, dir, df((7L, "nl", -9.0))) // now legal
+    assert(ids(dir).contains(7L))
+
+    // DROP removes the gate; unknown name refuses
+    W.addCheckConstraint(spark, dir, "lang_set", "lang IS NOT NULL")
+    intercept[IllegalArgumentException] {
+      W.dropCheckConstraint(spark, dir, "nope")
+    }
+    W.dropCheckConstraint(spark, dir, "lang_set")
+    assert(W.checkConstraints(spark, dir).isEmpty)
+    W.appendManifested(spark, dir, df((8L, null, 0.1)))
+    assert(ids(dir).contains(8L))
+
+    // PARTITIONED root: the merge validates its source once against
+    // the leaves' shared constraint set before any staging write
+    val proot = base.resolve("p").toString
+    df((10L, "en", 0.1), (11L, "de", 0.2))
+      .write.partitionBy("lang").parquet(proot)
+    W.compactManifestedPartitioned(spark, proot, targetFileBytes = 1L << 30)
+    graft.operators.ManifestIo
+      .list(org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(proot))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("lang="))
+      .foreach(l => W.addCheckConstraint(spark, s"$proot/$l",
+        "id_pos", "id > 0"))
+    val pe = intercept[IllegalArgumentException] {
+      W.upsertManifestedPartitioned(spark, proot,
+        df((-5L, "en", 0.3)), "id")
+    }
+    assert(pe.getMessage.contains("id_pos"))
+    assert(W.readManifestedPartitioned(spark, proot).count() == 2L)
+    W.upsertManifestedPartitioned(spark, proot, df((12L, "en", 0.3)), "id")
+    assert(W.readManifestedPartitioned(spark, proot).count() == 3L)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
 }
