@@ -577,6 +577,100 @@ object Quality {
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))
     }),
+    // PARTITIONED CHECK CONSTRAINTS under the correctness gate (r20):
+    // v22's lifecycle over a lang-partitioned root managed through the
+    // TABLE-LEVEL DDL — one addCheckConstraintPartitioned commits the
+    // gate to every leaf under one root version, a violating
+    // partitioned MERGE refuses before any claim (its +1e6-keyed rows
+    // must leak into no leaf), and a valid merge passes under the same
+    // gate. The oracle recomputes the final state from `documents`
+    // with only the valid mutation applied — identical text to v22's,
+    // so the leaf and root constraint surfaces can never drift.
+    "v23_constrained_partitioned_read" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifpcheck", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+        Warehouse.compactManifestedPartitioned(s, dir)                 // v1
+        Warehouse.addCheckConstraintPartitioned(s, dir,
+          "chars_nonneg", "n_chars >= 0")                              // v2
+        try {
+          Warehouse.upsertManifestedPartitioned(s, dir,
+            docs.filter(col("doc_id") % 13 === 0)
+              .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+                (col("n_chars") * 0 - 5).as("n_chars")), "doc_id")
+          throw new IllegalStateException(
+            "v23: the violating merge was NOT refused")
+        } catch { case _: IllegalArgumentException => }
+        Warehouse.upsertManifestedPartitioned(s, dir,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") * 0 + 7).as("n_chars")), "doc_id")       // v3
+        ()
+      }
+      Warehouse.readManifestedPartitioned(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+    // NULL-SKIPPING READ under the correctness gate (r20): a table
+    // committed in two generations — one whose `maybe` column is null
+    // exactly on odd ids, one all-non-null — read back through
+    // readManifestedNull(IS NULL). The files of the second generation
+    // prune on their `#nulls:` lines (SinkSpec pins the file count);
+    // here the ORACLE pins the answer: a prune that was wrong in
+    // either direction changes the surviving id set and hash-fails.
+    "v24_nullskip_read" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifnull", d) { dir =>
+        val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        Warehouse.appendManifested(s, dir,
+          docs.filter(col("doc_id") % 3 === 0)
+            .withColumn("maybe", when(col("doc_id") % 2 === 0, lit(1))))
+        Warehouse.appendManifested(s, dir,
+          docs.filter(col("doc_id") % 3 =!= 0).withColumn("maybe", lit(1)))
+        ()
+      }
+      Warehouse.readManifestedNull(s, root, "maybe", wantNull = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
+    // SHALLOW CLONE under the correctness gate (r20): clone a
+    // two-version source (append, %7 tombstone) by METADATA ONLY —
+    // the clone's manifest references the source's generation AND
+    // tombstone directories — then mutate BOTH sides: a %5 sentinel
+    // upsert at the source (must NOT show through the pinned clone)
+    // and a local negated-%11 append at the clone (lands beside the
+    // references). The oracle recomputes the clone's final state from
+    // `documents`: a clone that tracked the source head, dropped the
+    // referenced tombstone, or lost its local append all hash-fail.
+    "v25_shallow_clone_read" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifshclone", d) { dir =>
+        val src = dir + "/src"
+        val cl = dir + "/clone"
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        Warehouse.appendManifested(s, src, docs)                      // v1
+        Warehouse.deleteManifested(s, src,
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))) // v2
+        Warehouse.cloneManifestedShallow(s, src, cl)                  // pins v2
+        Warehouse.upsertManifested(s, src,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") * 0 - 1).as("n_chars")), "doc_id")      // src v3
+        Warehouse.appendManifested(s, cl,
+          docs.filter(col("doc_id") % 11 === 0)
+            .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+              (col("n_chars") * 0 - 2).as("n_chars")))                // clone-local
+        ()
+      }
+      Warehouse.readManifested(s, root + "/clone")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     "v20_restore_read" -> ((s, d) => {
       val root = Similarity.cachedIndex("manifrestore", d) { dir =>
         val docs = t(s, d, "documents").select(
@@ -864,6 +958,39 @@ object Quality {
            SELECT lang, doc_id,
              CASE WHEN doc_id % 5 = 0 THEN 7 ELSE n_chars END AS n_chars
            FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM fin GROUP BY lang ORDER BY lang""",
+    // identical text to v22's oracle: the partitioned table managed
+    // through the root-level constraint DDL must answer exactly as the
+    // leaf-level surface does — refused merge invisible, valid %5
+    // sentinel applied
+    "v23_constrained_partitioned_read" ->
+      """WITH fin AS (
+           SELECT lang, doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 7 ELSE n_chars END AS n_chars
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM fin GROUP BY lang ORDER BY lang""",
+    // the IS NULL survivors recomputed from the source: null exactly
+    // on the odd ids of the %3 generation
+    "v24_nullskip_read" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0
+         GROUP BY lang ORDER BY lang""",
+    // the shallow clone's state recomputed from the source: the
+    // referenced %7 tombstone applies, the post-clone source upsert
+    // does NOT, the clone-local negated-%11 append does
+    "v25_shallow_clone_read" ->
+      """WITH fin AS (
+           SELECT lang, doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT lang, -(doc_id + 1), -2 FROM documents
+           WHERE doc_id % 11 = 0)
          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -110,15 +110,21 @@ trait WarehouseChanges { this: Warehouse.type =>
     // added-only candidate set silently drops those deletes). Every
     // removed entry is one of `fromVersion`'s own entries, which
     // readManifestedAt just validated as retained.
-    val fromEntries = readPointer(fs,
-      new HPath(root, s"_manifest-$fromVersion")).toSet
-    val toEntries = readPointer(fs,
-      new HPath(root, s"_manifest-$toVersion")).toSet
+    val fromBody = ManifestIo.readString(fs,
+      new HPath(root, s"_manifest-$fromVersion"))
+    val toBody = ManifestIo.readString(fs,
+      new HPath(root, s"_manifest-$toVersion"))
+    val fromEntries = parseGens(fromBody).toSet
+    val toEntries = parseGens(toBody).toSet
+    // a shallow clone's feed windows resolve `#ref:` entries to their
+    // recorded source directories, `to`'s recording winning for
+    // entries both manifests carry
+    val refs = parseRefs(fromBody) ++ parseRefs(toBody)
     val delta = (toEntries diff fromEntries) ++ (fromEntries diff toEntries)
     val candKeys =
       if (delta.isEmpty) return empty
       else delta.toSeq.map { g =>
-        spark.read.parquet(new HPath(root, g).toString).select(col(key))
+        spark.read.parquet(entryPath(root, refs, g).toString).select(col(key))
       }.reduce(_.unionByName(_)).distinct()
     val cand = eagerCut(candKeys) // both sides prune against ONE key set
     val fromC = from.join(cand, Seq(key), "left_semi")
@@ -385,9 +391,14 @@ trait WarehouseChanges { this: Warehouse.type =>
           s"(available: ${manifestVersions(fs, src).mkString(", ")})")
     val body = ManifestIo.readString(fs, hist)
     val gens = parseGens(body)
+    val refs = parseRefs(body)
+    // deep-cloning a SHALLOW clone copies through its references (the
+    // resolved source directories) and DROPS the `#ref:` lines — the
+    // result owns its data, the materialize-by-copy path
+    val dstStats = parseStats(body).filterNot(_.startsWith("#ref:"))
     // what commitManifest below would serialize — used both to refuse
     // a foreign table and to recognize this clone's own crashed commit
-    val wantBody = manifestBody(gens, Map.empty, parseStats(body))
+    val wantBody = manifestBody(gens, Map.empty, dstStats)
     headBody(fs, dst) match {
       case Some(h) if h == wantBody && headVersion(fs, dst) == 1L =>
         // a prior run of THIS clone crashed (or completed) after its
@@ -402,7 +413,7 @@ trait WarehouseChanges { this: Warehouse.type =>
             "refusing to merge histories; clone into a fresh directory")
       case None => // fresh or pre-CAS crash: (re-)copy and commit
     }
-    gens.find(g => !ManifestIo.isDirectory(fs, new HPath(src, g))).foreach { g =>
+    gens.find(g => !ManifestIo.isDirectory(fs, entryPath(src, refs, g))).foreach { g =>
       throw new IllegalStateException(
         s"cloneManifested: snapshot $v of $srcDir lists $g, which has " +
           "been garbage-collected (retention window moved past it)")
@@ -412,10 +423,81 @@ trait WarehouseChanges { this: Warehouse.type =>
       val out = new HPath(dst, g)
       // converge over a crashed prior clone's partial copy
       if (ManifestIo.exists(fs, out)) ManifestIo.delete(fs, out)
-      org.apache.hadoop.fs.FileUtil.copy(fs, new HPath(src, g), fs, out,
+      org.apache.hadoop.fs.FileUtil.copy(fs, entryPath(src, refs, g), fs, out,
         false, hconf(spark))
     }
     commitManifest(fs, dst, new HPath(dst, "_current"), gens,
-      headVersion(fs, dst), stats = parseStats(body))
+      headVersion(fs, dst), stats = dstStats)
+  }
+
+  /** SHALLOW CLONE (r20 — `CREATE TABLE ... SHALLOW CLONE` parity):
+    * an independent manifested table whose version-1 manifest lists
+    * the source snapshot's entries as `#ref:` REFERENCES to the
+    * source's absolute directories — metadata-only, ZERO data files
+    * copied, the zero-cost test-against-prod pattern (a 100 TB table
+    * clones in one pointer write). The clone pins snapshot `version`
+    * (default: head): later source commits never change what it
+    * reads, because the referenced generation DIRECTORIES are
+    * immutable — only compaction retires them. Stats/file-inventory/
+    * constraint lines carry, so skipping reads and CHECK gates work
+    * through the clone unchanged; shallow-cloning a shallow clone
+    * re-records the RESOLVED original directories (no chains).
+    *
+    * The clone is a real table: appends/merges/deletes land as LOCAL
+    * generations beside the references, and [[compactManifested]]
+    * MATERIALIZES it (the fold reads through the refs and writes
+    * locally, retiring them — Delta's `... it stops being shallow
+    * after OPTIMIZE` shape). The ONE coupling left is the Delta
+    * stance on vacuum: a source compaction+GC that retires a
+    * referenced generation BREAKS the clone's pinned read — the clone
+    * fails LOUDLY (missing directory, named in the error) rather
+    * than returning partial rows; materialize clones you need to
+    * outlive the source's retention window. Returns the clone's
+    * committed version (1). Reference: Databricks SHALLOW CLONE
+    * semantics (public docs); OMT has no table-copy surface. */
+  def cloneManifestedShallow(spark: SparkSession, srcDir: String,
+                             dstDir: String,
+                             version: Option[Long] = None): Long = {
+    val (fs, src) = ManifestIo.resolve(srcDir, hconf(spark))
+    val (_, dst) = ManifestIo.resolve(dstDir, hconf(spark))
+    val v = version.getOrElse(
+      manifestVersions(fs, src).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"cloneManifestedShallow: $srcDir has no committed table")))
+    val hist = new HPath(src, s"_manifest-$v")
+    if (!ManifestIo.exists(fs, hist))
+      throw new IllegalArgumentException(
+        s"cloneManifestedShallow: snapshot $v of $srcDir is not retained " +
+          s"(available: ${manifestVersions(fs, src).mkString(", ")})")
+    val body = ManifestIo.readString(fs, hist)
+    val gens = parseGens(body)
+    val srcRefs = parseRefs(body) // re-resolve a shallow source's refs
+    val refLines = gens.map(g =>
+      refLine(g, fs.makeQualified(entryPath(src, srcRefs, g)).toString))
+    val dstStats =
+      parseStats(body).filterNot(_.startsWith("#ref:")) ++ refLines
+    val wantBody = manifestBody(gens, Map.empty, dstStats)
+    headBody(fs, dst) match {
+      case Some(h) if h == wantBody && headVersion(fs, dst) == 1L =>
+        val pointer = new HPath(dst, "_current")
+        if (!ManifestIo.exists(fs, pointer)) ManifestIo.replace(fs, pointer, h)
+        return 1L
+      case Some(_) =>
+        throw new IllegalArgumentException(
+          s"cloneManifestedShallow: $dstDir already holds a committed " +
+            "table — refusing to merge histories; clone into a fresh " +
+            "directory")
+      case None =>
+    }
+    gens.find(g => !ManifestIo.isDirectory(fs, entryPath(src, srcRefs, g)))
+      .foreach { g =>
+        throw new IllegalStateException(
+          s"cloneManifestedShallow: snapshot $v of $srcDir lists $g, " +
+            "which has been garbage-collected (retention window moved " +
+            "past it)")
+      }
+    fs.mkdirs(dst)
+    commitManifest(fs, dst, new HPath(dst, "_current"), gens,
+      headVersion(fs, dst), stats = dstStats)
   }
 }

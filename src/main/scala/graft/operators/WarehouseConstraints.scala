@@ -32,12 +32,17 @@ import org.apache.spark.sql.functions._
   * deterministic bytes (the trail-head == pointer byte-equality
   * invariant).
   *
-  * Partitioned roots: leaves share one schema and one writer
-  * discipline (the uniform-writer contract every root op assumes), so
-  * [[WarehouseRoot.upsertManifestedPartitioned]] validates its source
-  * ONCE against the FIRST leaf's constraints before staging — add
-  * constraints to every leaf of a root (walk its leaves) or manage
-  * the root through one writer.
+  * Partitioned roots: [[addCheckConstraintPartitioned]] /
+  * [[dropCheckConstraintPartitioned]] manage the constraint as TABLE
+  * state — existing data validated once across all leaves (pooled
+  * reads, one Spark job), then the line committed to EVERY leaf under
+  * ONE root claim/version, so readers never observe a half-constrained
+  * root. [[WarehouseRoot.upsertManifestedPartitioned]] validates its
+  * source against every DISTINCT constraint set found across the
+  * leaves (steady state: one set, one O(batch) job), so a root whose
+  * leaves drifted (a hand-managed leaf that missed an add) still
+  * refuses rows violating ANY leaf's constraint instead of trusting
+  * directory-listing order.
   */
 trait WarehouseConstraints { this: Warehouse.type =>
 
@@ -71,15 +76,39 @@ trait WarehouseConstraints { this: Warehouse.type =>
     * the shared writer-side gate. ONE job: rows are tagged with the
     * names of every constraint whose predicate is FALSE for them, the
     * first few violators are collected and the refusal names them.
-    * No-op (no job) when the head carries no constraints. */
+    * No-op (no job) when the head carries no constraints.
+    *
+    * A legal additive-evolution batch may OMIT a constrained column —
+    * the committed scan null-fills it (mergeSchema/unionByName), so
+    * the CHECK must see NULL → pass, the SQL semantics documented
+    * above, not an unresolved-column refusal. Resolution is probed
+    * against the raw batch first; only on a miss is `tableSchema`
+    * (by-name — typically one parquet-footer schema read) consulted
+    * to null-fill the batch's missing TABLE columns. A predicate
+    * referencing a column in neither the batch nor the table still
+    * fails loudly. */
   private[operators] def requireConstraints(head: Option[String],
-                                            df: DataFrame, op: String): Unit = {
+                                            df: DataFrame, op: String,
+                                            tableSchema: => org.apache.spark.sql.types.StructType =
+                                              org.apache.spark.sql.types.StructType(Nil)): Unit = {
     val cons = head.map(parseConstraints).getOrElse(Map.empty)
     if (cons.isEmpty) return
+    val resolvesOnBatch = cons.values.forall { p =>
+      try { df.select(expr(p)); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    }
+    val target =
+      if (resolvesOnBatch) df
+      else {
+        val have = df.columns.map(_.toLowerCase).toSet
+        tableSchema.fields.filterNot(f => have(f.name.toLowerCase))
+          .foldLeft(df)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+      }
     val tags = cons.toSeq.sortBy(_._1).map { case (n, p) =>
       when(coalesce(expr(p), lit(true)) === lit(false), lit(n))
     }
-    val bad = df
+    val bad = target
       .withColumn("_violated",
         filter(array(tags: _*), x => x.isNotNull))
       .filter(size(col("_violated")) > 0)
@@ -112,23 +141,40 @@ trait WarehouseConstraints { this: Warehouse.type =>
         s"':' or newline, got '$name'")
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     withTableLock(root) {
-      val head = headBody(fs, root).getOrElse(
-        throw new IllegalArgumentException(
-          s"addCheckConstraint: $dir has no committed table"))
-      val existing = parseConstraints(head)
-      require(!existing.contains(name),
-        s"addCheckConstraint: $dir already has constraint '$name' " +
-          s"CHECK (${existing(name)}) — drop it first to replace")
-      // the whole-table validation: the one table scan this op costs
-      requireConstraints(
-        Some(manifestBody(Seq.empty, Map.empty,
-          Seq(constraintLine(name, predicate)))),
-        readManifested(spark, dir), "addCheckConstraint")
-      commitManifest(fs, root, new HPath(root, "_current"),
-        parseGens(head),
-        manifestVersions(fs, root).lastOption.getOrElse(0L),
-        parseTxns(head),
-        parseStats(head) :+ constraintLine(name, predicate))
+      // bounded CAS loop, expected version captured WITH the head and
+      // BEFORE the validation scan: a cross-process write landing
+      // during the scan would otherwise commit rows the scan never saw
+      // under the new constraint (and the late expected-read could
+      // even drop its generation from the pointer) — with the early
+      // capture that write surfaces as a version-CAS loss here and the
+      // retry re-reads AND re-scans, so the committed constraint is a
+      // whole-table invariant including last-instant arrivals.
+      var attempt = 0
+      var out = -1L
+      while (out < 0) {
+        val head = headBody(fs, root).getOrElse(
+          throw new IllegalArgumentException(
+            s"addCheckConstraint: $dir has no committed table"))
+        val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
+        val existing = parseConstraints(head)
+        require(!existing.contains(name),
+          s"addCheckConstraint: $dir already has constraint '$name' " +
+            s"CHECK (${existing(name)}) — drop it first to replace")
+        // the whole-table validation: the one table scan this op costs
+        requireConstraints(
+          Some(manifestBody(Seq.empty, Map.empty,
+            Seq(constraintLine(name, predicate)))),
+          readManifested(spark, dir), "addCheckConstraint")
+        try out = commitManifest(fs, root, new HPath(root, "_current"),
+          parseGens(head), expected, parseTxns(head),
+          parseStats(head) :+ constraintLine(name, predicate))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt >= 5) throw e
+        }
+      }
+      out
     }
   }
 
@@ -138,20 +184,171 @@ trait WarehouseConstraints { this: Warehouse.type =>
                           name: String): Long = {
     val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
     withTableLock(root) {
-      val head = headBody(fs, root).getOrElse(
-        throw new IllegalArgumentException(
-          s"dropCheckConstraint: $dir has no committed table"))
-      val line = constraintLines(head)
-        .find(_.startsWith(ConstraintPrefix + name + ":")).getOrElse(
+      var attempt = 0
+      var out = -1L
+      while (out < 0) {
+        val head = headBody(fs, root).getOrElse(
           throw new IllegalArgumentException(
-            s"dropCheckConstraint: $dir has no constraint '$name' " +
-              s"(live: ${parseConstraints(head).keys.toSeq.sorted
-                .mkString(", ")})"))
-      commitManifest(fs, root, new HPath(root, "_current"),
-        parseGens(head),
-        manifestVersions(fs, root).lastOption.getOrElse(0L),
-        parseTxns(head),
-        parseStats(head).filterNot(_ == line))
+            s"dropCheckConstraint: $dir has no committed table"))
+        val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
+        val line = constraintLines(head)
+          .find(_.startsWith(ConstraintPrefix + name + ":")).getOrElse(
+            throw new IllegalArgumentException(
+              s"dropCheckConstraint: $dir has no constraint '$name' " +
+                s"(live: ${parseConstraints(head).keys.toSeq.sorted
+                  .mkString(", ")})"))
+        try out = commitManifest(fs, root, new HPath(root, "_current"),
+          parseGens(head), expected, parseTxns(head),
+          parseStats(head).filterNot(_ == line))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt >= 5) throw e
+        }
+      }
+      out
     }
+  }
+
+  /** ADD CONSTRAINT across a PARTITIONED root — the table-level DDL
+    * (Delta constraints are table state; the per-leaf surface alone
+    * lets a root drift half-constrained): validate the EXISTING data
+    * of ALL leaves in one partitioned scan (so the predicate may also
+    * reference the partition columns), then — under ONE root claim —
+    * commit the `#constraint:` line to every leaf and publish one
+    * root version recording the new heads. Readers therefore see the
+    * root unconstrained or fully constrained, never in between, and a
+    * validation refusal happens BEFORE the claim — it leaves no trace
+    * in any manifest.
+    *
+    * CONVERGENT for a crashed prior attempt: a leaf already carrying
+    * this exact (name, predicate) line skips (its head is recorded
+    * as-is); the same name with a DIFFERENT predicate refuses loudly.
+    * A cross-process write racing a leaf's metadata commit surfaces
+    * as that leaf's version CAS loss; the bounded retry re-validates
+    * that LEAF's current rows (leaf-sized scan, not the root scan)
+    * before recommitting, so last-instant arrivals are covered
+    * exactly as in [[addCheckConstraint]]. Returns the published root
+    * version. */
+  def addCheckConstraintPartitioned(spark: SparkSession, rootDir: String,
+                                    name: String, predicate: String): Long = {
+    require(!name.contains(":") && !name.contains("\n") && name.nonEmpty,
+      s"addCheckConstraintPartitioned: constraint name must be nonempty " +
+        s"without ':' or newline, got '$name'")
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    val leaves = manifestLeaves(fs, root)
+    require(leaves.nonEmpty && leaves.forall(l => leafKvs(root, l).nonEmpty),
+      s"addCheckConstraintPartitioned: $rootDir has no k=v leaves — " +
+        "it is a plain leaf; use addCheckConstraint")
+    val line = constraintLine(name, predicate)
+    // duplicate probe + whole-root validation BEFORE the claim: a
+    // refusal must leave nothing behind. Convergence rule per leaf:
+    // same line → crashed prior attempt, fine; same name, different
+    // predicate → refuse.
+    parCommitLeaves(leaves) { leaf =>
+      headBody(fs, leaf).foreach { h =>
+        parseConstraints(h).get(name).foreach { p =>
+          require(p == predicate,
+            s"addCheckConstraintPartitioned: leaf ${relPath(root, leaf)} " +
+              s"already has constraint '$name' CHECK ($p) — drop it " +
+              "first to replace")
+        }
+      }
+    }
+    requireConstraints(
+      Some(manifestBody(Seq.empty, Map.empty, Seq(line))),
+      readManifestedPartitioned(spark, rootDir),
+      "addCheckConstraintPartitioned")
+    val st = beginRootTransition(fs, root, leaves, None,
+      "addCheckConstraintPartitioned")
+    val map = parCommitLeaves(leaves,
+      refresh = () => refreshClaim(fs, st, root, None)) { leaf =>
+      val rel = relPath(root, leaf)
+      rel -> withTableLock(leaf) {
+        var attempt = 0
+        var v = -1L
+        while (v < 0) {
+          val head = headBody(fs, leaf).getOrElse(
+            throw new IllegalArgumentException(
+              s"addCheckConstraintPartitioned: leaf $rel has no " +
+                "committed table"))
+          val expected = manifestVersions(fs, leaf).lastOption.getOrElse(0L)
+          if (constraintLines(head).contains(line)) v = expected // converged
+          else {
+            try v = commitManifest(fs, leaf, new HPath(leaf, "_current"),
+              parseGens(head), expected, parseTxns(head),
+              parseStats(head) :+ line)
+            catch {
+              case e: java.util.ConcurrentModificationException =>
+                attempt += 1
+                if (attempt >= 5) throw e
+                // a write overtook this leaf's metadata commit after
+                // the root-wide scan — re-validate the leaf's rows
+                requireConstraints(
+                  Some(manifestBody(Seq.empty, Map.empty, Seq(line))),
+                  readManifested(spark, leaf.toString),
+                  "addCheckConstraintPartitioned")
+            }
+          }
+        }
+        v
+      }
+    }.toMap
+    commitRootManifest(fs, root, st, map, None)
+    st.next
+  }
+
+  /** DROP CONSTRAINT across a partitioned root: the line is removed
+    * from every leaf under one root claim/version. A leaf already
+    * missing the name skips (a crashed prior drop converges); a root
+    * where NO leaf carries it refuses. Returns the published root
+    * version. */
+  def dropCheckConstraintPartitioned(spark: SparkSession, rootDir: String,
+                                     name: String): Long = {
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    val leaves = manifestLeaves(fs, root)
+    require(leaves.nonEmpty && leaves.forall(l => leafKvs(root, l).nonEmpty),
+      s"dropCheckConstraintPartitioned: $rootDir has no k=v leaves — " +
+        "it is a plain leaf; use dropCheckConstraint")
+    val anywhere = parCommitLeaves(leaves) { leaf =>
+      headBody(fs, leaf).exists(h =>
+        parseConstraints(h).contains(name))
+    }
+    require(anywhere.contains(true),
+      s"dropCheckConstraintPartitioned: no leaf of $rootDir has " +
+        s"constraint '$name'")
+    val st = beginRootTransition(fs, root, leaves, None,
+      "dropCheckConstraintPartitioned")
+    val map = parCommitLeaves(leaves,
+      refresh = () => refreshClaim(fs, st, root, None)) { leaf =>
+      val rel = relPath(root, leaf)
+      rel -> withTableLock(leaf) {
+        var attempt = 0
+        var v = -1L
+        while (v < 0) {
+          val head = headBody(fs, leaf).getOrElse(
+            throw new IllegalArgumentException(
+              s"dropCheckConstraintPartitioned: leaf $rel has no " +
+                "committed table"))
+          val expected = manifestVersions(fs, leaf).lastOption.getOrElse(0L)
+          constraintLines(head)
+            .find(_.startsWith(ConstraintPrefix + name + ":")) match {
+            case None => v = expected // converged (or never had it)
+            case Some(l) =>
+              try v = commitManifest(fs, leaf, new HPath(leaf, "_current"),
+                parseGens(head), expected, parseTxns(head),
+                parseStats(head).filterNot(_ == l))
+              catch {
+                case e: java.util.ConcurrentModificationException =>
+                  attempt += 1
+                  if (attempt >= 5) throw e
+              }
+          }
+        }
+        v
+      }
+    }.toMap
+    commitRootManifest(fs, root, st, map, None)
+    st.next
   }
 }

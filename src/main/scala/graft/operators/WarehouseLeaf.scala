@@ -187,8 +187,9 @@ trait WarehouseLeaf { this: Warehouse.type =>
     val head = headBody(fs, root).get
     val cur = parseGens(head)
     val curTxns = parseTxns(head)
+    val curRefs = parseRefs(head)
     val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
-    val bytes = cur.map(g => ManifestIo.list(fs, new HPath(root, g))
+    val bytes = cur.map(g => ManifestIo.list(fs, entryPath(root, curRefs, g))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -211,7 +212,10 @@ trait WarehouseLeaf { this: Warehouse.type =>
     // curve of both columns, so every file covers a TILE — narrow in
     // BOTH dimensions — and the `#stats:` skipping read prunes on
     // either one (a single-column sort can only ever prune its own).
-    val folded = scanGens(spark, root, cur)
+    // a shallow clone's `#ref:` entries resolve to the source here
+    // and the fold WRITES LOCALLY — compaction doubles as "materialize
+    // the clone" (the refs retire with the entries they annotated)
+    val folded = scanGens(spark, root, cur, curRefs)
     (if (zorderBy.nonEmpty) {
       // Morton key over linearly-bucketed dimensions: one small agg
       // for the (min, max) of each column, then a 16-bit scale —
@@ -469,11 +473,6 @@ trait WarehouseLeaf { this: Warehouse.type =>
           stats = collectStats(fs, hconf(spark), root, ".gen-0"))
       }
     }
-    // CHECK constraints gate the incoming batch BEFORE anything is
-    // written (one O(batch) job, zero when unconstrained); validated
-    // once outside the CAS loop — a concurrent add-constraint racing
-    // this append validates the whole table itself at add time
-    requireConstraints(headBody(fs, root), df, "appendManifested")
     // optimistic-CAS commit loop: in-process writers never collide
     // (the lock serializes them); a cross-process writer that overtook
     // this one surfaces as ConcurrentModificationException from the
@@ -482,12 +481,31 @@ trait WarehouseLeaf { this: Warehouse.type =>
     // persistent loss means a writer storm the deployment should be
     // coordinating explicitly, and the loop failing loudly beats
     // spinning.
+    //
+    // CHECK constraints gate the incoming batch BEFORE anything is
+    // written (one O(batch) job, zero when unconstrained) and are
+    // RE-validated inside the loop whenever the re-read head's
+    // constraint set differs from the one last validated (r20 ADVICE):
+    // a retry whose CAS was lost to a cross-process addCheckConstraint
+    // must not commit rows that add's whole-table scan never saw —
+    // that scan ran before this batch's data existed and this batch
+    // validated against the pre-constraint head, so without the
+    // re-check BOTH gates would miss. Steady state re-parses the same
+    // head and spends no extra job.
     var attempt = 0
     var committed = -1L
+    var validatedCons: Option[Map[String, String]] = None
     while (committed < 0) {
-      val (gens, txns, carried) = headBody(fs, root) match {
+      val hb = headBody(fs, root)
+      val (gens, txns, carried) = hb match {
         case Some(b) => (parseGens(b), parseTxns(b), parseStats(b))
         case None => (Seq.empty[String], Map.empty[String, Long], Seq.empty[String])
+      }
+      val liveCons = hb.map(parseConstraints).getOrElse(Map.empty)
+      if (!validatedCons.contains(liveCons)) {
+        requireConstraints(hb, df, "appendManifested",
+          readManifested(spark, dir).schema)
+        validatedCons = Some(liveCons)
       }
       val expected = manifestVersions(fs, root).lastOption.getOrElse(0L)
       val nextId = genId.getOrElse(nextEntryId(fs, root, gens))
@@ -528,7 +546,8 @@ trait WarehouseLeaf { this: Warehouse.type =>
     * tombstone side is delete-sized (small), so at scale this is a
     * broadcast anti join over the scan, not a second shuffle. */
   private[operators] def scanGens(spark: SparkSession, root: HPath,
-                       gens: Seq[String]): DataFrame = {
+                       gens: Seq[String],
+                       refs: Map[String, String] = Map.empty): DataFrame = {
     val (dels, datas) = gens.partition(_.startsWith(".del-"))
     // not producible by current writers (every commit path lists at
     // least one data generation), but a hand-edited or future-writer
@@ -537,15 +556,15 @@ trait WarehouseLeaf { this: Warehouse.type =>
       s"scanGens: manifest lists only tombstones: ${gens.mkString(", ")}")
     if (dels.isEmpty)
       spark.read.option("mergeSchema", "true")
-        .parquet(datas.map(g => new HPath(root, g).toString): _*)
+        .parquet(datas.map(g => entryPath(root, refs, g).toString): _*)
     else {
       val tagged = datas.map(g =>
-        g -> spark.read.parquet(new HPath(root, g).toString))
+        g -> spark.read.parquet(entryPath(root, refs, g).toString))
       requireAdditiveOnly(tagged)
       val data = tagged.map { case (g, df) =>
         df.withColumn("_gid", lit(entryId(g)))
       }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
-      applyTombstones(spark, root, dels, data)
+      applyTombstones(spark, root, dels, data, refs)
     }
   }
 
@@ -584,14 +603,15 @@ trait WarehouseLeaf { this: Warehouse.type =>
     * is the table's key column ([[deleteManifested]] enforces it at
     * write time). */
   private[operators] def applyTombstones(spark: SparkSession, root: HPath,
-                              dels: Seq[String], data: DataFrame): DataFrame = {
+                              dels: Seq[String], data: DataFrame,
+                              refs: Map[String, String] = Map.empty): DataFrame = {
     val keyCols = dels.map(g =>
-      spark.read.parquet(new HPath(root, g).toString).columns.toSeq).distinct
+      spark.read.parquet(entryPath(root, refs, g).toString).columns.toSeq).distinct
     require(keyCols.size == 1 && keyCols.head.size == 1,
       s"scanGens: tombstones disagree on the key column: $keyCols")
     val key = keyCols.head.head
     val tomb = dels.map { g =>
-      spark.read.parquet(new HPath(root, g).toString)
+      spark.read.parquet(entryPath(root, refs, g).toString)
         .select(col(key).as("_tkey")).withColumn("_tid", lit(entryId(g)))
     }.reduceLeft(_.unionByName(_))
     data.join(broadcast(tomb),
@@ -615,14 +635,9 @@ trait WarehouseLeaf { this: Warehouse.type =>
     * everything, still correct). Tombstones are always read in full —
     * they are delete-sized — and apply exactly as in [[scanGens]]. */
   def readManifestedRange(spark: SparkSession, dir: String, column: String,
-                          lower: Any, upper: Any): DataFrame = {
-    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
-    def resolveDf(): DataFrame = {
-      val body = headBody(fs, root).getOrElse(
-        throw new java.io.FileNotFoundException(
-          s"readManifestedRange: $dir has no committed table"))
-      val gens = parseGens(body)
-      val meta = parseStats(body)
+                          lower: Any, upper: Any): DataFrame =
+    readManifestedSkipping(spark, dir, "readManifestedRange",
+      col(column) >= lit(lower) && col(column) <= lit(upper)) { meta =>
       val ranges: Map[(String, String), (String, String, String)] =
         meta.filter(_.startsWith("#stats:")).flatMap { l =>
           // #stats:<entry>/<file>:<col>:<kind>:<min>:<max>
@@ -634,6 +649,62 @@ trait WarehouseLeaf { this: Warehouse.type =>
             case _ => None
           }
         }.toMap
+      (g, f) => ranges.get((g, f)) match {
+        case Some((kind, mn, mx)) => statsOverlap(kind, mn, mx, lower, upper)
+        case None => true
+      }
+    }
+
+  /** NULL-SKIPPING READ (r20): [[readManifested]] restricted to
+    * `column IS NULL` (`wantNull = true`) or `IS NOT NULL`, opening
+    * only the files whose manifest-recorded `#nulls:` count says they
+    * can contain a qualifying row — an IS NULL audit scan (the v03
+    * shape) over a mostly-complete column opens O(files with any
+    * null) instead of all of them, and an IS NOT NULL scan skips
+    * all-null files. Same contract as [[readManifestedRange]]:
+    * semantically identical to `readManifested(...).filter(...)`
+    * (the predicate is re-applied), conservative on legacy manifests
+    * — a file without a recorded null count is always read. */
+  def readManifestedNull(spark: SparkSession, dir: String, column: String,
+                         wantNull: Boolean): DataFrame =
+    readManifestedSkipping(spark, dir, "readManifestedNull",
+      if (wantNull) col(column).isNull else col(column).isNotNull) { meta =>
+      val nulls: Map[(String, String), (Long, Long)] =
+        meta.filter(_.startsWith("#nulls:")).flatMap { l =>
+          // #nulls:<entry>/<file>:<col>:<nullCount>:<numRows>
+          l.stripPrefix("#nulls:").split(":", 4) match {
+            case Array(entryFile, c, nn, nr) if c == column =>
+              val slash = entryFile.indexOf('/')
+              try Some((entryFile.take(slash), entryFile.drop(slash + 1)) ->
+                (nn.toLong, nr.toLong))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+      (g, f) => nulls.get((g, f)) match {
+        case Some((nn, nr)) => if (wantNull) nn > 0L else nn < nr
+        case None => true
+      }
+    }
+
+  /** The shared manifest-metadata pruned scan behind
+    * [[readManifestedRange]] and [[readManifestedNull]]: plan the
+    * scan from the manifest's `#file:` inventory, keep only the files
+    * `keepOf(meta)` admits (no metadata line ⇒ keep — conservative by
+    * construction), re-apply `pred` on the survivors so pruning can
+    * only cut IO, never change the answer. */
+  private def readManifestedSkipping(spark: SparkSession, dir: String,
+      op: String, pred: Column)(
+      keepOf: Seq[String] => (String, String) => Boolean): DataFrame = {
+    val (fs, root) = ManifestIo.resolve(dir, hconf(spark))
+    def resolveDf(): DataFrame = {
+      val body = headBody(fs, root).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"$op: $dir has no committed table"))
+      val gens = parseGens(body)
+      val meta = parseStats(body)
+      val refs = parseRefs(body)
+      val keep = keepOf(meta)
       // the manifest as file INVENTORY (r16): a generation with
       // `#file:` lines plans from them — zero directory lists on the
       // read path; a legacy generation (no lines) falls back to one
@@ -648,24 +719,20 @@ trait WarehouseLeaf { this: Warehouse.type =>
           }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) }
       def filesOf(g: String): Seq[HPath] = inventory.get(g) match {
         case Some(names) =>
-          val d = new HPath(root, g)
+          val d = entryPath(root, refs, g)
           names.map(n => new HPath(d, n))
-        case None => ManifestIo.list(fs, new HPath(root, g))
+        case None => ManifestIo.list(fs, entryPath(root, refs, g))
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           .map(_.getPath).toSeq
       }
       val (dels, datas) = gens.partition(_.startsWith(".del-"))
       require(datas.nonEmpty,
-        s"readManifestedRange: manifest lists only tombstones: $gens")
+        s"$op: manifest lists only tombstones: $gens")
       // (generation, all files, files surviving the stats prune)
       val selected: Seq[(String, Seq[HPath], Seq[HPath])] = datas.map { g =>
         val all = filesOf(g)
-        (g, all, all.filter(f => ranges.get((g, f.getName)) match {
-          case Some((kind, mn, mx)) => statsOverlap(kind, mn, mx, lower, upper)
-          case None => true
-        }))
+        (g, all, all.filter(f => keep(g, f.getName)))
       }
-      val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
       val live = selected.filter(_._3.nonEmpty)
       // a generation whose files ALL pruned still contributes its
       // SCHEMA (one footer via a limit(0) branch): the pruned read
@@ -677,7 +744,7 @@ trait WarehouseLeaf { this: Warehouse.type =>
       if (live.isEmpty)
         // every file excluded — plan the ordinary scan only for its
         // schema; the predicate returns zero rows through it
-        scanGens(spark, root, gens).filter(pred)
+        scanGens(spark, root, gens, refs).filter(pred)
       else if (dels.isEmpty && prunedOut.isEmpty)
         spark.read.option("mergeSchema", "true")
           .parquet(live.flatMap(_._3).map(_.toString): _*)
@@ -695,7 +762,7 @@ trait WarehouseLeaf { this: Warehouse.type =>
         }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
         val undeleted =
           if (dels.isEmpty) data.drop("_gid")
-          else applyTombstones(spark, root, dels, data)
+          else applyTombstones(spark, root, dels, data, refs)
         undeleted.filter(pred)
       }
     }
@@ -791,8 +858,10 @@ trait WarehouseLeaf { this: Warehouse.type =>
       throw new IllegalArgumentException(
         s"readManifestedAt: snapshot $version of $dir is not retained " +
           s"(available: ${manifestVersions(fs, root).mkString(", ")})")
-    val gens = readPointer(fs, hist)
-    gens.find(g => !ManifestIo.isDirectory(fs, new HPath(root, g))).foreach { g =>
+    val histBody = ManifestIo.readString(fs, hist)
+    val gens = parseGens(histBody)
+    val refs = parseRefs(histBody)
+    gens.find(g => !ManifestIo.isDirectory(fs, entryPath(root, refs, g))).foreach { g =>
       throw new IllegalStateException(
         s"readManifestedAt: snapshot $version of $dir lists $g, which " +
           "has been garbage-collected (retention window moved past it)")
@@ -800,7 +869,7 @@ trait WarehouseLeaf { this: Warehouse.type =>
     // scanGens: a snapshot taken BEFORE a delete reads with its rows;
     // one taken after applies the tombstone — deletes are versioned
     // like any commit
-    scanGens(spark, root, gens)
+    scanGens(spark, root, gens, refs)
   }
 
   // The pointer swap itself — synced tmp write, atomic rename, parent
@@ -845,8 +914,9 @@ trait WarehouseLeaf { this: Warehouse.type =>
       // planning, paid only while the manifest lists >1 generation),
       // and `.del-` tombstones apply in id order (merge-on-read; the
       // tombstone-free steady state is the same single multi-path
-      // scan as always).
-      scanGens(spark, root, gens)
+      // scan as always). Shallow-clone `#ref:` entries resolve to
+      // their recorded source directories.
+      scanGens(spark, root, gens, head.map(parseRefs).getOrElse(Map.empty))
     }
     // one retry covers BOTH stale-resolve shapes: a GC'd generation
     // surfaces as AnalysisException from the eager listing, and a
@@ -917,7 +987,8 @@ trait WarehouseLeaf { this: Warehouse.type =>
       if (alreadyApplied) expected
       else {
         gens.find(!_.startsWith(".del-")).foreach { g =>
-          val cols = spark.read.parquet(new HPath(root, g).toString).columns
+          val cols = spark.read
+            .parquet(entryPath(root, parseRefs(head), g).toString).columns
           require(cols.contains(keyCol),
             s"upsertManifested: $dir has no column '$keyCol' " +
               s"(columns: ${cols.mkString(", ")})")
@@ -925,7 +996,8 @@ trait WarehouseLeaf { this: Warehouse.type =>
         // CHECK constraints gate the incoming rows before either of
         // the two writes below (one O(batch) job; replays above never
         // pay it)
-        requireConstraints(Some(head), source, "upsertManifested")
+        requireConstraints(Some(head), source, "upsertManifested",
+          readManifested(spark, dir).schema)
         val base = nextEntryId(fs, root, gens)
         val del = s".del-$base"
         val gen = s".gen-${base + 1}"

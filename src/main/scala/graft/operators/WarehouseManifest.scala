@@ -255,6 +255,26 @@ trait WarehouseManifest { this: Warehouse.type =>
             val chunks = blocks.flatMap(_.getColumns.asScala.filter(c =>
               c.getPath.size() == 1 && c.getPath.toDotString == name))
             val stats = chunks.map(_.getStatistics)
+            // `#nulls:<entry>/<file>:<col>:<nullCount>:<numRows>` (r20)
+            // — per-file null counts alongside min/max, same footer
+            // pass (Delta records nullCount for the same reason): lets
+            // IS NULL / IS NOT NULL reads skip files. Type-agnostic,
+            // so it emits even where min/max is unsupported (binary,
+            // all-null files); conservative — any chunk without a
+            // recorded null count suppresses the line, and no line
+            // means "keep the file".
+            val nullsLine =
+              if (name.contains(":") || name.contains("/") ||
+                  name.contains("\n") || chunks.isEmpty ||
+                  stats.exists(s => s == null || !s.isNumNullsSet ||
+                    s.getNumNulls < 0))
+                None
+              else {
+                val rows = blocks.map(_.getRowCount).sum
+                Some(s"#nulls:$entry/${st.getPath.getName}:$name:" +
+                  s"${stats.map(_.getNumNulls).sum}:$rows")
+              }
+            val minmaxLine =
             if (name.contains(":") || name.contains("/") || name.contains("\n") ||
                 stats.isEmpty ||
                 stats.exists(s => s == null || s.isEmpty || !s.hasNonNullValue))
@@ -290,6 +310,7 @@ trait WarehouseManifest { this: Warehouse.type =>
                 case _ => None
               }
             }
+            nullsLine.toSeq ++ minmaxLine.toSeq
           }
       } finally reader.close()
     }
@@ -305,7 +326,8 @@ trait WarehouseManifest { this: Warehouse.type =>
   private[operators] def parseStats(body: String): Seq[String] =
     body.trim.split("\n").toSeq.map(_.trim)
       .filter(l => l.startsWith("#stats:") || l.startsWith("#file:") ||
-        l.startsWith("#constraint:"))
+        l.startsWith("#constraint:") || l.startsWith("#nulls:") ||
+        l.startsWith("#ref:"))
 
   /** The entry (generation/tombstone name) a per-file metadata line
     * belongs to. */
@@ -322,6 +344,35 @@ trait WarehouseManifest { this: Warehouse.type =>
     lines.filter(l => l.startsWith("#constraint:") ||
       keep.contains(metaEntry(l)))
   }
+
+  /** SHALLOW-CLONE entry references (r20 — Delta `SHALLOW CLONE`
+    * parity): `#ref:<entry>/<base64url(absolute-dir-uri)>` records
+    * that a manifest entry's data lives in ANOTHER table's directory
+    * — the clone copied metadata only. Entry-keyed like `#stats:`
+    * (the `/` separator keeps [[metaEntry]]'s carry-forward contract;
+    * base64url never contains '/' or ':'), so compaction's fold —
+    * which rewrites the data LOCALLY — retires the reference with the
+    * entry it replaces: OPTIMIZE is also "materialize the clone". */
+  private[operators] def refLine(entry: String, absDir: String): String =
+    "#ref:" + entry + "/" + java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(absDir.getBytes("UTF-8"))
+
+  private[operators] def parseRefs(body: String): Map[String, String] =
+    body.trim.split("\n").toSeq.map(_.trim)
+      .filter(_.startsWith("#ref:")).map { l =>
+        val rest = l.stripPrefix("#ref:")
+        val slash = rest.indexOf('/')
+        rest.take(slash) -> new String(
+          java.util.Base64.getUrlDecoder.decode(rest.drop(slash + 1)), "UTF-8")
+      }.toMap
+
+  /** Where a manifest entry's data directory actually lives: the
+    * local child for an ordinary entry, the recorded absolute source
+    * directory for a shallow-clone reference. Every data-reading
+    * consumer of a generation list resolves through this. */
+  private[operators] def entryPath(root: HPath, refs: Map[String, String],
+                                   g: String): HPath =
+    refs.get(g).map(new HPath(_)).getOrElse(new HPath(root, g))
 
   /** Does the recorded [min, max] intersect the query's [lower, upper]?
     * Bound-type / kind mismatches keep the file (conservative). */
@@ -428,6 +479,20 @@ trait WarehouseManifest { this: Warehouse.type =>
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     val (fs, root) = ManifestIo.resolve(dir, conf)
     manifestVersions(fs, root)
+  }
+
+  /** The exactly-once `#txn:` markers committed at the table's HEAD —
+    * appId → highest applied version (the Delta txnAppId/txnVersion
+    * surface). Empty for an uncommitted table. This is the durable
+    * CURSOR a restarted idempotent producer or change-feed consumer
+    * resumes from — the markers ride the snapshot, so they survive
+    * crashes, folds and RESTORE exactly like the data they gate. */
+  def committedTxns(dir: String): Map[String, Long] = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val (fs, root) = ManifestIo.resolve(dir, conf)
+    headBody(fs, root).map(parseTxns).getOrElse(Map.empty)
   }
 
   private[operators] def manifestVersions(fs: HFs, root: HPath): Seq[Long] =

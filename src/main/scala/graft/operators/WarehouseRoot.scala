@@ -784,14 +784,31 @@ trait WarehouseRoot { this: Warehouse.type =>
     // one materialization of the source; every leaf's two writes
     // (tombstone keys + data) filter the cut, not the original plan
     val cut = eagerCut(source)
-    // CHECK constraints, validated ONCE against the first leaf's head
-    // (leaves share one schema and writer discipline — the
-    // uniform-writer contract of every root op) before any staging
-    // write; one O(batch) job, zero when unconstrained
-    leaves.headOption.foreach { case (leaf, _) =>
-      requireConstraints(headBody(fs, leaf), cut,
-        "upsertManifestedPartitioned")
+    // CHECK constraints, validated against every DISTINCT constraint
+    // set found across the leaves (r20 ADVICE — was first-leaf-only,
+    // which made the gate's presence depend on directory-listing
+    // order when one leaf missed an add) before any staging write.
+    // Steady state — one shared set, the uniform-writer contract now
+    // enforceable via addCheckConstraintPartitioned — costs one
+    // O(batch) job, zero when unconstrained; drifted leaves validate
+    // against each distinct set, so a row violating ANY leaf's
+    // constraint refuses. Pointer reads pooled, O(leaves) like the
+    // walk that produced them.
+    val consSets = parCommitLeaves(leaves.map(_._1)) { leaf =>
+      headBody(fs, leaf).map(h => constraintLines(h).sorted)
+        .getOrElse(Seq.empty)
+    }.filter(_.nonEmpty).distinct
+    consSets.foreach { set =>
+      requireConstraints(Some(set.mkString("\n")), cut,
+        "upsertManifestedPartitioned",
+        leaves.headOption.map(l =>
+          readManifested(spark, l._1.toString).schema)
+          .getOrElse(org.apache.spark.sql.types.StructType(Nil)))
     }
+    // what an ADOPTED leaf inherits below: the union of the live sets
+    // (table state follows the table, not the accident of which leaf
+    // existed first) — already validated against this batch above
+    val consInherit = consSets.flatten.distinct
     // routing: the distinct partition combos are touched-leaf-bounded
     // (the same cardinality as the walk itself), so this collect is
     // as bounded as listing the directories was. A NULL or EMPTY
@@ -878,9 +895,13 @@ trait WarehouseRoot { this: Warehouse.type =>
             if (!hasData)
               org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
                 new HPath(gen0, part.getName), false, hconf(spark))
+            // the adopted leaf INHERITS the root's constraint set in
+            // its very first commit (r20): a reader never observes a
+            // constrained root with an unconstrained partition
             try { commitManifest(fs, leaf, new HPath(leaf, "_current"),
               Seq(".gen-0"), 0L,
-              stats = collectStats(fs, hconf(spark), leaf, ".gen-0")); () }
+              stats = collectStats(fs, hconf(spark), leaf, ".gen-0") ++
+                consInherit); () }
             catch { case _: java.util.ConcurrentModificationException => () }
           }
           leaf -> pcols.zip(combo)

@@ -78,9 +78,11 @@ object ChangeFeedStream {
       .drop("change_type")
     val nDel = dels.count()
     val nPost = posts.count()
-    if (W.snapshots(mirrorTable).isEmpty) {
-      // first contact: commit an empty schema-bearing generation so
-      // even the FIRST window's data lands through the marker-gated
+    if (nDel + nPost > 0 && W.snapshots(mirrorTable).isEmpty) {
+      // first contact, gated on the window actually carrying rows
+      // (r20 ADVICE — an empty/fold-only first window must not spend
+      // a mirror version): commit an empty schema-bearing generation
+      // so even the FIRST window's data lands through the marker-gated
       // upsert — the consumer is exactly-once from its first commit.
       // (limit(0) alone has zero partitions and would write no part
       // file; the generation must carry the schema.)
@@ -141,13 +143,107 @@ object ChangeFeedStream {
       .drop("change_type")
     val nDel = dels.count()
     val nPost = posts.count()
-    if (nDel > 0)
+    if (nDel > 0) {
+      // the skipped-window guard the non-partitioned twin has (r20
+      // ADVICE): a delete window against a mirror that never synced
+      // would tombstone absent keys — a silent no-op of the
+      // retraction. Skip is the only sin; refuse loudly.
+      require(W.rootSnapshots(mirrorRoot).nonEmpty,
+        s"consumeWindowPartitioned: window ($fromRootVersion, " +
+          s"$toRootVersion] of $srcRoot carries deletes but $mirrorRoot " +
+          "has no synced snapshot — the consumer skipped the initial " +
+          "sync; resume from fromRootVersion = 0")
       W.deleteManifestedPartitioned(spark, mirrorRoot, dels,
         Some(MirrorDelApp -> toRootVersion))
+    }
     if (nPost > 0)
       W.upsertManifestedPartitioned(spark, mirrorRoot, posts, key,
         Some(MirrorUpApp -> toRootVersion))
     nDel + nPost
+  }
+
+  /** The mirror's DURABLE cursor: a source version from which resuming
+    * is certainly safe, recovered from the mirror's own `#txn:`
+    * markers — what a restarted consumer that lost its in-memory
+    * position resumes from. [[consumeWindow]] commits a window's
+    * delete FIRST and upsert LAST, so the upsert marker is the last
+    * toVersion whose window completed through its final commit — the
+    * safe anchor (absent → 0, a mirror that never applied posts).
+    * The delete marker may legitimately sit AHEAD of it (a crash
+    * between a window's two commits, or a delete-only window);
+    * resuming from the upsert marker re-derives those versions and
+    * the already-applied delete no-ops on its own marker while any
+    * missing upsert applies — replay is free, skip is the only sin.
+    * A wider replayed window stays correct because the feed is NET
+    * changes between endpoints applied idempotently. */
+  def cdfCursor(mirrorTable: String): Long =
+    graft.operators.Warehouse.committedTxns(mirrorTable)
+      .getOrElse(MirrorUpApp, 0L)
+
+  /** Handle for a [[startCdfConsumer]] loop: `stop()` requests a
+    * graceful halt after the in-flight window (if any) and joins;
+    * `crash()` abandons the thread WITHOUT draining — the test double
+    * for a killed consumer process (the loop checks the flag between
+    * windows; its durable state is the mirror's markers, so abandoning
+    * it loses nothing a restart can't recover). Any error that killed
+    * the loop rethrows on `stop()`. */
+  final class CdfConsumerHandle private[ChangeFeedStream] (
+      thread: Thread,
+      stopFlag: java.util.concurrent.atomic.AtomicBoolean,
+      err: java.util.concurrent.atomic.AtomicReference[Throwable]) {
+    def stop(): Unit = {
+      stopFlag.set(true)
+      thread.join(120000)
+      val e = err.get()
+      if (e != null) throw e
+    }
+    def crash(): Unit = {
+      stopFlag.set(true)
+      thread.join(120000)
+    }
+    def failed: Option[Throwable] = Option(err.get())
+  }
+
+  /** STANDALONE change-feed consumer — the independent process
+    * lifecycle the in-writer hook of [[runCdfMirror]] demonstrates at
+    * zero lag: its own scoped session, its own polling trigger, no
+    * participation in the writer's stream. Polls the source's
+    * snapshot head every `pollIntervalMs`, consumes each new
+    * `(cursor, head]` window through the marker-gated
+    * [[consumeWindow]], and RESUMES FROM THE MIRROR'S `#txn:` CURSOR
+    * at startup — so a consumer started long after the writer, or
+    * restarted after a crash mid-window, converges without
+    * coordination (the replication-tailer contract: the cursor is in
+    * the replica, not in the process). Windows are version ranges, so
+    * a consumer that wakes up N commits behind pays ONE window of the
+    * accumulated net changes, not N.
+    *
+    * The returned handle stops it; errors rethrow there. The poll is
+    * pure manifest metadata (one pointer read) — an idle tail costs
+    * no Spark job. */
+  def startCdfConsumer(spark: SparkSession, srcTable: String,
+                       mirrorTable: String, key: String,
+                       pollIntervalMs: Long = 50L): CdfConsumerHandle = {
+    val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val W = graft.operators.Warehouse
+    val t = new Thread(() => {
+      try {
+        var cursor = cdfCursor(mirrorTable)
+        while (!stopFlag.get()) {
+          val head = W.snapshots(srcTable).lastOption.getOrElse(0L)
+          if (head > cursor) {
+            consumeWindow(scoped, srcTable, mirrorTable, key, cursor, head)
+            cursor = head
+          } else Thread.sleep(pollIntervalMs)
+        }
+      } catch { case e: Throwable => err.set(e) }
+    }, s"graft-cdf-consumer-$mirrorTable".replace('/', '_'))
+    t.setDaemon(true)
+    t.start()
+    new CdfConsumerHandle(t, stopFlag, err)
   }
 
   /** The st31 loop: st28's sharded CDC writer maintains `srcRoot`
