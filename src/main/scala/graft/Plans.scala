@@ -57,6 +57,8 @@ object Plans {
       "v18_incremental_mv_from_cdf" -> "incremental MV from the change feed: base aggregate never re-scanned, each refresh folds signed partials of an O(delta)-candidate diff — post-images add, pre-images subtract",
       "v21_zorder_quantile_range_read" -> "quantile Z-order read: the fold buckets by sampled cuts (codegen'd BucketByCuts) instead of the linear scale; the skipping read prunes the second dimension and content is layout-invariant",
       "v20_restore_read" -> "RESTORE: version rollback as one metadata-only CAS commit — the restored head lists the old snapshot's generations verbatim; no data file read, copied, or moved",
+      "v24_nullskip_read" -> "null-count skipping: the IS NULL scan plans only the files whose #nulls: line admits a null (the all-non-null generation survives as one limit(0) schema branch)",
+      "v25_shallow_clone_read" -> "shallow clone read: the scan's file list resolves #ref: entries to the SOURCE's directories — zero copied data files behind the plan; tombstone anti-join unchanged",
       "v19_partitioned_cdf" -> "partitioned change feed: the two root version MAPS are the change detector — untouched leaves cost zero reads, changed leaves diff candidate-bounded, an adopted partition arrives as whole-snapshot inserts",
       "s16_retrieve_rerank" -> "two-stage ANN serve: broadcast shortlist meets the corpus; exact rerank never shuffles it",
       "v07_key_skew" -> "skew profile: map-side key counts; global top-N is a TakeOrdered, not a sort",

@@ -2761,4 +2761,227 @@ class SinkSpec extends SparkSpec {
     assert(W.readManifestedPartitioned(spark, proot).count() == 3L)
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }
+
+  test("partitioned CHECK constraints: one root version, no-trace refusal, union gate under drift, adoption inherits") {
+    val W = graft.operators.Warehouse
+    val sp = spark; import sp.implicits._
+    val base = Files.createTempDirectory("graft_pcheck")
+    val root = base.resolve("p").toString
+    def df(rows: (Long, String, java.lang.Double)*) =
+      rows.toSeq.toDF("id", "lang", "score")
+    df((1L, "en", 0.5), (2L, "de", 0.9))
+      .write.partitionBy("lang").parquet(root)
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 30)
+    val rv0 = W.rootSnapshots(root).last
+
+    // ADD is table-level: ONE root version; every leaf carries the line
+    val rv1 = W.addCheckConstraintPartitioned(spark, root,
+      "score_pos", "score >= 0")
+    assert(rv1 == rv0 + 1 && W.rootSnapshots(root).last == rv1,
+      "add must publish exactly one root version")
+    Seq("en", "de").foreach { l =>
+      assert(W.checkConstraints(spark, s"$root/lang=$l") ==
+        Map("score_pos" -> "score >= 0"), s"leaf $l missing the line")
+    }
+    // a refused add (existing data violates) leaves NO trace anywhere
+    val e0 = intercept[IllegalArgumentException] {
+      W.addCheckConstraintPartitioned(spark, root, "high", "score > 0.8")
+    }
+    assert(e0.getMessage.contains("violate"))
+    assert(W.rootSnapshots(root).last == rv1)
+    Seq("en", "de").foreach(l => assert(
+      W.checkConstraints(spark, s"$root/lang=$l").keySet == Set("score_pos")))
+    // same name, different predicate refuses (convergent replays allowed)
+    intercept[IllegalArgumentException] {
+      W.addCheckConstraintPartitioned(spark, root, "score_pos", "score >= 0.1")
+    }
+
+    // violating MERGE refuses before any claim, no trace
+    val pe = intercept[IllegalArgumentException] {
+      W.upsertManifestedPartitioned(spark, root, df((3L, "en", -1.0)), "id")
+    }
+    assert(pe.getMessage.contains("score_pos"))
+    assert(W.readManifestedPartitioned(spark, root).count() == 2L)
+
+    // DRIFT: strip the line from one leaf by hand — the merge gate is
+    // the UNION of the leaves' sets, so it must still refuse (r20
+    // ADVICE: first-leaf-only made the gate listing-order dependent)
+    W.dropCheckConstraint(spark, s"$root/lang=en", "score_pos")
+    val de = intercept[IllegalArgumentException] {
+      W.upsertManifestedPartitioned(spark, root, df((3L, "en", -1.0)), "id")
+    }
+    assert(de.getMessage.contains("score_pos"),
+      "a leaf that missed the add must not open the gate for the root")
+
+    // ADOPTION INHERITS: a merge introducing lang=fr bootstraps the
+    // new leaf already carrying the live set, and its own leaf-level
+    // gate enforces it
+    W.upsertManifestedPartitioned(spark, root, df((4L, "fr", 0.7)), "id")
+    assert(W.checkConstraints(spark, s"$root/lang=fr").keySet ==
+      Set("score_pos"), "adopted partition must inherit the constraint")
+    intercept[IllegalArgumentException] {
+      W.appendManifested(spark, s"$root/lang=fr",
+        Seq((5L, -2.0)).toDF("id", "score"))
+    }
+
+    // additive evolution under CHECK (r20 ADVICE): a batch OMITTING
+    // the constrained column passes — the scan null-fills, NULL passes
+    W.upsertManifestedPartitioned(spark, root,
+      Seq((6L, "de")).toDF("id", "lang"), "id")
+    assert(W.readManifestedPartitioned(spark, root)
+      .filter(col("id") === 6L).count() == 1L)
+
+    // DROP is table-level too: one root version, every leaf cleared
+    // (including the adopted one); unknown name refuses
+    val rvD = W.dropCheckConstraintPartitioned(spark, root, "score_pos")
+    assert(W.rootSnapshots(root).last == rvD)
+    Seq("de", "fr").foreach(l =>
+      assert(W.checkConstraints(spark, s"$root/lang=$l").isEmpty))
+    intercept[IllegalArgumentException] {
+      W.dropCheckConstraintPartitioned(spark, root, "nope")
+    }
+    W.upsertManifestedPartitioned(spark, root, df((3L, "en", -1.0)), "id")
+    assert(W.readManifestedPartitioned(spark, root).count() == 5L)
+
+    // leaf-level twin of the ADVICE fix: omitted constrained column
+    // passes; a predicate over a column in NEITHER batch nor table
+    // still refuses loudly
+    val ldir = base.resolve("leaf").toString
+    W.appendManifested(spark, ldir, df((1L, "en", 1.0)))
+    W.addCheckConstraint(spark, ldir, "score_pos", "score >= 0")
+    W.appendManifested(spark, ldir, Seq((2L, "de")).toDF("id", "lang"))
+    assert(W.readManifested(spark, ldir).count() == 2L)
+    intercept[Exception] {
+      W.addCheckConstraint(spark, ldir, "bogus", "no_such_col > 0")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
+  test("null-count skipping: IS NULL / IS NOT NULL open only candidate files; legacy manifests read everything, same answer") {
+    val W = graft.operators.Warehouse
+    val sp = spark; import sp.implicits._
+    val base = Files.createTempDirectory("graft_nulls")
+    val dir = base.resolve("t").toString
+    // gen 0: nulls on odd ids (4 files, every file has some nulls);
+    // gen 1: no nulls at all (4 files); gen 2: ALL null (2 files)
+    W.appendManifested(spark, dir, spark.range(0, 400)
+      .select(col("id"), when(col("id") % 2 === 0, col("id") * 10).as("v"))
+      .repartition(4))
+    W.appendManifested(spark, dir, spark.range(400, 800)
+      .select(col("id"), (col("id") * 10).as("v")).repartition(4))
+    W.appendManifested(spark, dir, spark.range(800, 900)
+      .select(col("id"), lit(null).cast("bigint").as("v")).repartition(2))
+    val full = W.readManifested(spark, dir)
+
+    val isNull = W.readManifestedNull(spark, dir, "v", wantNull = true)
+    assert(isNull.count() == 200L + 100L)
+    assert(isNull.select("id").as[Long].collect().toSet ==
+      full.filter(col("v").isNull).select("id").as[Long].collect().toSet)
+    // gen 1's four files skip (one survives as a limit(0) schema
+    // branch); gen 0 and the all-null gen 2 read in full
+    val nIsNull = isNull.inputFiles.length
+    assert(nIsNull <= 7 && nIsNull < full.inputFiles.length,
+      s"IS NULL opened $nIsNull of ${full.inputFiles.length} files")
+
+    val notNull = W.readManifestedNull(spark, dir, "v", wantNull = false)
+    assert(notNull.count() == 200L + 400L)
+    val nNotNull = notNull.inputFiles.length
+    assert(nNotNull <= 9 && nNotNull < full.inputFiles.length,
+      s"IS NOT NULL opened $nNotNull of ${full.inputFiles.length} files")
+
+    // legacy manifest (pre-r20 writer: no #nulls lines): conservative
+    // — every file opens, the answer is unchanged
+    val cur = java.nio.file.Paths.get(dir, "_current")
+    val legacy = Files.readAllLines(cur).asScala
+      .filterNot(_.startsWith("#nulls:")).asJava
+    Files.write(cur, legacy)
+    val head = W.snapshots(dir).last
+    Files.write(java.nio.file.Paths.get(dir, s"_manifest-$head"), legacy)
+    val isNull2 = W.readManifestedNull(spark, dir, "v", wantNull = true)
+    assert(isNull2.count() == 300L)
+    assert(isNull2.inputFiles.length == full.inputFiles.length,
+      "a stats-less manifest must keep every file")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
+  test("shallow clone: zero data copied, version-pinned, locally writable, compaction materializes, source GC breaks it loudly") {
+    val W = graft.operators.Warehouse
+    val sp = spark; import sp.implicits._
+    val base = Files.createTempDirectory("graft_shclone")
+    val src = base.resolve("src").toString
+    val cl = base.resolve("clone").toString
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("id", "s")
+    def parquets(d: String): Int = {
+      val out = scala.collection.mutable.ArrayBuffer[java.io.File]()
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet")) out += f
+      val top = new java.io.File(d)
+      if (top.exists()) walk(top)
+      out.size
+    }
+    W.appendManifested(spark, src, spark.range(0, 100)
+      .select(col("id"), concat(lit("x"), col("id")).as("s")))
+    W.deleteManifested(spark, src,
+      spark.range(0, 100).filter(col("id") % 7 === 0).select(col("id")))
+    W.addCheckConstraint(spark, src, "id_pos", "id >= 0")
+
+    W.cloneManifestedShallow(spark, src, cl)
+    assert(parquets(cl) == 0, "shallow clone must copy zero data files")
+    assert(W.readManifested(spark, cl).count() == 85L) // 15 ids are %7
+    // the referenced tombstone applies through the clone; the
+    // constraint line carries (Delta CLONE convention)
+    intercept[IllegalArgumentException] {
+      W.appendManifested(spark, cl, df((-5L, "bad")))
+    }
+
+    // VERSION PIN: post-clone source mutations are invisible
+    W.upsertManifested(spark, src, df((1L, "CHANGED")), "id")
+    W.appendManifested(spark, src, df((1000L, "late")))
+    assert(W.readManifested(spark, cl).count() == 85L)
+    assert(W.readManifested(spark, cl)
+      .filter(col("s") === "CHANGED").count() == 0L)
+
+    // clone-local writes land beside the references; source untouched
+    W.appendManifested(spark, cl, df((500L, "local")))
+    W.upsertManifested(spark, cl, df((2L, "clone-own")), "id")
+    assert(W.readManifested(spark, cl).count() == 86L)
+    assert(W.readManifested(spark, cl).filter(col("id") === 2L)
+      .select("s").as[String].head() == "clone-own")
+    assert(W.readManifested(spark, src).filter(col("id") === 500L).count() == 0L)
+    assert(W.readManifested(spark, src).filter(col("id") === 2L)
+      .select("s").as[String].head() == "x2")
+    assert(parquets(cl) > 0) // the LOCAL generations only
+    // a shallow clone of the (mutated) shallow clone re-records the
+    // RESOLVED directories — references never chain
+    val cl2 = base.resolve("clone2").toString
+    W.cloneManifestedShallow(spark, cl, cl2)
+    assert(parquets(cl2) == 0)
+    assert(W.readManifested(spark, cl2).count() == 86L)
+
+    // deep clone OF a shallow clone owns its data and drops the refs
+    val deep = base.resolve("deep").toString
+    W.cloneManifested(spark, cl, deep)
+    assert(parquets(deep) > 0)
+    assert(!Files.readString(java.nio.file.Paths.get(deep, "_current"))
+      .contains("#ref:"))
+    assert(W.readManifested(spark, deep).count() == 86L)
+
+    // OPTIMIZE materializes: the fold reads through the refs, writes
+    // locally, retires the reference lines
+    W.compactManifested(spark, cl, targetFileBytes = 1L << 30,
+      retainSnapshots = 0)
+    assert(!Files.readString(java.nio.file.Paths.get(cl, "_current"))
+      .contains("#ref:"))
+    assert(W.readManifested(spark, cl).count() == 86L)
+
+    // the Delta stance, pinned: source compaction + GC retires the
+    // referenced generations — the un-materialized clone2 fails
+    // LOUDLY, never partial rows; the materialized clone is immune
+    W.compactManifested(spark, src, targetFileBytes = 1L << 30,
+      retainSnapshots = 0)
+    intercept[Exception] { W.readManifested(spark, cl2).count() }
+    assert(W.readManifested(spark, cl).count() == 86L)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
 }

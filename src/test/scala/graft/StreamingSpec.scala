@@ -1023,4 +1023,112 @@ class StreamingSpec extends SparkSpec {
     assert(stateOf(mirror) == stateOf(src))
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
   }
+
+  test("standalone CDF consumer: late start, crash, restart from the mirror's durable cursor") {
+    import spark.implicits._
+    val W = graft.operators.Warehouse
+    val CF = graft.streaming.ChangeFeedStream
+    val base = Files.createTempDirectory("graft_cdfc")
+    val src = base.resolve("src").toString
+    val mir = base.resolve("mirror").toString
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("user_id", "s")
+    def state(d: String) = W.readManifested(spark, d)
+      .select(col("user_id"), col("s")).as[(Long, String)].collect().toSet
+    def awaitCursor(target: Long): Unit = {
+      val deadline = System.nanoTime() + 60_000_000_000L
+      while (CF.cdfCursor(mir) < target && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(CF.cdfCursor(mir) >= target,
+        s"consumer never caught up to $target (cursor ${CF.cdfCursor(mir)})")
+    }
+
+    // several writer commits BEFORE any consumer process exists —
+    // including a delete, which the late catch-up must still reflect
+    W.appendManifested(spark, src, df((1L, "a"), (2L, "b")))
+    W.upsertManifested(spark, src, df((2L, "b2"), (3L, "c")), "user_id")
+    W.deleteManifested(spark, src, Seq(1L).toDF("user_id"))
+    val h1 = W.snapshots(src).last
+
+    // consumer starts LATE, with its own polling trigger, catches up
+    // in one accumulated window
+    val c1 = CF.startCdfConsumer(spark, src, mir, "user_id",
+      pollIntervalMs = 25)
+    awaitCursor(h1)
+    assert(state(mir) == state(src))
+    assert(state(mir) == Set((2L, "b2"), (3L, "c")))
+
+    // CRASH (no drain, in-memory cursor lost); the writer keeps going
+    c1.crash()
+    W.upsertManifested(spark, src, df((3L, "c2"), (4L, "d")), "user_id")
+    W.deleteManifested(spark, src, Seq(2L).toDF("user_id"))
+    val h2 = W.snapshots(src).last
+
+    // RESTART: a fresh consumer resumes from the mirror's #txn:
+    // markers (the durable cursor) and converges — replay-safe,
+    // skip-free
+    val c2 = CF.startCdfConsumer(spark, src, mir, "user_id",
+      pollIntervalMs = 25)
+    awaitCursor(h2)
+    c2.stop()
+    assert(c2.failed.isEmpty, s"consumer error: ${c2.failed}")
+    assert(state(mir) == state(src))
+    assert(state(mir) == Set((3L, "c2"), (4L, "d")))
+
+    // a third restart with nothing new to consume applies nothing:
+    // the mirror's version history is untouched
+    val mv = W.snapshots(mir).last
+    val c3 = CF.startCdfConsumer(spark, src, mir, "user_id",
+      pollIntervalMs = 25)
+    Thread.sleep(400)
+    c3.stop()
+    assert(c3.failed.isEmpty)
+    assert(W.snapshots(mir).last == mv,
+      "an idle consumer committed to the mirror")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
+  test("change-feed window guards: empty first window spends no mirror version; partitioned skip refuses loudly") {
+    import spark.implicits._
+    val W = graft.operators.Warehouse
+    val CF = graft.streaming.ChangeFeedStream
+    val base = Files.createTempDirectory("graft_cfguard")
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("user_id", "s")
+
+    // LEAF: a fold-only window consumed by a FRESH mirror must commit
+    // nothing at all (r20 ADVICE — the first-contact schema append
+    // used to spend a version on a zero-row window)
+    val src = base.resolve("src").toString
+    val mir = base.resolve("mirror").toString
+    W.appendManifested(spark, src, df((1L, "a")))
+    val v1 = W.snapshots(src).last
+    W.compactManifested(spark, src, targetFileBytes = 1L << 30,
+      retainSnapshots = 10)
+    val v2 = W.snapshots(src).last
+    assert(CF.consumeWindow(spark, src, mir, "user_id", v1, v2) == 0L)
+    assert(W.snapshots(mir).isEmpty,
+      "a zero-row window spent a mirror version on first contact")
+    // the next real window still lands exactly-once from version 1
+    W.appendManifested(spark, src, df((2L, "b")))
+    val v3 = W.snapshots(src).last
+    assert(CF.consumeWindow(spark, src, mir, "user_id", v2, v3) == 1L)
+    assert(W.readManifested(spark, mir).count() == 1L)
+
+    // PARTITIONED: a delete-bearing window against a never-synced
+    // mirror refuses loudly instead of silently no-oping the
+    // retraction (r20 ADVICE — the guard the non-partitioned twin had)
+    val proot = base.resolve("p").toString
+    val pmir = base.resolve("pmirror").toString
+    Seq((1L, "en", 1.0), (2L, "de", 2.0)).toDF("user_id", "lang", "x")
+      .write.partitionBy("lang").parquet(proot)
+    graft.operators.Warehouse.compactManifestedPartitioned(spark, proot,
+      targetFileBytes = 1L << 30)
+    val p1 = W.rootSnapshots(proot).last
+    W.deleteManifestedPartitioned(spark, proot, Seq(1L).toDF("user_id"))
+    val p2 = W.rootSnapshots(proot).last
+    val e = intercept[IllegalArgumentException] {
+      CF.consumeWindowPartitioned(spark, proot, pmir, "user_id", p1, p2)
+    }
+    assert(e.getMessage.contains("skipped the initial sync"))
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
 }
