@@ -1466,6 +1466,45 @@ class SinkSpec extends SparkSpec {
       new java.io.File(xdir).getParentFile)
   }
 
+  test("partitioned OPTIMIZE ZORDER: the knobs thread to every leaf's fold; steady-skip neither swallows a re-layout nor spends idle versions") {
+    val W = graft.operators.Warehouse
+    val base = Files.createTempDirectory("graft_pzc")
+    val root = base.resolve("p").toString
+    // two partitions, each a 32×32 grid appended in 2 shuffled batches
+    for (p <- Seq("a", "b"); q <- 0 until 2)
+      W.appendManifested(spark, s"$root/part=$p",
+        spark.range(0, 1024).filter(pmod(col("id"), lit(2)) === q)
+          .select((col("id") % 32).as("x"),
+            (col("id") / 32).cast("long").as("y"), col("id")))
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 10,
+      zorderBy = Seq("x", "y"))
+    for (p <- Seq("a", "b")) {
+      val leaf = s"$root/part=$p"
+      val total = W.readManifested(spark, leaf).inputFiles.length
+      assert(total >= 4, s"want many files in $p: $total")
+      def files(c: String) =
+        W.readManifestedRange(spark, leaf, c, 0L, 7L).inputFiles.length
+      // the Morton layout arrived at EVERY leaf: both dimensions prune
+      assert(files("x") <= total / 2, s"$p x-read ${files("x")} of $total")
+      assert(files("y") <= total / 2, s"$p y-read ${files("y")} of $total")
+      val want = (0L until 1024L).filter(_ % 32 <= 7).sum
+      assert(W.readManifestedRange(spark, leaf, "x", 0L, 7L)
+        .agg(sum(col("id"))).head.getLong(0) == want)
+    }
+    // a steady re-walk WITHOUT re-layout knobs skips every leaf and
+    // spends no root version
+    val rv = W.rootSnapshots(root).last
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 10)
+    assert(W.rootSnapshots(root).last == rv,
+      "a fully-steady walk spent a root version")
+    // a re-layout REQUEST is honored — steady-skip must not swallow it
+    W.compactManifestedPartitioned(spark, root, targetFileBytes = 1L << 20,
+      zorderBy = Seq("x", "y"))
+    assert(W.rootSnapshots(root).last == rv + 1,
+      "the re-layout walk did not commit")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
   test("manifest file inventory: a range read plans with ZERO generation LISTs; a fully-pruned generation keeps its schema") {
     val W = graft.operators.Warehouse
     val IO = graft.operators.ManifestIo
