@@ -671,6 +671,40 @@ object Quality {
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))
     }),
+    // PARTITIONED RESTORE under the correctness gate (r20): v20's
+    // lifecycle over a lang-partitioned root — tombstone %7 across
+    // leaves (root v2), %5-sentinel merge (v3), then ONE
+    // restoreManifestedPartitioned to v2 rolling every leaf back
+    // under one root claim, and a post-restore merge proving the
+    // restored root is live. The oracle recomputes the final state
+    // from `documents` — identical text to v20's, so the leaf and
+    // root restore surfaces can never drift.
+    "v26_partitioned_restore_read" -> ((s, d) => {
+      val root = Similarity.cachedIndex("manifprestore", d) { dir =>
+        val docs = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"))
+        docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+        Warehouse.compactManifestedPartitioned(s, dir,
+          retainSnapshots = 10)                                       // v1
+        Warehouse.deleteManifestedPartitioned(s, dir,
+          docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))) // v2
+        Warehouse.upsertManifestedPartitioned(s, dir,
+          docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") * 0 - 1).as("n_chars")), "doc_id")      // v3
+        Warehouse.restoreManifestedPartitioned(s, dir, 2L)            // v4 ≡ v2
+        Warehouse.upsertManifestedPartitioned(s, dir,
+          docs.filter(col("doc_id") % 11 === 0)
+            .select((-col("doc_id") - 1).as("doc_id"), col("lang"),
+              (col("n_chars") * 0 - 2).as("n_chars")), "doc_id")      // v5
+        ()
+      }
+      Warehouse.readManifestedPartitioned(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     "v20_restore_read" -> ((s, d) => {
       val root = Similarity.cachedIndex("manifrestore", d) { dir =>
         val docs = t(s, d, "documents").select(
@@ -986,6 +1020,20 @@ object Quality {
     // referenced %7 tombstone applies, the post-clone source upsert
     // does NOT, the clone-local negated-%11 append does
     "v25_shallow_clone_read" ->
+      """WITH fin AS (
+           SELECT lang, doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT lang, -(doc_id + 1), -2 FROM documents
+           WHERE doc_id % 11 = 0)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM fin GROUP BY lang ORDER BY lang""",
+    // identical text to v20's oracle: the partitioned root rolled back
+    // through the table-level RESTORE must answer exactly as the leaf
+    // surface does — %7 deletes present, the rolled-away %5 sentinel
+    // absent, the post-restore negated-%11 merges present
+    "v26_partitioned_restore_read" ->
       """WITH fin AS (
            SELECT lang, doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0
            UNION ALL

@@ -255,21 +255,51 @@ trait WarehouseChanges { this: Warehouse.type =>
     * RTT); the map commit is one small file. */
   def cloneManifestedPartitioned(spark: SparkSession, srcDir: String,
                                  dstDir: String,
-                                 rootVersion: Option[Long] = None): Long = {
+                                 rootVersion: Option[Long] = None): Long =
+    clonePartitionedWith(spark, "cloneManifestedPartitioned",
+      srcDir, dstDir, rootVersion) { (srcLeaf, dstLeaf, v) =>
+      cloneManifested(spark, srcLeaf, dstLeaf, version = Some(v))
+    }
+
+  /** [[cloneManifestedShallow]] over a PARTITIONED root: every leaf of
+    * the source's root version map is shallow-cloned (metadata-only
+    * `#ref:` manifests, ZERO data files copied across the whole root)
+    * and one root map publishes the set — the instant
+    * test-against-prod copy of a 100 TB sharded table. Same lifecycle
+    * as the leaf form: reads resolve through the references, local
+    * writes land beside them per leaf, `compactManifestedPartitioned`
+    * materializes every leaf, and a source fold+GC retiring a
+    * referenced generation breaks the un-materialized clone LOUDLY
+    * (the Delta vacuum stance, pinned by SinkSpec). */
+  def cloneManifestedShallowPartitioned(spark: SparkSession, srcDir: String,
+                                        dstDir: String,
+                                        rootVersion: Option[Long] = None): Long =
+    clonePartitionedWith(spark, "cloneManifestedShallowPartitioned",
+      srcDir, dstDir, rootVersion) { (srcLeaf, dstLeaf, v) =>
+      cloneManifestedShallow(spark, srcLeaf, dstLeaf, version = Some(v))
+    }
+
+  /** The shared partitioned-clone walk: resolve the source root map at
+    * `rootVersion` (default head), claim the destination, run
+    * `leafClone(srcLeaf, dstLeaf, leafVersion)` per mapped leaf on the
+    * bounded pool, publish the destination's first root map. */
+  private def clonePartitionedWith(spark: SparkSession, op: String,
+      srcDir: String, dstDir: String, rootVersion: Option[Long])(
+      leafClone: (String, String, Long) => Long): Long = {
     val (fs, src) = ManifestIo.resolve(srcDir, hconf(spark))
     val (_, dst) = ManifestIo.resolve(dstDir, hconf(spark))
     val v = rootVersion.getOrElse(
       rootVersions(fs, src).lastOption.getOrElse(
         throw new IllegalArgumentException(
-          s"cloneManifestedPartitioned: $srcDir has no root version map " +
+          s"$op: $srcDir has no root version map " +
             "(compactManifestedPartitioned migrates a table to one)")))
     val mapFile = new HPath(src, s"_root-manifest-$v")
     if (!ManifestIo.exists(fs, mapFile))
       throw new IllegalArgumentException(
-        s"cloneManifestedPartitioned: root version $v of $srcDir is not " +
+        s"$op: root version $v of $srcDir is not " +
           s"retained (available: ${rootVersions(fs, src).mkString(", ")})")
     require(rootVersions(fs, dst).isEmpty,
-      s"cloneManifestedPartitioned: $dstDir already holds a root-versioned " +
+      s"$op: $dstDir already holds a root-versioned " +
         "table — refusing to merge histories; clone into a fresh directory")
     val map = parseRootMap(ManifestIo.readString(fs, mapFile))
     fs.mkdirs(dst)
@@ -281,22 +311,69 @@ trait WarehouseChanges { this: Warehouse.type =>
         catch { case _: java.io.FileNotFoundException => true }
       if (!aged)
         throw new java.util.ConcurrentModificationException(
-          s"cloneManifestedPartitioned: $dstDir is being cloned into by a " +
+          s"$op: $dstDir is being cloned into by a " +
             "concurrent writer; an aged crashed claim converges on re-run")
     }
     parCommitLeaves(map.keySet.toSeq.sorted) { rel =>
-      cloneManifested(spark, new HPath(src, rel).toString,
-        new HPath(dst, rel).toString, version = Some(map(rel)))
+      leafClone(new HPath(src, rel).toString,
+        new HPath(dst, rel).toString, map(rel))
     }
     val body = rootManifestBody(map.map { case (rel, _) => rel -> 1L }, Map.empty)
     val p = new HPath(dst, "_root-manifest-1")
     if (!ManifestIo.putIfAbsent(fs, p, body) &&
         ManifestIo.readString(fs, p) != body)
       throw new IllegalStateException(
-        s"cloneManifestedPartitioned: $dstDir committed a DIFFERENT root " +
+        s"$op: $dstDir committed a DIFFERENT root " +
           "map under this clone's claim — broken invariant")
     ManifestIo.delete(fs, claim)
     1L
+  }
+
+  /** [[restoreManifested]] over a PARTITIONED root — `RESTORE TABLE
+    * ... TO VERSION` for a sharded table: roll the whole root back to
+    * root version `rootVersion` by restoring EVERY leaf to the version
+    * that root map recorded for it, all under ONE root claim, then
+    * publish one root version with the restored heads — a reader sees
+    * the pre-restore table or the restored one, never a half-rolled
+    * mix of shards. Metadata-only end to end (one CAS commit per
+    * moved leaf; a leaf already at its target commits nothing — the
+    * restore of a mostly-untouched window costs O(moved shards)).
+    *
+    * A partition ADOPTED after the target version refuses loudly
+    * BEFORE the claim: its rows cannot be rolled away without a
+    * destructive commit the time-travel contract forbids (its
+    * manifest trail must keep resolving later root versions) — drop
+    * the adopted leaf explicitly first if that is really the intent.
+    * A leaf whose target version fell past its retention window
+    * refuses per leaf, exactly like the leaf-level form. Returns the
+    * published root version. */
+  def restoreManifestedPartitioned(spark: SparkSession, rootDir: String,
+                                   rootVersion: Long): Long = {
+    val (fs, root) = ManifestIo.resolve(rootDir, hconf(spark))
+    val mapFile = new HPath(root, s"_root-manifest-$rootVersion")
+    if (!ManifestIo.exists(fs, mapFile))
+      throw new IllegalArgumentException(
+        s"restoreManifestedPartitioned: root version $rootVersion of " +
+          s"$rootDir is not retained " +
+          s"(available: ${rootVersions(fs, root).mkString(", ")})")
+    val target = parseRootMap(ManifestIo.readString(fs, mapFile))
+    val leaves = manifestLeaves(fs, root)
+    val extra = leaves.map(relPath(root, _)).filterNot(target.contains).sorted
+    require(extra.isEmpty,
+      s"restoreManifestedPartitioned: partition(s) ${extra.mkString(", ")} " +
+        s"of $rootDir were adopted AFTER root version $rootVersion — a " +
+        "root restore cannot roll a partition out of existence without " +
+        "destroying its later-version history; delete those leaves " +
+        "explicitly first if that is the intent")
+    val st = beginRootTransition(fs, root, leaves, None,
+      "restoreManifestedPartitioned")
+    val map = parCommitLeaves(target.keySet.toSeq.sorted,
+      refresh = () => refreshClaim(fs, st, root, None)) { rel =>
+      rel -> restoreManifested(spark, new HPath(root, rel).toString,
+        target(rel))
+    }.toMap
+    commitRootManifest(fs, root, st, map, None)
+    st.next
   }
 
   /** RESTORE — version rollback as a NEW commit (Delta `RESTORE TABLE

@@ -1505,6 +1505,108 @@ class SinkSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }
 
+  test("partitioned RESTORE: whole-root rollback in one root version; adopted-after partitions refuse; restored root stays live") {
+    val W = graft.operators.Warehouse
+    val sp = spark; import sp.implicits._
+    val base = Files.createTempDirectory("graft_prestore")
+    val root = base.resolve("p").toString
+    def df(rows: (Long, String, Long)*) = rows.toSeq.toDF("id", "lang", "n")
+    def state() = W.readManifestedPartitioned(spark, root)
+      .select(col("id"), col("n")).as[(Long, Long)].collect().toSet
+    df((1L, "en", 10L), (2L, "de", 20L))
+      .write.partitionBy("lang").parquet(root)
+    W.compactManifestedPartitioned(spark, root,
+      targetFileBytes = 1L << 30)                                 // root v1
+    val v1 = W.rootSnapshots(root).last
+    val want1 = state()
+    W.upsertManifestedPartitioned(spark, root, df((1L, "en", -1L)), "id") // v2
+    W.deleteManifestedPartitioned(spark, root, Seq(2L).toDF("id"))        // v3
+    assert(state() == Set((1L, -1L)))
+
+    // one call rolls EVERY leaf back; exactly one root version spent
+    val rv = W.restoreManifestedPartitioned(spark, root, v1)
+    assert(W.rootSnapshots(root).last == rv)
+    assert(state() == want1,
+      "the sentinel must roll away and the deleted key must return")
+    // the restored root is a live table
+    W.upsertManifestedPartitioned(spark, root, df((9L, "de", 90L)), "id")
+    assert(state() == want1 + ((9L, 90L)))
+
+    // a partition adopted AFTER the target version refuses loudly,
+    // before any claim or leaf commit
+    W.upsertManifestedPartitioned(spark, root, df((5L, "fr", 50L)), "id")
+    val preRefuse = W.rootSnapshots(root).last
+    val e = intercept[IllegalArgumentException] {
+      W.restoreManifestedPartitioned(spark, root, v1)
+    }
+    assert(e.getMessage.contains("adopted AFTER"))
+    assert(W.rootSnapshots(root).last == preRefuse,
+      "a refused restore spent a root version")
+    // an unretained root version refuses too
+    intercept[IllegalArgumentException] {
+      W.restoreManifestedPartitioned(spark, root, 999L)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
+  test("partitioned shallow clone: zero files across the root, pinned at the root version, materializable, breaks loudly after source GC") {
+    val W = graft.operators.Warehouse
+    val sp = spark; import sp.implicits._
+    val base = Files.createTempDirectory("graft_pshclone")
+    val src = base.resolve("src").toString
+    def df(rows: (Long, String, Long)*) = rows.toSeq.toDF("id", "lang", "n")
+    def parquets(d: String): Int = {
+      var n = 0
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet")) n += 1
+      val top = new java.io.File(d)
+      if (top.exists()) walk(top)
+      n
+    }
+    def state(d: String) = W.readManifestedPartitioned(spark, d)
+      .select(col("id"), col("n")).as[(Long, Long)].collect().toSet
+    df((1L, "en", 10L), (2L, "de", 20L), (3L, "de", 30L))
+      .write.partitionBy("lang").parquet(src)
+    W.compactManifestedPartitioned(spark, src, targetFileBytes = 1L << 30)
+    W.deleteManifestedPartitioned(spark, src, Seq(3L).toDF("id"))
+    val want = state(src) // {(1,10),(2,20)}
+
+    val dst = base.resolve("clone").toString
+    W.cloneManifestedShallowPartitioned(spark, src, dst)
+    assert(parquets(dst) == 0,
+      "a partitioned shallow clone must copy zero data files")
+    assert(state(dst) == want)
+    // pinned: post-clone source mutations invisible
+    W.upsertManifestedPartitioned(spark, src, df((1L, "en", -1L)), "id")
+    assert(state(dst) == want)
+
+    // a second shallow clone, left un-materialized for the GC pin below
+    val dst2 = base.resolve("clone2").toString
+    W.cloneManifestedShallowPartitioned(spark, src, dst2)
+
+    // partitioned compaction MATERIALIZES every leaf of the clone
+    W.compactManifestedPartitioned(spark, dst, targetFileBytes = 1L << 30)
+    assert(parquets(dst) > 0)
+    Seq("en", "de").foreach { l =>
+      assert(!Files.readString(
+        java.nio.file.Paths.get(dst, s"lang=$l", "_current"))
+        .contains("#ref:"), s"leaf $l still holds references")
+    }
+    assert(state(dst) == want)
+
+    // the Delta stance at root scale: source fold+GC retires the
+    // referenced generations — the un-materialized clone2 fails
+    // LOUDLY; the materialized clone is immune
+    W.compactManifestedPartitioned(spark, src, targetFileBytes = 1L << 30,
+      retainSnapshots = 0)
+    intercept[Exception] {
+      W.readManifestedPartitioned(spark, dst2).count()
+    }
+    assert(state(dst) == want)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
   test("manifest file inventory: a range read plans with ZERO generation LISTs; a fully-pruned generation keeps its schema") {
     val W = graft.operators.Warehouse
     val IO = graft.operators.ManifestIo
