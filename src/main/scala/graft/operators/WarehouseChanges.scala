@@ -413,7 +413,12 @@ trait WarehouseChanges { this: Warehouse.type =>
             s"(available: ${manifestVersions(fs, root).mkString(", ")})")
       val snap = ManifestIo.readString(fs, hist)
       val gens = parseGens(snap)
-      gens.find(g => !ManifestIo.isDirectory(fs, new HPath(root, g))).foreach { g =>
+      // resolve #ref: entries (unmaterialized shallow clones) exactly as
+      // readManifestedAt does — a referenced generation lives in the
+      // SOURCE table's directory, so probing `root/g` would spuriously
+      // report it garbage-collected
+      val refs = parseRefs(snap)
+      gens.find(g => !ManifestIo.isDirectory(fs, entryPath(root, refs, g))).foreach { g =>
         throw new IllegalStateException(
           s"restoreManifested: snapshot $version of $dir lists $g, which " +
             "has been garbage-collected (retention window moved past it)")

@@ -241,20 +241,30 @@ trait WarehouseConstraints { this: Warehouse.type =>
       s"addCheckConstraintPartitioned: $rootDir has no k=v leaves — " +
         "it is a plain leaf; use addCheckConstraint")
     val line = constraintLine(name, predicate)
-    // duplicate probe + whole-root validation BEFORE the claim: a
-    // refusal must leave nothing behind. Convergence rule per leaf:
-    // same line → crashed prior attempt, fine; same name, different
-    // predicate → refuse.
-    parCommitLeaves(leaves) { leaf =>
-      headBody(fs, leaf).foreach { h =>
-        parseConstraints(h).get(name).foreach { p =>
-          require(p == predicate,
-            s"addCheckConstraintPartitioned: leaf ${relPath(root, leaf)} " +
-              s"already has constraint '$name' CHECK ($p) — drop it " +
-              "first to replace")
-        }
+    // duplicate probe + head/version SNAPSHOT of every leaf, taken
+    // BEFORE the root-wide validation scan: the first CAS attempt per
+    // leaf uses these as its expected values, so a write landing DURING
+    // the scan (a concurrent upsert that claims the root only at commit
+    // time, or a direct leaf append) surfaces as a CAS loss and takes
+    // the leaf re-validation path below — the same early-capture rule
+    // the non-partitioned addCheckConstraint applies. Refusals (dup
+    // name with different predicate, headless leaf) happen here,
+    // before the claim — they leave nothing behind. Convergence rule
+    // per leaf: same line → crashed prior attempt, fine.
+    val pre: Map[String, (String, Long)] = parCommitLeaves(leaves) { leaf =>
+      val rel = relPath(root, leaf)
+      val h = headBody(fs, leaf).getOrElse(
+        throw new IllegalArgumentException(
+          s"addCheckConstraintPartitioned: leaf $rel has no " +
+            "committed table"))
+      parseConstraints(h).get(name).foreach { p =>
+        require(p == predicate,
+          s"addCheckConstraintPartitioned: leaf $rel " +
+            s"already has constraint '$name' CHECK ($p) — drop it " +
+            "first to replace")
       }
-    }
+      rel -> ((h, manifestVersions(fs, leaf).lastOption.getOrElse(0L)))
+    }.toMap
     requireConstraints(
       Some(manifestBody(Seq.empty, Map.empty, Seq(line))),
       readManifestedPartitioned(spark, rootDir),
@@ -267,12 +277,9 @@ trait WarehouseConstraints { this: Warehouse.type =>
       rel -> withTableLock(leaf) {
         var attempt = 0
         var v = -1L
+        // pre-scan snapshot — any intervening write fails this CAS
+        var (head, expected) = pre(rel)
         while (v < 0) {
-          val head = headBody(fs, leaf).getOrElse(
-            throw new IllegalArgumentException(
-              s"addCheckConstraintPartitioned: leaf $rel has no " +
-                "committed table"))
-          val expected = manifestVersions(fs, leaf).lastOption.getOrElse(0L)
           if (constraintLines(head).contains(line)) v = expected // converged
           else {
             try v = commitManifest(fs, leaf, new HPath(leaf, "_current"),
@@ -282,8 +289,15 @@ trait WarehouseConstraints { this: Warehouse.type =>
               case e: java.util.ConcurrentModificationException =>
                 attempt += 1
                 if (attempt >= 5) throw e
-                // a write overtook this leaf's metadata commit after
-                // the root-wide scan — re-validate the leaf's rows
+                // a write overtook the pre-scan snapshot — re-read the
+                // head and re-validate the leaf's CURRENT rows before
+                // recommitting (leaf-sized scan, not the root scan)
+                head = headBody(fs, leaf).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"addCheckConstraintPartitioned: leaf $rel has no " +
+                      "committed table"))
+                expected =
+                  manifestVersions(fs, leaf).lastOption.getOrElse(0L)
                 requireConstraints(
                   Some(manifestBody(Seq.empty, Map.empty, Seq(line))),
                   readManifested(spark, leaf.toString),

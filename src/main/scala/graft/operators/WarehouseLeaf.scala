@@ -818,8 +818,12 @@ trait WarehouseLeaf { this: Warehouse.type =>
         // probe of one data generation) — otherwise the mistake would
         // surface later, as a reader's resolution error
         val key = keys.columns.head
+        // resolve #ref: entries (unmaterialized shallow clones) — the
+        // probed generation may live in the SOURCE table's directory
+        // (the upsertManifested schema probe got the same fix)
+        val delRefs = parseRefs(head)
         gens.find(!_.startsWith(".del-")).foreach { g =>
-          val cols = spark.read.parquet(new HPath(root, g).toString).columns
+          val cols = spark.read.parquet(entryPath(root, delRefs, g).toString).columns
           require(cols.contains(key),
             s"deleteManifested: $dir has no column '$key' " +
               s"(columns: ${cols.mkString(", ")})")

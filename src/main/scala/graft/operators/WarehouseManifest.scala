@@ -474,12 +474,20 @@ trait WarehouseManifest { this: Warehouse.type =>
     * filesystem through the active session's Hadoop conf when one
     * exists (connector conf applies), else the default. */
   def snapshots(dir: String): Seq[Long] = {
-    val conf = SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val (fs, root) = ManifestIo.resolve(dir, conf)
+    val (fs, root) = ManifestIo.resolve(dir, sessionHconf())
     manifestVersions(fs, root)
   }
+
+  /** The session's Hadoop conf for the no-SparkSession-argument entry
+    * points: `getActiveSession` is THREAD-LOCAL, so a raw consumer
+    * thread (the CDF consumer's poll loop) would otherwise silently
+    * fall back to a bare Configuration and lose user-set Hadoop conf
+    * (object-store credentials, custom fs impls) — fall through to the
+    * process-wide default session before giving up. */
+  private def sessionHconf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   /** The exactly-once `#txn:` markers committed at the table's HEAD —
     * appId → highest applied version (the Delta txnAppId/txnVersion
@@ -488,10 +496,7 @@ trait WarehouseManifest { this: Warehouse.type =>
     * resumes from — the markers ride the snapshot, so they survive
     * crashes, folds and RESTORE exactly like the data they gate. */
   def committedTxns(dir: String): Map[String, Long] = {
-    val conf = SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val (fs, root) = ManifestIo.resolve(dir, conf)
+    val (fs, root) = ManifestIo.resolve(dir, sessionHconf())
     headBody(fs, root).map(parseTxns).getOrElse(Map.empty)
   }
 

@@ -807,8 +807,20 @@ trait WarehouseRoot { this: Warehouse.type =>
     }
     // what an ADOPTED leaf inherits below: the union of the live sets
     // (table state follows the table, not the accident of which leaf
-    // existed first) — already validated against this batch above
+    // existed first) — already validated against this batch above.
+    // Refuse LOUDLY when drifted leaves carry the same constraint NAME
+    // with different predicates: parseConstraints is a Map, so writing
+    // both lines would silently keep only the last — one predicate
+    // dropped without error (r20 ADVICE).
     val consInherit = consSets.flatten.distinct
+    consInherit.groupBy(l => l.stripPrefix("#constraint:").takeWhile(_ != ':'))
+      .foreach { case (n, ls) =>
+        require(ls.size == 1,
+          s"upsertManifestedPartitioned: leaves of $rootDir disagree on " +
+            s"constraint '$n' (${ls.size} distinct predicates) — " +
+            "reconcile with drop/addCheckConstraintPartitioned before " +
+            "writes that adopt new leaves")
+      }
     // routing: the distinct partition combos are touched-leaf-bounded
     // (the same cardinality as the walk itself), so this collect is
     // as bounded as listing the directories was. A NULL or EMPTY

@@ -3125,4 +3125,50 @@ class SinkSpec extends SparkSpec {
     assert(W.readManifested(spark, cl).count() == 86L)
     org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }
+
+  test("shallow clone: DELETE and RESTORE work while unmaterialized (ref-resolved probes)") {
+    val W = graft.operators.Warehouse
+    val sp = spark; import sp.implicits._
+    val base = Files.createTempDirectory("graft_shclone_dr")
+    val src = base.resolve("src").toString
+    val cl = base.resolve("clone").toString
+    W.appendManifested(spark, src, spark.range(0, 50)
+      .select(col("id"), concat(lit("x"), col("id")).as("s")))
+    W.cloneManifestedShallow(spark, src, cl) // clone v1, zero local files
+    // DELETE on the unmaterialized clone: the key-column footer probe
+    // must resolve the #ref: entry to the SOURCE directory (r20 ADVICE
+    // — upsertManifested got this fix earlier; this pins the twin)
+    W.deleteManifested(spark, cl, Seq(3L, 4L).toDF("id"))
+    assert(W.readManifested(spark, cl).count() == 48L)
+    assert(W.readManifested(spark, src).count() == 50L) // source untouched
+    // clone-local append, then RESTORE back to the pinned version 1:
+    // the retained-generation probe must also resolve refs (r20 ADVICE)
+    W.appendManifested(spark, cl, Seq((1000L, "late")).toDF("id", "s"))
+    assert(W.readManifested(spark, cl).count() == 49L)
+    W.restoreManifested(spark, cl, 1L)
+    assert(W.readManifested(spark, cl).count() == 50L)
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
+  test("adopted-leaf constraint inheritance refuses when leaves disagree on one name") {
+    val W = graft.operators.Warehouse
+    val sp = spark; import sp.implicits._
+    val base = Files.createTempDirectory("graft_consclash")
+    val dir = base.resolve("root").toString
+    Seq((1L, 5L, "a"), (2L, 6L, "b")).toDF("id", "v", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    W.compactManifestedPartitioned(spark, dir, targetFileBytes = 1L << 30)
+    // drift the two leaves: same constraint NAME, different predicates
+    W.addCheckConstraint(spark, s"$dir/part=a", "vmax", "v <= 100")
+    W.addCheckConstraint(spark, s"$dir/part=b", "vmax", "v <= 200")
+    // an upsert that ADOPTS a new leaf would inherit both lines — the
+    // Map parse would silently keep only one predicate (r20 ADVICE):
+    // refuse loudly instead, naming the clashing constraint
+    val e = intercept[IllegalArgumentException] {
+      W.upsertManifestedPartitioned(spark, dir,
+        Seq((3L, 7L, "c")).toDF("id", "v", "part"), "id")
+    }
+    assert(e.getMessage.contains("vmax"))
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
 }
