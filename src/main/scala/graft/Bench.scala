@@ -4,8 +4,8 @@ package graft
   * `SPARK_GRAFT_SF_DIR`, prints ONE machine-parseable JSON line, and
   * writes the full-fidelity per-query results to `bench_detail.json`.
   *
-  * Measurement protocol (r8): THREE timed runs per query — run 1 is
-  * COLD (absorbs plan analysis, codegen compile, file-index misses),
+  * Measurement protocol (r8, r21): THREE timed runs per query — run 1
+  * is COLD (absorbs plan analysis, codegen compile, file-index misses),
   * runs 2-3 are WARM (steady-state plan cost). Per query we report
   *  - `med`    — median of the three runs, the round-over-round
   *               comparable figure: a single host stall (the r6/r7
@@ -16,6 +16,23 @@ package graft
   *               to re-litigate.
   * `bench_detail.json` carries all three raw runs per query, so any
   * number in the summary line can be re-derived.
+  *
+  * INTERLEAVED PASSES (r21 — a measurement-bug fix, documented in
+  * OPTIMIZATION_r21.md): the three runs of a query are NOT back to
+  * back. The suite runs as three full passes over the seeded order —
+  * every query's run 1 (cold), then every run 2, then every run 3 —
+  * so one query's three runs are separated by minutes. Rationale: the
+  * §6.1d host-drag episodes arrive as ~10-60 s bursts; under
+  * back-to-back triples a single burst covers runs 2-3 of ONE query
+  * and its MEDIAN inherits the drag (the r20 driver artifact's
+  * m14 [5.4, 16.0, 16.3] inversion — cold in band, both warms 3×, on
+  * flat sentinels, while m14 isolated shows no such state: the burst
+  * fit entirely inside one triple and between two sentinel probes).
+  * Interleaved, a burst can touch at most ONE of a query's three runs,
+  * which the median discards by construction. Nothing about the timed
+  * work changes: same queries, same noop-sink action, same
+  * three-runs-per-query count, same seeded order within each pass,
+  * run 1 still cold.
   *
   * DRAG SENTINEL (r20): a fixed no-op reference query — a 1-row
   * parquet count whose cost is constant by construction — runs as its
@@ -97,7 +114,7 @@ object Bench {
     // round-over-round diffing; each detail entry records its
     // executed position as "pos" so any drag window is locatable in
     // the artifact.
-    val orderSeed = 20L
+    val orderSeed = 21L
     val ordered = new scala.util.Random(orderSeed)
       .shuffle(selected.toSeq.sortBy(_._1))
     // the drag sentinel's fixed workload: one 1-row parquet, written
@@ -118,52 +135,73 @@ object Bench {
       catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
+    // sentinel entries: (key, runs, pass, pos-within-pass)
     val sentinels =
-      scala.collection.mutable.ArrayBuffer[(String, Seq[Double], Int)]()
-    var execPos = 0
-    val results = ordered.zipWithIndex.map { case ((name, fn), qi) =>
-      if (sentinelPath.nonEmpty && qi % SentinelEvery == 0) {
-        val sruns = Seq(sentinelOnce(), sentinelOnce(), sentinelOnce())
-        sentinels += ((f"_sentinel_${sentinels.size}%02d", sruns, execPos))
-        execPos += 1
-      }
-      def once(): Double = {
+      scala.collection.mutable.ArrayBuffer[(String, Seq[Double], Int, Int)]()
+    val runsOf = scala.collection.mutable.Map[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    val healthOf = scala.collection.mutable.Map[String, (Int, Double, Int)]()
+    // THREE INTERLEAVED PASSES over the seeded order (see header): a
+    // query's runs land minutes apart, so a drag burst corrupts at most
+    // one of them and the median stays clean.
+    for (pass <- 0 until 3) {
+      var execPos = 0
+      var si = 0
+      ordered.zipWithIndex.foreach { case ((name, fn), qi) =>
+        if (sentinelPath.nonEmpty && qi % SentinelEvery == 0) {
+          // one sentinel probe per lattice point PER PASS: the probe
+          // timestamps drag at this point of THIS pass — three-run
+          // triples here would measure one instant thrice
+          sentinels += ((f"_sentinel_p${pass}_$si%02d",
+            Seq(sentinelOnce()), pass, execPos))
+          si += 1
+          execPos += 1
+        }
         val t0 = System.nanoTime()
         // noop sink: full materialization of every output row/column —
         // a bare .count() lets Catalyst prune projections and sorts.
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        runsOf.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer[Double]()) +=
+          (System.nanoTime() - t0) / 1e9
+        // Health sentinel (r8 item 2): cache/storage state AFTER each
+        // run. A leaked cache/localCheckpoint shows up as monotone
+        // growth of these two numbers across the suite — the r8 "p01
+        // warm 2× cold" question took a cross-round no-op to falsify;
+        // these fields make that class self-diagnosing in one artifact.
+        //
+        // The sentinel measures RETAINED state, not GC timing: the
+        // run's DataFrame just went out of scope, and correctly-
+        // released blocks (a returned result's own checkpoint —
+        // d07/d09/g01/q73 hand back exactly one) sit in the
+        // ContextCleaner's reference queue until a GC notices. Nudge
+        // the collector and give the cleaner a bounded window, OUTSIDE
+        // the timed region, so the reading is deterministic: a genuine
+        // leak is a STRONG reference inside operator state — it
+        // survives any number of GCs and still shows as nonzero;
+        // everything else reads 0 every time instead of "0 unless the
+        // cleaner was behind". Running it after EVERY run (not just
+        // the triple's last) also keeps pass N+1 from inheriting
+        // pass N's pending blocks.
+        val sc = spark.sparkContext
+        val gcDeadline = System.nanoTime() + 2_000_000_000L
+        while (sc.getPersistentRDDs.nonEmpty && System.nanoTime() < gcDeadline) {
+          System.gc()
+          Thread.sleep(100)
+        }
+        if (pass == 2) {
+          val prdds = sc.getPersistentRDDs.size
+          val storageMb =
+            sc.getRDDStorageInfo.map(_.memSize).sum / (1024.0 * 1024.0)
+          healthOf(name) = (prdds, storageMb, execPos)
+        }
+        execPos += 1
       }
-      val runs = Seq(once(), once(), once()) // cold, warm, warm
-      // Health sentinel (r8 item 2): cache/storage state AFTER the
-      // query's last run. A leaked cache/localCheckpoint shows up as
-      // monotone growth of these two numbers across the suite — the
-      // r8 "p01 warm 2× cold" question took a cross-round no-op to
-      // falsify; these fields make that class self-diagnosing in one
-      // artifact.
-      //
-      // The sentinel measures RETAINED state, not GC timing: the last
-      // run's DataFrame just went out of scope, and correctly-released
-      // blocks (a returned result's own checkpoint — d07/d09/g01/q73
-      // hand back exactly one) sit in the ContextCleaner's reference
-      // queue until a GC notices. Nudge the collector and give the
-      // cleaner a bounded window, OUTSIDE the timed region, so the
-      // reading is deterministic: a genuine leak is a STRONG reference
-      // inside operator state — it survives any number of GCs and
-      // still shows as nonzero; everything else reads 0 every time
-      // instead of "0 unless the cleaner was behind".
-      val sc = spark.sparkContext
-      val gcDeadline = System.nanoTime() + 2_000_000_000L
-      while (sc.getPersistentRDDs.nonEmpty && System.nanoTime() < gcDeadline) {
-        System.gc()
-        Thread.sleep(100)
-      }
-      val prdds = sc.getPersistentRDDs.size
-      val storageMb = sc.getRDDStorageInfo.map(_.memSize).sum / (1024.0 * 1024.0)
-      val pos = execPos
-      execPos += 1
-      (name, runs, prdds, storageMb, pos)
+    }
+    val results = ordered.map { case (name, _) =>
+      val (prdds, storageMb, pos) = healthOf(name)
+      (name, runsOf(name).toSeq, prdds, storageMb, pos)
     }.sortBy(_._1) // report alphabetically whatever the executed order
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def spread(xs: Seq[Double]): Double = xs.max - xs.min
@@ -188,10 +226,11 @@ object Bench {
           ",\"prdds\":" + prdds + ",\"storage_mb\":" + f1(storageMb) +
           ",\"pos\":" + pos + "}"
       }.mkString("{", ",", "}")
-      val sent = sentinels.map { case (k, runs, pos) =>
+      val sent = sentinels.map { case (k, runs, pass, pos) =>
         "\"" + k + "\":{\"runs\":[" + runs.map(f).mkString(",") +
           "],\"med\":" + f(median(runs)) +
-          ",\"spread\":" + f(spread(runs)) + ",\"pos\":" + pos + "}"
+          ",\"spread\":" + f(spread(runs)) +
+          ",\"pass\":" + pass + ",\"pos\":" + pos + "}"
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (s"""{"value":${f(medTotal)},"cold_total":${f(coldTotal)},""" +
@@ -210,20 +249,26 @@ object Bench {
     // how many were omitted — a truncated-at-head line parses as
     // nothing, a bounded map parses as data.
     val lineBudget = 1800
-    def buildLine(kept: Seq[(String, Seq[Double])], omitted: Int): String = {
+    // the cut threshold is recorded IN the artifact (r21, judge item):
+    // every omitted query's median is ≤ omitted_max_med, so a
+    // round-over-round diff knows the exact information content of the
+    // bounded map (full-fidelity rows live in bench_detail.json).
+    def buildLine(kept: Seq[(String, Seq[Double])], omitted: Int,
+                  omittedMax: Double): String = {
       val qs = kept.map { case (k, runs) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + f1(median(runs))
       }.mkString("{", ",", "}")
-      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      val om = if (omitted > 0)
+        s""","omitted":$omitted,"omitted_max_med":${f(omittedMax)}""" else ""
       s"""{"metric":"total","value":${f(medTotal)},"unit":"sec","cold_total":${f(coldTotal)},"queries":$qs$om,"sf":"$sfName","detail":"bench_detail.json"}"""
     }
     val byCost = timings.sortBy(r => median(r._2)) // cheapest first
     var drop = 0
-    var line = buildLine(timings, 0)
+    var line = buildLine(timings, 0, 0.0)
     while (line.length > lineBudget && drop < timings.size) {
       drop += 1
       val keep = byCost.drop(drop).sortBy(_._1)
-      line = buildLine(keep, drop)
+      line = buildLine(keep, drop, median(byCost(drop - 1)._2))
     }
     // Stop FIRST, print LAST: spark.stop() logs its shutdown lines
     // before the summary is emitted, so the JSON stays the final line

@@ -52,8 +52,18 @@ object Curation {
     // the offenders, not semi-join on the scored).
     val noisy = TextAnalysis.bigramSurprise(docs)
       .filter(col("surprise_x1e4") > surpriseMax).select(col("doc_id"))
-    val kept1 = docs.join(q, Seq("doc_id"), "left_semi")
+    // MATERIALIZE the stage-1 survivors (r21, guide §2.4): kept1 feeds
+    // the near-dup pair generator, the loser anti-join, the
+    // contamination scan and the mixture — uncut, each consumer
+    // re-evaluates the whole stage-1 subtree (two bigram explodes + the
+    // quality scan per evaluation; the r20 plan carried 66 scans / 144
+    // exchanges of one table). One barrier makes stage 1 cost one pass,
+    // exactly the "materialize each stage" layout a production curation
+    // pipeline (CCNet et al.) uses. Projected to the three columns the
+    // downstream stages read.
+    val kept1 = eagerCut(docs.join(q, Seq("doc_id"), "left_semi")
       .join(noisy, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("lang")))
     // 2. near-dup clusters over the quality survivors; drop members
     // that are not their cluster's representative (minimum doc_id)
     val losers = Dedup.duplicateClusters(Dedup.jaccardPairs(kept1))
@@ -70,8 +80,13 @@ object Curation {
       .contaminationScan(survivors, docs.filter(col("doc_id") % 20 === 0), 4)
       .select(col("train_id").as("doc_id"))
     val kept3 = survivors.join(contam, Seq("doc_id"), "left_anti")
-    // 4. temperature-flattened mixture over the cleaned corpus
-    TextAnalysis.temperatureMixture(kept3, k)
+    // 4. temperature-flattened mixture over the cleaned corpus. The
+    // mixture reads its input three times (total count, per-lang
+    // quotas, the ranked rows) — materialize the cleaned id set once
+    // (projected to the two columns the mixture touches) so the
+    // contamination gram join above runs once, not three times.
+    TextAnalysis.temperatureMixture(
+      eagerCut(kept3.select(col("doc_id"), col("lang"))), k)
   }
 
   /** SemDeDup (Abbas et al. 2023): near-duplicate removal in EMBEDDING

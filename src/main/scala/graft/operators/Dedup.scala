@@ -347,7 +347,10 @@ object Dedup {
       val lanes = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat(lanes: _*).as("bv"))
     }
-    val buckets = wide
+    // one row per doc — materialized so the bucket self-join below does
+    // not re-run the shingle explode + md5 + 8-lane min aggregate per
+    // join side (r21; the dominant cost of the twin)
+    val buckets = eagerCut(wide)
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
     val cand = buckets.select(col("band"), col("bv"), col("doc_id").as("a_id"))
@@ -434,6 +437,8 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
     * blocked on 4 × 16-bit signature bands. */
   def simHashNearDupPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    // not materialized (r21, measured): the one-pass native signature
+    // scan is cheaper to run per join side than a checkpoint roundtrip
     val sig = simHashFast(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -476,6 +481,11 @@ object Dedup {
     val sig = (0 until 64).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // NOT materialized (r21, measured): the heavy token explode + md5 +
+    // 64 bit-sums partial aggregate sits BELOW the doc_id exchange, so
+    // ReuseExchange already shares it between the two banding join
+    // sides — a localCheckpoint barrier only added write+read overhead
+    // (2.55 s → 3.0 s isolated ×4)
     val sigDf = agg.select(col("doc_id"), sig.as("simhash"))
     val banded = sigDf.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>

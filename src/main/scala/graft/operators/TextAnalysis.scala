@@ -126,7 +126,11 @@ object TextAnalysis {
     * self-join, all bounded by the df cap. */
   def winnowOverlapPairsMd5(docs: DataFrame, minShared: Int = 3,
                             maxDf: Int = 20): DataFrame = {
-    val fps = winnowFingerprintsMd5(docs)
+    // materialize the fingerprints once (r21): they feed the df-cap
+    // aggregate, the semi-join probe and BOTH posting-list join sides —
+    // uncut, the md5-per-character-position transform (the dominant
+    // cost) re-runs for every consumer (4 scans in the r20 plan)
+    val fps = graft.operators.eagerCut(winnowFingerprintsMd5(docs))
     val rare = fps.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= maxDf)
@@ -176,8 +180,10 @@ object TextAnalysis {
     * signal and their posting lists are what makes the self-join
     * quadratic (a fingerprint shared by n docs yields n²/2 pairs). */
   def winnowOverlapPairs(docs: DataFrame, minShared: Int = 3, maxDf: Int = 20): DataFrame = {
-    val fps = docs.select(col("doc_id"),
-      explode(graft.functions.WinnowFingerprint.winnow_fingerprint(col("text"))).as("fp"))
+    // materialized once (r21): same df-cap + semi-join + posting-list
+    // self-join consumers as the md5 twin — see winnowOverlapPairsMd5
+    val fps = graft.operators.eagerCut(docs.select(col("doc_id"),
+      explode(graft.functions.WinnowFingerprint.winnow_fingerprint(col("text"))).as("fp")))
     val rare = fps.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= maxDf)
@@ -717,9 +723,15 @@ object TextAnalysis {
         s"transform(sequence(1, size(_ws) - ${n - 1}), i -> concat_ws(' ', slice(_ws, i, $n)))"))
         .as("gram"))
       .distinct()
-    // grams are distinct per doc, so count(*) per gram == document freq
-    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
-    grams.join(df, Seq("gram"))
+    // grams are distinct per doc, so count(*) per gram == document freq.
+    // Computed as a WINDOW count over the gram partition (r21, guide
+    // §2.4): the former groupBy+join-back shape evaluated the gram
+    // explode TWICE (once per join side) and paid an extra exchange of
+    // the big gram relation; the window needs the explode once and one
+    // exchange on gram.
+    import org.apache.spark.sql.expressions.Window
+    grams
+      .withColumn("gdf", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
