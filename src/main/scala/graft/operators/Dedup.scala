@@ -767,7 +767,10 @@ object Dedup {
       val tok = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w")).distinct()
       val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val emitted = minHashNearDupPairs(docs)
+      // pairs-sized — materialized so the whole MinHash kernel runs
+      // once, not once for the intersection join and once for the
+      // verdict join (r21)
+      val emitted = eagerCut(minHashNearDupPairs(docs))
       val inter = emitted
         .join(tok.select(col("doc_id").as("a_id"), col("w")), Seq("a_id"))
         .join(tok.select(col("doc_id").as("b_id"), col("w")), Seq("b_id", "w"))

@@ -292,7 +292,13 @@ object Multimodal {
     * an all-pairs product. */
   private def hammingBandPairs(sig: DataFrame, sigCol: String,
                                maxDist: Int): DataFrame = {
-    val banded = sig.select(col("doc_id"), col(sigCol).as("sig"),
+    // materialize the narrow (doc_id, sig) relation once (r21): the
+    // banding self-join below evaluates its input per side, and the
+    // fingerprint subtree is a mapPartitions CODEC pass (PNG decode /
+    // PCM scan) with no exchange underneath for ReuseExchange to share
+    // — uncut, the whole corpus decodes twice
+    val sigCut = graft.operators.eagerCut(sig)
+    val banded = sigCut.select(col("doc_id"), col(sigCol).as("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           expr(s"($sigCol >> ${b * 16}) & 65535").as("bk"))): _*)).as("bb"))
