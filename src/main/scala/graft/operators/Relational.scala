@@ -376,10 +376,43 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
-    // ---- WITH RECURSIVE (Spark 4 UnionLoop; same text runs in DuckDB)
+    // ---- WITH RECURSIVE (Spark 4 UnionLoop; the oracle still runs the
+    //      full self-contained RecursiveBfsSql text in DuckDB).
+    //      r22 (guide §2.4/§3.3, VERDICT item 5): Spark's UnionLoop
+    //      re-evaluates referenced CTEs on every iteration, so the
+    //      `und` edge relation — a DISTINCT over ALL of lineitem,
+    //      mirrored — re-ran per BFS level (6 lineitem scans + 3 big
+    //      DISTINCT aggregates in the before-plan). The edge relation
+    //      is now built once as a DataFrame, checkpointed (eagerCut),
+    //      and exposed to the UNCHANGED recursive tail as a temp view:
+    //      each loop step joins the materialized RDD instead of
+    //      recomputing the CTE. Result-identical by construction (the
+    //      reach/closure text is byte-for-byte the oracle's; only the
+    //      edge relation's physical source changed), and the driver's
+    //      oracle re-proves it value-level.
     "q55_recursive_bfs" -> ((s, d) => {
       graft.sources.Tables.registerAll(s, d)
-      s.sql(RecursiveBfsSql)
+      val pairs = t(s, d, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      val und = eagerCut(
+        pairs.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+          .unionAll(pairs.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst"))))
+      und.createOrReplaceTempView("q55_und")
+      val out = s.sql("""WITH RECURSIVE reach(node, dist) AS (
+           SELECT DISTINCT src AS node, 0 AS dist FROM q55_und WHERE src % 200 = 1
+           UNION ALL
+           SELECT u.dst AS node, r.dist + 1 AS dist
+           FROM reach r JOIN q55_und u ON u.src = r.node
+           WHERE r.dist < 2)
+         SELECT CAST(dist AS BIGINT) AS dist, count(DISTINCT node) AS n_nodes
+         FROM (SELECT node, min(dist) AS dist FROM reach GROUP BY node)
+         GROUP BY dist ORDER BY dist""")
+      // drop the view immediately: analysis already inlined the
+      // checkpointed relation into `out`, and a catalog-held reference
+      // would keep every run's checkpoint blocks alive (leak — the
+      // bench's prdds sentinel is the detector)
+      s.catalog.dropTempView("q55_und")
+      out
     }),
 
     // ---- correlated LATERAL top-n (same text runs in DuckDB)

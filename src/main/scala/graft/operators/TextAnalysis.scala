@@ -867,16 +867,25 @@ object TextAnalysis {
     * cutoffs live at small multiples of 1e4, far below RMAX, so no
     * filtering decision can depend on the clamped region. */
   def bigramSurprise(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bg = docs.withColumn("_ws", ws).filter(size(col("_ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(_ws) - 1), i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1)))"))
         .as("bigram"))
-    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
-      .agg(sum(col("c2")).as("c1"))
-    bg.join(c2, Seq("bigram"))
-      .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .join(c1, Seq("w1"))
+    // r22 (guide §2.4 — the t16 window rewrite, VERDICT item 3): both
+    // LM statistics are WINDOW counts over the single exploded
+    // occurrence relation. c2 = occurrences of this bigram (what the
+    // former groupBy counted); c1 = occurrences whose PREFIX is this
+    // bigram's w1, which equals Σ c2 over that prefix — the former
+    // bc2→bc1 two-level sum — because summing per-bigram counts over a
+    // prefix IS counting the prefix's occurrence rows. The former shape
+    // evaluated the explode twice (aggregate subtree + join probe) and
+    // shuffled the big relation for the c2 join AND the c1 join; the
+    // windows need the explode once and the same two big exchanges
+    // (bigram, w1), with no join-back.
+    bg.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy(col("bigram"))))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("w1"))))
       .select(col("doc_id"),
         expr("least((c1 * 10000) div c2, 1000000000000)").as("r"))
       .groupBy(col("doc_id"))
