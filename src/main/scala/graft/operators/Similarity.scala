@@ -350,18 +350,40 @@ object Similarity {
     * floats, the same split [[subvectorsOf]] gives the corpus side. */
   private def adcServeQuantized(qVec: DataFrame, cb: DataFrame,
                                 codes: DataFrame, topK: Int,
-                                m: Int, subDim: Int): DataFrame = {
+                                m: Int, subDim: Int): DataFrame =
+    adcTopK(adcScoredPairsQuantized(qVec, cb, codes, m, subDim), topK)
+
+  /** The per-(query, vector) ADC distance relation BEFORE the top-k
+    * rank — factored out (r22) because a vector's ADC depends only on
+    * its OWN m code rows + the frozen codebooks, making the relation
+    * segment-decomposable: scoring code segments independently and
+    * unioning the per-pair rows equals scoring all codes at once.
+    * (A per-commit incremental serve for st22 built on this was
+    * measured NEUTRAL-to-worse at the bounded replay's 2 commits —
+    * the base relation's checkpoint costs one extra materialization;
+    * the shape pays only at a real deployment's commit cadence — and
+    * was reverted; the factoring stays because it is zero-cost and
+    * documents the decomposability.) */
+  private def adcScoredPairsQuantized(qVec: DataFrame, cb: DataFrame,
+                                      codes: DataFrame, m: Int,
+                                      subDim: Int): DataFrame = {
     val qsub = subvectorsOf(qVec, m, subDim)
       .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
     val dq = "aggregate(zip_with(qsub, cv, (x, y) -> (x - y) * (x - y)), " +
       "CAST(0 AS BIGINT), (a, v) -> a + v)"
     val dtab = qsub.join(broadcast(cb), Seq("s"))
       .select(col("q_id"), col("s"), col("cid").as("code"), expr(dq).as("dq"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
     codes.join(broadcast(dtab), Seq("s", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dq")).as("adc"))
+  }
+
+  /** The rank tail of [[adcServeQueries]]: deterministic top-`topK`
+    * per query (adc asc, vec_id asc tiebreak). */
+  private[graft] def adcTopK(scored: DataFrame, topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    scored
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"), col("adc"))

@@ -819,11 +819,27 @@ object TextAnalysis {
     * top-`k` per query. */
   private[graft] def bm25Score(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
                         stats: DataFrame, queries: DataFrame,
-                        k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                        k: Int): DataFrame =
+    bm25TopK(bm25ScoredPairs(tf, dl, dfreq, stats, queries), k)
+
+  /** The per-(query, document) scored relation BEFORE the top-k rank —
+    * factored out (r22) because a document's score depends only on ITS
+    * OWN postings + doc length and the FROZEN df/stats, which makes the
+    * relation segment-decomposable: scoring a partitioned corpus
+    * segment by segment and unioning the per-pair rows yields exactly
+    * the relation scoring the whole corpus yields. (A per-commit
+    * incremental serve for st25 built on this was measured
+    * NEUTRAL-to-worse at the bounded replay's 2 commits — the base
+    * relation's checkpoint costs one extra materialization; the shape
+    * pays only at a real deployment's commit cadence — and was
+    * reverted; the factoring stays because it is zero-cost and
+    * documents the decomposability.) */
+  private[graft] def bm25ScoredPairs(tf: DataFrame, dl: DataFrame,
+                        dfreq: DataFrame, stats: DataFrame,
+                        queries: DataFrame): DataFrame = {
     val qTermsDf = queries.join(dfreq, Seq("w")).crossJoin(broadcast(stats))
       .filter(col("df") * 5 <= col("n_docs") * 4)
-    val scored = tf.join(broadcast(qTermsDf), Seq("w"))
+    tf.join(broadcast(qTermsDf), Seq("w"))
       .filter(col("doc_id") =!= col("q_id"))
       .join(dl, Seq("doc_id"))
       .withColumn("avgdl", expr("tl div n_docs"))
@@ -833,6 +849,12 @@ object TextAnalysis {
         "(22 * avgdl * tf * 10000) div (10 * avgdl * tf + 3 * avgdl + 9 * dl)"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("idf_x1e4") * col("tfterm_x1e4")).as("score_x1e8"))
+  }
+
+  /** The rank tail of [[bm25Score]]: deterministic top-`k` per query
+    * (score desc, doc_id asc tiebreak) over a scored-pairs relation. */
+  private[graft] def bm25TopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_x1e8").desc, col("doc_id"))
     scored
