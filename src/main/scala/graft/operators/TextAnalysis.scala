@@ -677,14 +677,21 @@ object TextAnalysis {
     * of (a_id, b_id)). */
   def duplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    // r22 (guide §2.3/§2.4, VERDICT item 4): the position-gram relation
+    // is MATERIALIZED once — previously both alignment join sides
+    // re-ran the posexplode (corpus × positions) independently, because
+    // the build side goes straight into a BroadcastExchange with no
+    // shuffle underneath for ReuseExchange to share. One explode now
+    // feeds both sides; the join strategy (probe side never shuffles,
+    // gram build side broadcasts) is unchanged.
+    val grams = eagerCut(docs
       .withColumn("_ws", ws)
       .filter(size(col("_ws")) >= n)
       .select(col("doc_id"), substring(col("text"), 1, 20).as("blk"),
         posexplode(expr(
           s"transform(sequence(1, size(_ws) - ${n - 1}), i -> concat_ws(' ', slice(_ws, i, $n)))"))
           .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("blk"), col("pos").cast("long").as("pos"), col("gram"))
+      .select(col("doc_id"), col("blk"), col("pos").cast("long").as("pos"), col("gram")))
     val a = grams.select(col("blk"), col("gram"), col("doc_id").as("a_id"), col("pos").as("i"))
     val b = grams.select(col("blk"), col("gram"), col("doc_id").as("b_id"), col("pos").as("j"))
     val aligned = a.join(b, Seq("blk", "gram"))
