@@ -394,9 +394,11 @@ object Relational {
       graft.sources.Tables.registerAll(s, d)
       val pairs = t(s, d, "lineitem")
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      val nPart = s.sessionState.conf.numShufflePartitions
       val und = eagerCut(
         pairs.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
-          .unionAll(pairs.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst"))))
+          .unionAll(pairs.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+          .repartition(nPart, col("src")))
       und.createOrReplaceTempView("q55_und")
       val out = s.sql("""WITH RECURSIVE reach(node, dist) AS (
            SELECT DISTINCT src AS node, 0 AS dist FROM q55_und WHERE src % 200 = 1
